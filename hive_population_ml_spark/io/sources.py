@@ -1,0 +1,79 @@
+"""Parquet sources for the driver's synthetic tables (TESTDATA.md).
+
+Reference parity: the reference's sources are eager pandas CSV/Excel
+scans with rename maps and positional parsing (``loader.py:56-99``,
+``loader.py:125-178``). Here every source is a lazy columnar parquet
+scan with column pruning + predicate pushdown for free; schema
+normalization (rename, timestamp parsing, provenance columns) is
+expressed as Catalyst projections.
+
+Scale notes:
+- Timestamps are normalized to TIMESTAMP_NTZ so semantics match the
+  DuckDB oracle (UTC-naive) regardless of executor-local timezones.
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark reads
+  only as raw nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``);
+  we convert with integer division — identical floor semantics to
+  DuckDB's nanos->micros truncation.
+- No schema inference in the hot path beyond the parquet footer; a
+  100 TB table directory scan stays metadata-only until an action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns that must surface as TIMESTAMP_NTZ (UTC-naive) for oracle parity.
+_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one testdata table with normalized timestamp types."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos(long) -> micros(long) floor-division -> naive timestamp.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    for c in _TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) not in (None, "timestamp_ntz"):
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+class Tables:
+    """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in TABLE_NAMES:
+            raise AttributeError(name)
+        return load_table(self._spark, self._sf_dir, name)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

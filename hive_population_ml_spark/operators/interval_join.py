@@ -1,0 +1,118 @@
+"""Interval (range) join and as-of join — SURVEY.md §2.3 J1.
+
+The reference aligns each dated annotation with sensor rows inside a
+centered time window via an O(A×S) ``iterrows`` loop with a per-row
+BETWEEN re-scan (``preprocessing.py:165-202``, ``dataset.py:197-261``).
+Here the same semantics are a single declarative join:
+
+    fact ⋈ dim ON fact.key = dim.key
+              AND fact.ts BETWEEN dim.date - w AND dim.date + w
+
+Physical strategy at scale:
+- The equi-conjunct on the key makes this a hash join (broadcast when
+  the dim side is small — annotations always are in the reference's
+  workload); the range conjunct is evaluated as a join-condition
+  filter on each key's bucket, so one scan of the fact table total.
+- If BOTH sides are large with no usable equi-key selectivity, use
+  ``bucketed=True``: each side is expanded to day-granularity time
+  buckets and the join adds an equi-conjunct on the bucket, turning
+  the range join into a co-partitioned shuffle join (the §4.3
+  "time-bucketing rewrite"). Dim rows are duplicated into each bucket
+  the window overlaps; the exact BETWEEN filter then prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _interval(n: int, unit: str) -> Column:
+    return F.expr(f"INTERVAL '{n}' {unit.upper()}")
+
+
+def interval_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[tuple[str, str]],
+    fact_ts: str = "ts",
+    dim_ts: str = "date",
+    before: int = 3,
+    after: int = 3,
+    unit: str = "day",
+    how: str = "inner",
+    broadcast_dim: bool = True,
+    bucketed: bool = False,
+) -> DataFrame:
+    """Join fact rows to dim rows whose window contains ``fact_ts``.
+
+    on: list of (fact_col, dim_col) equi-key pairs (may be empty for a
+        pure range join — then strongly prefer ``bucketed=True`` or a
+        broadcastable dim).
+    Window is [dim_ts - before*unit, dim_ts + after*unit], inclusive
+    on both ends — matching the reference's ``BETWEEN`` semantics
+    (``preprocessing.py:93-94``).
+    """
+    f, d = fact.alias("f"), dim.alias("d")
+    lo = F.col(f"d.{dim_ts}") - _interval(before, unit)
+    hi = F.col(f"d.{dim_ts}") + _interval(after, unit)
+    cond = F.col(f"f.{fact_ts}").between(lo, hi)
+    for fc, dc in on:
+        cond = (F.col(f"f.{fc}") == F.col(f"d.{dc}")) & cond
+
+    if bucketed:
+        # Day-bucket both sides so Spark gets an equi-conjunct even when
+        # no natural key exists; dim explodes into every bucket its
+        # window can touch (window_days + 1 buckets).
+        span = (before + after) * SECONDS[unit] // SECONDS["day"] + 1
+        fb = f.withColumn("__bucket", F.expr(f"unix_timestamp(f.{fact_ts}) div 86400"))
+        db = d.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_timestamp(d.{dim_ts} - INTERVAL '{before}' {unit.upper()}) div 86400"),
+                    F.expr(f"unix_timestamp(d.{dim_ts} + INTERVAL '{after}' {unit.upper()}) div 86400"),
+                )
+            ),
+        )
+        joined = fb.join(db, (fb["__bucket"] == db["__bucket"]) & cond, how)
+        return joined.drop("__bucket")
+
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return f.join(d, cond, how)
+
+
+def as_of_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[tuple[str, str]],
+    fact_ts: str = "ts",
+    dim_ts: str = "date",
+    max_lookback: int = 7,
+    unit: str = "day",
+    dim_id: str | None = None,
+    tiebreak: list | None = None,
+) -> DataFrame:
+    """For each dim row, the single most recent fact row at or before
+    ``dim_ts`` (within ``max_lookback``) — the "nearest reading to the
+    annotation date" extension noted at SURVEY.md §2.3.
+
+    Implemented as bounded range join + row_number()=1, so it stays a
+    hash join + one windowed shuffle rather than a per-row scan.
+    """
+    from pyspark.sql import Window
+
+    joined = interval_join(
+        fact, dim, on, fact_ts, dim_ts, before=max_lookback, after=0, unit=unit
+    )
+    keys = [dim_id] if dim_id else [dc for _, dc in on] + [dim_ts]
+    order = [F.col(fact_ts).desc(), *(tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,361 @@
+"""Core queries: flagship interval-join pipeline + projections / filters /
+joins (SURVEY.md §2.2–§2.3).
+
+Every query here mirrors a reference operator; docstrings cite the
+reference location the semantics come from. All computed columns are
+aliased identically in the Spark plan and the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..operators.interval_join import as_of_join, interval_join
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: interval join + windowed stats bundle + CASE label + HAVING gate
+# (reference: preprocessing.py:142-204 — create_population_dataset: per-
+#  annotation 7-day centered window, stats bundle A1/A4, coverage gate P10,
+#  CASE label P11). Role mapping per FIXTURES.md §C/§D: orders = dated
+# annotations (o_custkey ≈ hive_id, o_orderdate ≈ evaluation date);
+# lineitem routed through orders = the sensor fact stream.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = """
+WITH fact AS (
+    SELECT o.o_custkey AS custkey,
+           l.l_shipdate AS ts,
+           l.l_extendedprice AS price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.o_orderkey AS anchor_orderkey,
+       d.o_custkey  AS custkey,
+       strftime(d.o_orderdate, '%Y-%m-%d') AS anchor_date,
+       count(f.price)                 AS price_n,
+       round(avg(f.price), 6)         AS price_avg,
+       round(stddev_samp(f.price), 6) AS price_std,
+       min(f.price)                   AS price_min,
+       max(f.price)                   AS price_max,
+       max(f.price) - min(f.price)    AS price_range,
+       round(count(f.price) / 14.0, 6) AS coverage,
+       CASE WHEN max(f.price) >= 50000 THEN 1 ELSE 0 END AS high_value
+FROM orders d
+JOIN fact f
+  ON f.custkey = d.o_custkey
+ AND f.ts BETWEEN d.o_orderdate - INTERVAL 7 DAY
+              AND d.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1, 2, 3
+HAVING count(f.price) >= 3
+"""
+
+
+@register("flagship_interval_stats", oracle=_FLAGSHIP_SQL)
+def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 interval join + A1/A4 stats bundle + P10 gate + P11 CASE.
+
+    Physical plan: lineitem⋈orders is a shuffle hash/SMJ on orderkey;
+    the interval join hashes on custkey (equi-conjunct) with the
+    BETWEEN range as join filter — one scan of the fact side total,
+    vs the reference's O(A×S) iterrows rescan (preprocessing.py:165-183).
+    """
+    t = Tables(spark, sf_dir)
+    orders = t.orders
+    fact = (
+        t.lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    dim = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    # dim side is NOT broadcast here: at 100 TB both sides are large and
+    # share the custkey equi-conjunct, so a co-partitioned join scales;
+    # AQE will still pick broadcast when the dim side is tiny.
+    j = interval_join(
+        fact,
+        dim,
+        on=[("custkey", "o_custkey")],
+        fact_ts="ts",
+        dim_ts="o_orderdate",
+        before=7,
+        after=7,
+        unit="day",
+        broadcast_dim=False,
+    )
+    return (
+        j.groupBy(
+            F.col("o_orderkey").alias("anchor_orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("anchor_date"),
+        )
+        .agg(
+            F.count("price").alias("price_n"),
+            F.round(F.avg("price"), 6).alias("price_avg"),
+            F.round(F.stddev_samp("price"), 6).alias("price_std"),
+            F.min("price").alias("price_min"),
+            F.max("price").alias("price_max"),
+            (F.max("price") - F.min("price")).alias("price_range"),
+            F.round(F.count("price") / F.lit(14.0), 6).alias("coverage"),
+            F.when(F.max("price") >= 50000, 1).otherwise(0).alias("high_value"),
+        )
+        .filter(F.col("price_n") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2–P6: projection, literal column, equality + BETWEEN + compound filters
+# (reference: loader.py:77,86 literal period; preprocessing.py:74,93-94,
+#  329-333 hive/time filters).
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_filter_project",
+    oracle="""
+SELECT event_id, event_type, value, 'W1' AS period
+FROM events
+WHERE user_id = 7
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+""",
+)
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(
+            (F.col("user_id") == 7)
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-12 00:00:00")
+        )
+        .select("event_id", "event_type", "value", F.lit("W1").alias("period"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/P12/F13: null guards, try-cast, imputation
+# (reference: loader.py:327-334 _safe_float; dataset.py:103 nan_to_num).
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_null_guard_cast",
+    oracle="""
+SELECT c_custkey,
+       COALESCE(bal, 0.0) AS bal_filled,
+       CAST(bal IS NOT NULL AS INT) AS bal_mask,
+       TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num
+FROM (
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+)
+WHERE c_custkey IS NOT NULL
+""",
+)
+def p_null_guard_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.customer.withColumn(
+        "bal", F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    )
+    return (
+        base.filter(F.col("c_custkey").isNotNull())
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("bal"), F.lit(0.0)).alias("bal_filled"),
+            F.col("bal").isNotNull().cast("int").alias("bal_mask"),
+            F.expr("try_cast(c_mktsegment AS DOUBLE)").alias("seg_num"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2/J3/P2: multi-scan union with provenance column
+# (reference: loader.py:71-91 — D1+D2 concat with literal period tags).
+# ---------------------------------------------------------------------------
+
+@register(
+    "s2_union_provenance",
+    oracle="""
+SELECT period, l_returnflag,
+       count(*) AS n,
+       sum(l_quantity) AS sum_qty
+FROM (
+    SELECT 'open' AS period, l_returnflag, l_quantity
+    FROM lineitem WHERE l_linestatus = 'O'
+    UNION ALL
+    SELECT 'finished' AS period, l_returnflag, l_quantity
+    FROM lineitem WHERE l_linestatus = 'F'
+)
+GROUP BY period, l_returnflag
+""",
+)
+def s2_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    d1 = li.filter(F.col("l_linestatus") == "O").select(
+        F.lit("open").alias("period"), "l_returnflag", "l_quantity"
+    )
+    d2 = li.filter(F.col("l_linestatus") == "F").select(
+        F.lit("finished").alias("period"), "l_returnflag", "l_quantity"
+    )
+    return (
+        d1.unionByName(d2)
+        .groupBy("period", "l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/F8–F11: fuzzy suffix-key normalization -> broadcast equi-join
+# (reference: preprocessing.py:168-177 — 6-digit sensor id matched to
+#  4-digit annotation id by suffix; normalized here to a derived join key
+#  instead of a theta join).
+# ---------------------------------------------------------------------------
+
+@register(
+    "j2_key_normalize",
+    oracle="""
+SELECT k2,
+       count(*) AS n_pairs,
+       round(avg(c.c_acctbal + s.s_acctbal), 6) AS avg_joint_bal
+FROM (SELECT substr(lpad(CAST(c_custkey AS VARCHAR), 6, '0'), 5, 2) AS k2, c_acctbal
+      FROM customer) c
+JOIN (SELECT substr(lpad(CAST(s_suppkey AS VARCHAR), 6, '0'), 5, 2) AS k2, s_acctbal
+      FROM supplier) s
+USING (k2)
+GROUP BY k2
+""",
+)
+def j2_key_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def norm(df: DataFrame, key: str, keep: str) -> DataFrame:
+        return df.select(
+            F.substring(F.lpad(F.col(key).cast("string"), 6, "0"), 5, 2).alias("k2"),
+            keep,
+        )
+
+    c = norm(t.customer, "c_custkey", "c_acctbal")
+    s = F.broadcast(norm(t.supplier, "s_suppkey", "s_acctbal"))
+    return (
+        c.join(s, "k2")
+        .groupBy("k2")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("c_acctbal") + F.col("s_acctbal")), 6).alias(
+                "avg_joint_bal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/M4/P8: leakage-safe group-wise split via deterministic key bucketing +
+# semi-join (reference: preprocessing.py:532-567 split_by_hive — split is
+# over DISTINCT keys, never rows, so no group straddles two splits).
+# ---------------------------------------------------------------------------
+
+@register(
+    "j5_semi_split",
+    oracle="""
+SELECT split,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_custs
+FROM (
+    SELECT o.*, CASE WHEN c.c_custkey % 10 < 7 THEN 'train'
+                     WHEN c.c_custkey % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+)
+GROUP BY split
+""",
+)
+def j5_semi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    keys = t.customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 < 7, "train")
+        .when(F.col("c_custkey") % 10 < 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        t.orders.join(F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 extension): most recent fact row at or before each
+# anchor date, bounded lookback, deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_nearest_ship",
+    oracle="""
+SELECT anchor_orderkey, ship_date, price
+FROM (
+    SELECT d.o_orderkey AS anchor_orderkey,
+           strftime(f.ts, '%Y-%m-%d') AS ship_date,
+           f.price,
+           row_number() OVER (
+               PARTITION BY d.o_orderkey
+               ORDER BY f.ts DESC, f.price DESC, f.lineid ASC
+           ) AS rn
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+          WHERE o_orderkey % 7 = 0) d
+    JOIN (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ts,
+               l.l_extendedprice AS price,
+               l.l_orderkey * 10 + l.l_linenumber AS lineid
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) f
+      ON f.custkey = d.o_custkey
+     AND f.ts BETWEEN d.o_orderdate - INTERVAL 7 DAY AND d.o_orderdate
+)
+WHERE rn = 1
+""",
+)
+def asof_nearest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    orders = t.orders
+    fact = (
+        t.lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_extendedprice").alias("price"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lineid"),
+        )
+    )
+    dim = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = as_of_join(
+        fact,
+        dim,
+        on=[("custkey", "o_custkey")],
+        fact_ts="ts",
+        dim_ts="o_orderdate",
+        max_lookback=7,
+        unit="day",
+        dim_id="o_orderkey",
+        tiebreak=[F.col("price").desc(), F.col("lineid").asc()],
+    )
+    return j.select(
+        F.col("o_orderkey").alias("anchor_orderkey"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ship_date"),
+        "price",
+    )

@@ -1,0 +1,76 @@
+"""SparkSession construction and runtime tuning.
+
+Design notes (100 TB posture):
+- All tuning that affects *correctness vs the DuckDB oracle* (session
+  timezone, nanos handling) is applied at runtime via ``tune`` so it
+  also takes effect on a SparkSession handed to us by the driver.
+- AQE is on: runtime shuffle-partition coalescing, skew-join splitting
+  and dynamic join strategy changes replace hand-tuned partition
+  counts when the same plan runs at 1000x the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and required for oracle-consistent
+# semantics. Applied idempotently before every query.
+RUNTIME_CONFS: dict[str, str] = {
+    # DuckDB timestamps are UTC-naive; pin Spark's session tz so
+    # instant<->naive conversions are the identity.
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet stores ts as parquet TIMESTAMP(NANOS,false),
+    # which Spark's vectorized reader rejects unless read as raw longs
+    # (converted back to timestamps in io.sources.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: coalesce small shuffle partitions, split skewed
+    # ones, switch SMJ->BHJ when runtime stats allow.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (extension operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs idempotently (safe on driver-owned sessions)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable in some build: best effort.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hive-population-ml-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession sized for this container.
+
+    On a real cluster the master/memory settings come from
+    spark-submit; only the SQL confs below matter there.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
