@@ -1,0 +1,80 @@
+"""Benchmark harness — driver contract (BASELINE.md engine-side targets).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count-style action);
+a warmup pass on sf0.001 absorbs JVM/codegen startup so the numbers
+reflect steady-state throughput, which is what a long-running cluster
+sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_population_ml_spark.queries import QUERIES, load_all
+from hive_population_ml_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_interval_stats",
+    "a1_stats_bundle",
+    "a3_temporal_deltas",
+    "a5_calendar_reagg",
+    "asof_nearest_ship",
+    "m16_regression_metrics",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality_profile",
+    "w5_sequence_digest",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_all()
+    spark = get_spark("hpml-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: tiny SF exercises the same plans (codegen cache, Arrow init).
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        # noop sink: full execution of every row with zero write cost.
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns — SURVEY.md §2.10.
+
+Charter extension scope. Two tiers:
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products via zip_with/aggregate lambda expressions (JVM-side,
+  no Python). Queries are broadcast; candidates stream — so the cost
+  is one scan of the corpus per batch of queries, embarrassingly
+  parallel across partitions.
+- ``lsh_topk``: random-hyperplane LSH bucketing (deterministic seeded
+  planes derived from xxhash64 — no stored model needed). Only
+  vectors sharing >=1 of ``n_tables`` bucket keys are scored; at
+  100 TB this replaces the full scan with equi-joins on bucket keys.
+  Recall is tunable via (n_planes, n_tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id for cross-engine determinism; self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_component(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(plane, dim) scaled — reproducible on any cluster, no
+    stored model."""
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return (h % 1000003).cast("double") / F.lit(1000003.0)
+
+
+def lsh_bucket_keys(vec: Column, n_planes: int = 8, n_tables: int = 4) -> Column:
+    """Array of ``n_tables`` bucket keys; each key packs ``n_planes``
+    sign bits of projections onto deterministic hyperplanes."""
+    keys = []
+    for t in range(n_tables):
+        bits = None
+        for p in range(n_planes):
+            plane_id = t * n_planes + p
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(vec) - 1),
+                        lambda i, pid=plane_id: _plane_component(pid, i),
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, p)
+            bits = term if bits is None else bits.bitwiseXOR(term)
+        keys.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only bucket-colliding candidates.
+
+    Same output schema as ``cosine_topk``; recall < 1 by design. The
+    corpus side is bucketed once (write-time in a real deployment);
+    lookups become equi-joins on (table, bucket).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bk", F.explode(lsh_bucket_keys(F.col("cv"), n_planes, n_tables)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bk", F.explode(lsh_bucket_keys(F.col("qv"), n_planes, n_tables)))
+    cand = (
+        c.join(F.broadcast(q), ["bk"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

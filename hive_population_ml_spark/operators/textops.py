@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No reference citation exists (SURVEY.md §2.10 — charter extension
+scope); designs are Spark-native: every function is a Catalyst
+expression over the ``documents`` table, no Python UDFs in the hot
+path, so a 100 TB corpus stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Real corpora would ship larger lists; the mechanism
+# (null-safe tokenize -> set intersection ratio -> argmax) is the part
+# that must scale.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (split keeps empty strings in both Spark
+    and DuckDB for consecutive separators — oracle-stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_token_len(col: str | Column = "text") -> Column:
+    """Mean token length — a classic quality-score ingredient."""
+    t = tokens(col)
+    total = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    return total / F.nullif(F.size(t), F.lit(0))
+
+
+def stopword_ratio(lang: str, col: str | Column = "text") -> Column:
+    """Fraction of tokens found in ``lang``'s stopword list."""
+    t = tokens(col)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return hits.cast("double") / F.nullif(F.size(t), F.lit(0))
+
+
+def uppercase_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # chars removed when stripping [A-Z] = uppercase count.
+    return (
+        (F.length(c) - F.length(F.regexp_replace(c, "[A-Z]", ""))).cast("double")
+        / F.nullif(F.length(c), F.lit(0))
+    )
+
+
+def digit_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))).cast("double")
+        / F.nullif(F.length(c), F.lit(0))
+    )
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards mid-length
+    documents with low digit noise — deterministic arithmetic only."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    noise_penalty = F.least(digit_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(len_score * (F.lit(1.0) - noise_penalty), 6)
+
+
+def shingles(col: str | Column = "text", k: int = 3) -> Column:
+    """Distinct k-token shingles (the unit for Jaccard/MinHash dedup).
+
+    Built with sequence+transform over the token array — stays columnar;
+    ``array_distinct`` collapses repeats so Jaccard is set-based.
+    """
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(k))
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(t) >= k, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(col: str | Column = "text", head: int = 8) -> Column:
+    """Deterministic document fingerprint: md5 over the first ``head``
+    tokens (a cheap rolling-hash analog for near-head dedup)."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, head)))
+
+
+def predict_lang(col: str | Column = "text") -> Column:
+    """Stopword-vote language ID: argmax over per-language stopword hit
+    counts, 'und' (undetermined) when no stopwords hit at all."""
+    t = tokens(col)
+
+    def hits(sw: list[str]) -> Column:
+        return F.size(F.filter(t, lambda x: x.isin(*sw)))
+
+    scores = [(lang, hits(sw)) for lang, sw in STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (deterministic order).
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document text-analysis column bundle."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        F.round(stopword_ratio("en", text_col), 6).alias("en_stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+        predict_lang(text_col).alias("pred_lang"),
+    )

@@ -17,6 +17,13 @@ from .registry import ORACLE, QUERIES, register
 
 _MODULES = [
     "core",
+    "aggregates",
+    "windows",
+    "scalars",
+    "mlmetrics",
+    "dedup",
+    "text",
+    "similarity",
 ]
 
 

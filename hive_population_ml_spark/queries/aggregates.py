@@ -1,0 +1,354 @@
+"""Aggregation queries — SURVEY.md §2.4 (A1–A14) + A2 moments.
+
+Each query is a single-pass 2-phase hash aggregation (or an explicit
+two-level agg where the reference semantics are agg-of-agg). The
+reference computes all of these with per-measure pandas loops
+(preprocessing.py:101-138, 229-273, 338-358); here every bundle is one
+``agg(*exprs)`` so Catalyst plans one shuffle regardless of how many
+stat columns are requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..operators.moments import grouped_moments, moments_sql
+from ..operators.stats_bundle import delta_stats, stats_bundle
+from .registry import register
+
+# -- A1/A4: grouped stats bundle (preprocessing.py:110-115,133-138) ---------
+
+@register(
+    "a1_stats_bundle",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(l_quantity) AS l_quantity_n,
+       round(avg(l_quantity), 6) AS l_quantity_avg,
+       round(stddev_samp(l_quantity), 6) AS l_quantity_std,
+       min(l_quantity) AS l_quantity_min,
+       max(l_quantity) AS l_quantity_max,
+       round(max(l_quantity) - min(l_quantity), 6) AS l_quantity_range,
+       count(l_extendedprice) AS l_extendedprice_n,
+       round(avg(l_extendedprice), 6) AS l_extendedprice_avg,
+       round(stddev_samp(l_extendedprice), 6) AS l_extendedprice_std,
+       min(l_extendedprice) AS l_extendedprice_min,
+       max(l_extendedprice) AS l_extendedprice_max,
+       round(max(l_extendedprice) - min(l_extendedprice), 6) AS l_extendedprice_range
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def a1_stats_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return stats_bundle(
+        t.lineitem,
+        keys=["l_returnflag", "l_linestatus"],
+        measures=["l_quantity", "l_extendedprice"],
+        round_to=6,
+    )
+
+
+# -- A2: bias-corrected skew/kurtosis via shared raw-moment formula ---------
+
+@register(
+    "a2_higher_moments",
+    oracle=f"""
+SELECT l_returnflag,{moments_sql("l_quantity")}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a2_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return grouped_moments(t.lineitem, ["l_returnflag"], "l_quantity")
+
+
+# -- A3/W2: temporal delta stats (preprocessing.py:123-131) -----------------
+
+@register(
+    "a3_temporal_deltas",
+    oracle="""
+WITH d1 AS (
+    SELECT user_id, ts, event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv1
+    FROM events
+), d2 AS (
+    SELECT user_id, dv1,
+           dv1 - lag(dv1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv2
+    FROM d1
+)
+SELECT user_id,
+       round(avg(dv1), 6) AS value_d1_mean,
+       round(stddev_samp(dv1), 6) AS value_d1_std,
+       round(avg(dv2), 6) AS value_d2_mean,
+       round(stddev_samp(dv2), 6) AS value_d2_std
+FROM d2
+GROUP BY user_id
+""",
+)
+def a3_temporal_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return delta_stats(
+        t.events,
+        keys=["user_id"],
+        ts="ts",
+        measures=["value"],
+        order_tiebreak=["event_id"],
+        round_to=6,
+    )
+
+
+# -- A5: calendar-bucket re-aggregation (preprocessing.py:246-261) ----------
+
+@register(
+    "a5_calendar_reagg",
+    oracle="""
+WITH wk AS (
+    SELECT user_id, weekofyear(ts) AS wk, avg(value) AS wv
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_weeks,
+       round(stddev_samp(wv), 6) AS weekly_std,
+       round(max(wv) - min(wv), 6) AS weekly_range
+FROM wk
+GROUP BY user_id
+""",
+)
+def a5_calendar_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    weekly = (
+        t.events.groupBy("user_id", F.weekofyear("ts").alias("wk"))
+        .agg(F.avg("value").alias("wv"))
+    )
+    return weekly.groupBy("user_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.round(F.stddev_samp("wv"), 6).alias("weekly_std"),
+        F.round(F.max("wv") - F.min("wv"), 6).alias("weekly_range"),
+    )
+
+
+# -- A6/F6: diurnal pattern range (preprocessing.py:352-358) ----------------
+
+@register(
+    "a6_diurnal_range",
+    oracle="""
+WITH h AS (
+    SELECT user_id, hour(ts) AS hr, avg(value) AS hv
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_hours, round(max(hv) - min(hv), 6) AS diurnal_range
+FROM h
+GROUP BY user_id
+""",
+)
+def a6_diurnal_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy("user_id", F.hour("ts").alias("hr"))
+        .agg(F.avg("value").alias("hv"))
+    )
+    return hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.max("hv") - F.min("hv"), 6).alias("diurnal_range"),
+    )
+
+
+# -- A7/W6: early-vs-late halves via ntile (preprocessing.py:231-273) -------
+
+@register(
+    "a7_half_contrast",
+    oracle="""
+WITH r AS (
+    SELECT user_id, value,
+           ntile(2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS half
+    FROM events
+)
+SELECT user_id,
+       round(avg(CASE WHEN half = 1 THEN value END), 6) AS first_half_mean,
+       round(avg(CASE WHEN half = 2 THEN value END), 6) AS second_half_mean,
+       round(avg(CASE WHEN half = 2 THEN value END)
+           - avg(CASE WHEN half = 1 THEN value END), 6) AS half_diff
+FROM r
+GROUP BY user_id
+""",
+)
+def a7_half_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = t.events.select("user_id", "value", F.ntile(2).over(w).alias("half"))
+    first = F.avg(F.when(F.col("half") == 1, F.col("value")))
+    second = F.avg(F.when(F.col("half") == 2, F.col("value")))
+    return r.groupBy("user_id").agg(
+        F.round(first, 6).alias("first_half_mean"),
+        F.round(second, 6).alias("second_half_mean"),
+        F.round(second - first, 6).alias("half_diff"),
+    )
+
+
+# -- A8/P5: season-scoped stats (preprocessing.py:338-351,438-450) ----------
+
+@register(
+    "a8_season_scoped",
+    oracle="""
+SELECT user_id,
+       count(*) AS n,
+       round(avg(value), 6) AS v_avg,
+       round(stddev_samp(value), 6) AS v_std,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY user_id
+""",
+)
+def a8_season_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(
+            (F.col("ts") >= "2024-01-05 00:00:00") & (F.col("ts") < "2024-01-15 00:00:00")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("v_avg"),
+            F.round(F.stddev_samp("value"), 6).alias("v_std"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
+# -- A9: distinct / count-distinct (preprocessing.py:163,313,413,550) -------
+
+@register(
+    "a9_distinct_counts",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def a9_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# -- A10/A11: frequency table + inverse-frequency class weights -------------
+# (trainer.py:352-366: w_c = (1/n_c) / sum_c(1/n_c))
+
+@register(
+    "a11_class_weights",
+    oracle="""
+WITH c AS (SELECT o_orderstatus AS label, count(*) AS n FROM orders GROUP BY 1)
+SELECT label, n, round((1.0 / n) / sum(1.0 / n) OVER (), 6) AS weight
+FROM c
+""",
+)
+def a11_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    counts = t.orders.groupBy(F.col("o_orderstatus").alias("label")).agg(
+        F.count("*").alias("n")
+    )
+    inv = F.lit(1.0) / F.col("n")
+    w_all = Window.partitionBy()
+    return counts.select(
+        "label",
+        "n",
+        F.round(inv / F.sum(inv).over(w_all), 6).alias("weight"),
+    )
+
+
+# -- A12: row-wise null-skipping mean (loader.py:252-254) -------------------
+
+@register(
+    "a12_rowwise_mean",
+    oracle="""
+SELECT p_partkey,
+       CAST(v1 IS NOT NULL AS INT) + CAST(v2 IS NOT NULL AS INT)
+         + CAST(v3 IS NOT NULL AS INT) AS n_present,
+       round((COALESCE(v1, 0) + COALESCE(v2, 0) + COALESCE(v3, 0))
+             / NULLIF(CAST(v1 IS NOT NULL AS INT) + CAST(v2 IS NOT NULL AS INT)
+                      + CAST(v3 IS NOT NULL AS INT), 0), 6) AS row_mean
+FROM (
+    SELECT p_partkey,
+           CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_retailprice END AS v1,
+           CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_retailprice * 0.5 END AS v2,
+           CASE WHEN p_size % 7 = 0 THEN NULL ELSE CAST(p_size AS DOUBLE) END AS v3
+    FROM part
+)
+""",
+)
+def a12_rowwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rowwise import rowwise_mean, rowwise_present
+
+    t = Tables(spark, sf_dir)
+    base = t.part.select(
+        "p_partkey",
+        F.when(F.col("p_size") % 3 == 0, None).otherwise(F.col("p_retailprice")).alias("v1"),
+        F.when(F.col("p_size") % 5 == 0, None).otherwise(F.col("p_retailprice") * 0.5).alias("v2"),
+        F.when(F.col("p_size") % 7 == 0, None).otherwise(F.col("p_size").cast("double")).alias("v3"),
+    )
+    cols = ["v1", "v2", "v3"]
+    return base.select(
+        "p_partkey",
+        rowwise_present(cols).alias("n_present"),
+        F.round(rowwise_mean(cols), 6).alias("row_mean"),
+    )
+
+
+# -- A13/F18: global scalar stats + boolean rate (train_ensemble.py:126-127)
+
+@register(
+    "a13_global_stats",
+    oracle="""
+SELECT count(*) AS n,
+       min(o_totalprice) AS tp_min,
+       max(o_totalprice) AS tp_max,
+       round(avg(o_totalprice), 6) AS tp_avg,
+       round(stddev_samp(o_totalprice), 6) AS tp_std,
+       round(avg(CAST(o_orderstatus = 'F' AS INT)), 6) AS finished_rate
+FROM orders
+""",
+)
+def a13_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("tp_min"),
+        F.max("o_totalprice").alias("tp_max"),
+        F.round(F.avg("o_totalprice"), 6).alias("tp_avg"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("tp_std"),
+        F.round(F.avg((F.col("o_orderstatus") == "F").cast("int")), 6).alias(
+            "finished_rate"
+        ),
+    )
+
+
+# -- A14: weighted running mean as one distributed agg (metrics.py:200-224) -
+
+@register(
+    "a14_weighted_mean",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+           AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a14_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"),
+            6,
+        ).alias("weighted_avg_price")
+    )

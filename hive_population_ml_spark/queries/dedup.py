@@ -1,0 +1,92 @@
+"""Deduplication queries over ``documents`` — SURVEY.md §2.10.
+
+The testdata corpus has no exact duplicates, so the exact-dedup query
+first synthesizes a deterministic "re-crawl" (every 10th doc re-ingested
+under a shifted id) — the dedup then has real work to do and the oracle
+check is non-vacuous. Near-dup queries run on the corpus as-is (it
+contains genuine near-duplicate pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .registry import register
+
+
+def _recrawl(docs: DataFrame) -> DataFrame:
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dup)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return exact_dedup(_recrawl(t.documents), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON inter.d1 = s1.doc_id
+JOIN sizes s2 ON inter.d2 = s2.doc_id
+WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t.documents, "doc_id", "text", k=3, threshold=0.3)
+
+
+@register("dedup_minhash_lsh")  # rows-only: approximate op, recall checked in tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t.documents, "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.3
+    )
+
+
+@register("dedup_simhash")  # rows-only: hash-family dependent, properties in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return simhash_pairs(t.documents, "doc_id", "text", max_hamming=6)

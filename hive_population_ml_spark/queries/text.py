@@ -1,0 +1,134 @@
+"""Text-analysis queries over ``documents`` — SURVEY.md §2.10.
+
+All expressions are Catalyst-side (split/filter/transform/aggregate
+lambdas); DuckDB mirrors them with list_* functions. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..operators import textops
+from .registry import register
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(textops.token_count("text")), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_quality_profile",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       length(text) AS n_chars_computed,
+       round(list_sum(list_transform(t, x -> length(x))) * 1.0
+             / NULLIF(len(t), 0), 6) AS avg_token_len,
+       round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+             / NULLIF(len(t), 0), 6) AS en_stopword_ratio,
+       round(least(len(t) / 50.0, 1.0)
+             * (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                            * 1.0 / NULLIF(length(text), 0) * 5.0, 1.0)), 6) AS quality,
+       md5(array_to_string(t[1:8], ' ')) AS fp
+FROM toks
+""",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.char_count("text").alias("n_chars_computed"),
+        F.round(textops.avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(textops.stopword_ratio("en", "text"), 6).alias("en_stopword_ratio"),
+        textops.quality_score("text").alias("quality"),
+        textops.fingerprint("text").alias("fp"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('der','die','das','und','ist','ein','zu','mit'))) AS s_de,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('le','la','les','et','est','un','une','dans'))) AS s_fr,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('el','la','los','y','es','un','una','en'))) AS s_es
+    FROM documents
+)
+SELECT pred_lang, count(*) AS n_docs,
+       sum(CAST(pred_lang = lang AS INT)) AS n_agree_stored
+FROM (
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+)
+GROUP BY pred_lang
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "lang", textops.predict_lang("text").alias("pred_lang")
+    )
+    return docs.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("pred_lang") == F.col("lang")).cast("int")).alias(
+            "n_agree_stored"
+        ),
+    )
+
+
+@register(
+    "multimodal_bytes",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(n_chars AS BIGINT) AS n_chars_meta
+FROM documents
+""",
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing smoke: text re-encoded as an opaque binary
+    payload (stand-in for image/audio bytes), metadata projected. The
+    real decode plumbing lives in operators/multimodal.py."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.col("n_chars").alias("n_chars_meta"),
+    )

@@ -1,0 +1,132 @@
+"""Structured Streaming slice — SURVEY.md §2.9.
+
+The reference is batch-only; its temporal semantics (tumbling calendar
+buckets A5, coverage gates P10, dedup) translate directly:
+
+- ``windowed_agg``      — tumbling event-time window + per-key stats
+                          (the streaming form of A1/A5), with a
+                          watermark bounding state.
+- ``coverage_gate``     — the P10 "min readings per window" quality
+                          gate as a post-aggregation filter.
+- ``streaming_dedup``   — watermarked dropDuplicates (exact dedup in
+                          flight).
+- ``run_events_stream`` — drives the pipeline from parquet with
+                          availableNow + memory sink: batch parity is
+                          asserted in tests (same plan semantics).
+
+State sizing at scale: watermark delay x key cardinality bounds the
+state store; all aggregations here are additive, so Spark keeps only
+partial aggregates per (key, window) — no raw rows in state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource requires a directory; testdata tables are single
+    parquet files. Symlink the file into a scratch dir and stream that.
+    (At production scale the source is already a partitioned directory
+    and this is a no-op.)"""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def windowed_agg(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    ts: str = "ts",
+    key: str = "event_type",
+) -> DataFrame:
+    """Tumbling window x key: count / sum / avg / min / max of value."""
+    # Watermarks require TimestampType (instant); with the session tz
+    # pinned to UTC the NTZ->instant cast is the identity mapping.
+    src = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts), window).alias("win"), F.col(key))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.avg("value").alias("value_avg"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key,
+            "n",
+            "value_sum",
+            "value_avg",
+            "value_min",
+            "value_max",
+        )
+    )
+
+
+def coverage_gate(agg: DataFrame, min_count: int = 10) -> DataFrame:
+    """P10 quality gate on windowed aggregates."""
+    return agg.filter(F.col("n") >= min_count)
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], ts: str = "ts", watermark: str = "1 day"
+) -> DataFrame:
+    src = events.withWatermark(ts, watermark) if events.isStreaming else events
+    return src.dropDuplicates(keys)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a file stream (schema pinned from the
+    batch read; ts normalized the same way)."""
+    batch = load_table(spark, sf_dir, "events")
+    return (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
+    )
+
+
+def run_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "events_windowed",
+    min_count: int = 10,
+) -> DataFrame:
+    """Drive the windowed agg with availableNow into a memory sink;
+    returns the materialized result table (complete mode)."""
+    # The raw file holds TIMESTAMP(NANOS) which the streaming parquet
+    # reader surfaces as long (same legacy conf as batch) — convert
+    # identically to the batch path.
+    raw = (
+        spark.readStream.schema("event_id bigint, ts long, user_id bigint, "
+                                "event_type string, value double, props string")
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
+        .withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    )
+    agg = coverage_gate(windowed_agg(raw), min_count=min_count)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)

@@ -1,0 +1,109 @@
+"""ML pipeline parity tests — SURVEY.md §2.8/§5.2 items 3-4.
+
+Property-style checks (split disjointness, scaler statistics, OOF
+coverage) rather than golden metric values: SURVEY §7.5 — we match the
+reference's *semantics* (ratios, leakage-freedom, estimator wiring),
+not its RNG stream.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_population_ml_spark.ml.cv import ensemble_predictions, oof_predict, with_fold
+from hive_population_ml_spark.ml.features import build_feature_table
+from hive_population_ml_spark.ml.pipeline import (
+    feature_pipeline,
+    numeric_feature_cols,
+    reference_regressors,
+)
+from hive_population_ml_spark.ml.splits import split_by_group, split_by_hash
+
+
+@pytest.fixture(scope="module")
+def feature_table(spark, sf_dir):
+    # ±30d window + gate 1 -> ~950 samples / ~146 groups at sf0.001:
+    # enough that every hash-split bucket is non-empty.
+    return build_feature_table(spark, sf_dir, window_days=30, min_count=1).cache()
+
+
+def test_feature_table_shape(feature_table):
+    n = feature_table.count()
+    assert n > 0
+    cols = set(feature_table.columns)
+    assert {"anchor_orderkey", "custkey", "target", "label", "split"} <= cols
+    assert "price_avg" in cols and "qty_std" in cols
+
+
+def test_group_split_no_leakage(feature_table):
+    for splitter in (split_by_group, split_by_hash):
+        train, val, test = splitter(feature_table, "custkey", seed=42)
+        tr = {r["custkey"] for r in train.select("custkey").distinct().collect()}
+        va = {r["custkey"] for r in val.select("custkey").distinct().collect()}
+        te = {r["custkey"] for r in test.select("custkey").distinct().collect()}
+        assert not (tr & va) and not (tr & te) and not (va & te)
+        assert len(tr) > len(va) and len(tr) > len(te)
+
+
+def test_split_deterministic(feature_table):
+    a = split_by_hash(feature_table, "custkey", seed=42)[0]
+    b = split_by_hash(feature_table, "custkey", seed=42)[0]
+    assert a.count() == b.count()
+    assert a.select(F.sum("anchor_orderkey")).first()[0] == b.select(
+        F.sum("anchor_orderkey")
+    ).first()[0]
+
+
+def test_feature_pipeline_scales_train_only(feature_table):
+    feats = numeric_feature_cols(
+        feature_table, exclude={"anchor_orderkey", "custkey", "target"}
+    )
+    assert len(feats) >= 15
+    train, _, test = split_by_hash(feature_table, "custkey", seed=42)
+    pipe = feature_pipeline(feats).fit(train)
+    scaled_train = pipe.transform(train)
+    # scaled train features have ~zero mean per dimension
+    from pyspark.ml.stat import Summarizer
+
+    mean_vec = scaled_train.select(Summarizer.mean(F.col("features"))).first()[0]
+    assert max(abs(v) for v in mean_vec.toArray()) < 1e-6
+    # the SAME fitted model transforms test (scaler-reuse discipline M1)
+    assert pipe.transform(test).select("features").first() is not None
+
+
+def test_regressors_and_ensemble(feature_table):
+    feats = numeric_feature_cols(
+        feature_table, exclude={"anchor_orderkey", "custkey", "target"}
+    )
+    pipe = feature_pipeline(feats).fit(feature_table)
+    data = pipe.transform(feature_table).select(
+        "anchor_orderkey", "features", F.col("target").alias("label")
+    )
+    regs = reference_regressors()
+    preds = {}
+    for name in ("ridge", "gradient_boosting"):
+        preds[name] = oof_predict(data, regs[name], "anchor_orderkey", k=3)
+        assert preds[name].count() == data.count()  # OOF covers every row
+    ens = ensemble_predictions(preds, "anchor_orderkey")
+    row = ens.select(
+        F.avg(F.abs(F.col("pred_ensemble") - (F.col("pred_ridge") + F.col("pred_gradient_boosting")) / 2))
+    ).first()
+    assert row[0] < 1e-9  # average ensemble == mean of members
+
+
+def test_fold_assignment_partition(feature_table):
+    folded = with_fold(feature_table, "anchor_orderkey", k=5)
+    counts = folded.groupBy("fold").count().collect()
+    assert len(counts) == 5
+    assert folded.count() == sum(r["count"] for r in counts)
+
+
+def test_mlp_classifier_trains(spark, feature_table):
+    from hive_population_ml_spark.ml.pipeline import mlp_classifier
+
+    feats = ["price_avg", "price_std", "qty_avg", "n_rows"]
+    pipe = feature_pipeline(feats).fit(feature_table)
+    data = pipe.transform(feature_table).select("features", "label")
+    clf = mlp_classifier(n_features=4, n_classes=2, hidden=(8,), seed=42)
+    model = clf.fit(data)
+    out = model.transform(data)
+    assert out.filter(F.col("prediction").isin(0.0, 1.0)).count() == data.count()
