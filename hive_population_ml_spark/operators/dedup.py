@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import shingles
+from .textops import shingles_of_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -45,9 +45,73 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct-shingle table."""
+    # Explode the shingle expression directly: materializing it as a
+    # named column first makes InferFiltersFromGenerate insert a
+    # pre-Generate Filter that re-evaluates the whole (split-inlined)
+    # expression per row off the codegen path — ~20x slower.
     return (
-        df.select(F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh"))
-        .select("doc", F.explode("sh").alias("s"))
+        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+        .select("doc", F.explode(shingles_of_tokens(F.col("t"), k)).alias("s"))
+    )
+
+
+def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """All ordered pairs (d1 < d2) from each row's doc-id array.
+
+    The scale-safe alternative to a self-equi-join: one groupBy already
+    co-located every bucket, so pair generation is a per-row array
+    expansion (cost = sum over buckets of c*(c-1)/2) with no second
+    shuffle of the full table. Callers bound bucket size (stopword-
+    shingle guard / LSH band width) to keep the expansion linear.
+    """
+    ds = F.array_sort(F.col(docs_col))
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2")
+    )
+
+
+def _jaccard_verify(
+    sh: DataFrame, pairs: DataFrame | None, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for co-bucketed docs from a (doc, s) shingle table.
+
+    Intersection counts come from pair-expansion of per-shingle doc
+    groups (map-side combine, two shuffles total); set sizes are a tiny
+    per-doc aggregate joined back broadcast-style. ``pairs`` restricts
+    verification to candidate pairs (LSH path); None verifies all
+    intersecting pairs (exact path).
+    """
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    groups = (
+        sh.withColumn("sh64", F.xxhash64("s"))
+        .groupBy("sh64")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    inter = _pairs_from_groups(groups).groupBy("d1", "d2").agg(
+        F.count("*").alias("inter")
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["d1", "d2"], "left_semi")
+    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    # No broadcast hint: sizes is per-doc (billions of rows at 100 TB);
+    # AQE picks broadcast automatically when it actually is small.
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -73,23 +137,7 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(rare, "s", "left_semi")
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(sh, pairs=None, threshold=threshold)
 
 
 def minhash_signatures(
@@ -138,39 +186,24 @@ def minhash_lsh_pairs(
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+    # Candidate pairs by bucket expansion (no self-join): docs sharing a
+    # (band, band-hash) bucket are grouped by the banding shuffle itself.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    cand = _pairs_from_groups(buckets).distinct()
+    # Exact verification only on candidates: first shrink the shingle
+    # table to docs that appear in some candidate pair (the LSH payoff —
+    # at corpus scale this is a tiny fraction), then verify.
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc"))
+        .unionByName(cand.select(F.col("d2").alias("doc")))
         .distinct()
     )
-    # Exact verification only on candidates: semi-join the shingle table
-    # down to candidate docs, then intersection/union as in the exact op.
-    sh = shingle_sets(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
-    sh1 = sh.select(F.col("doc").alias("d1"), F.col("s").alias("s1"))
-    sh2 = sh.select(F.col("doc").alias("d2"), F.col("s").alias("s2"))
-    inter = (
-        cand.join(sh1, "d1")
-        .join(sh2, "d2")
-        .filter(F.col("s1") == F.col("s2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    sh = shingle_sets(df, id_col, text_col, k).join(cand_docs, "doc", "left_semi")
+    return _jaccard_verify(sh, pairs=cand, threshold=threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -227,21 +260,23 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("doc", "simhash", F.col("ck.c").alias("c"), F.col("ck.chunk").alias("chunk"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Bucket expansion instead of self-join: group docs per (chunk-pos,
+    # chunk-value), expand pairs, then one fingerprint join to verify.
+    buckets = (
+        chunks.groupBy("c", "chunk")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    cand = _pairs_from_groups(buckets).distinct()
+    fp1 = fp.select(F.col("doc").alias("d1"), F.col("simhash").alias("sh1"))
+    fp2 = fp.select(F.col("doc").alias("d2"), F.col("simhash").alias("sh2"))
     return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+        cand.join(fp1, "d1")
+        .join(fp2, "d2")
         .select(
-            F.col("a.doc").alias("d1"),
-            F.col("b.doc").alias("d2"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-                "hamming"
-            ),
+            "d1",
+            "d2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

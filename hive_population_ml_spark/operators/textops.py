@@ -82,13 +82,16 @@ def quality_score(col: str | Column = "text") -> Column:
     return F.round(len_score * (F.lit(1.0) - noise_penalty), 6)
 
 
-def shingles(col: str | Column = "text", k: int = 3) -> Column:
-    """Distinct k-token shingles (the unit for Jaccard/MinHash dedup).
+def shingles_of_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from an ALREADY-MATERIALIZED token
+    array column (the unit for Jaccard/MinHash dedup).
 
-    Built with sequence+transform over the token array — stays columnar;
+    ``t`` must be a plain attribute, not a `split(...)` expression:
+    lambda bodies inline captured expressions, so an expression argument
+    would re-tokenize the document once per element_at — O(len²) regex
+    work per row. Built with sequence+transform — stays columnar;
     ``array_distinct`` collapses repeats so Jaccard is set-based.
     """
-    t = tokens(col)
     idx = F.sequence(F.lit(0), F.size(t) - F.lit(k))
     mk = F.transform(
         idx,
@@ -99,6 +102,13 @@ def shingles(col: str | Column = "text", k: int = 3) -> Column:
     return F.when(F.size(t) >= k, F.array_distinct(mk)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: str | Column = "text", k: int = 3) -> Column:
+    """Distinct k-token shingles straight from a text column. Prefer
+    ``shingles_of_tokens`` over a pre-split column in hot paths (see its
+    docstring for the expression-inlining hazard)."""
+    return shingles_of_tokens(tokens(col), k)
 
 
 def fingerprint(col: str | Column = "text", head: int = 8) -> Column:
