@@ -112,6 +112,100 @@ def lsh_bucket_keys(vec: Column, n_planes: int = 8, n_tables: int = 4) -> Column
     return F.array(*keys)
 
 
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= thr).
+
+    Brute-force all-pairs — the exactness baseline the LSH path is
+    measured against. At corpus scale use ``lsh_topk``/bucketing to
+    generate candidates and this only to verify them.
+    """
+    a = df.select(
+        F.col(id_col).alias("id1"), _as_double(F.col(vec_col)).alias("v1")
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"), _as_double(F.col(vec_col)).alias("v2")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
+    cell, probe each query's ``n_probe`` nearest cells, score exactly
+    only within probed cells.
+
+    ``centroids`` is any small (id, vector) DataFrame — typically KMeans
+    centers or a deterministic sample; it is broadcast to both sides, so
+    assignment is a map-side argmin (no shuffle). The corpus→cell
+    assignment is write-time partitioning in a real deployment: lookups
+    touch n_probe cells instead of the full corpus.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+    def assign(df: DataFrame, idc: str, vec: str, keep_n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(idc).alias("_id"), _as_double(F.col(vec)).alias("_v"))
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "_id",
+                "_v",
+                "cid",
+                F.round(cosine(F.col("_v"), F.col("cv")), 9).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep_n)
+            .drop("_r", "sim")
+        )
+
+    cells = assign(corpus, id_col, vec_col, 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv2"), "cid"
+    )
+    probes = assign(queries, id_col, vec_col, n_probe).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "cid"
+    )
+    scored = (
+        cells.join(probes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv2")), 9).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -24,6 +24,7 @@ _MODULES = [
     "dedup",
     "text",
     "similarity",
+    "streamq",
 ]
 
 

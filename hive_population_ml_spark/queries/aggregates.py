@@ -352,3 +352,28 @@ def a14_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weighted_avg_price")
     )
+
+
+# -- A10: frequency table / class distribution (preprocessing.py:589,
+#    trainer.py:362 value_counts) -------------------------------------------
+
+@register(
+    "a10_frequency_table",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM events
+GROUP BY event_type
+""",
+)
+def a10_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    counts = t.events.groupBy("event_type").agg(F.count("*").alias("n"))
+    # window over the tiny post-agg table (|distinct types| rows), not
+    # the raw events — the global window never sees full-table data.
+    return counts.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
+    )

@@ -90,11 +90,14 @@ def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit="day",
         broadcast_dim=False,
     )
+    # Group by the raw date and format AFTER the agg: a string group key
+    # would run date_format per joined row (6M at sf0.1) instead of per
+    # group, and hash strings instead of int64s through the shuffle.
     return (
         j.groupBy(
             F.col("o_orderkey").alias("anchor_orderkey"),
             F.col("o_custkey").alias("custkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("anchor_date"),
+            F.col("o_orderdate").alias("anchor_dt"),
         )
         .agg(
             F.count("price").alias("price_n"),
@@ -107,6 +110,8 @@ def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.max("price") >= 50000, 1).otherwise(0).alias("high_value"),
         )
         .filter(F.col("price_n") >= 3)
+        .withColumn("anchor_date", F.date_format("anchor_dt", "yyyy-MM-dd"))
+        .drop("anchor_dt")
     )
 
 

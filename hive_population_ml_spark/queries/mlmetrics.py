@@ -157,6 +157,126 @@ def m15_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- M1: StandardScaler semantics as relational algebra ---------------------
+# (preprocessing.py:524-527 / dataset.py:117-123: fit on one split, apply
+#  everywhere). Spark-side the stats come from ONE tiny agg broadcast back —
+#  not a global window, which would funnel every row through one partition.
+
+@register(
+    "m1_standard_scale",
+    oracle="""
+WITH p AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_custkey % 10 < 7 THEN 'train' ELSE 'eval' END AS split
+    FROM orders
+),
+stats AS (
+    SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma
+    FROM p WHERE split = 'train'
+)
+SELECT split,
+       count(*) AS n,
+       round(avg((o_totalprice - mu) / sigma), 6) AS scaled_mean,
+       round(stddev_samp((o_totalprice - mu) / sigma), 6) AS scaled_std,
+       round(min((o_totalprice - mu) / sigma), 6) AS scaled_min,
+       round(max((o_totalprice - mu) / sigma), 6) AS scaled_max
+FROM p, stats
+GROUP BY split
+""",
+)
+def m1_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-fitted z-scaling applied to all splits; per-split moments of
+    the scaled feature prove fit-on-train/apply-everywhere semantics
+    (train split comes out ~N(0,1), eval keeps its shift)."""
+    t = Tables(spark, sf_dir)
+    p = t.orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 10 < 7, "train").otherwise("eval").alias("split"),
+    )
+    stats = (
+        p.filter(F.col("split") == "train")
+        .agg(
+            F.avg("o_totalprice").alias("mu"),
+            F.stddev_samp("o_totalprice").alias("sigma"),
+        )
+    )
+    z = (F.col("o_totalprice") - F.col("mu")) / F.col("sigma")
+    return (
+        p.crossJoin(F.broadcast(stats))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(z), 6).alias("scaled_mean"),
+            F.round(F.stddev_samp(z), 6).alias("scaled_std"),
+            F.round(F.min(z), 6).alias("scaled_min"),
+            F.round(F.max(z), 6).alias("scaled_max"),
+        )
+    )
+
+
+# -- M13: fold-column CV with out-of-fold predictions -----------------------
+# (train_ensemble.py:150-158 cross_val_predict). The "model" is the
+# leave-fold-out mean: OOF prediction for fold f = mean(y of all other
+# folds) — computable from per-fold partial sums, i.e. ONE aggregation
+# then pure column arithmetic. This is exactly how fold-column CV avoids
+# k separate passes at scale.
+
+@register(
+    "m13_oof_folds",
+    oracle="""
+WITH lab AS (
+    SELECT o_orderkey, o_totalprice AS y, o_orderkey % 5 AS fold FROM orders
+),
+per_fold AS (
+    SELECT fold, count(*) AS n_f, sum(y) AS sum_f, avg(abs(y)) AS scale_f
+    FROM lab GROUP BY fold
+),
+tot AS (SELECT sum(n_f) AS n_all, sum(sum_f) AS sum_all FROM per_fold)
+SELECT fold, n_f AS n,
+       round((sum_all - sum_f) / (n_all - n_f), 6) AS oof_pred,
+       round((SELECT avg(abs(y - (tot.sum_all - pf.sum_f) / (tot.n_all - pf.n_f)))
+              FROM lab WHERE lab.fold = pf.fold), 6) AS oof_mae
+FROM per_fold pf, tot
+ORDER BY fold
+""",
+)
+def m13_oof_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    lab = t.orders.select(
+        (F.col("o_orderkey") % 5).alias("fold"), F.col("o_totalprice").alias("y")
+    )
+    w = Window.partitionBy()
+    per_fold = lab.groupBy("fold").agg(
+        F.count("*").alias("n_f"), F.sum("y").alias("sum_f")
+    )
+    per_fold = per_fold.select(
+        "fold",
+        "n_f",
+        "sum_f",
+        F.sum("n_f").over(w).alias("n_all"),
+        F.sum("sum_f").over(w).alias("sum_all"),
+    ).withColumn(
+        "oof_pred_raw",
+        (F.col("sum_all") - F.col("sum_f")) / (F.col("n_all") - F.col("n_f")),
+    )
+    # join the constant OOF prediction back per fold; MAE in one agg.
+    joined = lab.join(F.broadcast(per_fold), "fold")
+    return (
+        joined.groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("oof_pred_raw"), 6).alias("oof_pred"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("oof_pred_raw"))), 6).alias(
+                "oof_mae"
+            ),
+        )
+        .orderBy("fold")
+    )
+
+
 # -- M14/J6: ensemble average + weighted blend (train_ensemble.py:169-197) --
 
 @register(

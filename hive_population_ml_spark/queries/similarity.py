@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..operators.similarity import cosine_topk, lsh_topk
+from ..operators.similarity import cosine_dup_pairs, cosine_topk, ivf_topk, lsh_topk
 from .registry import register
 
 
@@ -65,4 +65,45 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=6,
         n_tables=6,
+    )
+
+
+@register("ann_ivf")  # rows-only: approximate; recall vs brute force in tests
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with a deterministic coarse quantizer (every 101st
+    vector as a centroid — stand-in for KMeans centers so both engines
+    and repeat runs agree)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        centroids=emb.filter(F.col("vec_id") % 101 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=3,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_inner_product(a.v, b.v)
+                 / NULLIF(sqrt(list_inner_product(a.v, a.v))
+                          * sqrt(list_inner_product(b.v, b.v)), 0), 9) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (charter §2.10): exact all-pairs
+    baseline; the LSH/IVF buckets above are the 100 TB candidate path."""
+    t = Tables(spark, sf_dir)
+    return cosine_dup_pairs(
+        t.embeddings, id_col="vec_id", vec_col="embedding", threshold=0.35
     )

@@ -132,3 +132,31 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
         F.col("n_chars").alias("n_chars_meta"),
     )
+
+
+@register(
+    "text_fingerprint_groups",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+               AS fp
+    FROM documents
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM fp
+GROUP BY fp
+HAVING count(*) > 1
+""",
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-hash analog): md5 over the first
+    8 tokens groups docs sharing a head — the cheap first-pass near-dup
+    blocker that runs before shingle/MinHash passes at scale."""
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select("doc_id", textops.fingerprint("text", 8).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )

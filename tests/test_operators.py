@@ -132,3 +132,35 @@ def test_rowwise_mean_all_null_is_null(spark):
     )
     vals = [r["m"] for r in df.select(rowwise_mean(["a", "b"]).alias("m")).collect()]
     assert vals == [None, 2.0, 2.0]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import ivf_topk
+
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, centroids=emb.filter(F.col("vec_id") % 101 == 0), k=5, n_probe=3
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_cosine_dup_pairs_symmetric_subset(spark, sf_dir):
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import cosine_dup_pairs
+
+    emb = Tables(spark, sf_dir).embeddings
+    pairs = cosine_dup_pairs(emb, threshold=0.35).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["id1"] < r["id2"]
+        assert r["cosine"] >= 0.35
