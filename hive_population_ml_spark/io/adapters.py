@@ -1,0 +1,120 @@
+"""Edge-ingestion adapters: CSV with explicit schema, Excel workbooks,
+and record batches → Spark DataFrames (SURVEY.md §2.1 S1–S6).
+
+The reference's sources are eager pandas scans:
+- CSV sensor files with timestamp parsing and a rename map
+  (reference ``src/data/loader.py:56-99``).
+- Excel annotation workbooks parsed positionally per sheet
+  (``loader.py:125-178``, ``loader.py:197-249``, ``loader.py:275-293``)
+  and an ID lookup sheet → dict (``loader.py:298-324``).
+
+Engine policy (SURVEY.md §7.5): Excel is an *edge* format — parsed once
+on the driver into rows, then handed to Spark as a (usually broadcast)
+DataFrame or pre-converted to Parquet. Nothing downstream ever touches
+Excel again, so the 100 TB path stays columnar. CSV, by contrast, is a
+first-class distributed scan with an explicit schema — no inference in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import tune
+
+
+def csv_scan(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    rename: Mapping[str, str] | None = None,
+    ts_cols: Sequence[str] = (),
+    ts_format: str | None = None,
+    provenance: Mapping[str, str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S1/S2: distributed CSV scan with declared schema + normalization.
+
+    Mirrors the reference loader's rename map and timestamp parsing
+    (loader.py:24-33,76,94) as Catalyst projections. ``provenance``
+    appends literal columns (e.g. period='D1') like loader.py:77,86.
+    Explicit schema means malformed cells become nulls (PERMISSIVE),
+    matching the reference's ``_safe_float`` null-on-error semantics.
+    """
+    tune(spark)
+    df = spark.read.schema(schema).option("header", header).csv(path)
+    for old, new in (rename or {}).items():
+        df = df.withColumnRenamed(old, new)
+    for c in ts_cols:
+        col = F.to_timestamp(F.col(c), ts_format) if ts_format else F.to_timestamp(c)
+        df = df.withColumn(c, col.cast("timestamp_ntz"))
+    for name, value in (provenance or {}).items():
+        df = df.withColumn(name, F.lit(value))
+    return df
+
+
+def records_to_df(
+    spark: SparkSession,
+    records: Iterable[Mapping[str, object]],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Driver-side record batch → DataFrame (the hand-off point every
+    Excel-ish edge parser funnels through). Small by construction —
+    callers broadcast it into joins (S6 lookup-table pattern)."""
+    return spark.createDataFrame(list(records), schema=schema)
+
+
+def excel_scan(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int = 0,
+    schema: T.StructType | str | None = None,
+    header_rows: int = 1,
+    column_map: Mapping[int, str] | None = None,
+):
+    """S3–S5: Excel sheet → DataFrame via a driver-side parse.
+
+    ``column_map`` selects columns positionally (index → name), the way
+    the reference parses annotation sheets by iloc (loader.py:137-165,
+    227-245). Requires an xlsx reader (openpyxl) at the edge; raises
+    ImportError with guidance when absent — the engine itself never
+    depends on it (pre-convert to Parquet/CSV instead).
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without openpyxl
+        raise ImportError(
+            "excel_scan needs openpyxl at the ingestion edge; pre-convert "
+            "the workbook to parquet/csv, or install openpyxl on the "
+            "driver only — executors never read Excel."
+        ) from exc
+    import pandas as pd  # local import: edge-only dependency
+
+    pdf = pd.read_excel(path, sheet_name=sheet, header=None, skiprows=header_rows)
+    if column_map:
+        pdf = pdf.iloc[:, list(column_map)].set_axis(
+            list(column_map.values()), axis=1
+        )
+    return (
+        spark.createDataFrame(pdf, schema=schema)
+        if schema is not None
+        else spark.createDataFrame(pdf)
+    )
+
+
+def lookup_map_df(
+    spark: SparkSession,
+    pairs: Iterable[tuple[object, object]],
+    key_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    """S6: ID lookup table as a broadcastable two-column DataFrame —
+    replaces the reference's python dict sensor_id→annotation_id
+    (loader.py:298-324); joins stay on the executors."""
+    return spark.createDataFrame(
+        [(k, v) for k, v in pairs], schema=f"{key_name} string, {value_name} string"
+    )
