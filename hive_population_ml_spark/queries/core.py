@@ -131,13 +131,13 @@ WHERE user_id = 7
 """,
 )
 def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    return (
-        t.events.filter(
-            (F.col("user_id") == 7)
-            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-12 00:00:00")
-        )
-        .select("event_id", "event_type", "value", F.lit("W1").alias("period"))
+    from ..io.sources import scan_events_range
+
+    # Range on the RAW nanos column so it reaches parquet row-group
+    # pruning (a filter on the derived timestamp cannot push down).
+    ev = scan_events_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    return ev.filter(F.col("user_id") == 7).select(
+        "event_id", "event_type", "value", F.lit("W1").alias("period")
     )
 
 

@@ -60,17 +60,21 @@ FROM s
 """,
 )
 def m16_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    """All six metrics in ONE distributed aggregation. R²'s total sum of
+    squares comes from the algebraic identity Σ(y-ȳ)² = Σy² - (Σy)²/n —
+    no second pass and no global window (which would funnel every row
+    through a single partition at scale)."""
     p = _preds(spark, sf_dir)
     e = F.col("y") - F.col("y_hat")
-    ybar = F.avg("y").over(Window.partitionBy())
-    p = p.withColumn("dev", F.col("y") - ybar)
+    ss_res = F.sum(e * e)
+    ss_tot = F.sum(F.col("y") * F.col("y")) - (
+        F.sum("y") * F.sum("y") / F.count("*")
+    )
     return p.agg(
         F.count("*").alias("n"),
         F.round(F.avg(F.abs(e)), 4).alias("mae"),
         F.round(F.sqrt(F.avg(e * e)), 4).alias("rmse"),
-        F.round(1 - F.sum(e * e) / F.sum(F.col("dev") * F.col("dev")), 6).alias("r2"),
+        F.round(1 - ss_res / ss_tot, 6).alias("r2"),
         F.round(F.sqrt(F.avg(e * e)) / (F.max("y") - F.min("y")), 6).alias("nrmse"),
         F.round(
             F.avg(F.when(F.col("y") != 0, F.abs(e / F.col("y")))), 6
