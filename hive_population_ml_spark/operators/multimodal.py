@@ -83,3 +83,77 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "id bigint, media binary, media_type string, width int, height int, n_bytes int"
+)
+
+FRAME_SCHEMA = "id bigint, frame_idx int, frame binary, n_bytes int"
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas resize: same row count, new (width, height) metadata
+    and a re-encoded payload. The stub 'resize' is a deterministic byte
+    subsample standing in for a real PIL/libswscale call; schema and
+    batch shape are exactly what the real codec path uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image codecs are not available in this environment; "
+                    "use decode_stub=True"
+                )
+            target = width * height
+            out = [bytes(m[:target]) if m else b"" for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": out,
+                    "media_type": pdf["media_type"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "n_bytes": [len(m) for m in out],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling: ONE media row → ``n_frames`` frame
+    rows (cardinality-expanding, the video-decode shape). Frames are
+    evenly-spaced byte slices under the stub; a real build replaces the
+    slicer with av/ffmpeg keyframe extraction. No shuffle: expansion is
+    per-partition, and downstream ops see a stable (id, frame_idx) key."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real video codecs are not available in this environment; "
+                    "use decode_stub=True"
+                )
+            ids, idxs, frames = [], [], []
+            for i, m in zip(pdf["id"], pdf["media"]):
+                m = m or b""
+                step = max(len(m) // n_frames, 1)
+                for k in range(n_frames):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(bytes(m[k * step : k * step + step]))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -34,6 +34,25 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pretokenization pattern (GPT-2-like, ASCII-restricted so the
+# Java and RE2 regex engines agree): a token is an optionally space-
+# prefixed letter run, digit run, or punctuation run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish pretokens via regexp_extract_all — the subword-tokenizer
+    precut (letters/digits/punctuation split apart, leading space glued
+    to the following word). Counting these approximates LLM token counts
+    far better than whitespace splitting on punctuation-heavy text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def char_count(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

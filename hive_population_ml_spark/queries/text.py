@@ -160,3 +160,25 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+           AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (charter §2.10): whitespace tokens and
+    BPE-ish regex pretokens (letters/digits/punct split, space glued to
+    the next word) — the cheap LLM-token-count estimator."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        textops.token_count("text").alias("n_ws_tokens"),
+        textops.bpe_token_count("text").alias("n_bpe_tokens"),
+    )

@@ -164,3 +164,28 @@ def test_cosine_dup_pairs_symmetric_subset(spark, sf_dir):
     for r in pairs:
         assert r["id1"] < r["id2"]
         assert r["cosine"] >= 0.35
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.multimodal import (
+        attach_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = Tables(spark, sf_dir).documents.limit(20)
+    media = attach_media(docs, "doc_id", "text", "image/fake")
+    resized = resize_media(media, width=4, height=4)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 4 and r["height"] == 4 for r in rows)
+    assert all(r["n_bytes"] <= 16 for r in rows)
+
+    frames = sample_frames(media, n_frames=3)
+    fr = frames.collect()
+    assert len(fr) == 60  # one media row -> n_frames rows
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in by_id.values())

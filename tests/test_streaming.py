@@ -34,3 +34,41 @@ def test_streaming_dedup_batch_semantics(spark, sf_dir):
         deduped.count()
         == ev.select("user_id", "event_type").distinct().count()
     )
+
+
+def test_stateful_running_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom operator: replaying all events
+    through the stateful op must equal the batch per-user aggregation."""
+    from hive_population_ml_spark.streaming.pipeline import _as_stream_dir
+    from hive_population_ml_spark.streaming.stateful import running_user_stats
+
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
+    )
+    q = (
+        running_user_stats(src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: last emitted row per user is the final state
+    got = {
+        r["user_id"]: (r["n"], round(r["value_sum"], 6))
+        for r in spark.table("t_stateful").collect()
+    }
+    ev = Tables(spark, sf_dir).events
+    want = {
+        r["user_id"]: (r["n"], round(r["value_sum"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
