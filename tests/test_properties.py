@@ -1,0 +1,100 @@
+"""Property-based spot checks (SURVEY.md §5.2 item 4) with hypothesis.
+
+Each property runs a bounded number of examples against a live local
+SparkSession — examples are kept small (rows ≤ 40) so the suite stays
+fast while still exploring null patterns and key distributions pytest
+fixtures would never enumerate by hand.
+"""
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hive_population_ml_spark.functions.rowwise import (
+    rowwise_mean,
+    rowwise_present,
+    rowwise_sum,
+)
+from hive_population_ml_spark.ml.splits import with_split_column
+
+finite = st.none() | st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+rows_strategy = st.lists(st.tuples(finite, finite, finite), min_size=1, max_size=40)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_rowwise_mean_matches_pandas(spark, rows):
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = (
+        df.select(
+            rowwise_mean(["a", "b", "c"]).alias("m"),
+            rowwise_present(["a", "b", "c"]).alias("p"),
+            rowwise_sum(["a", "b", "c"]).alias("s"),
+        )
+        .toPandas()
+    )
+    want = pd.DataFrame(rows, columns=["a", "b", "c"], dtype=float).mean(
+        axis=1
+    )  # pandas skips NaN per row; all-NaN -> NaN
+    for g, w in zip(got["m"], want):
+        if pd.isna(w):
+            assert g is None or pd.isna(g)
+        else:
+            assert g is not None and math.isclose(g, w, rel_tol=1e-12)
+
+
+keys_strategy = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40
+)
+
+
+@given(keys=keys_strategy)
+@SETTINGS
+def test_hash_split_is_deterministic_partition(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    a = with_split_column(df, "k", seed=42).collect()
+    b = with_split_column(df, "k", seed=42).collect()
+    # deterministic: same key -> same split, across invocations
+    ma = {r["k"]: r["split"] for r in a}
+    mb = {r["k"]: r["split"] for r in b}
+    assert ma == mb
+    # total: every row assigned exactly one of the three splits
+    assert all(v in ("train", "val", "test") for v in ma.values())
+    # group-consistency: duplicate keys always land together
+    seen = {}
+    for r in a:
+        seen.setdefault(r["k"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in seen.values())
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),
+        min_size=4,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_stats_bundle_matches_pandas(spark, vals):
+    from hive_population_ml_spark.operators.stats_bundle import stat_exprs
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.agg(*stat_exprs(["x"])).first()
+    s = pd.Series(vals)
+    assert math.isclose(row["x_avg"], s.mean(), rel_tol=1e-9, abs_tol=1e-9)
+    # pandas std() is ddof=1 == stddev_samp (SURVEY §5.3)
+    if len(vals) > 1 and not math.isnan(s.std()):
+        assert math.isclose(row["x_std"], s.std(), rel_tol=1e-9, abs_tol=1e-9)
+    assert row["x_min"] == s.min() and row["x_max"] == s.max()
+    assert math.isclose(row["x_range"], s.max() - s.min(), rel_tol=1e-12, abs_tol=1e-12)

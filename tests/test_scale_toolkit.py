@@ -1,0 +1,101 @@
+"""Scale-toolkit tests: salting correctness, bucketed shuffle-free
+joins (plan-asserted), partitioned layout pruning (plan-asserted)."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hive_population_ml_spark.io import Tables
+from hive_population_ml_spark.operators.skew import (
+    bucketed_table,
+    salted_join,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    big = t.orders.select("o_orderkey", "o_custkey")
+    small = t.customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = big.join(small, "o_custkey").count()
+    salted = salted_join(big, small, "o_custkey", n_salts=8).count()
+    assert plain == salted
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one pathological key carrying 10k rows + a small dim
+    big = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    small = spark.createDataFrame([(1, "hot")], "k int, v string")
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 10000
+    # salts really took >1 distinct value pre-drop (spread happened)
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    assert salted_big.select("_salt").distinct().count() == 8
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        a = bucketed_table(
+            spark,
+            t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "b_orders",
+            "o_custkey",
+            n_buckets=4,
+            path=os.path.join(d, "b_orders"),
+        )
+        b = bucketed_table(
+            spark,
+            t.customer.select("c_custkey", "c_acctbal"),
+            "b_customer",
+            "c_custkey",
+            n_buckets=4,
+            path=os.path.join(d, "b_customer"),
+        )
+        # disable auto-broadcast so the planner must pick SMJ — at real
+        # scale neither side broadcasts; that is the case bucketing serves.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, a.o_custkey == b.c_custkey)
+            assert j.count() > 0
+            plan = _plan(j)
+            assert "ShuffleExchange" not in plan.replace(
+                "Exchange hashpartitioning", "ShuffleExchange"
+            ), f"bucketed join still shuffles:\n{plan}"
+            assert "SortMergeJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ev = t.events.withColumn("day", F.to_date("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "events_by_day")
+        write_partitioned(ev, p, ["day"], sort_within=["user_id", "ts"])
+        back = spark.read.parquet(p)
+        one_day = back.select(F.min("day")).first()[0]
+        q = back.filter(F.col("day") == F.lit(one_day))
+        n = q.count()
+        assert n > 0
+        n_days = back.select("day").distinct().count()
+        assert n_days > 1
+        # pruning pushed to the scan: the day predicate appears as a
+        # PartitionFilter (directory-level skip), not a data filter.
+        plan = _plan(q)
+        assert "PartitionFilters: [isnotnull(day" in plan, plan
+        assert f"day#" in plan.split("PartitionFilters")[1].split("]")[0]
+        # functional check: the single day directory holds exactly the
+        # rows the pruned query returns.
+        direct = spark.read.parquet(os.path.join(p, f"day={one_day}"))
+        assert direct.count() == n
