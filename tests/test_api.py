@@ -1,0 +1,127 @@
+"""Facade API tests (SURVEY.md §3.2 lifecycle parity): the three task
+recipes + split dispatch over sensor-shaped views of the testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_population_ml_spark.api import (
+    create_datasets,
+    create_phenotypic_dataset,
+    create_population_dataset,
+    create_winter_dataset,
+)
+from hive_population_ml_spark.io import Tables
+
+
+@pytest.fixture(scope="module")
+def sensor(spark, sf_dir):
+    # events as the sensor stream: user_id ≈ hive_id, value ≈ measure
+    ev = Tables(spark, sf_dir).events
+    return ev.select(
+        F.col("user_id").alias("hive_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("temperature"),
+        (F.col("value") * 2 + 1).alias("humidity"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def annotations(spark, sf_dir):
+    # per-hive dated annotations with a numeric target
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.col("user_id").alias("hive_id"))
+        .agg(
+            F.max("ts").alias("eval_date"),
+            F.round(F.avg("value"), 3).alias("frames_of_bees"),
+            F.when(F.avg("value") < 0, "starvation").alias("mortality_cause"),
+        )
+        .cache()
+    )
+
+
+def test_population_dataset(sensor, annotations):
+    ds = create_population_dataset(
+        sensor,
+        annotations.select("hive_id", "eval_date", "frames_of_bees"),
+        key="hive_id",
+        sensor_ts="timestamp",
+        annot_key="hive_id",
+        annot_date="eval_date",
+        measures=["temperature", "humidity"],
+        label_col="frames_of_bees",
+        label_threshold=0.0,
+        window_days=14,
+        min_count=2,
+    )
+    rows = ds.collect()
+    assert len(rows) > 0
+    cols = set(ds.columns)
+    assert {"hive_id", "eval_date", "frames_of_bees", "label"} <= cols
+    assert "temperature_avg" in cols and "humidity_std" in cols
+    assert "temperature_d1_mean" in cols  # deltas included
+    assert all(r["label"] in (0.0, 1.0) for r in rows)
+
+
+def test_phenotypic_dataset(sensor, annotations):
+    ds = create_phenotypic_dataset(
+        sensor,
+        annotations.select("hive_id", "frames_of_bees"),
+        key="hive_id",
+        sensor_ts="timestamp",
+        annot_key="hive_id",
+        measures=["temperature"],
+        season_start="2024-01-01",
+        season_end="2024-12-31",
+        use_multiscale=True,
+    )
+    rows = ds.collect()
+    assert len(rows) > 0
+    cols = set(ds.columns)
+    assert "temperature_diurnal_range" in cols
+    assert "temperature_weekly_std" in cols and "temperature_weekly_range" in cols
+    assert "frames_of_bees" in cols
+
+
+def test_winter_dataset_survival_label(sensor, annotations):
+    ds = create_winter_dataset(
+        sensor,
+        annotations.select("hive_id", "mortality_cause"),
+        key="hive_id",
+        sensor_ts="timestamp",
+        annot_key="hive_id",
+        measures=["temperature"],
+        prewinter_start="2024-01-01",
+        prewinter_end="2024-12-31",
+        survival_col="mortality_cause",
+    )
+    rows = ds.collect()
+    assert len(rows) > 0
+    # survived == cause is null
+    for r in rows:
+        assert r["label"] == (1.0 if r["mortality_cause"] is None else 0.0)
+
+
+def test_create_datasets_dispatch(sensor, annotations):
+    ds = create_population_dataset(
+        sensor,
+        annotations.select("hive_id", "eval_date", "frames_of_bees"),
+        key="hive_id",
+        sensor_ts="timestamp",
+        annot_key="hive_id",
+        annot_date="eval_date",
+        measures=["temperature"],
+        label_col="frames_of_bees",
+        label_threshold=0.0,
+        window_days=14,
+        min_count=1,
+        include_deltas=False,
+    )
+    train, val, test, info = create_datasets(ds, "hive_id")
+    n = ds.count()
+    assert train.count() + val.count() + test.count() == n
+    assert "temperature_avg" in info["feature_columns"]
+    assert "label" not in info["feature_columns"]
+    tr = {r[0] for r in train.select("hive_id").distinct().collect()}
+    te = {r[0] for r in test.select("hive_id").distinct().collect()}
+    assert not (tr & te)
