@@ -307,3 +307,52 @@ def m14_ensemble_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_weighted_ensemble"
         ),
     )
+
+
+# -- M15 (AUC): exact ROC-AUC via the Mann-Whitney rank identity -------------
+# AUC = (sum of positive midranks - n_pos(n_pos+1)/2) / (n_pos * n_neg).
+# Fully SQL-expressible, so the one metric SURVEY.md flagged as
+# "oracle-SQL except AUC" is oracle-checked after all. The global rank
+# window is fine at the reference's prediction-table scale; at 100 TB
+# replace with a fixed-width score histogram (trapezoidal AUC) — the
+# standard scalable approximation — or partition-range ranking.
+
+@register(
+    "m15_auc_roc",
+    oracle=f"""
+WITH p AS ({_PRED_SQL}),
+r AS (
+    SELECT CAST(y >= 250000 AS INT) AS yt,
+           rank() OVER (ORDER BY y_hat)
+             + (count(*) OVER (PARTITION BY y_hat) - 1) / 2.0 AS midrank
+    FROM p
+)
+SELECT round(
+    (sum(CASE WHEN yt = 1 THEN midrank END)
+     - sum(yt) * (sum(yt) + 1) / 2.0)
+    / (sum(yt) * (count(*) - sum(yt))), 6) AS auc_roc,
+    sum(yt) AS n_pos,
+    count(*) - sum(yt) AS n_neg
+FROM r
+""",
+)
+def m15_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _preds(spark, sf_dir)
+    r = p.select(
+        (F.col("y") >= 250000).cast("int").alias("yt"),
+        (
+            F.rank().over(Window.orderBy("y_hat"))
+            + (F.count("*").over(Window.partitionBy("y_hat")) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    yt = F.col("yt")
+    n_pos = F.sum(yt)
+    n_neg = F.count("*") - n_pos
+    u = F.sum(F.when(yt == 1, F.col("midrank"))) - n_pos * (n_pos + 1) / 2.0
+    return r.agg(
+        F.round(u / (n_pos * n_neg), 6).alias("auc_roc"),
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+    )
