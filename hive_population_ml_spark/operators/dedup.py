@@ -44,14 +44,23 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle table."""
-    # Explode the shingle expression directly: materializing it as a
-    # named column first makes InferFiltersFromGenerate insert a
-    # pre-Generate Filter that re-evaluates the whole (split-inlined)
-    # expression per row off the codegen path — ~20x slower.
+    """(doc, s, n) exploded distinct-shingle table; ``n`` = the doc's
+    shingle-set size, stamped on every row.
+
+    Carrying ``n`` through the explode is free (it is just the array
+    length already computed) and lets Jaccard verification read both set
+    sizes straight off the pair rows — removing the per-doc size
+    aggregation AND its two joins from the plan entirely.
+    """
+    # The shingle array is materialized ONCE as a column, then exploded
+    # as an attribute. This is safe only because session.py excludes
+    # InferFiltersFromGenerate — with that rule on, Catalyst inserts a
+    # pre-Generate Filter that re-inlines and re-evaluates the whole
+    # array build per row off the codegen path (measured ~10x slower).
     return (
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
-        .select("doc", F.explode(shingles_of_tokens(F.col("t"), k)).alias("s"))
+        .select("doc", shingles_of_tokens(F.col("t"), k).alias("sh"))
+        .select("doc", F.explode("sh").alias("s"), F.size("sh").alias("n"))
     )
 
 
@@ -82,37 +91,51 @@ def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
 def _jaccard_verify(
     sh: DataFrame, pairs: DataFrame | None, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard for co-bucketed docs from a (doc, s) shingle table.
+    """Exact Jaccard for co-bucketed docs from a (doc, s, n) shingle
+    table (``n`` = that doc's set size, stamped per row).
 
-    Intersection counts come from pair-expansion of per-shingle doc
-    groups (map-side combine, two shuffles total); set sizes are a tiny
-    per-doc aggregate joined back broadcast-style. ``pairs`` restricts
-    verification to candidate pairs (LSH path); None verifies all
-    intersecting pairs (exact path).
+    Two shuffles, zero joins: groupBy shingle-hash collecting
+    (doc, n) structs → per-bucket pair expansion carrying both sizes →
+    groupBy pair counts the intersection, and |A∪B| = n1 + n2 − |A∩B|
+    is pure arithmetic on the aggregated row. ``pairs`` (LSH path)
+    restricts verification to candidate pairs via one semi-join.
     """
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     groups = (
         sh.withColumn("sh64", F.xxhash64("s"))
         .groupBy("sh64")
-        .agg(F.collect_list("doc").alias("docs"))
+        .agg(F.collect_list(F.struct("doc", "n")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    inter = _pairs_from_groups(groups).groupBy("d1", "d2").agg(
+    ds = F.array_sort(F.col("docs"))  # struct sort: by doc asc (unique per bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["doc"].alias("d1"),
+                    y["doc"].alias("d2"),
+                    x["n"].alias("n1"),
+                    y["n"].alias("n2"),
+                ),
+            ),
+        )
+    )
+    expanded = groups.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.d1").alias("d1"),
+        F.col("p.d2").alias("d2"),
+        F.col("p.n1").alias("n1"),
+        F.col("p.n2").alias("n2"),
+    )
+    inter = expanded.groupBy("d1", "d2", "n1", "n2").agg(
         F.count("*").alias("inter")
     )
     if pairs is not None:
         inter = inter.join(pairs, ["d1", "d2"], "left_semi")
-    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    # No broadcast hint: sizes is per-doc (billions of rows at 100 TB);
-    # AQE picks broadcast automatically when it actually is small.
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

@@ -32,6 +32,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF path (extension operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate duplicates the full generator expression
+    # into a pre-Generate Filter; for higher-order-function generators
+    # (shingling) that filter re-evaluates the array build per row OFF
+    # the codegen path — measured 10x slower than the same plan without
+    # the inferred filter. The rule only prunes empty-generate rows,
+    # which our explode already skips.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
