@@ -377,3 +377,62 @@ def a10_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "share", F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
     )
+
+
+# -- Rollup (beyond-reference breadth: SURVEY §2.4 "free in Spark") ---------
+
+@register(
+    "a_rollup_revenue",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass (flag, flag+status, grand total);
+    Spark expands rollup into grouping sets inside a single 2-phase
+    aggregation — no union of three scans."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum(rev), 4).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+# -- Exact interpolated percentiles -----------------------------------------
+
+@register(
+    "a_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont). At 100 TB swap to approx_percentile — the same
+    query shape with a bounded-memory t-digest-style sketch."""
+    t = Tables(spark, sf_dir)
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return t.lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(name)
+            for name, q in qs.items()
+        ]
+    )

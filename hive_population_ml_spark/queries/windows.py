@@ -143,3 +143,61 @@ def o4_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# -- Sessionization: gap-based session ids (training-pipeline staple) -------
+
+@register(
+    "w_sessionize",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 2 DAY
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+tagged AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM tagged
+GROUP BY user_id, session_id
+""",
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >2-day
+    silence. lag + running-sum over one (user, ts) window — a single
+    sort shuffle shared by both window functions, then the session agg
+    reuses the same partitioning (streaming analog: session_window)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w)
+    # NTZ -> instant -> epoch seconds (identity under the UTC session tz).
+    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    new_s = (
+        prev.isNull() | (secs(F.col("ts")) - secs(prev) > 2 * 86400)
+    ).cast("int")
+    tagged = t.events.select(
+        "user_id", "ts", "value", new_s.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
