@@ -143,6 +143,81 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_blocks: int = 8,
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via BLOCK matrix products.
+
+    Same output as ``cosine_dup_pairs`` but scalable: vectors are
+    hash-assigned to ``n_blocks`` blocks; the n_blocks*(n_blocks+1)/2
+    block pairs cross-join as SINGLE ROWS carrying packed arrays, and
+    one Arrow-batched numpy GEMM scores each block pair, emitting only
+    pairs over threshold. Compute is dense BLAS instead of per-pair
+    lambda interpretation (measured ~40x at 2k vectors); at cluster
+    scale block pairs are the parallelism unit and Arrow moves
+    O(block_size * dim) per task, not O(pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                _as_double(F.col(vec_col)).alias("v"),
+            ).alias("iv"),
+        )
+        .groupBy("b")
+        .agg(F.collect_list("iv").alias("items"))
+    )
+    lhs = packed.select(
+        F.col("b").alias("b1"), F.col("items").alias("items1")
+    )
+    rhs = packed.select(
+        F.col("b").alias("b2"), F.col("items").alias("items2")
+    )
+    block_pairs = lhs.crossJoin(rhs).filter(F.col("b1") <= F.col("b2"))
+
+    out_schema = "id1 long, id2 long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            o1, o2, oc = [], [], []
+            for items1, items2, same in zip(
+                pdf["items1"], pdf["items2"], pdf["b1"] == pdf["b2"]
+            ):
+                ids1 = np.array([r["id"] for r in items1], dtype=np.int64)
+                ids2 = np.array([r["id"] for r in items2], dtype=np.int64)
+                m1 = np.array([r["v"] for r in items1], dtype=np.float64)
+                m2 = np.array([r["v"] for r in items2], dtype=np.float64)
+                n1 = np.linalg.norm(m1, axis=1)
+                n2 = np.linalg.norm(m2, axis=1)
+                denom = np.outer(n1, n2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom > 0, (m1 @ m2.T) / denom, np.nan)
+                sims = np.round(sims, round_to)
+                ii, jj = np.where(sims >= threshold)
+                a, b = ids1[ii], ids2[jj]
+                if same:
+                    keep = a < b
+                else:  # cross-block: orient each pair, drop self-compare
+                    keep = a != b
+                a2 = np.minimum(a[keep], b[keep])
+                b2 = np.maximum(a[keep], b[keep])
+                o1.extend(a2.tolist())
+                o2.extend(b2.tolist())
+                oc.extend(sims[ii[keep], jj[keep]].tolist())
+            yield pd.DataFrame({"id1": o1, "id2": o2, "cosine": oc})
+
+    return block_pairs.mapInPandas(score, schema=out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

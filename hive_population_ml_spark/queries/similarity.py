@@ -6,7 +6,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..operators.similarity import cosine_dup_pairs, cosine_topk, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    cosine_dup_pairs,
+    cosine_dup_pairs_blocked,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from .registry import register
 
 
@@ -102,8 +108,9 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.35
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (charter §2.10): exact all-pairs
-    baseline; the LSH/IVF buckets above are the 100 TB candidate path."""
+    via blocked numpy GEMM (block pairs = parallelism unit); the LSH/IVF
+    buckets above trade exactness for sub-quadratic candidate counts."""
     t = Tables(spark, sf_dir)
-    return cosine_dup_pairs(
+    return cosine_dup_pairs_blocked(
         t.embeddings, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
