@@ -281,6 +281,54 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _lsh_buckets_pandas(
+    df: DataFrame,
+    id_name: str,
+    vec_name: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 12345,
+) -> DataFrame:
+    """(id, vec, table, bucket) rows via ONE numpy GEMM per Arrow batch.
+
+    Hyperplanes come from a seeded numpy PCG64 generator — bit-stable
+    across runs and machines, so corpus bucketing can happen at write
+    time and queries years later still land in the same buckets. The
+    per-element lambda formulation (``lsh_bucket_keys``) computes the
+    same structure JVM-side but interprets every multiply — fine for a
+    handful of vectors, ~40x slower per million (kept for reference).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_name} long, {vec_name} array<double>, table int, bucket long"
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def run(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_name]), dtype=np.float64)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((n_tables * n_planes, m.shape[1]))
+            bits = (m @ planes.T) >= 0  # (rows, T*P)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # (rows, T)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_name: np.repeat(pdf[id_name].to_numpy(), n_tables),
+                    vec_name: [v for v in pdf[vec_name] for _ in range(n_tables)],
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -296,12 +344,26 @@ def lsh_topk(
     corpus side is bucketed once (write-time in a real deployment);
     lookups become equi-joins on (table, bucket).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bk", F.explode(lsh_bucket_keys(F.col("cv"), n_planes, n_tables)))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bk", F.explode(lsh_bucket_keys(F.col("qv"), n_planes, n_tables)))
+    c = _lsh_buckets_pandas(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "neighbor_id",
+        "cv",
+        n_planes,
+        n_tables,
+    ).select("neighbor_id", "cv", F.struct("table", "bucket").alias("bk"))
+    q = _lsh_buckets_pandas(
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ),
+        "query_id",
+        "qv",
+        n_planes,
+        n_tables,
+    ).select("query_id", "qv", F.struct("table", "bucket").alias("bk"))
     cand = (
         c.join(F.broadcast(q), ["bk"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -69,8 +69,8 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         k=5,
-        n_planes=6,
-        n_tables=6,
+        n_planes=4,
+        n_tables=8,
     )
 
 

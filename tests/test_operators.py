@@ -88,7 +88,7 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_topk(emb, q, k=5, n_planes=6, n_tables=6).collect()
+        for r in lsh_topk(emb, q, k=5, n_planes=4, n_tables=8).collect()
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.4, f"ANN recall too low: {recall}"
