@@ -1,0 +1,152 @@
+"""CLI entry points — the Spark restatement of the reference's
+``scripts/train.py`` and ``scripts/evaluate.py`` (SURVEY.md §3.1/§3.3).
+
+The reference's "query language" is argparse flags (train.py:33-117):
+task, model, window-days, seed, output dir. Same surface here, driving
+the engine end-to-end:
+
+  python -m hive_population_ml_spark.cli train \
+      --data-dir /root/testdata/sf0.001 --model gradient_boosting \
+      --task-type regression --window-days 30 --seed 42 --output-dir /tmp/run1
+
+  python -m hive_population_ml_spark.cli evaluate \
+      --data-dir /root/testdata/sf0.001 --model-dir /tmp/run1/model \
+      --task-type regression --window-days 30 --output-dir /tmp/run1/eval
+
+train: build features (interval join + stats bundle) → leakage-safe
+split → fit Pipeline[Imputer, Assembler, Scaler] on train → fit model →
+evaluate on test → write model checkpoint (S8), metrics JSON (S7) and
+predictions parquet (S9).
+evaluate: reload the saved PipelineModel, re-score the test split,
+recompute metrics — the reference's checkpoint-reload path
+(evaluate.py:179-276).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import functions as F
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hive_population_ml_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    for name in ("train", "evaluate"):
+        s = sub.add_parser(name)
+        s.add_argument("--data-dir", required=True)
+        s.add_argument("--output-dir", required=True)
+        s.add_argument("--task-type", choices=["regression", "classification"],
+                       default="regression")
+        s.add_argument("--window-days", type=int, default=7)
+        s.add_argument("--min-count", type=int, default=1)
+        s.add_argument("--seed", type=int, default=42)
+        s.add_argument("--cpus", type=int, default=8)
+        if name == "train":
+            s.add_argument(
+                "--model",
+                choices=["ridge", "lasso", "random_forest", "gradient_boosting",
+                         "mlp"],
+                default="gradient_boosting",
+            )
+        else:
+            s.add_argument("--model-dir", required=True)
+    return p
+
+
+def _features_and_split(spark, args):
+    from .ml.features import build_feature_table
+    from .ml.pipeline import feature_pipeline, numeric_feature_cols
+
+    ft = build_feature_table(
+        spark, args.data_dir, window_days=args.window_days, min_count=args.min_count
+    ).cache()
+    train = ft.filter(F.col("split") == "train")
+    test = ft.filter(F.col("split") == "test")
+    feats = numeric_feature_cols(
+        train, exclude={"anchor_orderkey", "custkey", "target"}
+    )
+    return train, test, feats, feature_pipeline(feats)
+
+
+def _with_label(df, label_col):
+    """Expose ``label_col`` as the MLlib 'label' column (dropping the
+    feature table's own binary label when a different target is used)."""
+    if label_col == "label":
+        return df
+    return df.drop("label").withColumnRenamed(label_col, "label")
+
+
+def _metrics_df(spark, scored, task_type):
+    e = F.col("label") - F.col("prediction")
+    if task_type == "regression":
+        return scored.agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.abs(e)), 4).alias("mae"),
+            F.round(F.sqrt(F.avg(e * e)), 4).alias("rmse"),
+        )
+    correct = (F.col("label") == F.col("prediction")).cast("int")
+    return scored.agg(
+        F.count("*").alias("n"), F.round(F.avg(correct), 6).alias("accuracy")
+    )
+
+
+def cmd_train(args) -> dict:
+    from pyspark.ml import Pipeline
+
+    from .io.sinks import write_metrics_json, write_predictions
+    from .ml.pipeline import mlp_classifier, reference_regressors
+    from .session import get_spark
+
+    spark = get_spark("hpml-train", cpus=args.cpus, shuffle_partitions=args.cpus)
+    train, test, feats, feat_pipe = _features_and_split(spark, args)
+    label = "label" if args.task_type == "classification" else "target"
+    if args.model == "mlp":
+        est = mlp_classifier(n_features=len(feats), n_classes=2, seed=args.seed)
+    else:
+        est = reference_regressors(seed=args.seed)[args.model]
+    full = Pipeline(stages=[feat_pipe, est])
+    data_tr, data_te = _with_label(train, label), _with_label(test, label)
+    model = full.fit(data_tr)
+    scored = model.transform(data_te)
+    os.makedirs(args.output_dir, exist_ok=True)
+    model.write().overwrite().save(os.path.join(args.output_dir, "model"))
+    metrics = _metrics_df(spark, scored, args.task_type)
+    write_metrics_json(metrics, os.path.join(args.output_dir, "results_json"))
+    write_predictions(
+        scored.select("anchor_orderkey", "label", "prediction"),
+        os.path.join(args.output_dir, "predictions"),
+    )
+    out = {r: metrics.first()[r] for r in metrics.columns}
+    print(out)
+    return out
+
+
+def cmd_evaluate(args) -> dict:
+    from pyspark.ml import PipelineModel
+
+    from .io.sinks import write_metrics_json
+    from .session import get_spark
+
+    spark = get_spark("hpml-eval", cpus=args.cpus, shuffle_partitions=args.cpus)
+    _, test, _, _ = _features_and_split(spark, args)
+    label = "label" if args.task_type == "classification" else "target"
+    data_te = _with_label(test, label)
+    model = PipelineModel.load(args.model_dir)
+    scored = model.transform(data_te)
+    metrics = _metrics_df(spark, scored, args.task_type)
+    os.makedirs(args.output_dir, exist_ok=True)
+    write_metrics_json(metrics, os.path.join(args.output_dir, "results_json"))
+    out = {r: metrics.first()[r] for r in metrics.columns}
+    print(out)
+    return out
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = _parser().parse_args(argv)
+    return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
+
+
+if __name__ == "__main__":
+    main()
