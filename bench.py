@@ -33,9 +33,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "knn_bruteforce",
+    "ann_lsh",
     "text_quality_profile",
     "w5_sequence_digest",
+    "w_sessionize",
 ]
 
 
