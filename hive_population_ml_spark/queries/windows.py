@@ -201,3 +201,59 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("session_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+# -- Native session windows (streaming-capable twin of w_sessionize) --------
+
+@register(
+    "w_session_window",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 2 DAY
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM ordered
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 2 DAY) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM tagged
+GROUP BY user_id, sid
+""",
+)
+def w_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap = 2 days): the same session
+    semantics as w_sessionize but via the built-in, which also runs
+    under Structured Streaming with watermark-based state eviction
+    (see tests/test_streaming.py for the streaming parity check).
+    Session bounds compared as epoch microseconds — exact integers on
+    both engines."""
+    t = Tables(spark, sf_dir)
+    ts_instant = F.col("ts").cast("timestamp")
+    return (
+        t.events.groupBy(
+            "user_id", F.session_window(ts_instant, "2 days").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )

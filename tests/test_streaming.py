@@ -72,3 +72,45 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    """Native session_window under availableNow streaming equals the
+    batch session_window aggregation (complete mode replay)."""
+    from hive_population_ml_spark.streaming.pipeline import _as_stream_dir
+
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "30 days")
+    )
+    agg = src.groupBy("user_id", F.session_window("ts", "2 days")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sess_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_window"]["start"], r["n"], r["v"])
+        for r in spark.table("t_sess_win").collect()
+    }
+    ev = Tables(spark, sf_dir).events.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["user_id"], r["session_window"]["start"], r["n"], r["v"])
+        for r in ev.groupBy("user_id", F.session_window("ts", "2 days"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
