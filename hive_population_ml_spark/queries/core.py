@@ -364,3 +364,38 @@ def asof_nearest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("ship_date"),
         "price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer/anti join semantics (SURVEY §2.3 notes these as absent from the
+# reference but free in Spark — demonstrated and oracle-checked here).
+# ---------------------------------------------------------------------------
+
+@register(
+    "j_outer_anti",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_customers,
+       sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def j_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join against the distinct order keys; the null side
+    count is exactly the anti-join cardinality (customers with no
+    orders) — one pass covers both semantics."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.select("o_custkey").distinct()
+    return (
+        t.customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("o_custkey").isNull().cast("int")).alias(
+                "n_without_orders"
+            ),
+        )
+    )
