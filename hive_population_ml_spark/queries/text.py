@@ -182,3 +182,55 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.token_count("text").alias("n_ws_tokens"),
         textops.bpe_token_count("text").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, text, lang, source,
+           string_split(text, ' ') AS t,
+           round(least(len(string_split(text, ' ')) / 50.0, 1.0)
+                 * (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                                * 1.0 / NULLIF(length(text), 0) * 5.0, 1.0)), 6) AS quality
+    FROM documents
+),
+gated AS (
+    SELECT * FROM scored WHERE quality >= 0.5 AND lang = 'en'
+),
+dedup AS (
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM gated GROUP BY md5(text)
+)
+SELECT count(*) AS n_docs_kept,
+       sum(n_copies) - count(*) AS n_dupes_dropped,
+       round(avg(g.quality), 6) AS avg_quality,
+       round(avg(len(g.t)), 6) AS avg_tokens
+FROM dedup d JOIN gated g ON g.doc_id = d.keep_id
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus cleaning pass as ONE lazy DAG:
+    quality-score gate -> language filter -> exact dedup keeping the
+    lowest doc_id -> corpus summary. At 100 TB each stage is the same
+    plan: the gates are map-side filters feeding a single hash shuffle
+    on the content hash; the survivors' self-join is on the tiny
+    canonical-id set (AQE broadcasts it)."""
+    t = Tables(spark, sf_dir)
+    gated = t.documents.select(
+        "doc_id",
+        "text",
+        "lang",
+        textops.quality_score("text").alias("quality"),
+        textops.token_count("text").alias("n_tokens"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    dedup = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+    kept = dedup.join(gated, F.col("keep_id") == F.col("doc_id"))
+    return kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        (F.sum("n_copies") - F.count("*")).alias("n_dupes_dropped"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
