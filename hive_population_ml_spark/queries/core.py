@@ -376,7 +376,7 @@ def asof_nearest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS segment,
        count(*) AS n_customers,
-       sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_without_orders
+       CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
 FROM customer c
 LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
   ON c.c_custkey = o.o_custkey

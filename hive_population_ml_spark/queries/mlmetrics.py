@@ -331,8 +331,8 @@ SELECT round(
     (sum(CASE WHEN yt = 1 THEN midrank END)
      - sum(yt) * (sum(yt) + 1) / 2.0)
     / (sum(yt) * (count(*) - sum(yt))), 6) AS auc_roc,
-    sum(yt) AS n_pos,
-    count(*) - sum(yt) AS n_neg
+    CAST(sum(yt) AS BIGINT) AS n_pos,
+    CAST(count(*) - sum(yt) AS BIGINT) AS n_neg
 FROM r
 """,
 )

@@ -87,7 +87,7 @@ WITH scored AS (
     FROM documents
 )
 SELECT pred_lang, count(*) AS n_docs,
-       sum(CAST(pred_lang = lang AS INT)) AS n_agree_stored
+       CAST(sum(CAST(pred_lang = lang AS INT)) AS BIGINT) AS n_agree_stored
 FROM (
     SELECT lang,
            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'

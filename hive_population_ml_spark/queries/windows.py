@@ -160,9 +160,9 @@ WITH ordered AS (
 ),
 tagged AS (
     SELECT user_id, ts, value,
-           sum(new_session) OVER (
+           CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM ordered
 )
 SELECT user_id, session_id,

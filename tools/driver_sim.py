@@ -1,0 +1,112 @@
+"""Driver-sim: run registered queries vs their DuckDB oracles the way the
+round driver does — vanilla SparkSession, sf0.01 views, order-insensitive
+value hash that is TYPE-SENSITIVE (DuckDB HUGEINT vs Spark BIGINT must
+mismatch, mirroring CORRECTNESS_r01 behavior).
+
+Usage: python tools/driver_sim.py [query ...]   (no args = all queries)
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> tuple[str, list[str]]:
+    """Order-insensitive, type-sensitive canonical hash of a result."""
+    df = df[sorted(df.columns)]
+    cells = []
+    for _, row in df.iterrows():
+        parts = []
+        for v in row:
+            if isinstance(v, float):
+                parts.append(f"f:{round(v, 9)}")
+            elif v is None or v != v:  # NaN/None
+                parts.append("null")
+            else:
+                # type tag distinguishes int vs Decimal/object (HUGEINT)
+                parts.append(f"{type(v).__name__}:{v}")
+        cells.append("|".join(parts))
+    cells.sort()
+    h = hashlib.md5("\n".join(cells).encode()).hexdigest()
+    return h, list(df.columns)
+
+
+def main(names: list[str]) -> int:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    targets = names or list(qs)
+    failures = 0
+    for name in targets:
+        if name not in qs:
+            print(f"{name}: NOT REGISTERED")
+            failures += 1
+            continue
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {ex}")
+            failures += 1
+            continue
+        if name not in osql:
+            print(f"{name}: rows-only ({len(sdf)} rows)"
+                  + (" EMPTY!" if len(sdf) == 0 else ""))
+            if len(sdf) == 0:
+                failures += 1
+            continue
+        try:
+            odf = con.execute(osql[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {ex}")
+            failures += 1
+            continue
+        sh, scols = _canon(sdf)
+        oh, ocols = _canon(odf)
+        ok = sh == oh and scols == ocols and len(sdf) == len(odf)
+        status = "PASS" if ok else "FAIL"
+        detail = ""
+        if not ok:
+            failures += 1
+            if scols != ocols:
+                detail = f" cols spark={scols} oracle={ocols}"
+            elif len(sdf) != len(odf):
+                detail = f" rows spark={len(sdf)} oracle={len(odf)}"
+            else:
+                detail = " hash mismatch"
+                # show dtype diff to speed diagnosis
+                sd = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
+                od = {c: str(odf[c].dtype) for c in sorted(odf.columns)}
+                if sd != od:
+                    detail += f" dtypes spark={sd} oracle={od}"
+        print(f"{name}: {status} ({len(sdf)} rows){detail}")
+    print(json.dumps({"checked": len(targets), "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
