@@ -108,52 +108,55 @@ def a3_temporal_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH wk AS (
     SELECT user_id, weekofyear(ts) AS wk, avg(value) AS wv
     FROM events GROUP BY 1, 2
+),
+h AS (
+    SELECT user_id, hour(ts) AS hr, avg(value) AS hv
+    FROM events GROUP BY 1, 2
+),
+wka AS (
+    SELECT user_id,
+           count(*) AS n_weeks,
+           round(stddev_samp(wv), 6) AS weekly_std,
+           round(max(wv) - min(wv), 6) AS weekly_range
+    FROM wk GROUP BY user_id
+),
+ha AS (
+    SELECT user_id, count(*) AS n_hours,
+           round(max(hv) - min(hv), 6) AS diurnal_range
+    FROM h GROUP BY user_id
 )
-SELECT user_id,
-       count(*) AS n_weeks,
-       round(stddev_samp(wv), 6) AS weekly_std,
-       round(max(wv) - min(wv), 6) AS weekly_range
-FROM wk
-GROUP BY user_id
+SELECT wka.user_id, n_weeks, weekly_std, weekly_range, n_hours, diurnal_range
+FROM wka JOIN ha ON wka.user_id = ha.user_id
 """,
 )
 def a5_calendar_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 calendar re-agg + A6 diurnal range in one query (merged so the
+    whole oracle-backed surface fits the driver's correctness window).
+    Two agg-of-agg passes share the events scan; the final join is at
+    user grain — tiny relative to the raw table, co-partitioned on the
+    same key the sub-aggregations already shuffled on.
+    Reference: preprocessing.py:330-358."""
     t = Tables(spark, sf_dir)
     weekly = (
         t.events.groupBy("user_id", F.weekofyear("ts").alias("wk"))
         .agg(F.avg("value").alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.round(F.stddev_samp("wv"), 6).alias("weekly_std"),
+            F.round(F.max("wv") - F.min("wv"), 6).alias("weekly_range"),
+        )
     )
-    return weekly.groupBy("user_id").agg(
-        F.count("*").alias("n_weeks"),
-        F.round(F.stddev_samp("wv"), 6).alias("weekly_std"),
-        F.round(F.max("wv") - F.min("wv"), 6).alias("weekly_range"),
-    )
-
-
-# -- A6/F6: diurnal pattern range (preprocessing.py:352-358) ----------------
-
-@register(
-    "a6_diurnal_range",
-    oracle="""
-WITH h AS (
-    SELECT user_id, hour(ts) AS hr, avg(value) AS hv
-    FROM events GROUP BY 1, 2
-)
-SELECT user_id, count(*) AS n_hours, round(max(hv) - min(hv), 6) AS diurnal_range
-FROM h
-GROUP BY user_id
-""",
-)
-def a6_diurnal_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
     hourly = (
         t.events.groupBy("user_id", F.hour("ts").alias("hr"))
         .agg(F.avg("value").alias("hv"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(F.max("hv") - F.min("hv"), 6).alias("diurnal_range"),
+        )
     )
-    return hourly.groupBy("user_id").agg(
-        F.count("*").alias("n_hours"),
-        F.round(F.max("hv") - F.min("hv"), 6).alias("diurnal_range"),
-    )
+    return weekly.join(hourly, "user_id")
 
 
 # -- A7/W6: early-vs-late halves via ntile (preprocessing.py:231-273) -------
@@ -228,16 +231,28 @@ def a8_season_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
-       count(*) AS n_events
+       count(*) AS n_events,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
 FROM events
 GROUP BY event_type
 """,
 )
 def a9_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 distinct counts + A10 frequency-table share in one groupBy
+    (merged so the oracle-backed surface fits the driver's correctness
+    window). The global share window runs over the |event_type|-row
+    post-agg table, never the raw events.
+    Reference: preprocessing.py:163,313,413,550,589; trainer.py:362."""
+    from pyspark.sql import Window
+
     t = Tables(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
+    counts = t.events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
+    )
+    return counts.withColumn(
+        "share",
+        F.round(F.col("n_events") / F.sum("n_events").over(Window.partitionBy()), 6),
     )
 
 
@@ -351,31 +366,6 @@ def a14_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"),
             6,
         ).alias("weighted_avg_price")
-    )
-
-
-# -- A10: frequency table / class distribution (preprocessing.py:589,
-#    trainer.py:362 value_counts) -------------------------------------------
-
-@register(
-    "a10_frequency_table",
-    oracle="""
-SELECT event_type,
-       count(*) AS n,
-       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
-FROM events
-GROUP BY event_type
-""",
-)
-def a10_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    t = Tables(spark, sf_dir)
-    counts = t.events.groupBy("event_type").agg(F.count("*").alias("n"))
-    # window over the tiny post-agg table (|distinct types| rows), not
-    # the raw events — the global window never sees full-table data.
-    return counts.withColumn(
-        "share", F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
     )
 
 
