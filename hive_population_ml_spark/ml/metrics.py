@@ -1,0 +1,97 @@
+"""Distributed model-evaluation metrics that stay exact at scale.
+
+The reference computes ROC-AUC on a driver-side array
+(src/training/metrics.py:54-74, sklearn.roc_auc_score); the naive
+distributed translation — rank() over a global ORDER BY score — funnels
+every prediction row through one partition and dies first at 100 TB.
+
+``binned_rank_auc`` removes the global per-row sort while staying
+EXACT (it is the Mann-Whitney statistic, not a trapezoid
+approximation). Binning is used purely as a partitioning device:
+
+  1. one pass: (min, max) of the score               -> 1 row, broadcast
+  2. groupBy (bin, score): pos/neg counts per DISTINCT score
+     (map-side partial agg; shuffle carries count rows only)
+  3. groupBy bin: per-bin pos/neg totals             -> <= n_bins rows
+  4. running negatives ACROSS bins: global window over the tiny bin
+     summary (bounded by n_bins, never by data size)
+  5. running negatives WITHIN each bin: window partitioned by bin —
+     parallel across the cluster
+  6. U = sum over distinct scores s of pos(s) * (neg_below(s) + 0.5*neg_at(s));
+     AUC = U / (P*N)  — one final scalar aggregation.
+
+Step 6 is the standard tie-aware identity for the rank-sum form
+(sum of positive midranks - P(P+1)/2 == U), so the result matches the
+exact global-rank computation bit-for-bit up to float addition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binned_rank_auc(
+    preds: DataFrame,
+    label_col: str = "yt",
+    score_col: str = "y_hat",
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Exact ROC-AUC with no global per-row sort.
+
+    Returns a 1-row DataFrame: (auc double, n_pos long, n_neg long).
+    ``label_col`` must be 0/1; ``score_col`` numeric.
+    """
+    p = preds.select(
+        F.col(label_col).cast("long").alias("yt"),
+        F.col(score_col).cast("double").alias("s"),
+    )
+    stats = p.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+    raw_w = (F.col("smax") - F.col("smin")) / n_bins
+    width = F.when(raw_w > 0, raw_w).otherwise(F.lit(1.0))
+    binid = F.least(
+        F.floor((F.col("s") - F.col("smin")) / width), F.lit(n_bins - 1)
+    )
+
+    # Per-distinct-score counts, already tagged with the bin.
+    scores = (
+        p.crossJoin(F.broadcast(stats))
+        .select(binid.alias("bin"), "s", "yt")
+        .groupBy("bin", "s")
+        .agg(F.sum("yt").alias("n_pos"), F.count("*").alias("n_all"))
+        .select(
+            "bin", "s", "n_pos", (F.col("n_all") - F.col("n_pos")).alias("n_neg")
+        )
+    )
+
+    # Bin summary: negatives in all strictly-lower bins. The global
+    # window is over <= n_bins rows — a constant, not a data-sized set.
+    bins = scores.groupBy("bin").agg(F.sum("n_neg").alias("bn"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    bins = bins.select(
+        "bin", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("neg_before_bin")
+    )
+
+    # Within-bin running negatives: partitioned by bin, parallel.
+    ws = (
+        Window.partitionBy("bin")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_score = scores.join(F.broadcast(bins), "bin").select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("neg_before_bin")
+            + F.coalesce(F.sum("n_neg").over(ws), F.lit(0))
+        ).alias("neg_less"),
+    )
+
+    u = F.sum(F.col("n_pos") * (F.col("neg_less") + 0.5 * F.col("n_neg")))
+    return per_score.agg(
+        u.alias("u"), F.sum("n_pos").alias("n_pos"), F.sum("n_neg").alias("n_neg")
+    ).select(
+        (F.col("u") / (F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )

@@ -60,9 +60,11 @@ sh AS (
     FROM toks
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
 inter AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT d1, d2,
@@ -70,12 +72,21 @@ SELECT d1, d2,
 FROM inter
 JOIN sizes s1 ON inter.d1 = s1.doc_id
 JOIN sizes s2 ON inter.d2 = s2.doc_id
-WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup WITH the boilerplate-shingle skew
+    guard active (``max_shingle_df=50``): shingles appearing in more
+    than 50 docs are dropped before pair expansion — the guard the
+    operator was built around for the 100 TB blowup case. Set sizes
+    stay full-set (guard only restricts the intersection), and the
+    threshold compares the ROUNDED jaccard on both engines so borderline
+    pairs cannot diverge between Spark and the oracle."""
     t = Tables(spark, sf_dir)
-    return ngram_jaccard_pairs(t.documents, "doc_id", "text", k=3, threshold=0.3)
+    return ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_df=50
+    )
 
 
 @register("dedup_minhash_lsh")  # rows-only: approximate op, recall checked in tests

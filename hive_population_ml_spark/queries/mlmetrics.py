@@ -309,13 +309,13 @@ def m14_ensemble_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- M15 (AUC): exact ROC-AUC via the Mann-Whitney rank identity -------------
-# AUC = (sum of positive midranks - n_pos(n_pos+1)/2) / (n_pos * n_neg).
-# Fully SQL-expressible, so the one metric SURVEY.md flagged as
-# "oracle-SQL except AUC" is oracle-checked after all. The global rank
-# window is fine at the reference's prediction-table scale; at 100 TB
-# replace with a fixed-width score histogram (trapezoidal AUC) — the
-# standard scalable approximation — or partition-range ranking.
+# -- M15 (AUC): exact ROC-AUC, computed scalably -----------------------------
+# The ORACLE uses the straightforward Mann-Whitney rank identity (global
+# rank is fine in DuckDB at oracle scale); the SPARK plan uses
+# ml/metrics.py::binned_rank_auc — the same exact statistic with the
+# global per-row sort replaced by per-bin parallel windows plus one
+# window over the <=4096-row bin summary. Both sides agree to 6 decimals
+# because the binned form is exact, not a trapezoid approximation.
 
 @register(
     "m15_auc_roc",
@@ -337,22 +337,12 @@ FROM r
 """,
 )
 def m15_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..ml.metrics import binned_rank_auc
 
-    p = _preds(spark, sf_dir)
-    r = p.select(
-        (F.col("y") >= 250000).cast("int").alias("yt"),
-        (
-            F.rank().over(Window.orderBy("y_hat"))
-            + (F.count("*").over(Window.partitionBy("y_hat")) - 1) / 2.0
-        ).alias("midrank"),
+    p = _preds(spark, sf_dir).select(
+        (F.col("y") >= 250000).cast("int").alias("yt"), "y_hat"
     )
-    yt = F.col("yt")
-    n_pos = F.sum(yt)
-    n_neg = F.count("*") - n_pos
-    u = F.sum(F.when(yt == 1, F.col("midrank"))) - n_pos * (n_pos + 1) / 2.0
-    return r.agg(
-        F.round(u / (n_pos * n_neg), 6).alias("auc_roc"),
-        n_pos.alias("n_pos"),
-        n_neg.alias("n_neg"),
+    auc = binned_rank_auc(p, label_col="yt", score_col="y_hat")
+    return auc.select(
+        F.round("auc", 6).alias("auc_roc"), "n_pos", "n_neg"
     )

@@ -107,3 +107,64 @@ def test_mlp_classifier_trains(spark, feature_table):
     model = clf.fit(data)
     out = model.transform(data)
     assert out.filter(F.col("prediction").isin(0.0, 1.0)).count() == data.count()
+
+
+# -- binned_rank_auc: exact AUC without a global per-row sort ----------------
+
+def _exact_auc(pairs):
+    """Pure-python tie-aware Mann-Whitney AUC for small fixtures."""
+    pos = sorted(s for y, s in pairs if y == 1)
+    neg = sorted(s for y, s in pairs if y == 0)
+    import bisect
+
+    u = 0.0
+    for s in pos:
+        lo = bisect.bisect_left(neg, s)
+        hi = bisect.bisect_right(neg, s)
+        u += lo + 0.5 * (hi - lo)
+    return u / (len(pos) * len(neg))
+
+
+@pytest.mark.parametrize("n_bins", [1, 7, 4096])
+def test_binned_rank_auc_matches_exact(spark, n_bins):
+    from hive_population_ml_spark.ml.metrics import binned_rank_auc
+
+    import random
+
+    rng = random.Random(7)
+    # heavy ties on purpose: scores drawn from a small discrete set
+    pairs = [(rng.randint(0, 1), rng.choice([0.1, 0.25, 0.25, 0.4, 0.8, 0.8]))
+             for _ in range(500)]
+    df = spark.createDataFrame(pairs, "yt int, s double")
+    row = binned_rank_auc(df, "yt", "s", n_bins=n_bins).collect()[0]
+    assert row["n_pos"] + row["n_neg"] == 500
+    assert abs(row["auc"] - _exact_auc(pairs)) < 1e-12
+
+
+def test_binned_rank_auc_constant_scores(spark):
+    from hive_population_ml_spark.ml.metrics import binned_rank_auc
+
+    df = spark.createDataFrame(
+        [(1, 5.0)] * 10 + [(0, 5.0)] * 10, "yt int, s double"
+    )
+    row = binned_rank_auc(df, "yt", "s").collect()[0]
+    assert row["auc"] == 0.5  # all ties -> chance
+
+
+def test_binned_rank_auc_no_global_row_sort(spark):
+    """The executed plan must not funnel the full prediction table
+    through one partition: every SinglePartition exchange feeds either a
+    scalar aggregate or the <=n_bins bin summary, never the raw rows."""
+    from hive_population_ml_spark.ml.metrics import binned_rank_auc
+
+    df = spark.range(10000).selectExpr(
+        "CAST(id % 2 AS INT) AS yt", "CAST(id % 997 AS DOUBLE) AS s"
+    )
+    plan = (
+        binned_rank_auc(df, "yt", "s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the old scale-killer: a Window directly over a SinglePartition sort
+    # of the per-row table (rank over ORDER BY score). The new plan's only
+    # windows are per-bin (hash-partitioned) or over the bin summary.
+    assert "rank(" not in plan
