@@ -148,22 +148,36 @@ def cosine_dup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     round_to: int = 9,
+    block_size: int = 2048,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup via BLOCK matrix products.
 
     Same output as ``cosine_dup_pairs`` but scalable: vectors are
-    hash-assigned to ``n_blocks`` blocks; the n_blocks*(n_blocks+1)/2
-    block pairs cross-join as SINGLE ROWS carrying packed arrays, and
-    one Arrow-batched numpy GEMM scores each block pair, emitting only
+    hash-assigned to blocks; the n_blocks*(n_blocks+1)/2 block pairs
+    cross-join as SINGLE ROWS carrying packed arrays, and one
+    Arrow-batched numpy GEMM scores each block pair, emitting only
     pairs over threshold. Compute is dense BLAS instead of per-pair
     lambda interpretation (measured ~40x at 2k vectors); at cluster
     scale block pairs are the parallelism unit and Arrow moves
     O(block_size * dim) per task, not O(pairs).
+
+    ``n_blocks`` defaults to ceil(count / block_size) so a packed block
+    row stays ~``block_size`` vectors no matter how large the corpus is
+    — a FIXED row size well under Spark's 2 GB row/buffer ceilings
+    (2048 x 1024-dim doubles = 16 MB), instead of rows growing O(n).
+    The count() is one cheap planning pass over the id column; callers
+    that already know the corpus size can pass ``n_blocks`` directly.
+    Exactness does not depend on the blocking, only row size does.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(df.count() / block_size))
 
     packed = (
         df.select(

@@ -189,3 +189,52 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     for r in fr:
         by_id.setdefault(r["id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2] for v in by_id.values())
+
+
+def test_blocked_cosine_row_size_bounded_as_corpus_grows(spark, sf_dir):
+    """n_blocks derives from the corpus count, so packed block rows stay
+    ~block_size vectors no matter how many vectors exist — doubling the
+    corpus doubles the block COUNT, not the block row size."""
+    import math
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_blocked,
+    )
+    from pyspark.sql import functions as F
+
+    emb = Tables(spark, sf_dir).embeddings
+
+    def max_block(df, block_size):
+        n = df.count()
+        n_blocks = max(1, math.ceil(n / block_size))
+        per_block = (
+            df.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("b"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return per_block
+
+    small = emb.limit(120)
+    big = emb.limit(240)
+    bs = 32
+    m_small, m_big = max_block(small, bs), max_block(big, bs)
+    # hash placement is ~uniform; rows stay O(block_size) as n doubles
+    assert m_big <= 3 * bs, f"block row grew with corpus: {m_big}"
+    assert m_small <= 3 * bs
+
+    # exactness is independent of the blocking: derived n_blocks output
+    # == brute-force output on the same subset
+    got = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in cosine_dup_pairs_blocked(
+            small, threshold=0.35, block_size=bs
+        ).collect()
+    }
+    want = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in cosine_dup_pairs(small, threshold=0.35).collect()
+    }
+    assert got == want and len(want) > 0
