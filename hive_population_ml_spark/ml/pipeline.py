@@ -106,21 +106,61 @@ def mlp_classifier(
     hidden: tuple[int, ...] = (128, 128, 128),
     features_col: str = "features",
     label_col: str = "label",
-    weight_col: str | None = None,
     seed: int = 42,
 ) -> MultilayerPerceptronClassifier:
     """M5: MLP classification head (reference: hidden_dim 128, 3 layers,
-    mlp.py:47-260). M9 class weights attach via ``weight_col`` fed by
-    the A11 inverse-frequency weights join."""
-    clf = MultilayerPerceptronClassifier(
+    mlp.py:47-260). MLlib MLP has no ``weightCol``; for the reference's
+    class-weighted loss (M9, trainer.py:144-150,352-366) run the train
+    split through :func:`balance_classes` first — inverse-frequency
+    duplication is the sampling-side equivalent of inverse-frequency
+    loss weights in expectation."""
+    return MultilayerPerceptronClassifier(
         layers=[n_features, *hidden, n_classes],
         featuresCol=features_col,
         labelCol=label_col,
         seed=seed,
         maxIter=200,
     )
-    if weight_col:
-        # MLlib MLP has no weightCol — documented gap; weighted loss is
-        # approximated upstream via stratified sampling when needed.
-        pass
-    return clf
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "id",
+    seed: int = 42,
+) -> DataFrame:
+    """M9 for weight-less estimators: stratified duplication so every
+    class reaches the majority class's cardinality in expectation.
+
+    The reference applies inverse-frequency CLASS WEIGHTS to the loss
+    (trainer.py:352-366: w_c = (1/n_c) / sum(1/n_c)); MLlib's MLP
+    cannot take a weightCol, so the same gradient contribution is
+    obtained by replicating each class-c row max_n/n_c times —
+    floor(r) guaranteed copies plus one extra with probability
+    frac(r), decided by a seeded hash of ``id_col`` (deterministic
+    across runs and partitionings, M19).
+
+    Scale shape: class counts are a tiny broadcast; replication is a
+    map-side array_repeat+explode — no shuffle of the input, output is
+    ~n_classes * max_n rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(label_col).agg(F.count("*").alias("__n"))
+    ratios = counts.select(
+        label_col,
+        (F.max("__n").over(Window.partitionBy()) / F.col("__n")).alias("__r"),
+    )
+    j = df.join(F.broadcast(ratios), label_col)
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    n_copies = (
+        F.floor("__r") + (u < (F.col("__r") - F.floor("__r"))).cast("long")
+    ).cast("int")
+    return (
+        j.withColumn("__copy", F.explode(F.array_repeat(F.lit(1), n_copies)))
+        .drop("__r", "__copy")
+    )

@@ -168,3 +168,57 @@ def test_binned_rank_auc_no_global_row_sort(spark):
     # of the per-row table (rank over ORDER BY score). The new plan's only
     # windows are per-bin (hash-partitioned) or over the bin summary.
     assert "rank(" not in plan
+
+
+# -- M9: class-weighted MLP via stratified duplication -----------------------
+
+def test_balance_classes_reaches_parity_and_is_deterministic(spark):
+    from hive_population_ml_spark.ml.pipeline import balance_classes
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, 0 if rng.random() < 0.9 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, label int")
+    bal = balance_classes(df, "label", "id", seed=42)
+    counts = {r["label"]: r["n"] for r in
+              bal.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    n0, n1 = counts[0], counts[1]
+    # expectation: both classes at majority cardinality (+-5% sampling noise)
+    assert abs(n1 - n0) / n0 < 0.05, counts
+    # determinism (M19): same seed -> identical multiset
+    again = balance_classes(df, "label", "id", seed=42)
+    assert bal.groupBy("id").count().subtract(again.groupBy("id").count()).count() == 0
+
+
+def test_balanced_mlp_improves_minority_recall(spark):
+    """Reference parity check for M9: inverse-frequency weighting must
+    lift minority-class recall vs the unweighted fit on skewed data
+    (trainer.py:352-366 semantics, approximated by duplication)."""
+    import numpy as np
+    from pyspark.ml.feature import VectorAssembler
+    from hive_population_ml_spark.ml.pipeline import balance_classes, mlp_classifier
+
+    rng = np.random.default_rng(11)
+    n0, n1 = 1800, 200
+    x0 = rng.normal(0.0, 1.0, size=(n0, 2))
+    x1 = rng.normal(1.2, 1.0, size=(n1, 2))
+    rows = [(i, float(x[0]), float(x[1]), 0) for i, x in enumerate(x0)]
+    rows += [(n0 + i, float(x[0]), float(x[1]), 1) for i, x in enumerate(x1)]
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double, label int")
+    train = df.filter(F.col("id") % 4 != 0)
+    test = df.filter(F.col("id") % 4 == 0)
+    va = VectorAssembler(inputCols=["f1", "f2"], outputCol="features")
+
+    def minority_recall(train_df):
+        clf = mlp_classifier(n_features=2, n_classes=2, hidden=(8,), seed=42)
+        model = clf.fit(va.transform(train_df))
+        pred = model.transform(va.transform(test))
+        tp = pred.filter((F.col("label") == 1) & (F.col("prediction") == 1.0)).count()
+        fn = pred.filter((F.col("label") == 1) & (F.col("prediction") == 0.0)).count()
+        return tp / (tp + fn)
+
+    plain = minority_recall(train)
+    weighted = minority_recall(balance_classes(train, "label", "id", seed=42))
+    assert weighted > plain, (plain, weighted)
+    assert weighted >= 0.5
