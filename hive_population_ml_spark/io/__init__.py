@@ -1,4 +1,9 @@
 from .adapters import csv_scan, excel_scan, lookup_map_df, records_to_df
+from .annotations import (
+    phenotypic_measurements,
+    population_annotations,
+    winter_mortality,
+)
 from .sinks import (
     load_model,
     read_metrics_json,
@@ -16,6 +21,9 @@ __all__ = [
     "register_views",
     "csv_scan",
     "excel_scan",
+    "population_annotations",
+    "phenotypic_measurements",
+    "winter_mortality",
     "lookup_map_df",
     "records_to_df",
     "write_metrics_json",

@@ -75,35 +75,60 @@ def excel_scan(
     schema: T.StructType | str | None = None,
     header_rows: int = 1,
     column_map: Mapping[int, str] | None = None,
-):
+) -> DataFrame:
     """S3–S5: Excel sheet → DataFrame via a driver-side parse.
 
     ``column_map`` selects columns positionally (index → name), the way
     the reference parses annotation sheets by iloc (loader.py:137-165,
-    227-245). Requires an xlsx reader (openpyxl) at the edge; raises
-    ImportError with guidance when absent — the engine itself never
-    depends on it (pre-convert to Parquet/CSV instead).
-    """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without openpyxl
-        raise ImportError(
-            "excel_scan needs openpyxl at the ingestion edge; pre-convert "
-            "the workbook to parquet/csv, or install openpyxl on the "
-            "driver only — executors never read Excel."
-        ) from exc
-    import pandas as pd  # local import: edge-only dependency
+    227-245). Parsing uses the stdlib :mod:`.xlsx_lite` reader — no
+    openpyxl dependency; executors never touch Excel.
 
-    pdf = pd.read_excel(path, sheet_name=sheet, header=None, skiprows=header_rows)
-    if column_map:
-        pdf = pdf.iloc[:, list(column_map)].set_axis(
-            list(column_map.values()), axis=1
-        )
-    return (
-        spark.createDataFrame(pdf, schema=schema)
-        if schema is not None
-        else spark.createDataFrame(pdf)
+    Cells arrive untyped; every value is stringified and cast to the
+    declared ``schema`` with null-on-error semantics (``try_cast``),
+    matching the reference's ``_safe_float`` behavior (loader.py:19-25)
+    and the PERMISSIVE CSV path. Integer targets route through double so
+    Excel's float rendering of ints ("2056.0") still lands.
+    """
+    from .xlsx_lite import read_sheet
+
+    rows = read_sheet(path, sheet)[header_rows:]
+    target = (
+        T.StructType.fromDDL(schema)
+        if isinstance(schema, str)
+        else schema
     )
+    if column_map:
+        idxs, names = list(column_map), list(column_map.values())
+    elif target is not None:
+        # no map: schema fields bind positionally, left to right
+        idxs = list(range(len(target.fields)))
+        names = [f.name for f in target.fields]
+    else:
+        width = max((len(r) for r in rows), default=0)
+        idxs, names = list(range(width)), [f"c{i}" for i in range(width)]
+
+    def _s(v: object) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))  # 2056.0 -> "2056": lossless for ids
+        return str(v)
+
+    data = [tuple(_s(r[i]) if i < len(r) else None for i in idxs) for r in rows]
+    df = spark.createDataFrame(
+        data, schema=T.StructType([T.StructField(n, T.StringType()) for n in names])
+    )
+    if target is None:
+        return df
+    cols = []
+    for f in target.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.IntegerType, T.LongType, T.ShortType)):
+            c = c.try_cast("double").try_cast(f.dataType)
+        elif not isinstance(f.dataType, T.StringType):
+            c = c.try_cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
 
 
 def lookup_map_df(

@@ -1,0 +1,142 @@
+"""S3–S5: stdlib xlsx reader + positional annotation-sheet parsing,
+fixtures shaped like the reference workbooks (loader.py:102-296)."""
+
+import os
+
+import pytest
+
+from hive_population_ml_spark.io import (
+    excel_scan,
+    phenotypic_measurements,
+    population_annotations,
+    winter_mortality,
+)
+from hive_population_ml_spark.io.xlsx_lite import read_sheet, sheet_names, write_xlsx
+
+
+def _d1_workbook(path):
+    """D1-shaped workbook: Evaluation sheets (loader.py:108-135 layout:
+    row0 headers; cols 0-3 date/yard/hive/boxes; cols 4-9 frames/box)
+    plus a 2-header-row Phenotypic measurements sheet (loader.py:197+)."""
+    eval_hdr = ["Dates", "Yard", "Hive ID", "Number of boxes",
+                "Brood Chamber 1", "Brood chamber 2",
+                "Honey supper 1", "Honey supper 2",
+                "Honey supper 3", "Honey supper 4"]
+    eval1 = [
+        eval_hdr,
+        ["2020-06-01", "North", 2056, 2, 8, 6, 3, None, None, None],
+        ["2020-06-01", "North", 2057, 1, 5, None, None, None, None, None],
+        [None, "North", 2058, 2, 9, 9, 9, 9, None, None],   # no date -> drop
+        ["2020-06-01", "South", None, 1, 4, None, None, None, None, None],  # no hive
+        ["2020-06-02", None, 2059, 1, None, None, None, None, None, None],  # 0 frames
+    ]
+    eval2 = [
+        eval_hdr,
+        ["2020-07-15", "North", 2056, 3, 9, 7, 4, 2, None, None],
+    ]
+    # Phenotypic: row0 category headers, row1 specific names, data from row2.
+    # Positions (loader.py:227-245): 1 apiary, 3 hive, 4-6 brood, 8/10 varroa,
+    # 12/14 defensive, 16/18 hygienic, 20 honey.
+    def prow(apiary, hive, vals):
+        row = [None] * 21
+        row[1], row[3] = apiary, hive
+        for pos, v in vals.items():
+            row[pos] = v
+        return row
+
+    pheno = [
+        ["cat"] * 21,
+        ["name"] * 21,
+        prow("North", "02056", {4: 12.0, 5: 3.0, 6: 15.0, 8: 1.2, 10: 2.4,
+                                12: 10.0, 14: 20.0, 16: 80.0, 18: None, 20: 31.5}),
+        prow("South", 2057.0, {4: 8.0, 5: 2.0, 6: 10.0, 8: None, 10: 3.0,
+                               12: 5.0, 14: 7.0, 16: 60.0, 18: 70.0, 20: 12.0}),
+        prow("South", None, {4: 1.0}),        # no hive id -> drop
+        prow("East", "n/a", {4: 1.0}),        # unparseable id -> drop
+    ]
+    write_xlsx(path, {
+        "Evaluation 1": eval1,
+        "Notes": [["free", "text"]],          # non-Evaluation sheet ignored
+        "Evaluation 2": eval2,
+        "Phenotypic measurements": pheno,
+    })
+
+
+def _d2_workbook(path):
+    hdr = ["Hive ID", "Apiary", "Mortality cause",
+           "weight (kg) Nov 4 2020", "weight (kg) Apr 5 2021",
+           "winter syrup consuption (kg)", "Bees frames Oct 20",
+           "Bees frames Apr 2021"]
+    rows = [
+        hdr,
+        [2056, "North", None, 38.2, 31.0, 12.5, 9, 7],
+        [2057, "South", "varroa", 30.1, None, 10.0, 6, None],
+    ]
+    write_xlsx(path, {"Sheet1": rows})
+
+
+@pytest.fixture
+def d1(tmp_path):
+    p = os.path.join(tmp_path, "D1_ant.xlsx")
+    _d1_workbook(p)
+    return p
+
+
+@pytest.fixture
+def d2(tmp_path):
+    p = os.path.join(tmp_path, "D2_ant.xlsx")
+    _d2_workbook(p)
+    return p
+
+
+def test_xlsx_lite_roundtrip(tmp_path):
+    p = os.path.join(tmp_path, "t.xlsx")
+    write_xlsx(p, {"A": [["x", 1.5, None, True], [None, None, "z"]],
+                   "B": [[42]]})
+    assert sheet_names(p) == ["A", "B"]
+    assert read_sheet(p, "A") == [["x", 1.5, None, True], [None, None, "z", None]]
+    assert read_sheet(p, 1) == [[42.0]]
+
+
+def test_excel_scan_positional_column_map(spark, d1):
+    df = excel_scan(
+        spark, d1, sheet="Evaluation 1",
+        schema="hive_id int, b1 double",
+        header_rows=1, column_map={2: "hive_id", 4: "b1"},
+    )
+    rows = {r["hive_id"]: r["b1"] for r in df.collect()}
+    assert rows[2056] == 8.0 and rows[2057] == 5.0
+    assert None in rows  # null hive id passes through at scan level
+
+
+def test_population_annotations_parity(spark, d1):
+    out = population_annotations(spark, d1)
+    rows = {(r["hive_id"], str(r["date"])[:10]): r for r in out.collect()}
+    # null-date, null-hive, zero-frame rows dropped (loader.py:147-156,166)
+    assert len(rows) == 3
+    assert rows[(2056, "2020-06-01")]["frames_of_bees"] == 17.0
+    assert rows[(2056, "2020-06-01")]["evaluation"] == "Evaluation 1"
+    assert rows[(2057, "2020-06-01")]["frames_of_bees"] == 5.0
+    assert rows[(2056, "2020-07-15")]["frames_of_bees"] == 22.0
+    assert rows[(2056, "2020-07-15")]["apiary"] == "North"
+
+
+def test_phenotypic_measurements_parity(spark, d1):
+    out = phenotypic_measurements(spark, d1)
+    rows = {r["hive_id"]: r for r in out.collect()}
+    assert set(rows) == {2056, 2057}  # "02056" normalized; bad ids dropped
+    r = rows[2056]
+    assert r["total_brood"] == 15.0 and r["honey_yield_kg"] == 31.5
+    assert r["varroa_avg"] == pytest.approx(1.8)
+    assert r["hygienic_avg"] == 80.0  # null-skipping mean, pandas semantics
+    assert rows[2057]["varroa_avg"] == 3.0
+
+
+def test_winter_mortality_parity(spark, d2):
+    out = winter_mortality(spark, d2)
+    rows = {r["hive_id"]: r for r in out.collect()}
+    assert rows[2056]["survived"] is True
+    assert rows[2057]["survived"] is False
+    assert rows[2057]["mortality_cause"] == "varroa"
+    assert rows[2056]["weight_after_kg"] == 31.0
+    assert rows[2057]["weight_after_kg"] is None

@@ -71,15 +71,16 @@ def test_records_and_lookup_join(spark):
     assert [r["fob"] for r in joined] == [21.0, 12.0]
 
 
-def test_excel_scan_raises_without_openpyxl(spark):
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_scan_null_on_error_cast(spark, tmp_path):
+    """excel_scan runs on the stdlib xlsx_lite reader (no openpyxl) and
+    casts with _safe_float semantics: bad cells -> null, not errors."""
+    from hive_population_ml_spark.io.xlsx_lite import write_xlsx
 
-        pytest.skip("openpyxl present; edge adapter usable directly")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="openpyxl"):
-        excel_scan(spark, "/nonexistent.xlsx")
+    p = os.path.join(tmp_path, "w.xlsx")
+    write_xlsx(p, {"S": [["h1", "h2"], [2056, "oops"], ["x", 3.5]]})
+    rows = excel_scan(spark, p, sheet="S", schema="a int, b double").collect()
+    assert (rows[0]["a"], rows[0]["b"]) == (2056, None)
+    assert (rows[1]["a"], rows[1]["b"]) == (None, 3.5)
 
 
 def test_metrics_json_roundtrip(spark):
