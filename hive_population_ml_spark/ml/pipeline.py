@@ -123,6 +123,77 @@ def mlp_classifier(
     )
 
 
+class DualHeadEstimator:
+    """Dual-head (multi-task) analog of the reference's DualHeadMLP
+    (mlp.py:151-218; same pattern in lstm.py:243-340,
+    transformer.py:345+): predict the exact frame count (regression)
+    AND the high/low class (classification) for the same row.
+
+    Torch shares backbone weights; MLlib has no shared-gradient
+    multi-task estimator, so the Spark-idiomatic split is: the shared
+    "backbone" is the fitted feature pipeline (impute → assemble →
+    scale, fit ONCE on train — both heads see identical features), and
+    the heads are an MLlib regressor (GBT by default; no MLP regressor
+    exists — documented substitution, module docstring) plus the M5 MLP
+    classifier. ``transform`` chains both models over one shared
+    feature pass — one scan, no join, each head's outputs under its own
+    column names.
+    """
+
+    def __init__(
+        self,
+        feature_cols: list[str],
+        reg_label: str = "reg_label",
+        cls_label: str = "cls_label",
+        hidden: tuple[int, ...] = (128, 128, 128),
+        n_classes: int = 2,
+        seed: int = 42,
+    ):
+        self.feature_cols = feature_cols
+        self.reg_label = reg_label
+        self.cls_label = cls_label
+        self.hidden = hidden
+        self.n_classes = n_classes
+        self.seed = seed
+
+    def fit(self, train: DataFrame) -> "DualHeadModel":
+        backbone = feature_pipeline(self.feature_cols).fit(train)
+        feats = backbone.transform(train)
+        reg = GBTRegressor(
+            featuresCol="features",
+            labelCol=self.reg_label,
+            predictionCol="reg_prediction",
+            maxIter=50,
+            maxDepth=3,
+            seed=self.seed,
+        ).fit(feats)
+        cls = MultilayerPerceptronClassifier(
+            layers=[len(self.feature_cols), *self.hidden, self.n_classes],
+            featuresCol="features",
+            labelCol=self.cls_label,
+            predictionCol="cls_prediction",
+            probabilityCol="cls_probability",
+            rawPredictionCol="cls_raw",
+            seed=self.seed,
+            maxIter=200,
+        ).fit(feats)
+        return DualHeadModel(backbone, reg, cls)
+
+
+class DualHeadModel:
+    """Fitted dual-head bundle; ``transform`` emits both heads' outputs."""
+
+    def __init__(self, backbone, reg_model, cls_model):
+        self.backbone = backbone
+        self.reg_model = reg_model
+        self.cls_model = cls_model
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.cls_model.transform(
+            self.reg_model.transform(self.backbone.transform(df))
+        )
+
+
 def balance_classes(
     df: DataFrame,
     label_col: str = "label",

@@ -57,12 +57,11 @@ def build_sequences(
         ).otherwise(seq)
     out = grouped.withColumn("__seq", seq).withColumn("seq_len", F.size("__seq"))
     if pad_to is not None:
-        zero_row = F.transform(
-            F.sequence(F.lit(1), F.lit(len(features))), lambda _: F.lit(0.0)
-        )
-        pad = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(pad_to) - F.size("__seq"), F.lit(0))),
-            lambda _: zero_row,
+        # NB: not F.sequence(1, n) — sequence(1, 0) yields a DESCENDING
+        # [1, 0] (2 elements), silently padding full sequences by 2.
+        zero_row = F.array_repeat(F.lit(0.0), len(features))
+        pad = F.array_repeat(
+            zero_row, F.greatest(F.lit(pad_to) - F.size("__seq"), F.lit(0))
         )
         out = out.withColumn("__seq", F.concat(F.col("__seq"), pad))
     return out.select(*keys, "seq_len", F.col("__seq").alias("seq"))

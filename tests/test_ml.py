@@ -222,3 +222,41 @@ def test_balanced_mlp_improves_minority_recall(spark):
     weighted = minority_recall(balance_classes(train, "label", "id", seed=42))
     assert weighted > plain, (plain, weighted)
     assert weighted >= 0.5
+
+
+# -- Dual-head (multi-task) estimator: mlp.py:151-218 analog -----------------
+
+def test_dual_head_predicts_both_targets_in_one_pass(spark):
+    """Reference DualHeadMLP semantics: one shared feature backbone,
+    regression (frame count) + classification (high/low) heads, both
+    outputs per row from a single transform."""
+    import numpy as np
+    from hive_population_ml_spark.ml.pipeline import DualHeadEstimator
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0.0, 1.0, size=(1200, 3))
+    y = 10.0 + 4.0 * x[:, 0] - 2.0 * x[:, 1] + rng.normal(0, 0.3, 1200)
+    hi = (y > np.median(y)).astype(int)
+    rows = [
+        (i, float(a), float(b), float(c), float(yy), int(h))
+        for i, ((a, b, c), yy, h) in enumerate(zip(x, y, hi))
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, f1 double, f2 double, f3 double, reg_label double, cls_label int"
+    )
+    train = df.filter(F.col("id") % 4 != 0)
+    test = df.filter(F.col("id") % 4 == 0)
+
+    model = DualHeadEstimator(
+        ["f1", "f2", "f3"], hidden=(16,), seed=42
+    ).fit(train)
+    pred = model.transform(test)
+    assert {"reg_prediction", "cls_prediction", "cls_probability"} <= set(pred.columns)
+
+    agg = pred.agg(
+        F.avg(F.pow(F.col("reg_prediction") - F.col("reg_label"), 2)).alias("mse"),
+        F.var_pop("reg_label").alias("var"),
+        F.avg((F.col("cls_prediction") == F.col("cls_label")).cast("double")).alias("acc"),
+    ).first()
+    assert agg["mse"] < 0.25 * agg["var"]  # regression head genuinely fits
+    assert agg["acc"] > 0.85  # classification head genuinely fits
