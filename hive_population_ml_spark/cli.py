@@ -47,8 +47,19 @@ def _parser() -> argparse.ArgumentParser:
             s.add_argument(
                 "--model",
                 choices=["ridge", "lasso", "random_forest", "gradient_boosting",
-                         "mlp"],
+                         "mlp", "lstm", "gru", "transformer"],
                 default="gradient_boosting",
+            )
+            s.add_argument("--hidden-dim", type=int, default=128)
+            s.add_argument("--num-layers", type=int, default=2)
+            s.add_argument("--max-epochs", type=int, default=100)
+            s.add_argument("--patience", type=int, default=15)
+            s.add_argument(
+                "--stage-only",
+                action="store_true",
+                help="sequence models: write the staged tensor shards and "
+                "spec, skip the torch loop (for torch-less drivers; point "
+                "a torch-equipped cluster at the staged directory)",
             )
         else:
             s.add_argument("--model-dir", required=True)
@@ -92,12 +103,82 @@ def _metrics_df(spark, scored, task_type):
     )
 
 
+SEQUENCE_MODELS = ("lstm", "gru", "transformer")
+
+
+def cmd_train_sequence(args) -> dict:
+    """--model lstm|gru|transformer (reference train.py:143-167 path):
+    Spark builds + stages the sequence tensors; torch (via
+    TorchDistributor) trains. Without torch, --stage-only still
+    produces the shards any torch cluster can consume."""
+    import json
+
+    from .ml.features import build_sequence_table
+    from .ml.sequence import (
+        SequenceModelSpec,
+        stage_sequences,
+        train_sequence_model,
+    )
+    from .session import get_spark
+
+    spark = get_spark("hpml-train-seq", cpus=args.cpus, shuffle_partitions=args.cpus)
+    seq = build_sequence_table(
+        spark, args.data_dir, window_days=args.window_days, min_count=args.min_count
+    )
+    label = "label" if args.task_type == "classification" else "target"
+    os.makedirs(args.output_dir, exist_ok=True)
+    spec = SequenceModelSpec(
+        model=args.model,
+        hidden_dim=args.hidden_dim,
+        num_layers=args.num_layers,
+        num_classes=2 if args.task_type == "classification" else 1,
+        task_type=args.task_type,
+        max_epochs=args.max_epochs,
+        patience=args.patience,
+        seed=args.seed,
+    )
+    staged = {}
+    for split in ("train", "test"):
+        part = seq.filter(F.col("split") == split)
+        path = os.path.join(args.output_dir, f"staged_{split}")
+        stage_sequences(
+            part.select("anchor_orderkey", "seq_len", "seq"),
+            part.select("anchor_orderkey", label),
+            ["anchor_orderkey"],
+            label,
+            path,
+            num_shards=max(1, args.cpus // 4),
+        )
+        staged[split] = path
+    from dataclasses import asdict
+
+    with open(os.path.join(args.output_dir, "sequence_spec.json"), "w") as f:
+        json.dump({"spec": asdict(spec), "staged": staged, "label": label}, f)
+    out = {"staged": staged, "model": args.model}
+    if args.stage_only:
+        print(out)
+        return out
+    result = train_sequence_model(
+        spark,
+        staged["train"],
+        spec,
+        os.path.join(args.output_dir, "model.pt"),
+        num_processes=max(1, args.cpus // 4),
+    )
+    out.update(result)
+    print(out)
+    return out
+
+
 def cmd_train(args) -> dict:
     from pyspark.ml import Pipeline
 
     from .io.sinks import write_metrics_json, write_predictions
     from .ml.pipeline import mlp_classifier, reference_regressors
     from .session import get_spark
+
+    if args.model in SEQUENCE_MODELS:
+        return cmd_train_sequence(args)
 
     spark = get_spark("hpml-train", cpus=args.cpus, shuffle_partitions=args.cpus)
     train, test, feats, feat_pipe = _features_and_split(spark, args)

@@ -40,3 +40,39 @@ def test_cli_train_then_evaluate(spark, sf_dir):
         # checkpoint-reload reproduces the training-time test metrics
         assert ev["n"] == out["n"]
         assert abs(ev["rmse"] - out["rmse"]) < 1e-9
+
+
+def test_cli_train_lstm_stages_sequence_shards(spark, sf_dir):
+    """--model lstm parity (reference train.py:143-167): Spark stages
+    the sequence tensors; --stage-only covers torch-less drivers."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        run = os.path.join(d, "seqrun")
+        out = main(
+            [
+                "train",
+                "--data-dir", sf_dir,
+                "--output-dir", run,
+                "--model", "lstm",
+                "--task-type", "regression",
+                "--window-days", "30",
+                "--min-count", "1",
+                "--stage-only",
+            ]
+        )
+        assert out["model"] == "lstm"
+        with open(os.path.join(run, "sequence_spec.json")) as f:
+            meta = json.load(f)
+        assert meta["spec"]["model"] == "lstm" and meta["label"] == "target"
+        staged = spark.read.parquet(meta["staged"]["train"])
+        assert {"anchor_orderkey", "seq_len", "seq", "label"} <= set(staged.columns)
+        assert staged.count() > 0
+        assert staged.filter(F.col("label").isNull()).count() == 0
+        # padded tensor: every row the same (max_len x 3) shape
+        sizes = staged.select(F.size("seq").alias("s")).distinct().collect()
+        assert len(sizes) == 1
+        width = staged.select(F.size(F.element_at("seq", 1)).alias("w")).first()["w"]
+        assert width == 3  # price, qty, disc
