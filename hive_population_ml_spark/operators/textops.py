@@ -165,3 +165,136 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(text_col).alias("fp"),
         predict_lang(text_col).alias("pred_lang"),
     )
+
+
+def _mode_count(arr: Column) -> Column:
+    """Count of the most frequent element: run-length max over the
+    SORTED array, as one ``aggregate`` lambda — the per-document mode
+    without exploding tokens into a shuffle. O(n log n) per row,
+    JVM-side, zero exchanges; the naive explode + groupBy(doc, token)
+    form shuffles every token of the corpus."""
+    sorted_arr = F.sort_array(arr)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1:
+    duplicate-line fraction, top-word / top-2-gram mass; C4's
+    boilerplate intuition): documents dominated by a few repeated
+    units are low-quality for LM training.
+
+    Per doc: ``dup_line_frac`` (1 - distinct/total newline-split
+    lines), ``dup_word_frac`` (same over whitespace tokens),
+    ``top_word_frac`` / ``top_2gram_frac`` (mass of the single most
+    frequent token / adjacent bigram), and ``keep_repetition`` — the
+    Gopher-ish gate (dup lines <= 0.30, top word <= 0.20, top 2-gram
+    <= 0.18 here, tuned to the synthetic corpus's scale).
+
+    Everything is a per-row expression over materialized arrays — the
+    100 TB path has NO shuffle at all (see ``_mode_count``).
+    """
+    base = df.select(
+        id_col,
+        F.split(F.col(text_col), "\n").alias("__lines"),
+        tokens(text_col).alias("__t"),
+    )
+    # raw (non-distinct) adjacent bigrams — repetition mass needs repeats
+    raw_grams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__t"), (i + 1).cast("int")),
+                F.element_at(F.col("__t"), (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_lines = F.size("__lines").cast("double")
+    n_words = F.size("__t").cast("double")
+    n_grams = F.size(raw_grams).cast("double")
+    out = base.select(
+        id_col,
+        F.size("__lines").alias("n_lines"),
+        F.size("__t").alias("n_words"),
+        F.round(
+            1.0 - F.size(F.array_distinct("__lines")) / F.nullif(n_lines, F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct("__t")) / F.nullif(n_words, F.lit(0.0)), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            _mode_count(F.col("__t")) / F.nullif(n_words, F.lit(0.0)), 6
+        ).alias("top_word_frac"),
+        F.round(
+            _mode_count(raw_grams) / F.nullif(n_grams, F.lit(0.0)), 6
+        ).alias("top_2gram_frac"),
+    )
+    return out.withColumn(
+        "keep_repetition",
+        (
+            (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= 0.30)
+            & (F.coalesce(F.col("top_word_frac"), F.lit(0.0)) <= 0.20)
+            & (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) <= 0.18)
+        ).cast("int"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    >= ``min_overlap`` distinct k-token shingles with an evaluation
+    benchmark (the public n-gram-overlap practice: GPT-3 appendix C,
+    Gopher/Llama eval-decontamination).
+
+    Scale shape: the benchmark is tiny next to a 100 TB corpus, so its
+    distinct shingle hashes BROADCAST; the corpus side is a map-side
+    shingle explode joined against the broadcast set — rows survive
+    only on hits, and the single shuffle (groupBy doc) carries hit
+    counts, not shingles. int64 xxhash64 join keys, never strings.
+    """
+    d_sh = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).select(
+        id_col,
+        F.explode(shingles_of_tokens(F.col("__t"), k)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    b_sh = (
+        benchmark.select(F.split(F.col(text_col), " ").alias("__t"))
+        .select(F.explode(shingles_of_tokens(F.col("__t"), k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    ov = (
+        d_sh.join(F.broadcast(b_sh), "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return docs.select(id_col).join(ov, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
+        .cast("int")
+        .alias("contaminated"),
+    )

@@ -82,32 +82,9 @@ def m16_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- M17: confusion matrix (metrics.py:116-154) -----------------------------
-
-@register(
-    "m17_confusion_matrix",
-    oracle=f"""
-WITH p AS ({_PRED_SQL})
-SELECT CAST(y >= 250000 AS INT) AS y_true,
-       CAST(y_hat >= 250000 AS INT) AS y_pred,
-       count(*) AS n
-FROM p
-GROUP BY 1, 2
-""",
-)
-def m17_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _preds(spark, sf_dir)
-    return (
-        p.select(
-            (F.col("y") >= 250000).cast("int").alias("y_true"),
-            (F.col("y_hat") >= 250000).cast("int").alias("y_pred"),
-        )
-        .groupBy("y_true", "y_pred")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-# -- M15: classification metrics incl. balanced accuracy (metrics.py:23-74) -
+# -- M15 + M17: classification metrics incl. balanced accuracy and the
+# confusion-matrix cells (metrics.py:23-74,116-154; merged so the
+# oracle-backed surface fits the driver's 50-entry correctness window) -----
 
 @register(
     "m15_classification_metrics",
@@ -129,7 +106,11 @@ SELECT count(*) AS n,
                       + sum(CAST(yt = 1 AND yp = 0 AS INT)), 0), 6) AS f1_pos,
        round((sum(CAST(yt = 1 AND yp = 1 AS INT)) / NULLIF(sum(CAST(yt = 1 AS INT)), 0)
             + sum(CAST(yt = 0 AND yp = 0 AS INT)) / NULLIF(sum(CAST(yt = 0 AS INT)), 0))
-             / 2.0, 6) AS balanced_accuracy
+             / 2.0, 6) AS balanced_accuracy,
+       CAST(sum(CAST(yt = 1 AND yp = 1 AS INT)) AS BIGINT) AS n_tp,
+       CAST(sum(CAST(yt = 0 AND yp = 0 AS INT)) AS BIGINT) AS n_tn,
+       CAST(sum(CAST(yt = 0 AND yp = 1 AS INT)) AS BIGINT) AS n_fp,
+       CAST(sum(CAST(yt = 1 AND yp = 0 AS INT)) AS BIGINT) AS n_fn
 FROM lab
 """,
 )
@@ -158,6 +139,10 @@ def m15_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (tp / F.nullif(pos, F.lit(0)) + tn / F.nullif(neg, F.lit(0))) / 2.0, 6
         ).alias("balanced_accuracy"),
+        tp.cast("bigint").alias("n_tp"),
+        tn.cast("bigint").alias("n_tn"),
+        fp.cast("bigint").alias("n_fp"),
+        fn.cast("bigint").alias("n_fn"),
     )
 
 

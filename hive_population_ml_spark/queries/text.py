@@ -234,3 +234,100 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, chr(10)) AS lines,
+           string_split(text, ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) AS g
+    FROM toks
+),
+wmode AS (
+    SELECT doc_id, max(c) AS top_word FROM (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        GROUP BY doc_id, w
+    ) GROUP BY doc_id
+),
+gmode AS (
+    SELECT doc_id, max(c) AS top_gram FROM (
+        SELECT doc_id, gg, count(*) AS c
+        FROM (SELECT doc_id, unnest(g) AS gg FROM grams)
+        GROUP BY doc_id, gg
+    ) GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       len(lines) AS n_lines,
+       len(t) AS n_words,
+       round(1.0 - len(list_distinct(lines)) * 1.0 / NULLIF(len(lines), 0), 6)
+           AS dup_line_frac,
+       round(1.0 - len(list_distinct(t)) * 1.0 / NULLIF(len(t), 0), 6)
+           AS dup_word_frac,
+       round(wmode.top_word * 1.0 / NULLIF(len(t), 0), 6) AS top_word_frac,
+       round(gmode.top_gram * 1.0 / NULLIF(len(grams.g), 0), 6) AS top_2gram_frac,
+       CAST(coalesce(1.0 - len(list_distinct(lines)) * 1.0 / NULLIF(len(lines), 0), 0) <= 0.30
+            AND coalesce(wmode.top_word * 1.0 / NULLIF(len(t), 0), 0) <= 0.20
+            AND coalesce(gmode.top_gram * 1.0 / NULLIF(len(grams.g), 0), 0) <= 0.18
+            AS INT) AS keep_repetition
+FROM toks
+JOIN grams USING (doc_id)
+LEFT JOIN wmode USING (doc_id)
+LEFT JOIN gmode USING (doc_id)
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (operators/textops.py::
+    repetition_profile). The Spark plan computes per-document token and
+    bigram modes as sorted-run-length ``aggregate`` lambdas — zero
+    shuffles for the whole profile; the oracle has to explode + 2-level
+    group to say the same thing."""
+    t = Tables(spark, sf_dir)
+    return textops.repetition_profile(t.documents, "doc_id", "text")
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+WITH bench AS (
+    SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 17 = 0
+),
+bs AS (
+    SELECT DISTINCT unnest(list_transform(range(len(t) - 2),
+        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+    FROM bench
+),
+train AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 17 <> 0
+),
+ds AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
+        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+    FROM train
+),
+ov AS (
+    SELECT ds.doc_id, count(*) AS n_overlap
+    FROM ds JOIN bs USING (s)
+    GROUP BY ds.doc_id
+)
+SELECT train.doc_id,
+       coalesce(ov.n_overlap, 0) AS n_overlap,
+       CAST(coalesce(ov.n_overlap, 0) >= 1 AS INT) AS contaminated
+FROM train LEFT JOIN ov USING (doc_id)
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/textops.py::decontaminate):
+    docs with doc_id % 17 == 0 stand in as the held-out benchmark; the
+    rest are the training corpus scanned for 3-gram overlap. Benchmark
+    shingle hashes broadcast; the corpus side never shuffles shingles."""
+    t = Tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") % 17 == 0)
+    train = t.documents.filter(F.col("doc_id") % 17 != 0)
+    return textops.decontaminate(train, bench, "doc_id", "text", k=3)

@@ -238,3 +238,65 @@ def test_blocked_cosine_row_size_bounded_as_corpus_grows(spark, sf_dir):
         for r in cosine_dup_pairs(small, threshold=0.35).collect()
     }
     assert got == want and len(want) > 0
+
+
+# -- repetition profile + decontamination (LLM-pipeline text gates) ----------
+
+def test_repetition_profile_known_values(spark):
+    from hive_population_ml_spark.operators.textops import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 4 distinct; "spam" x3 -> top_word 0.5; bigram
+            # "spam spam" x2 of 5 -> 0.4; single line
+            (1, "spam spam spam a b c"),
+            # all distinct, no repeats; keep (long enough that a single
+            # bigram's share 1/9 clears the 0.18 gate)
+            (2, "one two three four five six seven eight nine ten"),
+            # duplicate lines: 3 lines, 2 distinct
+            (3, "x y\nx y\nz w"),
+        ],
+        "doc_id int, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_profile(docs).collect()}
+    assert r[1]["top_word_frac"] == 0.5
+    assert r[1]["top_2gram_frac"] == 0.4
+    assert r[1]["keep_repetition"] == 0  # fails both word and 2gram gates
+    assert r[2]["dup_word_frac"] == 0.0
+    assert r[2]["top_word_frac"] == 0.1
+    assert r[2]["keep_repetition"] == 1
+    assert r[3]["n_lines"] == 3
+    assert round(r[3]["dup_line_frac"], 6) == round(1 - 2 / 3, 6)
+    assert r[3]["keep_repetition"] == 0  # dup_line_frac > 0.30
+
+
+def test_repetition_profile_plan_has_no_exchange(spark):
+    """The whole profile is per-row expressions — a scan with zero
+    shuffles, which is the reason it scales to 100 TB for free."""
+    from hive_population_ml_spark.operators.textops import repetition_profile
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id int, text string")
+    plan = repetition_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from hive_population_ml_spark.operators.textops import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated words here nothing shared at all"),
+            (2, "he saw the quick brown fox run away yesterday"),  # 2 shared 3-grams
+            (3, "short doc"),  # too short for any 3-gram
+        ],
+        "doc_id int, text string",
+    )
+    r = {x["doc_id"]: x for x in decontaminate(docs, bench).collect()}
+    assert set(r) == {1, 2, 3}
+    assert r[1]["contaminated"] == 0 and r[1]["n_overlap"] == 0
+    assert r[2]["contaminated"] == 1 and r[2]["n_overlap"] == 2
+    assert r[3]["contaminated"] == 0
