@@ -37,6 +37,8 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_lsh",
     "text_quality_profile",
+    "text_repetition_filter",
+    "text_decontaminate",
     "w5_sequence_digest",
     "w_sessionize",
 ]
