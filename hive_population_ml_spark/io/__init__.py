@@ -1,5 +1,6 @@
 from .adapters import csv_scan, excel_scan, lookup_map_df, records_to_df
 from .annotations import (
+    hive_id_mapping,
     phenotypic_measurements,
     population_annotations,
     winter_mortality,
@@ -22,6 +23,7 @@ __all__ = [
     "csv_scan",
     "excel_scan",
     "population_annotations",
+    "hive_id_mapping",
     "phenotypic_measurements",
     "winter_mortality",
     "lookup_map_df",

@@ -141,3 +141,28 @@ def winter_mortality(spark: SparkSession, path: str, sheet: str = "Sheet1") -> D
         "frames_before",
         "frames_after",
     )
+
+
+def hive_id_mapping(spark: SparkSession, path: str) -> DataFrame:
+    """Sensor-id → annotation-id lookup from the "ID lookup table"
+    sheet (⇔ get_hive_id_mapping, loader.py:298-324): header-named
+    columns, rows with either id missing dropped. Returned as the S6
+    broadcastable two-column DataFrame instead of a driver dict, so
+    the id-normalization join runs on executors."""
+    header = read_sheet(path, "ID lookup table")[0]
+    pos = {str(v).strip(): i for i, v in enumerate(header) if v is not None}
+    for h in ("Colony number Nectar", "Colony number CRSAD"):
+        if h not in pos:
+            raise ValueError(f"missing header {h!r} in ID lookup table")
+    cmap = {
+        pos["Colony number Nectar"]: "sensor_id",
+        pos["Colony number CRSAD"]: "annotation_id",
+    }
+    df = excel_scan(
+        spark, path, sheet="ID lookup table",
+        schema="sensor_id int, annotation_id int",
+        header_rows=1, column_map=cmap,
+    )
+    return df.filter(
+        F.col("sensor_id").isNotNull() & F.col("annotation_id").isNotNull()
+    )

@@ -125,3 +125,22 @@ def test_create_datasets_dispatch(sensor, annotations):
     tr = {r[0] for r in train.select("hive_id").distinct().collect()}
     te = {r[0] for r in test.select("hive_id").distinct().collect()}
     assert not (tr & te)
+
+
+def test_registry_oracle_backed_queries_fit_driver_window():
+    """The round driver hash-checks only the FIRST 50 registry entries;
+    every oracle-backed query must sit inside that window (rows-only
+    approximate ops take the tail). Guards future additions from
+    silently pushing an oracle-backed query out of correctness checking."""
+    from hive_population_ml_spark import queries
+
+    queries.load_all()
+    names = list(queries.QUERIES)
+    oracle_backed = [n for n in names if n in queries.ORACLE]
+    assert len(oracle_backed) <= 50, (
+        f"{len(oracle_backed)} oracle-backed queries > 50-entry driver "
+        "window; merge a pair (precedent: a6->a5, a10->a9, m17->m15)"
+    )
+    assert all(n in queries.ORACLE for n in names[: len(oracle_backed)]), (
+        "oracle-backed queries must precede rows-only ops in the registry"
+    )

@@ -140,3 +140,20 @@ def test_winter_mortality_parity(spark, d2):
     assert rows[2057]["mortality_cause"] == "varroa"
     assert rows[2056]["weight_after_kg"] == 31.0
     assert rows[2057]["weight_after_kg"] is None
+
+
+def test_hive_id_mapping(spark, tmp_path):
+    p = os.path.join(tmp_path, "D1_ant.xlsx")
+    write_xlsx(p, {
+        "ID lookup table": [
+            ["Colony number CRSAD", "Colony number Nectar", "notes"],
+            [2056, 202056, "ok"],
+            [2057, None, "sensor missing -> dropped"],
+            [None, 202058, "annotation missing -> dropped"],
+            [2059, 202059, None],
+        ],
+    })
+    from hive_population_ml_spark.io import hive_id_mapping
+
+    rows = {r["sensor_id"]: r["annotation_id"] for r in hive_id_mapping(spark, p).collect()}
+    assert rows == {202056: 2056, 202059: 2059}
