@@ -72,6 +72,10 @@ def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     expansion (cost = sum over buckets of c*(c-1)/2) with no second
     shuffle of the full table. Callers bound bucket size (stopword-
     shingle guard / LSH band width) to keep the expansion linear.
+
+    NB: callers should hand in an already-sorted array column (sort
+    inside the upstream agg) — ``array_sort`` here is a no-op pass for
+    sorted input but guards correctness for ad-hoc callers.
     """
     ds = F.array_sort(F.col(docs_col))
     pair_structs = F.flatten(
@@ -89,7 +93,10 @@ def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
 
 
 def _jaccard_verify(
-    sh: DataFrame, pairs: DataFrame | None, threshold: float
+    sh: DataFrame,
+    pairs: DataFrame | None,
+    threshold: float,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard for co-bucketed docs from a (doc, s, n) shingle
     table (``n`` = that doc's set size, stamped per row).
@@ -99,14 +106,26 @@ def _jaccard_verify(
     groupBy pair counts the intersection, and |A∪B| = n1 + n2 − |A∩B|
     is pure arithmetic on the aggregated row. ``pairs`` (LSH path)
     restricts verification to candidate pairs via one semi-join.
+
+    ``max_bucket`` is the boilerplate-shingle skew guard: a shingle's
+    document frequency IS its bucket size here, so capping the bucket
+    inside the existing filter drops hot shingles for free — no
+    df-count aggregation, no semi-join, no second shingling pass.
     """
+    bucket_ok = F.size("docs") > 1
+    if max_bucket is not None:
+        bucket_ok = bucket_ok & (F.size("docs") <= max_bucket)
     groups = (
         sh.withColumn("sh64", F.xxhash64("s"))
         .groupBy("sh64")
-        .agg(F.collect_list(F.struct("doc", "n")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        # sort INSIDE the agg so the pair lambdas below capture a plain
+        # attribute — capturing array_sort(docs) as an expression would
+        # re-sort the bucket once per element (lambda-inlining hazard,
+        # see shingle_sets; measured ~2x on the expansion stage).
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
+        .filter(bucket_ok)
     )
-    ds = F.array_sort(F.col("docs"))  # struct sort: by doc asc (unique per bucket)
+    ds = F.col("docs")  # struct sort: by doc asc (unique per bucket)
     pair_structs = F.flatten(
         F.transform(
             ds,
@@ -121,14 +140,15 @@ def _jaccard_verify(
             ),
         )
     )
-    expanded = groups.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.d1").alias("d1"),
-        F.col("p.d2").alias("d2"),
-        F.col("p.n1").alias("n1"),
-        F.col("p.n2").alias("n2"),
-    )
-    inter = expanded.groupBy("d1", "d2", "n1", "n2").agg(
-        F.count("*").alias("inter")
+    expanded = groups.select(F.explode(pair_structs).alias("p"))
+    # n1/n2 are functions of (d1, d2): carry them as first() aggregates,
+    # not group keys — halves the hash-agg key width on the big shuffle.
+    inter = expanded.groupBy(
+        F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2")
+    ).agg(
+        F.count("*").alias("inter"),
+        F.first("p.n1").alias("n1"),
+        F.first("p.n2").alias("n2"),
     )
     if pairs is not None:
         inter = inter.join(pairs, ["d1", "d2"], "left_semi")
@@ -149,18 +169,15 @@ def ngram_jaccard_pairs(
     """Exact all-pairs Jaccard over k-shingle sets, thresholded.
 
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the self-join — the skew guard that keeps the join from
-    quadratic blowup on boilerplate at scale.
+    docs before pair expansion — the skew guard that keeps the
+    expansion from quadratic blowup on boilerplate at scale. Applied
+    as a bucket-size cap inside the verify grouping (df == bucket
+    size), so the guard adds zero shuffles.
     """
     sh = shingle_sets(df, id_col, text_col, k)
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("s").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("s")
-        )
-        sh = sh.join(rare, "s", "left_semi")
-    return _jaccard_verify(sh, pairs=None, threshold=threshold)
+    return _jaccard_verify(
+        sh, pairs=None, threshold=threshold, max_bucket=max_shingle_df
+    )
 
 
 def minhash_signatures(
@@ -213,7 +230,7 @@ def minhash_lsh_pairs(
     # (band, band-hash) bucket are grouped by the banding shuffle itself.
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(F.collect_list("doc").alias("docs"))
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
     cand = _pairs_from_groups(buckets).distinct()
@@ -287,7 +304,7 @@ def simhash_pairs(
     # chunk-value), expand pairs, then one fingerprint join to verify.
     buckets = (
         chunks.groupBy("c", "chunk")
-        .agg(F.collect_list("doc").alias("docs"))
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
     cand = _pairs_from_groups(buckets).distinct()
