@@ -55,10 +55,18 @@ def interval_join(
     on both ends — matching the reference's ``BETWEEN`` semantics
     (``preprocessing.py:93-94``).
     """
-    f, d = fact.alias("f"), dim.alias("d")
-    lo = F.col(f"d.{dim_ts}") - _interval(before, unit)
-    hi = F.col(f"d.{dim_ts}") + _interval(after, unit)
-    cond = F.col(f"f.{fact_ts}").between(lo, hi)
+    # Window bounds are PRECOMPUTED as dim-side columns: inside the join
+    # condition the two interval additions would re-execute per PROBED
+    # pair (every same-key candidate, not every output row) — measured
+    # ~2x on the flagship shape (3.0s -> 1.6s at sf0.1). As columns they
+    # are evaluated once per dim row.
+    f = fact.alias("f")
+    d = (
+        dim.withColumn("__lo", F.col(dim_ts) - _interval(before, unit))
+        .withColumn("__hi", F.col(dim_ts) + _interval(after, unit))
+        .alias("d")
+    )
+    cond = F.col(f"f.{fact_ts}").between(F.col("d.__lo"), F.col("d.__hi"))
     for fc, dc in on:
         cond = (F.col(f"f.{fc}") == F.col(f"d.{dc}")) & cond
 
@@ -78,11 +86,11 @@ def interval_join(
             ),
         )
         joined = fb.join(db, (fb["__bucket"] == db["__bucket"]) & cond, how)
-        return joined.drop("__bucket")
+        return joined.drop("__bucket", "__lo", "__hi")
 
     if broadcast_dim:
         d = F.broadcast(d)
-    return f.join(d, cond, how)
+    return f.join(d, cond, how).drop("__lo", "__hi")
 
 
 def as_of_join(
