@@ -300,3 +300,25 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert r[1]["contaminated"] == 0 and r[1]["n_overlap"] == 0
     assert r[2]["contaminated"] == 1 and r[2]["n_overlap"] == 2
     assert r[3]["contaminated"] == 0
+
+
+def test_interval_join_bounds_not_in_join_condition(spark):
+    """Regression guard for the window-bound hoist: the interval
+    arithmetic must appear in a dim-side Project, never in the join
+    condition where it re-executes per probed pair (measured 2x on the
+    flagship shape)."""
+    from hive_population_ml_spark.operators.interval_join import interval_join
+
+    fact = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", 1.0)], "k int, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    dim = spark.createDataFrame(
+        [(1, "2024-01-07 00:00:00")], "k2 int, dt string"
+    ).withColumn("dt", F.col("dt").cast("timestamp_ntz"))
+    j = interval_join(fact, dim, on=[("k", "k2")], fact_ts="ts", dim_ts="dt",
+                      before=7, after=7, unit="day")
+    assert j.count() == 1
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "INTERVAL" in l]
+    assert not join_lines, f"interval arithmetic leaked into join condition: {join_lines}"
+    assert "__lo" not in j.columns and "__hi" not in j.columns
