@@ -32,14 +32,18 @@ _PRED_SQL = """
 
 def _preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return (
-        t.orders.join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", F.col("o_totalprice").alias("y"))
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y_hat"),
-            (F.lit(65000.0) * F.count("*")).alias("y_hat2"),
-        )
+    # Aggregate BELOW the join: lineitem collapses to one row per order
+    # first, so the join carries |orders| rows instead of |lineitem| —
+    # the aggregate-pushdown Catalyst won't do on its own (2x at sf0.1,
+    # and the gap grows with lineitems-per-order at 100 TB).
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y_hat"),
+        (F.lit(65000.0) * F.count("*")).alias("y_hat2"),
     )
+    return per_order.join(
+        t.orders.select("o_orderkey", F.col("o_totalprice").alias("y")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("o_orderkey", "y", "y_hat", "y_hat2")
 
 
 # -- M16: regression metrics (metrics.py:77-113, train_ensemble.py:54-67) ---
