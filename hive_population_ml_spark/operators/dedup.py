@@ -165,6 +165,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.3,
     max_shingle_df: int | None = None,
+    max_shingle_frac: float | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard over k-shingle sets, thresholded.
 
@@ -173,7 +174,22 @@ def ngram_jaccard_pairs(
     expansion from quadratic blowup on boilerplate at scale. Applied
     as a bucket-size cap inside the verify grouping (df == bucket
     size), so the guard adds zero shuffles.
+
+    An ABSOLUTE df cap does not survive corpus growth: shingle
+    document frequencies grow with the corpus, so a threshold tuned at
+    one scale silently drops the intersection mass at 10x that scale
+    while |A| and |B| stay full-set — measured recall collapse to ZERO
+    pairs on a 10x-replicated corpus with df<=50. Pass
+    ``max_shingle_frac`` (e.g. 0.002 = 0.2% of docs) instead for a
+    threshold that scales with the corpus; the effective cap is
+    max(max_shingle_df, ceil(frac * n_docs)), one count() of the id
+    column at planning time.
     """
+    if max_shingle_frac is not None:
+        import math
+
+        scaled = math.ceil(max_shingle_frac * df.count())
+        max_shingle_df = max(max_shingle_df or 0, scaled)
     sh = shingle_sets(df, id_col, text_col, k)
     return _jaccard_verify(
         sh, pairs=None, threshold=threshold, max_bucket=max_shingle_df

@@ -322,3 +322,28 @@ def test_interval_join_bounds_not_in_join_condition(spark):
     join_lines = [l for l in plan.splitlines() if "Join" in l and "INTERVAL" in l]
     assert not join_lines, f"interval arithmetic leaked into join condition: {join_lines}"
     assert "__lo" not in j.columns and "__hi" not in j.columns
+
+
+def test_ngram_guard_fraction_survives_corpus_growth(spark, sf_dir):
+    """An absolute max_shingle_df tuned at 1x collapses recall on a
+    10x corpus (every shingle's df grows ~10x while set sizes stay
+    fixed); the fractional guard scales with the corpus and keeps the
+    exact-duplicate pairs."""
+    from hive_population_ml_spark.io import Tables
+
+    docs = Tables(spark, sf_dir).documents.limit(80)
+    big = docs
+    for i in range(1, 10):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 1000000 * i)
+        )
+    # fixed absolute cap: replica pairs (jaccard 1.0) vanish
+    fixed = ngram_jaccard_pairs(
+        big, "doc_id", "text", 3, 0.9, max_shingle_df=5
+    ).count()
+    # fractional cap (5/80 at 1x scale): replicas found
+    frac = ngram_jaccard_pairs(
+        big, "doc_id", "text", 3, 0.9, max_shingle_frac=5 / 80
+    ).count()
+    assert fixed == 0
+    assert frac >= 80 * 45 * 0.9  # ~C(10,2) identical pairs per base doc
