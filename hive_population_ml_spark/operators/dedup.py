@@ -73,22 +73,18 @@ def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     shuffle of the full table. Callers bound bucket size (stopword-
     shingle guard / LSH band width) to keep the expansion linear.
 
-    NB: callers should hand in an already-sorted array column (sort
-    inside the upstream agg) — ``array_sort`` here is a no-op pass for
-    sorted input but guards correctness for ad-hoc callers.
+    Two-stage explode (posexplode, then explode of the strictly-later
+    slice): per-row memory is bounded by the bucket ARRAY, never the
+    C(c,2) pair set — duplicate-cluster buckets (hundreds of identical
+    docs in one bucket) stay GC-safe.
     """
-    ds = F.array_sort(F.col(docs_col))
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
-    return grouped.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2")
+    sorted_df = grouped.withColumn("__ds", F.array_sort(F.col(docs_col)))
+    e1 = sorted_df.select("__ds", F.posexplode("__ds").alias("i", "d1"))
+    return e1.select(
+        "d1",
+        F.explode(
+            F.slice("__ds", F.col("i") + F.lit(2), F.size("__ds"))
+        ).alias("d2"),
     )
 
 
@@ -125,30 +121,29 @@ def _jaccard_verify(
         .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
         .filter(bucket_ok)
     )
-    ds = F.col("docs")  # struct sort: by doc asc (unique per bucket)
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(
-                    x["doc"].alias("d1"),
-                    y["doc"].alias("d2"),
-                    x["n"].alias("n1"),
-                    y["n"].alias("n2"),
-                ),
-            ),
-        )
+    # TWO-STAGE explode: posexplode each (sorted) bucket, then explode
+    # that element's strictly-later slice. Never materializes the full
+    # C(c,2) pair array as one row — a c=250 duplicate-cluster bucket
+    # would otherwise pack ~31k structs into a single row and die of GC
+    # at exactly the workload (re-crawl dup clusters) dedup exists for.
+    e1 = groups.select(
+        "docs", F.posexplode("docs").alias("i", "x")
     )
-    expanded = groups.select(F.explode(pair_structs).alias("p"))
+    expanded = e1.select(
+        F.col("x.doc").alias("d1"),
+        F.col("x.n").alias("n1"),
+        F.explode(
+            F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+        ).alias("y"),
+    )
     # n1/n2 are functions of (d1, d2): carry them as first() aggregates,
     # not group keys — halves the hash-agg key width on the big shuffle.
     inter = expanded.groupBy(
-        F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2")
+        "d1", F.col("y.doc").alias("d2")
     ).agg(
         F.count("*").alias("inter"),
-        F.first("p.n1").alias("n1"),
-        F.first("p.n2").alias("n2"),
+        F.first("n1").alias("n1"),
+        F.first("y.n").alias("n2"),
     )
     if pairs is not None:
         inter = inter.join(pairs, ["d1", "d2"], "left_semi")
