@@ -331,3 +331,42 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def canonical_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Canonical-first near-dup: collapse exact duplicates, then run
+    near-dup detection over DISTINCT CONTENTS only.
+
+    A re-crawl corpus with c-way duplicate clusters makes any direct
+    near-dup pass emit C(c,2) pairs per cluster (measured: 10x
+    replication -> ~980x the pair output) and pushes c-sized buckets
+    through every expansion. Exact dedup is one cheap hash pass that
+    removes the c factor entirely; near-dup cost then depends on
+    distinct content, not crawl redundancy.
+
+    Returns ``(groups, pairs)``: ``groups`` = exact_dedup output
+    (content_hash, canonical_id, n_copies); ``pairs`` = near-dup pairs
+    BETWEEN canonical ids (method: "minhash" | "ngram" | "simhash").
+    A pair (a, b) means every member of a's exact-group is a near-dup
+    of every member of b's — consumers expand only if they need the
+    full pair list.
+    """
+    groups = exact_dedup(df, id_col, text_col)
+    canon = df.join(
+        groups.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
+    )
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(canon, id_col, text_col, **kwargs)
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(canon, id_col, text_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_pairs(canon, id_col, text_col, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return groups, pairs

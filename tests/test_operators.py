@@ -347,3 +347,29 @@ def test_ngram_guard_fraction_survives_corpus_growth(spark, sf_dir):
     ).count()
     assert fixed == 0
     assert frac >= 80 * 45 * 0.9  # ~C(10,2) identical pairs per base doc
+
+
+def test_canonical_first_collapses_duplicate_clusters(spark, sf_dir):
+    """On a 10x-replicated corpus, canonical-first near-dup returns the
+    1x pair structure (over canonical ids) instead of ~980x the pairs —
+    the at-scale shape for re-crawl corpora."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.dedup import (
+        canonical_near_dup_pairs,
+    )
+
+    docs = Tables(spark, sf_dir).documents.limit(60)
+    big = docs
+    for i in range(1, 10):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 1000000 * i)
+        )
+    groups, pairs = canonical_near_dup_pairs(
+        big, "doc_id", "text", method="ngram", k=3, threshold=0.3
+    )
+    g = groups.agg(F.count("*"), F.max("n_copies"), F.min("canonical_id")).first()
+    assert g[0] == 60 and g[1] == 10  # 60 contents, 10-way clusters
+    base = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3)
+    want = {(r["d1"], r["d2"]) for r in base.collect()}
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    assert got == want  # canonical pairs == the 1x structure
