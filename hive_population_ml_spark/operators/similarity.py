@@ -396,3 +396,49 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Per-vector int8 min-max quantization: `{prefix}vec` tinyint array
+    plus `{prefix}scale`/`{prefix}min` for dequantization — a 4x (vs
+    float32) / 8x (vs float64) storage cut for the candidate tier of a
+    100 TB ANN index; re-rank the shortlist against full-precision
+    vectors. Pure expressions, map-side only, no shuffle.
+
+    Scale/offset are MATERIALIZED columns before the transform lambda —
+    captured expressions would recompute array_min/array_max per
+    element (lambda-inlining hazard, see operators/dedup.py).
+    """
+    v = F.col(vec_col)
+    base = df.withColumn("__vmin", F.array_min(v)).withColumn(
+        "__scale",
+        F.when(
+            F.array_max(v) > F.array_min(v),
+            (F.array_max(v) - F.array_min(v)) / F.lit(254.0),
+        ).otherwise(F.lit(1.0)),
+    )
+    q = F.transform(
+        v,
+        lambda x: (
+            F.round((x - F.col("__vmin")) / F.col("__scale")) - F.lit(127)
+        ).cast("tinyint"),
+    )
+    return (
+        base.withColumn(f"{prefix}vec", q)
+        .withColumnRenamed("__vmin", f"{prefix}min")
+        .withColumnRenamed("__scale", f"{prefix}scale")
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, prefix: str = "q", out_col: str = "embedding_dq"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (max error scale/2)."""
+    dq = F.transform(
+        F.col(f"{prefix}vec"),
+        lambda x: (x.cast("double") + F.lit(127.0)) * F.col(f"{prefix}scale")
+        + F.col(f"{prefix}min"),
+    )
+    return df.withColumn(out_col, dq)

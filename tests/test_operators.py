@@ -373,3 +373,37 @@ def test_canonical_first_collapses_duplicate_clusters(spark, sf_dir):
     want = {(r["d1"], r["d2"]) for r in base.collect()}
     got = {(r["d1"], r["d2"]) for r in pairs.collect()}
     assert got == want  # canonical pairs == the 1x structure
+
+
+def test_embedding_quantization_roundtrip(spark, sf_dir):
+    """int8 min-max quantization: elementwise error <= scale/2 and
+    cosine structure preserved within 1% — good enough for the ANN
+    candidate tier (full-precision re-rank on the shortlist)."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.limit(200)
+    rt = dequantize_embeddings(quantize_embeddings(emb))
+    err = rt.select(
+        F.max(
+            F.array_max(
+                F.zip_with("embedding", "embedding_dq", lambda a, b: F.abs(a - b))
+            )
+            / F.col("qscale")
+        ).alias("worst_err_units")
+    ).first()["worst_err_units"]
+    assert err <= 0.5 + 1e-9  # half a quantization step
+
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding_dq", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(
+        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    cos = rt.select(
+        F.min(dot / (norm("embedding") * norm("embedding_dq"))).alias("min_cos")
+    ).first()["min_cos"]
+    assert cos > 0.99
