@@ -130,3 +130,52 @@ def run_events_stream(
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Stateless stream-static decontamination (§2.9 + the LLM-pipeline
+    decontamination op, in flight).
+
+    The STATIC benchmark collapses to one row carrying its distinct
+    shingle-hash array; a stream-static broadcast cross join rides it
+    into every micro-batch, and per-doc overlap is
+    ``size(array_intersect(...))`` — a pure projection. No streaming
+    state, no watermark, no output-mode constraint; the same function
+    works identically on batch inputs (parity-tested).
+
+    Benchmarks are small by construction (MBs of eval data vs TBs of
+    corpus), so the one-row array broadcast is safe. For huge
+    blocklists use the batch operator's broadcast equi-join form
+    (``operators/textops.py::decontaminate``) as a backfill pass.
+    """
+    from ..operators.textops import shingles_of_tokens
+
+    bench = (
+        benchmark.select(F.split(F.col(text_col), " ").alias("__t"))
+        .select(F.explode(shingles_of_tokens(F.col("__t"), k)).alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("h")).alias("__bench"))
+    )
+    with_sh = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).select(
+        id_col,
+        F.transform(
+            shingles_of_tokens(F.col("__t"), k), lambda s: F.xxhash64(s)
+        ).alias("__sh"),
+    )
+    joined = with_sh.crossJoin(F.broadcast(bench))
+    n_overlap = F.size(F.array_intersect("__sh", "__bench"))
+    return joined.select(
+        id_col,
+        n_overlap.alias("n_overlap"),
+        (n_overlap >= min_overlap).cast("int").alias("contaminated"),
+    )

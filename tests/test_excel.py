@@ -157,3 +157,40 @@ def test_hive_id_mapping(spark, tmp_path):
 
     rows = {r["sensor_id"]: r["annotation_id"] for r in hive_id_mapping(spark, p).collect()}
     assert rows == {202056: 2056, 202059: 2059}
+
+
+def test_xlsx_lite_reads_shared_strings(tmp_path):
+    """Files from real writers use sharedStrings (t="s") rather than
+    inline strings; cover that read path with a hand-built part set."""
+    import zipfile
+
+    p = os.path.join(tmp_path, "ss.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>')
+        z.writestr("_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>')
+        z.writestr("xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">'
+            '<si><t>hello</t></si><si><r><t>wo</t></r><r><t>rld</t></r></si></sst>')
+        # sparse row: B skipped; cell without r attr follows sequentially
+        z.writestr("xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c><v>3.5</v></c><c t="str"><v>formula-result</v></c></row>'
+            '</sheetData></worksheet>')
+    rows = read_sheet(p, "Data")
+    assert rows[0] == ["hello", None, "world"]   # multi-run si joined, gap -> None
+    assert rows[1] == [3.5, "formula-result", None]

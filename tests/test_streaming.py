@@ -114,3 +114,45 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir):
+    """Stateless stream-static decontamination: streaming the documents
+    with availableNow produces exactly the batch operator's verdicts."""
+    import os
+    import tempfile
+
+    from hive_population_ml_spark.operators.textops import decontaminate
+    from hive_population_ml_spark.streaming.pipeline import (
+        _as_stream_dir,
+        stream_decontaminate,
+    )
+
+    docs_batch = Tables(spark, sf_dir).documents
+    bench = docs_batch.filter(F.col("doc_id") % 17 == 0)
+    train = docs_batch.filter(F.col("doc_id") % 17 != 0)
+
+    src = (
+        spark.readStream.schema(docs_batch.schema)
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/documents.parquet"))
+        .filter(F.col("doc_id") % 17 != 0)
+    )
+    out = stream_decontaminate(src, bench)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_decon")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_overlap"], r["contaminated"])
+        for r in spark.table("t_decon").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_overlap"], r["contaminated"])
+        for r in decontaminate(train, bench).collect()
+    }
+    assert got == want and len(got) > 0
