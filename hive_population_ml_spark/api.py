@@ -32,6 +32,7 @@ from .operators.stats_bundle import delta_stats, stats_bundle
 
 __all__ = [
     "create_population_dataset",
+    "create_sequence_dataset",
     "create_phenotypic_dataset",
     "create_winter_dataset",
     "create_datasets",
@@ -86,6 +87,66 @@ def create_population_dataset(
     out = feats.select(
         *[F.col(f"__a_{c}").alias(c) for c in annotations.columns],
         *[c for c in feats.columns if not c.startswith("__a_")],
+    )
+    return out.withColumn(
+        "label", (F.col(label_col) >= label_threshold).cast("double")
+    )
+
+
+def create_sequence_dataset(
+    sensor: DataFrame,
+    annotations: DataFrame,
+    key: str,
+    sensor_ts: str,
+    annot_key: str,
+    annot_date: str,
+    measures: Sequence[str],
+    label_col: str,
+    label_threshold: float,
+    window_days: int = 7,
+    min_count: int = 10,
+    max_len: int = 168,
+) -> DataFrame:
+    """``use_sequences=True`` analog of :func:`create_population_dataset`
+    (reference ``create_dataloaders(use_sequences=...)``,
+    dataset.py:464-640, sequence build at dataset.py:144-313): the SAME
+    centered interval alignment, materialized as per-annotation
+    (``max_len`` x len(measures)) zero-padded float tensors (W5)
+    instead of the stats bundle — so aggregate and sequence models
+    train on identically-aligned populations. Default ``max_len=168``
+    mirrors the reference's 7-day-hourly cap (dataset.py:162-163).
+
+    Output: every annotation column + seq_len + ``seq``
+    (array<array<double>>) + binary ``label``.
+    """
+    from .operators.sequences import build_sequences
+
+    annot_cols = [F.col(c).alias(f"__a_{c}") for c in annotations.columns]
+    dim = annotations.select(*annot_cols)
+    j = interval_join(
+        sensor,
+        dim,
+        on=[(key, f"__a_{annot_key}")],
+        fact_ts=sensor_ts,
+        dim_ts=f"__a_{annot_date}",
+        before=window_days // 2 if window_days > 1 else window_days,
+        after=window_days // 2 if window_days > 1 else window_days,
+        broadcast_dim=False,
+    )
+    group_keys = [f"__a_{c}" for c in annotations.columns]
+    seqs = build_sequences(
+        j,
+        keys=group_keys,
+        ts=sensor_ts,
+        features=list(measures),
+        tiebreak=measures[0],
+        max_len=max_len,
+        pad_to=max_len,
+    )
+    out = seqs.filter(F.col("seq_len") >= min_count).select(
+        *[F.col(f"__a_{c}").alias(c) for c in annotations.columns],
+        "seq_len",
+        "seq",
     )
     return out.withColumn(
         "label", (F.col(label_col) >= label_threshold).cast("double")

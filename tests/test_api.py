@@ -8,6 +8,7 @@ from hive_population_ml_spark.api import (
     create_datasets,
     create_phenotypic_dataset,
     create_population_dataset,
+    create_sequence_dataset,
     create_winter_dataset,
 )
 from hive_population_ml_spark.io import Tables
@@ -144,3 +145,29 @@ def test_registry_oracle_backed_queries_fit_driver_window():
     assert all(n in queries.ORACLE for n in names[: len(oracle_backed)]), (
         "oracle-backed queries must precede rows-only ops in the registry"
     )
+
+
+def test_sequence_dataset_mirrors_population_alignment(sensor, annotations):
+    """use_sequences=True parity: the sequence dataset aligns the same
+    (annotation, window) populations as the aggregate dataset, but
+    materializes padded tensors instead of stats."""
+    common = dict(
+        key="hive_id", sensor_ts="timestamp", annot_key="hive_id",
+        annot_date="eval_date", measures=["temperature", "humidity"],
+        label_col="frames_of_bees", label_threshold=0.0,
+        window_days=30, min_count=3,
+    )
+    agg = create_population_dataset(sensor, annotations, **common)
+    seq = create_sequence_dataset(sensor, annotations, max_len=16, **common)
+    assert {r["hive_id"] for r in seq.select("hive_id").collect()} == {
+        r["hive_id"] for r in agg.select("hive_id").collect()
+    }
+    rows = seq.collect()
+    assert all(len(r["seq"]) == 16 for r in rows)          # padded
+    assert all(len(r["seq"][0]) == 2 for r in rows)        # 2 measures
+    assert all(r["seq_len"] >= 3 for r in rows)            # min_count gate
+    # n (stats bundle count) == seq_len where n <= max_len
+    n_by_id = {r["hive_id"]: r["temperature_n"] for r in agg.collect()}
+    for r in rows:
+        assert r["seq_len"] == min(n_by_id[r["hive_id"]], 16)
+    assert {r["label"] for r in rows} <= {0.0, 1.0}
