@@ -98,3 +98,32 @@ def test_stats_bundle_matches_pandas(spark, vals):
         assert math.isclose(row["x_std"], s.std(), rel_tol=1e-9, abs_tol=1e-9)
     assert row["x_min"] == s.min() and row["x_max"] == s.max()
     assert math.isclose(row["x_range"], s.max() - s.min(), rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+def test_mode_count_matches_python_counter(spark, docs):
+    """The sorted-run-length `_mode_count` expression equals the Python
+    Counter mode for arbitrary token multisets (incl. empty docs)."""
+    from collections import Counter
+
+    from hive_population_ml_spark.operators.textops import _mode_count
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", _mode_count(F.split("text", " ")).alias("m")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = " ".join(d).split(" ")  # mirrors split semantics ("" for empty)
+        want = max(Counter(toks).values())
+        assert got[i] == want, (toks, got[i], want)
