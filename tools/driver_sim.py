@@ -62,6 +62,11 @@ def main(names: list[str]) -> int:
     qs, osql = e.queries(), e.oracle_sql()
     targets = names or list(qs)
     failures = 0
+    if not names:  # full sweep: also smoke-check entry() like the driver
+        n_entry = len(e.entry(spark).collect())
+        print(f"entry(): {n_entry} rows" + (" EMPTY!" if n_entry == 0 else ""))
+        if n_entry == 0:
+            failures += 1
     for name in targets:
         if name not in qs:
             print(f"{name}: NOT REGISTERED")
