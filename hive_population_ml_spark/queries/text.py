@@ -203,7 +203,7 @@ dedup AS (
     FROM gated GROUP BY md5(text)
 )
 SELECT count(*) AS n_docs_kept,
-       sum(n_copies) - count(*) AS n_dupes_dropped,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dupes_dropped,
        round(avg(g.quality), 6) AS avg_quality,
        round(avg(len(g.t)), 6) AS avg_tokens
 FROM dedup d JOIN gated g ON g.doc_id = d.keep_id

@@ -24,24 +24,41 @@ TABLES = [
 ]
 
 
+def _tag(v) -> str:
+    """Type-tagged canonical string for one cell value."""
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "null"
+        return f"f:{round(v, 9)}"
+    try:
+        if v != v:  # NaT / NaN-like objects
+            return "null"
+    except (TypeError, ValueError):
+        pass
+    # type tag distinguishes int vs Decimal/object (HUGEINT)
+    return f"{type(v).__name__}:{v}"
+
+
 def _canon(df: pd.DataFrame) -> tuple[str, list[str]]:
-    """Order-insensitive, type-sensitive canonical hash of a result."""
-    df = df[sorted(df.columns)]
+    """Order-insensitive, type-sensitive canonical hash of a result.
+
+    Values are read PER-COLUMN (``df[c].iloc[i]``), never via ``iterrows()``:
+    iterrows() materializes each row as a Series with one common dtype, so an
+    int64 column sitting next to a float64 column is silently coerced to
+    float on BOTH the Spark and oracle side — which hides exactly the
+    DuckDB-HUGEINT-vs-Spark-BIGINT class this hash exists to catch
+    (see CORRECTNESS_r02 `corpus_clean_pipeline`).
+    """
+    cols = sorted(df.columns)
+    series = [df[c] for c in cols]
     cells = []
-    for _, row in df.iterrows():
-        parts = []
-        for v in row:
-            if isinstance(v, float):
-                parts.append(f"f:{round(v, 9)}")
-            elif v is None or v != v:  # NaN/None
-                parts.append("null")
-            else:
-                # type tag distinguishes int vs Decimal/object (HUGEINT)
-                parts.append(f"{type(v).__name__}:{v}")
-        cells.append("|".join(parts))
+    for i in range(len(df)):
+        cells.append("|".join(_tag(s.iloc[i]) for s in series))
     cells.sort()
     h = hashlib.md5("\n".join(cells).encode()).hexdigest()
-    return h, list(df.columns)
+    return h, cols
 
 
 def main(names: list[str]) -> int:
