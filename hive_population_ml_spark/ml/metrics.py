@@ -36,17 +36,54 @@ def binned_rank_auc(
     label_col: str = "yt",
     score_col: str = "y_hat",
     n_bins: int = 4096,
+    on_nan: str = "raise",
 ) -> DataFrame:
     """Exact ROC-AUC with no global per-row sort.
 
     Returns a 1-row DataFrame: (auc double, n_pos long, n_neg long).
     ``label_col`` must be 0/1; ``score_col`` numeric.
+
+    NaN/null scores would otherwise pick up a null bin id and silently
+    vanish in the bin join — diverging from sklearn.roc_auc_score, which
+    raises on NaN input. ``on_nan="raise"`` (default) reproduces sklearn:
+    the job fails with a counted error message (checked lazily JVM-side —
+    no extra action). ``on_nan="drop"`` excludes them but REPORTS the
+    count in an extra ``n_dropped_nan`` output column so the exclusion is
+    visible, never silent.
     """
-    p = preds.select(
+    if on_nan not in ("raise", "drop"):
+        raise ValueError(f"on_nan must be 'raise' or 'drop', got {on_nan!r}")
+    p0 = preds.select(
         F.col(label_col).cast("long").alias("yt"),
         F.col(score_col).cast("double").alias("s"),
     )
-    stats = p.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+    bad = F.col("s").isNull() | F.isnan("s")
+    stats = p0.agg(
+        F.min(F.when(~bad, F.col("s"))).alias("smin"),
+        F.max(F.when(~bad, F.col("s"))).alias("smax"),
+        F.sum(bad.cast("long")).alias("n_bad"),
+    )
+    if on_nan == "raise":
+        # Guard folded into smin so it cannot be pruned: any NaN/null
+        # score fails the job with the count, exactly when the plan runs.
+        stats = stats.select(
+            F.when(
+                F.col("n_bad") > 0,
+                F.raise_error(
+                    F.format_string(
+                        "binned_rank_auc: %d NaN/null scores; "
+                        "sklearn.roc_auc_score raises on NaN — pass "
+                        "on_nan='drop' to exclude (and count) them",
+                        F.col("n_bad"),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.col("smin"))
+            .alias("smin"),
+            "smax",
+            "n_bad",
+        )
+    p = p0.filter(~bad)
     raw_w = (F.col("smax") - F.col("smin")) / n_bins
     width = F.when(raw_w > 0, raw_w).otherwise(F.lit(1.0))
     binid = F.least(
@@ -88,10 +125,15 @@ def binned_rank_auc(
     )
 
     u = F.sum(F.col("n_pos") * (F.col("neg_less") + 0.5 * F.col("n_neg")))
-    return per_score.agg(
+    out = per_score.agg(
         u.alias("u"), F.sum("n_pos").alias("n_pos"), F.sum("n_neg").alias("n_neg")
     ).select(
         (F.col("u") / (F.col("n_pos") * F.col("n_neg"))).alias("auc"),
         "n_pos",
         "n_neg",
     )
+    if on_nan == "drop":
+        out = out.crossJoin(
+            F.broadcast(stats.select(F.col("n_bad").alias("n_dropped_nan")))
+        )
+    return out

@@ -159,11 +159,42 @@ def _build_model(spec: SequenceModelSpec, num_features: int):
     return SeqModel()
 
 
+def load_staged_shard(staged_path: str, rank: int, world: int):
+    """Read THIS rank's staged shard(s) into numpy arrays — the staged-shard
+    → tensor contract shared by the torch workers and the numpy evidence
+    backend (``ml/sequence_numpy.py``). Returns ``(x, mask, labels)`` with
+    ``x: (n, padded_len, num_features) float32``, ``mask: (n, padded_len)
+    bool`` (True at valid timesteps), ``labels: (n,) float32``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f
+        for f in os.listdir(staged_path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    if world > 1 and len(files) < world:
+        # files[rank::world] would be [] for the high ranks and
+        # pq.read_table([]) raises an opaque pyarrow error; fail loud with
+        # the fix instead (stage_sequences(num_shards=world) keeps them equal).
+        raise ValueError(
+            f"staged shard count {len(files)} < world size {world}: every "
+            f"rank needs at least one shard — re-stage with "
+            f"num_shards >= {world} (stage_sequences(..., num_shards=world))."
+        )
+    shard = [os.path.join(staged_path, f) for f in files[rank::world]]
+    tbl = pq.read_table(shard)
+    x = np.asarray(tbl.column("seq").to_pylist(), dtype=np.float32)
+    labels = np.asarray(tbl.column("label").to_pylist(), dtype=np.float32)
+    lens = np.asarray(tbl.column("seq_len").to_pylist(), dtype=np.int64)
+    mask = np.arange(x.shape[1])[None, :] < lens[:, None]
+    return x, mask, labels
+
+
 def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
     """Per-worker loop: read OWN shard, DDP if distributed, Adam +
     early stopping (reference trainer.py loop; --patience)."""
     import numpy as np
-    import pyarrow.parquet as pq
     import torch
     import torch.nn as nn
 
@@ -175,24 +206,14 @@ def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
     if world > 1 and not torch.distributed.is_initialized():
         torch.distributed.init_process_group("gloo")
 
-    files = sorted(
-        f
-        for f in os.listdir(staged_path)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
-    shard = [os.path.join(staged_path, f) for f in files[rank::world]]
-    tbl = pq.read_table(shard)
-    seqs = tbl.column("seq").to_pylist()
-    labels = tbl.column("label").to_pylist()
-    lens = tbl.column("seq_len").to_pylist()
-    x = torch.tensor(np.asarray(seqs, dtype=np.float32))
-    t = torch.arange(x.shape[1])[None, :]
-    mask = t < torch.tensor(lens)[:, None]
+    x_np, mask_np, labels_np = load_staged_shard(staged_path, rank, world)
+    x = torch.tensor(x_np)
+    mask = torch.tensor(mask_np)
     if spec.task_type == "classification":
-        y = torch.tensor(np.asarray(labels, dtype=np.int64))
+        y = torch.tensor(labels_np.astype(np.int64))
         loss_fn = nn.CrossEntropyLoss()
     else:
-        y = torch.tensor(np.asarray(labels, dtype=np.float32))
+        y = torch.tensor(labels_np)
         loss_fn = nn.MSELoss()
 
     model = _build_model(spec, num_features=x.shape[-1])
@@ -201,20 +222,48 @@ def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
     opt = torch.optim.Adam(model.parameters(), lr=spec.lr)
 
     best, best_state, bad = float("inf"), None, 0
+    history = []
     n = x.shape[0]
+    # Repartition shards are near-equal but NOT exactly equal, so naive
+    # range(0, n, bs) gives ranks different batch counts per epoch — DDP
+    # allreduce collectives then mismatch (hang or cross-epoch gradient
+    # mixing). DistributedSampler-style fix: agree on the max batch count
+    # across ranks and wrap each rank's permutation to that many full
+    # batches, so every rank drives the same number of allreduces.
+    num_batches = max(1, -(-n // spec.batch_size))
+    if world > 1:
+        nb = torch.tensor(num_batches)
+        torch.distributed.all_reduce(nb, op=torch.distributed.ReduceOp.MAX)
+        num_batches = int(nb)
     for epoch in range(spec.max_epochs):
         model.train()
         perm = torch.randperm(n, generator=torch.Generator().manual_seed(spec.seed + epoch))
-        total = 0.0
-        for i in range(0, n, spec.batch_size):
-            idx = perm[i : i + spec.batch_size]
+        if world > 1:
+            need = num_batches * spec.batch_size
+            reps = -(-need // n)
+            perm = perm.repeat(reps)[:need]
+        total, seen = 0.0, 0
+        for b in range(num_batches):
+            idx = perm[b * spec.batch_size : (b + 1) * spec.batch_size]
+            if len(idx) == 0:
+                break
             opt.zero_grad()
             out = model(x[idx], mask[idx])
             loss = loss_fn(out, y[idx])
             loss.backward()
             opt.step()
             total += float(loss) * len(idx)
-        total /= n
+            seen += len(idx)
+        total /= max(seen, 1)
+        if world > 1:
+            # Early stopping must be a GLOBAL decision: deciding from
+            # rank-local loss lets ranks break at different epochs, which
+            # deadlocks the next allreduce. Average the epoch loss across
+            # ranks so every rank applies the identical patience test.
+            t = torch.tensor(total)
+            torch.distributed.all_reduce(t, op=torch.distributed.ReduceOp.SUM)
+            total = float(t) / world
+        history.append(total)
         if total < best - 1e-6:
             best, bad = total, 0
             m = model.module if world > 1 else model
@@ -231,7 +280,12 @@ def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
             {"spec": spec_dict, "num_features": x.shape[-1], "state": m.state_dict()},
             out_path,
         )
-    return {"final_loss": best, "epochs_run": epoch + 1}
+    return {
+        "final_loss": best,
+        "epochs_run": epoch + 1,
+        "loss_history": history,
+        "backend": "torch",
+    }
 
 
 def train_sequence_model(
@@ -240,10 +294,40 @@ def train_sequence_model(
     spec: SequenceModelSpec,
     out_path: str,
     num_processes: int = 1,
+    backend: str = "auto",
 ) -> dict:
-    """Train over staged shards. ``num_processes > 1`` dispatches via
-    TorchDistributor (one torch worker per Spark task, DDP averaging);
-    1 runs the same loop in-process. Raises ImportError without torch."""
+    """Train over staged shards.
+
+    ``backend="torch"`` (the production path): ``num_processes > 1``
+    dispatches via TorchDistributor (one torch worker per Spark task, DDP
+    averaging); 1 runs the same loop in-process. Raises ImportError
+    without torch.
+
+    ``backend="numpy"`` (the evidence path, ``ml/sequence_numpy.py``):
+    the same architectures and training loop on a numpy autodiff, single
+    process — executable in torch-free environments like this one.
+
+    ``backend="auto"`` picks torch when importable, else numpy.
+    """
+    if backend == "auto":
+        try:
+            import torch  # noqa: F401
+
+            backend = "torch"
+        except ImportError:
+            backend = "numpy"
+
+    spec_dict = asdict(spec)
+    if backend == "numpy":
+        if num_processes > 1:
+            raise ValueError(
+                "the numpy evidence backend is single-process; use "
+                "backend='torch' (TorchDistributor) for distributed training"
+            )
+        from .sequence_numpy import train_numpy
+
+        return train_numpy(staged_path, spec_dict, out_path)
+
     try:
         import torch  # noqa: F401
     except ImportError as exc:
@@ -251,10 +335,10 @@ def train_sequence_model(
             "sequence models (M6/M7) train with torch via TorchDistributor; "
             "torch is not installed in this runtime. The Spark side "
             "(build_sequences + stage_sequences) is fully functional — "
-            "point any torch-equipped cluster at the staged shards."
+            "point any torch-equipped cluster at the staged shards, or pass "
+            "backend='numpy' for the single-process evidence backend."
         ) from exc
 
-    spec_dict = asdict(spec)
     if num_processes > 1:
         from pyspark.ml.torch.distributor import TorchDistributor
 

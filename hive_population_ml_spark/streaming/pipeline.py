@@ -100,6 +100,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_raw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events file stream with ``ts`` normalized to ``timestamp_ntz``,
+    mirroring the batch loader's conversion EXACTLY. The raw dtype is
+    probed with a metadata-only batch read: testdata generations have
+    stored events.ts both as TIMESTAMP(NANOS) (surfaced as long under the
+    legacy conf) and as TIMESTAMP(MICROS) — hardcoding either silently
+    shears all event times into a single 1970 window when the other
+    shows up."""
+    from ..session import tune
+
+    tune(spark)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    raw_batch = spark.read.parquet(path)
+    raw = (
+        spark.readStream.schema(raw_batch.schema)
+        .format("parquet")
+        .load(_as_stream_dir(path))
+    )
+    if dict(raw_batch.dtypes).get("ts") == "bigint":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def run_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -108,18 +133,7 @@ def run_events_stream(
 ) -> DataFrame:
     """Drive the windowed agg with availableNow into a memory sink;
     returns the materialized result table (complete mode)."""
-    # The raw file holds TIMESTAMP(NANOS) which the streaming parquet
-    # reader surfaces as long (same legacy conf as batch) — convert
-    # identically to the batch path.
-    raw = (
-        spark.readStream.schema("event_id bigint, ts long, user_id bigint, "
-                                "event_type string, value double, props string")
-        .format("parquet")
-        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    )
+    raw = events_raw_stream(spark, sf_dir)
     agg = coverage_gate(windowed_agg(raw), min_count=min_count)
     q = (
         agg.writeStream.outputMode("complete")

@@ -41,6 +41,15 @@ def test_identically_typed_frames_match_regardless_of_row_order():
     assert driver_sim._canon(a)[0] == driver_sim._canon(b)[0]
 
 
+def test_integer_width_is_not_a_mismatch():
+    # Calibrated on CORRECTNESS_r02: Spark IntegerType results (row_number,
+    # length, size -> int32) were green against DuckDB BIGINT oracles, so
+    # the driver's hash is int-FAMILY-sensitive, not int-WIDTH-sensitive.
+    a = pd.DataFrame({"rn": pd.array([1, 2], dtype="int32")})
+    b = pd.DataFrame({"rn": pd.array([1, 2], dtype="int64")})
+    assert driver_sim._canon(a)[0] == driver_sim._canon(b)[0]
+
+
 def test_nan_and_none_both_null():
     a = pd.DataFrame({"x": [float("nan")], "s": pd.array([None], dtype=object)})
     b = pd.DataFrame({"x": [float("nan")], "s": pd.array([None], dtype=object)})

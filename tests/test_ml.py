@@ -151,6 +151,29 @@ def test_binned_rank_auc_constant_scores(spark):
     assert row["auc"] == 0.5  # all ties -> chance
 
 
+def test_binned_rank_auc_nan_raises_like_sklearn(spark):
+    from hive_population_ml_spark.ml.metrics import binned_rank_auc
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.1), (1, float("nan")), (0, None)], "yt int, s double"
+    )
+    with pytest.raises(Exception, match="2 NaN/null scores"):
+        binned_rank_auc(df, "yt", "s").collect()
+
+
+def test_binned_rank_auc_nan_drop_reports_count(spark):
+    from hive_population_ml_spark.ml.metrics import binned_rank_auc
+
+    clean = [(1, 0.9), (0, 0.1), (1, 0.7), (0, 0.4)]
+    df = spark.createDataFrame(
+        clean + [(1, float("nan")), (0, None)], "yt int, s double"
+    )
+    row = binned_rank_auc(df, "yt", "s", on_nan="drop").collect()[0]
+    assert row["n_dropped_nan"] == 2
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+    assert abs(row["auc"] - _exact_auc(clean)) < 1e-12
+
+
 def test_binned_rank_auc_no_global_row_sort(spark):
     """The executed plan must not funnel the full prediction table
     through one partition: every SinglePartition exchange feeds either a

@@ -39,17 +39,10 @@ def test_streaming_dedup_batch_semantics(spark, sf_dir):
 def test_stateful_running_stats_matches_batch(spark, sf_dir):
     """applyInPandasWithState custom operator: replaying all events
     through the stateful op must equal the batch per-user aggregation."""
-    from hive_population_ml_spark.streaming.pipeline import _as_stream_dir
+    from hive_population_ml_spark.streaming.pipeline import events_raw_stream
     from hive_population_ml_spark.streaming.stateful import running_user_stats
 
-    src = (
-        spark.readStream.schema(
-            "event_id bigint, ts long, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .format("parquet")
-        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
-    )
+    src = events_raw_stream(spark, sf_dir)
     q = (
         running_user_stats(src)
         .writeStream.outputMode("update")
@@ -77,16 +70,11 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir):
 def test_session_window_stream_matches_batch(spark, sf_dir):
     """Native session_window under availableNow streaming equals the
     batch session_window aggregation (complete mode replay)."""
-    from hive_population_ml_spark.streaming.pipeline import _as_stream_dir
+    from hive_population_ml_spark.streaming.pipeline import events_raw_stream
 
     src = (
-        spark.readStream.schema(
-            "event_id bigint, ts long, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .format("parquet")
-        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_raw_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "30 days")
     )
     agg = src.groupBy("user_id", F.session_window("ts", "2 days")).agg(

@@ -25,19 +25,32 @@ TABLES = [
 
 
 def _tag(v) -> str:
-    """Type-tagged canonical string for one cell value."""
+    """Type-tagged canonical string for one cell value.
+
+    Tag granularity mirrors the driver (calibrated on CORRECTNESS_r02):
+    integer WIDTH does not matter (Spark int32 `rn` vs DuckDB BIGINT was
+    green), but FAMILY does (DuckDB HUGEINT fetches as float64 next to
+    Spark's int64 — the corpus_clean_pipeline red). So all ints share one
+    tag; floats, bools, and object types (Decimal, str, ...) get their own.
+    """
+    import numpy as np
+
     if v is None:
         return "null"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
         if v != v:  # NaN
             return "null"
-        return f"f:{round(v, 9)}"
+        return f"f:{round(float(v), 9)}"
     try:
         if v != v:  # NaT / NaN-like objects
             return "null"
     except (TypeError, ValueError):
         pass
-    # type tag distinguishes int vs Decimal/object (HUGEINT)
+    # type tag distinguishes Decimal/object from numerics
     return f"{type(v).__name__}:{v}"
 
 
