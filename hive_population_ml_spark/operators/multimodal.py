@@ -6,12 +6,15 @@ functions over ``mapInPandas`` so each task processes whole record
 batches (the only sane shape for per-item Python work at 100 TB —
 per-row UDFs would serialize item-at-a-time).
 
-The actual codecs (PIL/librosa/av) are NOT in this container, so the
-decode step is stubbed: ``decode_stub=True`` derives small
-deterministic fake features from the bytes (so the plumbing — schema,
-batching, partitioning — is fully testable); ``decode_stub=False``
-raises NotImplementedError at the call site where a real codec would
-plug in.
+Codec story: PIL/librosa/av are NOT in this container, but two formats
+need only the standard library, so ``decode_stub=False`` is REAL for
+them (``operators/codecs.py``): WAV PCM audio (duration/RMS/peak/ZCR
+features, equal-duration chunking) and uncompressed 24-bit BMP images
+(dimension/channel stats, nearest-neighbor resize). Other media types
+under ``decode_stub=False`` raise NotImplementedError at the exact
+plug point where a production codec slots in. ``decode_stub=True``
+keeps the deterministic byte-derived fakes for format-agnostic
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -43,6 +46,50 @@ def attach_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) 
     )
 
 
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str,
+    sample_rate: int = 8000,
+    duration_s: float = 0.25,
+) -> DataFrame:
+    """Deterministic WAV payload per row (sine wave whose frequency and
+    amplitude derive from the id) — a self-contained binary fixture
+    generator so the REAL audio decode path is exercisable from plain
+    testdata tables. Runs as mapInPandas: payload synthesis is
+    embarrassingly parallel and never shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        n = int(sample_rate * duration_s)
+        t = np.arange(n) / sample_rate
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                freq = 100.0 + (int(i) % 20) * 50.0
+                amp = 0.2 + (int(i) % 7) * 0.1
+                wave_i = (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(
+                    "int16"
+                )
+                payloads.append(codecs.encode_wav(wave_i, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                    "width": [None] * len(pdf),
+                    "height": [None] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def _fake_decode(media: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in features: byte-histogram moments. Replace
     with a real codec (PIL.Image.open etc.) in production."""
@@ -67,12 +114,13 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media codecs (PIL/librosa/av) are not available in "
-                    "this environment; use decode_stub=True"
-                )
-            feats = [_fake_decode(m, dim) for m in pdf["media"]]
+            if decode_stub:
+                feats = [_fake_decode(m, dim) for m in pdf["media"]]
+            else:
+                feats = [
+                    _real_features(m, t, dim)
+                    for m, t in zip(pdf["media"], pdf["media_type"])
+                ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -83,6 +131,20 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
+    """Real (stdlib) codec dispatch for decode_stub=False."""
+    from . import codecs
+
+    if media_type == "audio/wav":
+        return codecs.wav_features(media, dim)
+    if media_type == "image/bmp":
+        return codecs.bmp_features(media, dim)
+    raise NotImplementedError(
+        f"no stdlib codec for media_type={media_type!r}; executable here: "
+        f"audio/wav, image/bmp — PIL/librosa/av plug in at this dispatch"
+    )
 
 
 RESIZED_SCHEMA = (
@@ -101,14 +163,21 @@ def resize_media(
     batch shape are exactly what the real codec path uses."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image codecs are not available in this environment; "
-                    "use decode_stub=True"
-                )
-            target = width * height
-            out = [bytes(m[:target]) if m else b"" for m in pdf["media"]]
+            if decode_stub:
+                target = width * height
+                out = [bytes(m[:target]) if m else b"" for m in pdf["media"]]
+            else:
+                out = []
+                for m, t in zip(pdf["media"], pdf["media_type"]):
+                    if t != "image/bmp":
+                        raise NotImplementedError(
+                            f"no stdlib resize codec for media_type={t!r}; "
+                            f"executable here: image/bmp (PIL plugs in here)"
+                        )
+                    out.append(codecs.bmp_resize(m, width, height))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -133,20 +202,32 @@ def sample_frames(
     per-partition, and downstream ops see a stable (id, frame_idx) key."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real video codecs are not available in this environment; "
-                    "use decode_stub=True"
-                )
             ids, idxs, frames = [], [], []
-            for i, m in zip(pdf["id"], pdf["media"]):
+            for i, m, t in zip(pdf["id"], pdf["media"], pdf["media_type"]):
                 m = m or b""
-                step = max(len(m) // n_frames, 1)
-                for k in range(n_frames):
+                if decode_stub:
+                    step = max(len(m) // n_frames, 1)
+                    chunks = [
+                        bytes(m[k * step : k * step + step])
+                        for k in range(n_frames)
+                    ]
+                elif t == "audio/wav":
+                    # the audio analog of frame sampling: equal-duration
+                    # PCM chunks, each a decodable WAV payload
+                    chunks = codecs.wav_chunks(m, n_frames)
+                else:
+                    raise NotImplementedError(
+                        f"no stdlib frame codec for media_type={t!r}; "
+                        f"executable here: audio/wav — av/ffmpeg keyframe "
+                        f"extraction plugs in here for video"
+                    )
+                for k, ch in enumerate(chunks):
                     ids.append(i)
                     idxs.append(k)
-                    frames.append(bytes(m[k * step : k * step + step]))
+                    frames.append(ch)
             yield pd.DataFrame(
                 {
                     "id": ids,

@@ -134,6 +134,32 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_wav_features")  # rows-only: binary decode, not SQL
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (stdlib ``wave``) audio decode over binary media columns:
+    synthesize a deterministic WAV payload per document, then run the
+    production feature extractor with ``decode_stub=False`` — duration /
+    RMS / peak / zero-crossing computed from actual PCM samples
+    (operators/codecs.py). Rows-only by nature (DuckDB has no WAV
+    decoder); value correctness is pinned by tests/test_operators.py
+    against analytically-known sine-wave RMS."""
+    from ..operators import multimodal
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_wav(docs, "doc_id")
+    feats = multimodal.extract_features(media, dim=8, decode_stub=False)
+    return feats.select(
+        "id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feat", 1), 6).alias("duration_s"),
+        F.round(F.element_at("feat", 2), 6).alias("rms"),
+        F.round(F.element_at("feat", 3), 6).alias("peak"),
+        F.round(F.element_at("feat", 4), 6).alias("zcr"),
+    )
+
+
 @register(
     "text_fingerprint_groups",
     oracle="""

@@ -125,6 +125,114 @@ def test_multimodal_real_decode_raises(spark):
         extract_features(media, decode_stub=False).collect()
 
 
+def test_wav_codec_roundtrip_and_known_rms():
+    """Real stdlib codec: a pure sine of amplitude a has RMS a/sqrt(2) —
+    the decode path must recover it from actual PCM bytes."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    rate, amp = 8000, 0.5
+    t = np.arange(2000) / rate
+    pcm = (amp * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    data = codecs.encode_wav(pcm, rate)
+    d = codecs.decode_wav(data)
+    assert d["sample_rate"] == rate and d["n_frames"] == 2000
+    assert abs(d["duration_s"] - 0.25) < 1e-9
+    assert np.array_equal(d["samples"].reshape(-1), pcm)
+    feats = codecs.wav_features(data)
+    assert abs(feats[1] - amp / np.sqrt(2)) < 0.01  # rms
+    assert abs(feats[2] - amp) < 0.01  # peak
+    # 440 Hz over 0.25 s -> ~220 zero crossings / 2000 samples
+    assert abs(feats[3] - 2 * 440 / rate) < 0.01
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width: padding
+    data = codecs.encode_bmp(img)
+    back = codecs.decode_bmp(data)
+    assert np.array_equal(back, img)
+    feats = codecs.bmp_features(data)
+    assert feats[0] == 7.0 and feats[1] == 5.0
+    assert abs(feats[2] - img[:, :, 0].mean() / 255.0) < 1e-9
+    small = codecs.decode_bmp(codecs.bmp_resize(data, 3, 2))
+    assert small.shape == (2, 3, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    flat_in = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+
+def test_multimodal_real_wav_decode_in_spark(spark, sf_dir):
+    """decode_stub=False is EXECUTABLE for WAV: synthesized sine payloads
+    flow through the production mapInPandas extractor and come back with
+    analytically-correct features."""
+    import numpy as np
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.multimodal import (
+        extract_features,
+        synthesize_wav,
+    )
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id").limit(10)
+    media = synthesize_wav(docs, "doc_id")
+    rows = extract_features(media, dim=8, decode_stub=False).collect()
+    assert len(rows) == 10
+    for r in rows:
+        amp = 0.2 + (r["id"] % 7) * 0.1
+        assert abs(r["feat"][0] - 0.25) < 1e-9  # duration
+        assert abs(r["feat"][1] - amp / np.sqrt(2)) < 0.02  # rms
+        assert abs(r["feat"][2] - amp) < 0.02  # peak
+
+
+def test_multimodal_real_bmp_resize_in_spark(spark):
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import resize_media
+
+    rng = np.random.default_rng(5)
+    payloads = [
+        (i, codecs.encode_bmp(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(i, p, "image/bmp", 8, 8, len(p)) for i, p in payloads],
+        "id bigint, media binary, media_type string, width int, height int, n_bytes int",
+    )
+    rows = resize_media(df, width=4, height=4, decode_stub=False).collect()
+    assert len(rows) == 4
+    for r in rows:
+        arr = codecs.decode_bmp(bytes(r["media"]))
+        assert arr.shape == (4, 4, 3)
+
+
+def test_multimodal_real_wav_frame_chunks_decodable(spark):
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import sample_frames
+
+    pcm = (10000 * np.sin(np.arange(800) / 10.0)).astype(np.int16)
+    p = codecs.encode_wav(pcm, 8000)
+    df = spark.createDataFrame(
+        [(1, p, "audio/wav", None, None, len(p))],
+        "id bigint, media binary, media_type string, width int, height int, n_bytes int",
+    )
+    fr = sample_frames(df, n_frames=4, decode_stub=False).collect()
+    assert len(fr) == 4
+    total = 0
+    for r in fr:
+        d = codecs.decode_wav(bytes(r["frame"]))  # every chunk is real WAV
+        total += d["n_frames"]
+    assert total == 800  # chunks partition the original samples
+
+
 def test_rowwise_mean_all_null_is_null(spark):
     df = spark.createDataFrame(
         [Row(a=None, b=None), Row(a=2.0, b=None), Row(a=1.0, b=3.0)],
