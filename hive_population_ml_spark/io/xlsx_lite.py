@@ -9,16 +9,25 @@ nothing beyond ``zipfile`` + ``xml.etree`` — this module implements
 exactly the subset the annotation workbooks use:
 
 - shared strings, inline strings, numbers, booleans
-- multiple named sheets (workbook.xml + relationship targets)
+- multiple named sheets (workbook.xml + relationship targets,
+  including absolute '/xl/...' targets some producers emit)
 - sparse rows/cells (missing cells -> None, ragged rows padded)
+- date-serial decoding: numeric cells whose style resolves to a date
+  numFmt (built-in ids 14-22/27-36/45-47 or a custom format with date
+  tokens) come back as ``datetime.datetime``, honoring the workbook's
+  date1904 flag and the 1899-12-30 epoch convention (the reference
+  parses real workbook dates at ``src/data/loader.py:171``); ISO
+  ``t="d"`` cells are parsed too
 
-It is NOT a general Excel implementation (no formulas, no styles, no
-date-serial decoding — the fixtures store dates as ISO strings). The
-writer exists for tests and for the metrics-sink parity path.
+It is NOT a general Excel implementation (no formulas, no formatting
+beyond date detection). The writer exists for tests and the
+metrics-sink parity path; it round-trips datetimes as styled serials.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import re
 import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
@@ -45,10 +54,73 @@ def _sheet_targets(z: zipfile.ZipFile) -> list[tuple[str, str]]:
     out = []
     for s in wb.find(f"{_MAIN}sheets"):
         target = rid_to_target[s.get(f"{_RELDOC}id")]
+        # Some producers write absolute targets ('/xl/worksheets/...');
+        # strip the leading '/' BEFORE testing the prefix, else the
+        # test fails and the path gets mangled to 'xl/xl/...'.
+        target = target.lstrip("/")
         if not target.startswith("xl/"):
-            target = "xl/" + target.lstrip("/")
+            target = "xl/" + target
         out.append((s.get("name"), target))
     return out
+
+
+# Built-in numFmt ids that render as dates/times (ECMA-376 §18.8.30).
+_BUILTIN_DATE_FMTS = frozenset(range(14, 23)) | frozenset(range(27, 37)) | {
+    45,
+    46,
+    47,
+}
+
+
+def _is_date_code(code: str) -> bool:
+    """True when a custom format code contains date/time tokens (y m d h
+    s) outside quoted literals, [] sections, and escapes."""
+    code = re.sub(r'"[^"]*"', "", code)
+    code = re.sub(r"\[[^\]]*\]", "", code)
+    code = re.sub(r"\\.", "", code)
+    return bool(re.search(r"[ymdhsYMDHS]", code))
+
+
+def _date_style_ids(z: zipfile.ZipFile) -> frozenset[int]:
+    """Set of cellXf indices (cell ``s`` attribute values) whose numFmt
+    is a date format."""
+    if "xl/styles.xml" not in z.namelist():
+        return frozenset()
+    styles = ET.fromstring(z.read("xl/styles.xml"))
+    custom_date = set()
+    num_fmts = styles.find(f"{_MAIN}numFmts")
+    if num_fmts is not None:
+        for nf in num_fmts:
+            if _is_date_code(nf.get("formatCode") or ""):
+                custom_date.add(int(nf.get("numFmtId")))
+    out = set()
+    cell_xfs = styles.find(f"{_MAIN}cellXfs")
+    if cell_xfs is not None:
+        for i, xf in enumerate(cell_xfs):
+            fmt = int(xf.get("numFmtId") or 0)
+            if fmt in _BUILTIN_DATE_FMTS or fmt in custom_date:
+                out.add(i)
+    return frozenset(out)
+
+
+def _uses_1904_epoch(z: zipfile.ZipFile) -> bool:
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    pr = wb.find(f"{_MAIN}workbookPr")
+    return pr is not None and (pr.get("date1904") or "0").lower() in ("1", "true")
+
+
+def serial_to_datetime(serial: float, date1904: bool = False) -> _dt.datetime:
+    """Excel date serial -> naive datetime. The 1900 system counts from
+    an epoch of 1899-12-30 (absorbing Excel's phantom 1900-02-29 for
+    serials >= 61, matching what every modern producer writes); the
+    1904 system counts from 1904-01-01."""
+    base = _dt.datetime(1904, 1, 1) if date1904 else _dt.datetime(1899, 12, 30)
+    return base + _dt.timedelta(days=serial)
+
+
+def datetime_to_serial(value: _dt.datetime, date1904: bool = False) -> float:
+    base = _dt.datetime(1904, 1, 1) if date1904 else _dt.datetime(1899, 12, 30)
+    return (value - base) / _dt.timedelta(days=1)
 
 
 def sheet_names(path: str) -> list[str]:
@@ -62,11 +134,14 @@ def read_sheet(path: str, sheet: str | int = 0) -> list[list[object]]:
     """Parse one sheet to a dense list-of-rows (None for empty cells).
 
     Values come back as float (numeric cells), str (shared/inline
-    strings), or bool. Row width = the sheet's max populated column, so
-    positional ``iloc``-style indexing works like the reference's.
+    strings), bool, or datetime (date-styled serials / t="d" cells).
+    Row width = the sheet's max populated column, so positional
+    ``iloc``-style indexing works like the reference's.
     """
     with zipfile.ZipFile(path) as z:
         sheets = _sheet_targets(z)
+        date_styles = _date_style_ids(z)
+        date1904 = _uses_1904_epoch(z)
         if isinstance(sheet, int):
             _, target = sheets[sheet]
         else:
@@ -106,6 +181,10 @@ def read_sheet(path: str, sheet: str | int = 0) -> list[list[object]]:
                         v = ve.text
                     elif t == "b":
                         v = bool(int(ve.text))
+                    elif t == "d":
+                        v = _dt.datetime.fromisoformat(ve.text)
+                    elif int(c.get("s") or -1) in date_styles:
+                        v = serial_to_datetime(float(ve.text), date1904)
                     else:
                         v = float(ve.text)
                 cells[ci] = v
@@ -134,11 +213,33 @@ _ROOT_RELS = (
 )
 
 
+_STYLES_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    '<fonts count="1"><font/></fonts>'
+    '<fills count="1"><fill/></fills>'
+    '<borders count="1"><border/></borders>'
+    '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+    # xf 0 = general; xf 1 = built-in numFmt 22 ("m/d/yy h:mm") — the
+    # date style the writer assigns to datetime cells
+    '<cellXfs count="2"><xf numFmtId="0"/>'
+    '<xf numFmtId="22" applyNumberFormat="1"/></cellXfs>'
+    "</styleSheet>"
+)
+
+
 def _cell_xml(ref: str, value: object) -> str:
     if value is None:
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, _dt.datetime):
+        return f'<c r="{ref}" s="1"><v>{datetime_to_serial(value)!r}</v></c>'
+    if isinstance(value, _dt.date):
+        return (
+            f'<c r="{ref}" s="1">'
+            f"<v>{datetime_to_serial(_dt.datetime(value.year, value.month, value.day))!r}</v></c>"
+        )
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
@@ -185,6 +286,16 @@ def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> None:
                 + "".join(row_xml)
                 + "</sheetData></worksheet>",
             )
+        overrides.append(
+            '<Override PartName="/xl/styles.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        )
+        rel_defs.append(
+            f'<Relationship Id="rId{len(sheets) + 1}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/styles"
+            '" Target="styles.xml"/>'
+        )
+        z.writestr("xl/styles.xml", _STYLES_XML)
         z.writestr("[Content_Types].xml", _CONTENT_TYPES.format(overrides="".join(overrides)))
         z.writestr("_rels/.rels", _ROOT_RELS)
         z.writestr(

@@ -194,3 +194,150 @@ def test_xlsx_lite_reads_shared_strings(tmp_path):
     rows = read_sheet(p, "Data")
     assert rows[0] == ["hello", None, "world"]   # multi-run si joined, gap -> None
     assert rows[1] == [3.5, "formula-result", None]
+
+
+def _rezip(path, transform):
+    """Rewrite a zip applying transform(name, bytes) -> bytes to each part."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    with zipfile.ZipFile(path, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, transform(n, b))
+
+
+def test_date_serial_epoch_identities():
+    """Pinned conversion identities for the 1900 and 1904 date systems."""
+    import datetime as dt
+
+    from hive_population_ml_spark.io.xlsx_lite import (
+        datetime_to_serial,
+        serial_to_datetime,
+    )
+
+    # Unix epoch is serial 25569 in the 1900 system — the standard check.
+    assert serial_to_datetime(25569) == dt.datetime(1970, 1, 1)
+    # Post-leap-bug region: serial 61 = 1900-03-01 (phantom Feb 29 absorbed).
+    assert serial_to_datetime(61) == dt.datetime(1900, 3, 1)
+    # Fractional day = time of day.
+    assert serial_to_datetime(25569.5) == dt.datetime(1970, 1, 1, 12)
+    # 1904 system: serial 0 = 1904-01-01.
+    assert serial_to_datetime(0, date1904=True) == dt.datetime(1904, 1, 1)
+    # Round trip.
+    d = dt.datetime(2020, 6, 1, 9, 30)
+    assert serial_to_datetime(datetime_to_serial(d)) == d
+
+
+def test_write_then_read_datetime_cells(tmp_path):
+    """Writer emits styled serials; reader decodes them back to datetime."""
+    import datetime as dt
+
+    p = os.path.join(tmp_path, "dated.xlsx")
+    d1, d2 = dt.datetime(2020, 6, 1), dt.datetime(2021, 4, 5, 14, 45)
+    write_xlsx(p, {"S": [["when", "n"], [d1, 1.0], [d2, 2.0]]})
+    rows = read_sheet(p, "S")
+    assert rows[1] == [d1, 1.0]
+    assert rows[2] == [d2, 2.0]
+    # plain numerics are untouched (style 0 is not a date style)
+    assert isinstance(rows[1][1], float)
+
+
+def test_custom_numfmt_date_detection(tmp_path):
+    """A custom numFmt (id >= 164) whose code contains date tokens marks
+    its cells as dates; numeric formats like '#,##0.00' do not."""
+    p = os.path.join(tmp_path, "c.xlsx")
+    write_xlsx(p, {"S": [[1.0, 2.0]]})
+
+    def patch(name, b):
+        if name == "xl/styles.xml":
+            return (
+                b'<?xml version="1.0"?><styleSheet xmlns="http://schemas.'
+                b'openxmlformats.org/spreadsheetml/2006/main">'
+                b'<numFmts count="2">'
+                b'<numFmt numFmtId="164" formatCode="yyyy-mm-dd"/>'
+                b'<numFmt numFmtId="165" formatCode="#,##0.00&quot;m&quot;"/>'
+                b"</numFmts>"
+                b'<cellXfs count="3"><xf numFmtId="0"/>'
+                b'<xf numFmtId="164" applyNumberFormat="1"/>'
+                b'<xf numFmtId="165" applyNumberFormat="1"/></cellXfs>'
+                b"</styleSheet>"
+            )
+        if name.endswith("sheet1.xml"):
+            return (
+                b'<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+                b'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                b'<row r="1"><c r="A1" s="1"><v>25569</v></c>'
+                b'<c r="B1" s="2"><v>25569</v></c></row>'
+                b"</sheetData></worksheet>"
+            )
+        return b
+
+    _rezip(p, patch)
+    import datetime as dt
+
+    rows = read_sheet(p, "S")
+    assert rows[0][0] == dt.datetime(1970, 1, 1)  # custom date fmt decoded
+    assert rows[0][1] == 25569.0  # quoted "m" must not read as a date token
+
+
+def test_absolute_relationship_targets(tmp_path):
+    """Some producers write Target="/xl/worksheets/sheet1.xml" (absolute);
+    the reader must normalize instead of mangling to xl/xl/..."""
+    p = os.path.join(tmp_path, "abs.xlsx")
+    write_xlsx(p, {"S": [["a", 1.0]]})
+    _rezip(
+        p,
+        lambda n, b: b.replace(
+            b'Target="worksheets/sheet1.xml"',
+            b'Target="/xl/worksheets/sheet1.xml"',
+        )
+        if n == "xl/_rels/workbook.xml.rels"
+        else b,
+    )
+    assert sheet_names(p) == ["S"]
+    assert read_sheet(p, "S")[0] == ["a", 1.0]
+
+
+def test_date1904_workbook_flag(tmp_path):
+    import datetime as dt
+
+    p = os.path.join(tmp_path, "mac.xlsx")
+    write_xlsx(p, {"S": [[dt.datetime(2020, 1, 2)]]})
+
+    def patch(name, b):
+        if name == "xl/workbook.xml":
+            return b.replace(
+                b"<sheets>", b'<workbookPr date1904="1"/><sheets>'
+            )
+        if name.endswith("sheet1.xml"):
+            # serial 100 under the 1904 epoch = 1904-04-10
+            return b.replace(b"<v>43832.0</v>", b"<v>100</v>")
+        return b
+
+    _rezip(p, patch)
+    assert read_sheet(p, "S")[0][0] == dt.datetime(1904, 4, 10)
+
+
+def test_serial_dated_sheet_to_timestamp(spark, tmp_path):
+    """Verdict item: a REAL serial-dated Evaluation sheet lands as
+    TimestampNTZ through the production annotation loader."""
+    import datetime as dt
+
+    p = os.path.join(tmp_path, "d1_serial.xlsx")
+    hdr = ["Dates", "Yard", "Hive ID", "Number of boxes",
+           "b1", "b2", "b3", "b4", "b5", "b6"]
+    write_xlsx(p, {
+        "Evaluation 1": [
+            hdr,
+            [dt.datetime(2020, 6, 1), "North", 2056, 2, 8, 6, None, None, None, None],
+            [dt.datetime(2020, 7, 15), "North", 2057, 1, 5, None, None, None, None, None],
+        ],
+    })
+    out = population_annotations(spark, p)
+    assert dict(out.dtypes)["date"] == "timestamp_ntz"
+    got = {r["hive_id"]: r["date"] for r in out.collect()}
+    assert got == {
+        2056: dt.datetime(2020, 6, 1),
+        2057: dt.datetime(2020, 7, 15),
+    }
