@@ -33,9 +33,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "knn_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "text_quality_profile",
     "text_repetition_filter",
     "text_decontaminate",

@@ -60,7 +60,10 @@ sh AS (
     FROM toks
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+rare AS (
+    SELECT s FROM sh GROUP BY s
+    HAVING count(*) <= ceil(0.1 * (SELECT count(*) FROM documents))
+),
 shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
 inter AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -76,16 +79,23 @@ WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup WITH the boilerplate-shingle skew
-    guard active (``max_shingle_df=50``): shingles appearing in more
-    than 50 docs are dropped before pair expansion — the guard the
-    operator was built around for the 100 TB blowup case. Set sizes
-    stay full-set (guard only restricts the intersection), and the
-    threshold compares the ROUNDED jaccard on both engines so borderline
-    pairs cannot diverge between Spark and the oracle."""
+    """Exact n-gram Jaccard near-dup with the FRACTIONAL boilerplate-
+    shingle skew guard active (``max_shingle_frac=0.1``): shingles
+    appearing in more than 10% of docs are dropped before pair
+    expansion. The effective cap is ``ceil(0.1 * n_docs)`` — 50 at
+    sf0.01, identical results to the old absolute ``max_shingle_df=50``
+    there, but the cap GROWS with the corpus: the builder's own 10x
+    probe showed the absolute form collapses recall to zero as document
+    frequencies scale up (pinned by
+    ``test_ngram_guard_fraction_survives_corpus_growth``). The oracle
+    CTE mirrors the derivation (``HAVING count(*) <= ceil(0.1 *
+    (SELECT count(*) FROM documents))``), so the driver hash-checks the
+    fraction form itself. Set sizes stay full-set (guard only restricts
+    the intersection), and the threshold compares the ROUNDED jaccard on
+    both engines so borderline pairs cannot diverge."""
     t = Tables(spark, sf_dir)
     return ngram_jaccard_pairs(
-        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_df=50
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
     )
 
 
