@@ -10,10 +10,13 @@ expressed as Catalyst projections.
 Scale notes:
 - Timestamps are normalized to TIMESTAMP_NTZ so semantics match the
   DuckDB oracle (UTC-naive) regardless of executor-local timezones.
-- ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark reads
-  only as raw nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``);
-  we convert with integer division — identical floor semantics to
-  DuckDB's nanos->micros truncation.
+- ``events.ts`` has been stored by different testdata generations as
+  parquet TIMESTAMP(NANOS) (which Spark reads only as raw nanosecond
+  longs under ``spark.sql.legacy.parquet.nanosAsLong``; we convert with
+  integer division — identical floor semantics to DuckDB's truncation)
+  and as TIMESTAMP(MICROS) (read natively). Loaders probe the raw dtype
+  and normalize either way; never hardcode one (the streaming path once
+  did and silently sheared all events into a single 1970 window).
 - No schema inference in the hot path beyond the parquet footer; a
   100 TB table directory scan stays metadata-only until an action.
 """

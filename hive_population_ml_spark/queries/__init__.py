@@ -42,7 +42,9 @@ def _prioritize() -> None:
     a bounded window; keeping the hash-checkable queries first ensures
     each gets a full correctness row, while rows-only ops (MinHash/
     SimHash/ANN — approximate by design, covered by pytest recall
-    bounds) take the tail positions where a weaker check costs least.
+    bounds — plus the real-WAV-decode query, value-pinned by
+    closed-form sine tests) take the tail positions where a weaker
+    check costs least.
     """
     ordered = sorted(QUERIES.items(), key=lambda kv: kv[0] not in ORACLE)
     QUERIES.clear()

@@ -1,0 +1,184 @@
+"""Second-scale bench probe: the 5 most expensive headline queries at
+sf0.1 and at 10x sf0.1, fixed local cores.
+
+Replication is DISTINCT-CONTENT (keys shifted per replica, document
+text perturbed with a replica token, embeddings nudged by a tiny
+replica epsilon): it models corpus growth — more data with the same
+distribution — so the probe measures plan THROUGHPUT scaling. The
+worst-case 10-way-duplicate-cluster probe (output amplification) is a
+separate, documented one-off in PERFORMANCE.md.
+
+Writes the replicated tables once to a scratch dir (symlinking
+untouched tables), runs each registered query warm at both scales, and
+prints one JSON line:
+  {"probe": "scale10", "queries": {name: {"t1": s, "t10": s,
+   "ratio": r, "exchanges": n}}}
+
+Usage: python tools/scale_probe.py [--queries a,b,c] [--mult 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "flagship_interval_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_lsh",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+KEY_SHIFT = 100_000_000
+
+
+def replicate_dir(spark, src: str, mult: int) -> str:
+    """Materialize a mult-x distinct-content copy of the tables the
+    probed queries read; symlink everything else."""
+    out = tempfile.mkdtemp(prefix=f"scale{mult}_")
+
+    def rep(df, shifts: dict[str, object], extra=None):
+        parts = []
+        for i in range(mult):
+            p = df
+            for c, kind in shifts.items():
+                if kind == "key":
+                    p = p.withColumn(c, F.col(c) + F.lit(i * KEY_SHIFT))
+            if extra is not None:
+                p = extra(p, i)
+            parts.append(p)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        return big
+
+    read = lambda t: spark.read.parquet(f"{src.rstrip('/')}/{t}.parquet")  # noqa: E731
+
+    # orders+lineitem+customer shift together so per-key cardinality and
+    # join fan-out stay distribution-identical at every scale.
+    rep(read("customer"), {"c_custkey": "key"}).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+    rep(
+        read("orders"), {"o_orderkey": "key", "o_custkey": "key"}
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    rep(read("lineitem"), {"l_orderkey": "key"}).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    rep(
+        read("documents"),
+        {"doc_id": "key"},
+        # distinct content per replica: suffixing EVERY token makes the
+        # replica's shingle set fully disjoint from its base doc (a
+        # merely-appended token would leave replicas ~identical shingle
+        # sets — i.e., 10-way near-dup clusters, the separate worst-case
+        # probe). Within a replica the base corpus's genuine near-dups
+        # stay near-dups, so true output scales exactly linearly.
+        extra=lambda p, i: p
+        if i == 0
+        else p.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit(f"_{i}")),
+                ),
+                " ",
+            ),
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rep(
+        read("embeddings"),
+        {"vec_id": "key"},
+        # rotate dimensions per replica: genuinely different directions
+        # (a small additive nudge would leave replicas near-identical
+        # vectors and turn LSH buckets into duplicate clusters)
+        extra=lambda p, i: p
+        if i == 0
+        else p.withColumn(
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), i + 1, 100000),
+                F.slice(F.col("embedding"), 1, i),
+            ),
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    done = {"customer", "orders", "lineitem", "documents", "embeddings"}
+    for t in TABLES:
+        if t not in done:
+            os.symlink(
+                f"{src.rstrip('/')}/{t}.parquet", f"{out}/{t}.parquet"
+            )
+    return out
+
+
+def time_query(spark, fn, sf_dir: str) -> tuple[float, int]:
+    df = fn(spark, sf_dir)
+    exchanges = df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3), exchanges
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+    names = args.queries.split(",")
+
+    from hive_population_ml_spark.queries import QUERIES, load_all
+    from hive_population_ml_spark.session import get_spark
+
+    load_all()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("hpml-scale-probe", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big_dir = replicate_dir(spark, args.sf_dir, args.mult)
+    try:
+        # warmup at sf0.001 (codegen/Arrow init)
+        for n in names:
+            QUERIES[n](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        results = {}
+        for n in names:
+            t1, ex1 = time_query(spark, QUERIES[n], args.sf_dir)
+            t10, ex10 = time_query(spark, QUERIES[n], big_dir)
+            results[n] = {
+                "t1": t1,
+                f"t{args.mult}": t10,
+                "ratio": round(t10 / t1, 2) if t1 else None,
+                "exchanges_1x": ex1,
+                f"exchanges_{args.mult}x": ex10,
+            }
+        print(json.dumps({"probe": f"scale{args.mult}", "queries": results}))
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
