@@ -77,6 +77,44 @@ def test_simhash_identical_zero_hamming(docs):
     assert pairs[(1, 4)] == 0
 
 
+@pytest.mark.parametrize("d", [3, 6])
+def test_simhash_blockscheme_exact_recall(spark, sf_dir, d):
+    """Candidate generation must be pigeonhole-EXACT: block-combination
+    tables find every pair brute-force hamming finds, at any d — the old
+    4x16-bit chunk scheme silently lost pairs for d > 3."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.dedup import simhash
+
+    documents = Tables(spark, sf_dir).documents
+    fp = simhash(documents, "doc_id", "text")
+    a = fp.select(F.col("doc").alias("d1"), F.col("simhash").alias("s1"))
+    b = fp.select(F.col("doc").alias("d2"), F.col("simhash").alias("s2"))
+    brute = {
+        (r["d1"], r["d2"])
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .filter(F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))) <= d)
+        .collect()
+    }
+    got = {
+        (r["d1"], r["d2"])
+        for r in simhash_pairs(documents, "doc_id", "text", max_hamming=d).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0, "vacuous: fixture produced no near-dup fingerprints"
+
+
+def test_simhash_tables_auto_rule():
+    from hive_population_ml_spark.operators.dedup import _simhash_tables
+
+    n, combos = _simhash_tables(3, None)
+    assert n == 6 and len(combos) == 20  # Manku standard: C(6,3), ~33-bit keys
+    assert all(len(c) == 3 for c in combos)
+    n6, combos6 = _simhash_tables(6, None)
+    assert n6 > 6 and len(combos6) <= 32
+    with pytest.raises(ValueError):
+        _simhash_tables(4, 4)  # n_blocks must exceed max_hamming
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     from hive_population_ml_spark.io import Tables
 
