@@ -41,6 +41,9 @@ HEADLINE = [
     "text_quality_profile",
     "text_repetition_filter",
     "text_decontaminate",
+    "text_pii_mask",
+    "sample_stratified",
+    "pack_token_shards",
     "w5_sequence_digest",
     "w_sessionize",
 ]

@@ -1,0 +1,151 @@
+"""Corpus sampling & data-mixing operators — the stages between a cleaned
+corpus and a training run (charter extension, same scope family as
+SURVEY.md §2.10's dedup/text ops; reference has no analog — cites
+``/root/reference/README.md`` data-prep scope only).
+
+All-Spark designs, zero UDFs:
+
+- **Deterministic stratified sampling**: keep/drop is a pure function of
+  the row id (hash -> uniform [0,1) -> compare to the stratum's rate),
+  so the sample is reproducible across runs, executors, and retries —
+  never ``rand()``, which resamples per task attempt and breaks retry
+  idempotency at scale. Map-side filter: no shuffle at all.
+- **Temperature-based mixture weights** (multinomial sampling with
+  p_i ∝ n_i^alpha, the mT5/XLM-R recipe): one aggregation to per-stratum
+  counts, then weight math over the tiny post-agg table (a global window
+  there is O(#strata), not O(rows)).
+- **Token-budget shard packing**: docs -> contiguous training shards of
+  ~budget tokens each. Shard id = floor(start_offset / budget) from a
+  per-bucket running sum — windows partition by the bucket column, so
+  parallelism = #buckets and no global sort exists. At 100 TB pick
+  bucket granularity (e.g. lang x source x day) so each bucket's doc
+  list fits a task comfortably.
+
+Hash choice: the portable ``minstd`` mode (two Lehmer steps
+``x -> x*48271 mod (2^31-1)`` after an offset — same 64-bit integer
+arithmetic in any engine, so the DuckDB oracle mirrors it exactly) is
+the differential-testing default; ``xxhash64`` mode is the production
+default for real corpora (avalanche-quality mixing, Spark-native, but
+no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MINSTD_M = 2_147_483_647  # 2^31 - 1 (prime)
+_MINSTD_A = 48_271
+_MINSTD_OFFSET = 999_983  # avoids the id=0 fixpoint
+
+
+def uniform_hash(id_col: str | Column, mode: str = "minstd") -> Column:
+    """Deterministic uniform [0,1) from an integer id column.
+
+    ``minstd``: ((id % m) * a) % m / m with m=2^31-1, a=48271 — every
+    intermediate fits a 64-bit signed int, and any SQL engine computes
+    the identical value (the oracle contract). ``xxhash64``: top 31 bits
+    of Spark's xxhash64 — better mixing, Spark-only.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if mode == "minstd":
+        # TWO Lehmer steps after an offset: a single multiply maps small
+        # sequential ids to u ~ id*48271/2^31 — all tiny, so a rate<1
+        # filter keeps everything (caught by test_stratified_sample_
+        # semantics). Each step is a bijection mod M (gcd(a, M)=1), so
+        # distinct ids keep distinct u and the composed map has LCG
+        # equidistribution. Every intermediate fits 64-bit signed.
+        x = (F.abs(c) + _MINSTD_OFFSET) % _MINSTD_M
+        x = x * _MINSTD_A % _MINSTD_M
+        x = x * _MINSTD_A % _MINSTD_M
+        return x / F.lit(float(_MINSTD_M))
+    if mode == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(c), 33) / F.lit(float(1 << 31))
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    mode: str = "minstd",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep row iff
+    uniform_hash(id) < rate(stratum). Pure map-side filter (no shuffle);
+    the keep decision is stable under retries and independent of
+    partitioning, which ``df.sample``/``rand()`` are not.
+    """
+    u = uniform_hash(id_col, mode)
+    rate: Column = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.withColumn("__u", u).filter(F.col("__u") < rate)
+
+
+def mixture_weights(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float,
+    target_total: int,
+) -> DataFrame:
+    """Temperature-scaled mixture over strata: p_i ∝ n_i^alpha
+    (alpha=1 -> proportional, alpha=0 -> uniform; 0.3 is the mT5 value).
+
+    Returns per-stratum ``n_docs``, ``p`` (mixture probability),
+    ``rate`` (capped per-doc keep rate hitting the target in
+    expectation) and ``epochs`` (uncapped expected passes — >1 means the
+    stratum must be upsampled/repeated). One distributed agg; the
+    global window runs over the #strata-row result only.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    p = w / F.sum(w).over(Window.partitionBy())
+    expected = p * F.lit(float(target_total))
+    return counts.select(
+        stratum_col,
+        "n_docs",
+        F.round(p, 9).alias("p"),
+        F.round(F.least(F.lit(1.0), expected / F.col("n_docs")), 9).alias("rate"),
+        F.round(expected / F.col("n_docs"), 9).alias("epochs"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    bucket_col: str,
+    size_col: Column | str,
+    budget: int,
+    order_col: str,
+) -> DataFrame:
+    """Assign docs to contiguous ~``budget``-token shards per bucket.
+
+    Shard id = floor(start_offset / budget) where start_offset is the
+    running token sum (exclusive) in deterministic ``order_col`` order
+    WITHIN the bucket — a doc straddling a boundary belongs to the shard
+    it starts in, so shards overshoot by at most one doc. The window
+    partitions by bucket: no global sort, parallelism = #buckets.
+
+    Returns the shard manifest: (bucket, shard_id, n_docs, total_tokens,
+    first/last order key) — the small table a training loader reads.
+    """
+    from pyspark.sql import Window
+
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = Window.partitionBy(bucket_col).orderBy(order_col)
+    start = F.sum(size).over(w) - size
+    sized = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(order_col).alias("ord"),
+        size.alias("n_tokens"),
+        F.floor(start / F.lit(int(budget))).alias("shard_id"),
+    )
+    return sized.groupBy("bucket", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("ord").alias("first_ord"),
+        F.max("ord").alias("last_ord"),
+    )

@@ -136,6 +136,38 @@ def fingerprint(col: str | Column = "text", head: int = 8) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, head)))
 
 
+# RE2-safe (no backrefs/lookaround) so the identical patterns run in
+# Spark (java.util.regex) and DuckDB (RE2) — the differential contract.
+# Order matters: emails first (their local part can look like a phone),
+# then IPs (digit runs), then phones on what remains.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_count(kind: str, col: str | Column = "text") -> Column:
+    """Match count for one PII kind (before any masking)."""
+    pattern = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def pii_mask(col: str | Column = "text") -> Column:
+    """Mask emails/IPv4s/phone numbers with typed placeholder tokens.
+
+    Chained ``regexp_replace`` — pure expression layer, whole-stage
+    codegen, no UDF. Masking a 100 TB corpus is then a map-only pass
+    with zero shuffles. Counts come from ``pii_count`` on the PRE-mask
+    text (the replace chain erases earlier kinds' matches).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def predict_lang(col: str | Column = "text") -> Column:
     """Stopword-vote language ID: argmax over per-language stopword hit
     counts, 'und' (undetermined) when no stopwords hit at all."""

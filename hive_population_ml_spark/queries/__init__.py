@@ -25,6 +25,10 @@ _MODULES = [
     "text",
     "similarity",
     "streamq",
+    # past the driver's 50-entry window: registers rows-only queries
+    # whose differential SQL lives in SHADOW_ORACLE (pytest-checked) —
+    # must stay LAST so the 50 driver-checked oracles keep their window.
+    "sampling",
 ]
 
 

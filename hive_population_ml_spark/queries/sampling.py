@@ -1,0 +1,164 @@
+"""Corpus sampling / data-mixing / PII queries (charter extension).
+
+These register AFTER the driver's 50-entry hash-check window filled, so
+they carry ``shadow_oracle`` SQL — the identical differential contract,
+executed by ``tests/test_sampling.py`` instead of the round driver (the
+driver sees them as rows-only tail entries).
+
+The PII oracle interpolates the very same ``PII_PATTERNS`` constants the
+Spark operator uses, so both engines run byte-identical regexes
+(RE2-safe subset). DuckDB ``regexp_replace`` needs the ``'g'`` flag to
+match Spark's replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..operators import textops
+from ..operators.sampling import mixture_weights, pack_shards, stratified_sample
+from ..operators.textops import PII_PATTERNS
+from .registry import register
+
+_RATES = {"en": 0.5, "zh": 0.25}
+_DEFAULT_RATE = 0.75
+
+
+@register(
+    "sample_stratified",
+    shadow_oracle=f"""
+WITH s AS (
+    SELECT doc_id, lang, source,
+           (((((abs(doc_id) + 999983) % 2147483647) * 48271 % 2147483647)
+               * 48271) % 2147483647) / 2147483647.0 AS u
+    FROM documents)
+SELECT doc_id, lang, source, round(u, 9) AS u
+FROM s
+WHERE u < CASE lang WHEN 'en' THEN {_RATES["en"]}
+                    WHEN 'zh' THEN {_RATES["zh"]}
+                    ELSE {_DEFAULT_RATE} END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (map-only, no shuffle;
+    stable under retries, unlike rand()-based sampling)."""
+    t = Tables(spark, sf_dir)
+    kept = stratified_sample(
+        t.documents, "lang", _RATES, id_col="doc_id", default_rate=_DEFAULT_RATE
+    )
+    return kept.select(
+        "doc_id", "lang", "source", F.round("__u", 9).alias("u")
+    )
+
+
+@register(
+    "mix_temperature_weights",
+    shadow_oracle="""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT sum(pow(n_docs, 0.3)) AS tw FROM c)
+SELECT lang, n_docs,
+       round(pow(n_docs, 0.3) / tw, 9) AS p,
+       round(least(1.0, pow(n_docs, 0.3) / tw * 1000 / n_docs), 9) AS rate,
+       round(pow(n_docs, 0.3) / tw * 1000 / n_docs, 9) AS epochs
+FROM c, t
+""",
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature mixture (p_i ∝ n_i^0.3) with per-stratum
+    keep rates / upsampling epochs for a 1000-doc training mix."""
+    t = Tables(spark, sf_dir)
+    return mixture_weights(t.documents, "lang", alpha=0.3, target_total=1000)
+
+
+@register(
+    "pack_token_shards",
+    shadow_oracle="""
+WITH s AS (
+    SELECT lang AS bucket, doc_id AS ord,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents),
+w AS (
+    SELECT bucket, ord, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ord
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+    FROM s)
+SELECT bucket, CAST(floor(start / 2000.0) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(ord) AS first_ord, max(ord) AS last_ord
+FROM w
+GROUP BY bucket, shard_id
+""",
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard manifest: contiguous ~2000-token shards per
+    language, running sum windowed per bucket (no global sort)."""
+    t = Tables(spark, sf_dir)
+    return pack_shards(
+        t.documents,
+        bucket_col="lang",
+        size_col=textops.token_count("text"),
+        budget=2000,
+        order_col="doc_id",
+    )
+
+
+def _pii_injected_sql() -> str:
+    email_p, ip_p, phone_p = (p for _, p, _ in PII_PATTERNS)
+    email_t, ip_t, phone_t = (tok for _, _, tok in PII_PATTERNS)
+    masked = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{email_p}', '{email_t}', 'g'), "
+        f"'{ip_p}', '{ip_t}', 'g'), "
+        f"'{phone_p}', '{phone_t}', 'g')"
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id
+                    || '@example.com at 10.0.0.' || (doc_id % 250)
+                    || ' or +1 555-000-1234'
+               ELSE '' END AS t
+    FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{email_p}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{ip_p}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{phone_p}')) AS BIGINT) AS n_phones,
+       md5({masked}) AS masked_fp
+FROM d
+"""
+
+
+@register("text_pii_mask", shadow_oracle=_pii_injected_sql())
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over the corpus. The synthetic corpus carries no PII,
+    so a deterministic fixture suffix (emails/IPs/phones on every 7th
+    doc) is injected identically on both engines — the masking chain and
+    counts then do real, hash-checkable work. Map-only at any scale."""
+    t = Tables(spark, sf_dir)
+    injected = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" or +1 555-000-1234"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return injected.select(
+        "doc_id",
+        textops.pii_count("email", "t").cast("long").alias("n_emails"),
+        textops.pii_count("ipv4", "t").cast("long").alias("n_ips"),
+        textops.pii_count("phone", "t").cast("long").alias("n_phones"),
+        F.md5(textops.pii_mask("t")).alias("masked_fp"),
+    )

@@ -1,0 +1,155 @@
+"""Sampling / data-mixing / PII operators: shadow-oracle differential
+checks (same rigor as the driver's hash check, run here because these
+queries sit past the driver's 50-entry window) plus semantic units."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hive_population_ml_spark.operators.sampling import (
+    mixture_weights,
+    pack_shards,
+    stratified_sample,
+    uniform_hash,
+)
+from hive_population_ml_spark.operators.textops import pii_count, pii_mask
+from hive_population_ml_spark.testing import _normalize, duckdb_connection
+
+SHADOW_NAMES = [
+    "sample_stratified",
+    "mix_temperature_weights",
+    "pack_token_shards",
+    "text_pii_mask",
+]
+
+
+@pytest.mark.parametrize("name", SHADOW_NAMES)
+def test_shadow_oracle_differential(spark, sf_oracle_dir, name):
+    from hive_population_ml_spark.queries import QUERIES, load_all
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
+
+    load_all()
+    spark_df = QUERIES[name](spark, sf_oracle_dir).toPandas()
+    assert len(spark_df) > 0, f"{name}: empty result — vacuous comparison"
+    con = duckdb_connection(sf_oracle_dir)
+    try:
+        duck_df = con.execute(SHADOW_ORACLE[name]).df()
+    finally:
+        con.close()
+    assert sorted(spark_df.columns) == sorted(duck_df.columns)
+    assert len(spark_df) == len(duck_df)
+    assert _normalize(spark_df) == _normalize(duck_df)
+
+
+def test_stratified_sample_semantics(spark, sf_oracle_dir):
+    from hive_population_ml_spark.io import Tables
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5}, id_col="doc_id", default_rate=1.0
+    )
+    n_all = docs.count()
+    n_kept = kept.count()
+    assert 0 < n_kept < n_all  # en really downsampled, others kept
+    # deterministic: the same call selects the same rows
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", {"en": 0.5}, id_col="doc_id", default_rate=1.0
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    # non-en strata untouched at default_rate=1.0
+    assert (
+        kept.filter(F.col("lang") != "en").count()
+        == docs.filter(F.col("lang") != "en").count()
+    )
+    # en keep-fraction lands near the rate (law of large numbers bound)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = kept.filter(F.col("lang") == "en").count()
+    assert abs(k_en / n_en - 0.5) < 0.1
+
+
+def test_uniform_hash_modes(spark):
+    df = spark.range(2000).select(
+        uniform_hash("id", "minstd").alias("u1"),
+        uniform_hash("id", "xxhash64").alias("u2"),
+    )
+    row = df.agg(
+        F.min("u1"), F.max("u1"), F.avg("u1"), F.min("u2"), F.max("u2"), F.avg("u2")
+    ).collect()[0]
+    for lo, hi, mean in (row[0:3], row[3:6]):
+        assert 0.0 <= lo and hi < 1.0
+        assert 0.35 < mean < 0.65
+    with pytest.raises(ValueError):
+        uniform_hash("id", "nope")
+
+
+def test_mixture_weights_temperature(spark, sf_oracle_dir):
+    from hive_population_ml_spark.io import Tables
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    flat = {r["lang"]: r for r in mixture_weights(docs, "lang", 0.0, 100).collect()}
+    prop = {r["lang"]: r for r in mixture_weights(docs, "lang", 1.0, 100).collect()}
+    # alpha=0 -> uniform p across strata
+    ps = [r["p"] for r in flat.values()]
+    assert max(ps) - min(ps) < 1e-9
+    # alpha=1 -> p proportional to n
+    total = sum(r["n_docs"] for r in prop.values())
+    for r in prop.values():
+        assert abs(r["p"] - r["n_docs"] / total) < 1e-9
+    # probabilities sum to 1 in both
+    assert abs(sum(ps) - 1.0) < 1e-9
+
+
+def test_pack_shards_budget_and_coverage(spark, sf_oracle_dir):
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators import textops
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    manifest = pack_shards(
+        docs, "lang", textops.token_count("text"), budget=2000, order_col="doc_id"
+    ).collect()
+    assert len(manifest) > 2  # multiple shards exist
+    by_bucket: dict[str, list] = {}
+    for r in manifest:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    max_doc_tokens = docs.select(
+        F.max(textops.token_count("text"))
+    ).collect()[0][0]
+    total_docs = docs.count()
+    assert sum(r["n_docs"] for r in manifest) == total_docs  # every doc assigned
+    for bucket, shards in by_bucket.items():
+        shards.sort(key=lambda r: r["shard_id"])
+        # contiguous shard ids from 0
+        assert [r["shard_id"] for r in shards] == list(range(len(shards)))
+        # a shard overshoots the budget by at most one straddling doc
+        for r in shards:
+            assert r["total_tokens"] < 2000 + max_doc_tokens
+
+
+def test_pii_mask_real_patterns(spark):
+    rows = [
+        Row(id=1, text="mail alice.smith+dev@corp-mail.co.uk and bob@x.io now"),
+        Row(id=2, text="server at 192.168.001.42 port open"),
+        Row(id=3, text="call +44 20-7946 0958 or 555-867-5309x"),
+        Row(id=4, text="clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_count("email", "text").alias("ne"),
+            pii_count("ipv4", "text").alias("ni"),
+            pii_count("phone", "text").alias("np"),
+            pii_mask("text").alias("masked"),
+        ).collect()
+    }
+    assert out[1]["ne"] == 2 and out[1]["masked"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["ni"] == 1 and out[2]["masked"] == "server at <IP> port open"
+    assert out[3]["np"] >= 1 and "<PHONE>" in out[3]["masked"]
+    assert out[4]["masked"] == rows[3].text  # untouched
