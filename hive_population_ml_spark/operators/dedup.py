@@ -204,10 +204,10 @@ def minhash_signatures(
     no Python. Returns (doc, h0..h{n-1}).
     """
     sh = shingle_sets(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    # SQL-string aggregates: one JVM parse each (see PERFORMANCE.md
+    # fix 9 — Column-object assembly of generated expression families
+    # is serial py4j driver cost that no cluster size amortizes).
+    aggs = [F.expr(f"min(xxhash64(s, {i})) as h{i}") for i in range(n_hashes)]
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -229,17 +229,17 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bh"),
+    structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bh)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    banded = sig.selectExpr("doc", f"explode(array({structs})) as bk").selectExpr(
+        "doc", "bk.band as band", "bk.bh as bh"
     )
     # Candidate pairs by bucket expansion (no self-join): docs sharing a
     # (band, band-hash) bucket are grouped by the banding shuffle itself.

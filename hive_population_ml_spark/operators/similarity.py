@@ -235,6 +235,42 @@ def cosine_dup_pairs_blocked(
     return block_pairs.mapInPandas(score, schema=out_schema)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Train the IVF coarse quantizer with MLlib KMeans (kmeans|| init —
+    the distributed-scale standard; Lloyd iterations are one distributed
+    assignment + re-average pass each, exactly what hand-rolled
+    DataFrame k-means would do, minus MLlib's years of hardening).
+
+    Returns a small (id, vector) centroid DataFrame shaped for
+    ``ivf_topk(centroids=...)``. At 100 TB: train on a deterministic
+    hash-sample of the corpus (centroid quality converges long before
+    the full corpus is seen), then assign the full corpus once.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = corpus.sparkSession
+    feats = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema=f"{id_col} bigint, raw array<double>",
+    )
+    # vector round-trip keeps the schema identical to corpus embeddings
+    return centers.select(
+        id_col, vector_to_array(array_to_vector("raw")).alias(vec_col)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

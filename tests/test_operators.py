@@ -300,6 +300,40 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_trained_ivf_centroids_recall(spark, sf_dir):
+    """KMeans-trained coarse quantizer: schema matches the corpus
+    embedding shape, training is seed-deterministic, and recall with
+    trained cells meets the sampled-centroid bar."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = train_ivf_centroids(emb, k=8, max_iter=5)
+    rows = cents.collect()
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert len(rows) == 8
+    assert all(len(r["embedding"]) == dim for r in rows)
+    again = train_ivf_centroids(emb, k=8, max_iter=5).collect()
+    assert {tuple(r["embedding"]) for r in rows} == {
+        tuple(r["embedding"]) for r in again
+    }
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, centroids=cents, k=5, n_probe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"trained-IVF recall too low: {recall}"
+
+
 def test_cosine_dup_pairs_symmetric_subset(spark, sf_dir):
     from hive_population_ml_spark.io import Tables
     from hive_population_ml_spark.operators.similarity import cosine_dup_pairs
