@@ -99,3 +99,34 @@ def test_partitioned_write_prunes(spark, sf_dir):
         # rows the pruned query returns.
         direct = spark.read.parquet(os.path.join(p, f"day={one_day}"))
         assert direct.count() == n
+
+
+def test_sampling_and_pii_are_shuffle_free(spark, sf_dir):
+    """stratified_sample and pii_mask must stay pure map passes — at
+    100 TB they run as zero-shuffle scans; any Exchange is a defect."""
+    from hive_population_ml_spark.operators.sampling import stratified_sample
+    from hive_population_ml_spark.operators.textops import pii_mask
+
+    docs = Tables(spark, sf_dir).documents
+    sampled = stratified_sample(docs, "lang", {"en": 0.5}, id_col="doc_id")
+    assert "Exchange" not in _plan(sampled), _plan(sampled)
+    masked = docs.select("doc_id", pii_mask("text").alias("t"))
+    assert "Exchange" not in _plan(masked), _plan(masked)
+
+
+def test_pack_shards_no_global_sort(spark, sf_dir):
+    """Shard packing windows partition by the bucket column: the plan
+    must contain NO global (non-partitioned) Sort — parallelism is
+    #buckets, never a single-task total order."""
+    from hive_population_ml_spark.operators import textops
+    from hive_population_ml_spark.operators.sampling import pack_shards
+
+    docs = Tables(spark, sf_dir).documents
+    m = pack_shards(docs, "lang", textops.token_count("text"), 2000, "doc_id")
+    plan = _plan(m)
+    for line in plan.splitlines():
+        if "Sort " in line and "SortAggregate" not in line:
+            assert "bucket" in line or "lang" in line, f"global sort:\n{line}"
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), plan
