@@ -144,3 +144,43 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir):
         for r in decontaminate(train, bench).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_sample_and_pii_match_batch(spark, sf_dir):
+    """Ingest-time sampling + PII masking are stateless expressions, so
+    the same operators run unchanged on a stream and select exactly the
+    batch rows with exactly the batch masks — the property that lets one
+    pipeline definition serve backfill (batch) and live ingest."""
+    from hive_population_ml_spark.operators.sampling import stratified_sample
+    from hive_population_ml_spark.operators.textops import pii_mask
+    from hive_population_ml_spark.streaming.pipeline import _as_stream_dir
+
+    docs_batch = Tables(spark, sf_dir).documents
+    batch_out = {
+        (r["doc_id"], r["m"])
+        for r in stratified_sample(docs_batch, "lang", {"en": 0.5}, id_col="doc_id")
+        .select("doc_id", F.md5(pii_mask("text")).alias("m"))
+        .collect()
+    }
+
+    src = (
+        spark.readStream.schema(docs_batch.schema)
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/documents.parquet"))
+    )
+    out = stratified_sample(src, "lang", {"en": 0.5}, id_col="doc_id").select(
+        "doc_id", F.md5(pii_mask("text")).alias("m")
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sample_pii")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        (r["doc_id"], r["m"]) for r in spark.table("t_sample_pii").collect()
+    }
+    assert stream_out == batch_out
+    assert len(stream_out) > 0
