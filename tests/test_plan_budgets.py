@@ -1,0 +1,64 @@
+"""Shuffle-budget regression guard for the bench headline set.
+
+Every Exchange is a full shuffle of its input; a change that silently
+adds one to a headline query is exactly the class of regression that is
+invisible at sf0.01 correctness and catastrophic at 100 TB. Budgets are
+the exchange counts of the audited plans (PERFORMANCE.md "Per-query
+plan shape") — a plan may come in UNDER budget (AQE, broadcast
+conversion), never over.
+
+If a legitimate redesign raises a count, change the budget in the same
+commit and say why in PERFORMANCE.md.
+"""
+
+import pytest
+
+EXCHANGE_BUDGETS = {
+    "flagship_interval_stats": 3,
+    "a1_stats_bundle": 1,
+    "a3_temporal_deltas": 1,
+    "a5_calendar_reagg": 5,
+    "asof_nearest_ship": 3,
+    "m16_regression_metrics": 3,
+    "dedup_exact": 1,
+    "dedup_ngram_jaccard": 2,
+    "dedup_minhash_lsh": 14,
+    "dedup_simhash": 7,
+    "dedup_embedding_cosine": 3,
+    "knn_bruteforce": 2,
+    "ann_lsh": 3,
+    "ann_ivf": 8,
+    "text_quality_profile": 0,
+    "text_repetition_filter": 0,
+    "text_decontaminate": 4,
+    "text_pii_mask": 0,
+    "sample_stratified": 0,
+    "pack_token_shards": 2,
+    "w5_sequence_digest": 1,
+    "w_sessionize": 1,
+}
+
+
+def test_headline_set_is_budgeted():
+    import bench
+
+    missing = set(bench.HEADLINE) - set(EXCHANGE_BUDGETS)
+    assert not missing, f"headline queries without a shuffle budget: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, sf_oracle_dir, name):
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = (
+        QUERIES[name](spark, sf_oracle_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange")
+    assert n <= EXCHANGE_BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {EXCHANGE_BUDGETS[name]} — a new "
+        f"shuffle crept into the plan:\n{plan[:4000]}"
+    )
