@@ -305,6 +305,13 @@ def ivf_topk(
                 F.round(cosine(F.col("_v"), F.col("cv")), 9).alias("sim"),
             )
         )
+        # Audited alternative: a max_by hash-agg argmax for keep_n=1.
+        # Measured IDENTICAL output and no speedup — Spark 4's
+        # WindowGroupLimit already runs a PARTIAL top-k before the
+        # exchange (the shuffle carries <= keep_n rows per vector, not
+        # one per centroid), while max_by over an array-carrying struct
+        # degrades to SortAggregate and adds join exchanges. The window
+        # form is the right plan on both counts.
         w = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
         return (
             scored.withColumn("_r", F.row_number().over(w))
