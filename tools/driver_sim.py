@@ -90,6 +90,13 @@ def main(names: list[str]) -> int:
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
+    # Shadow oracles (queries past the driver's 50-entry window) carry
+    # the same DuckDB-differential contract — the driver sees them as
+    # rows-only, but this sim hash-checks them identically ("PASS*").
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
+
+    shadow = set(SHADOW_ORACLE) - set(osql)
+    osql = {**SHADOW_ORACLE, **osql}
     targets = names or list(qs)
     failures = 0
     if not names:  # full sweep: also smoke-check entry() like the driver
@@ -123,7 +130,7 @@ def main(names: list[str]) -> int:
         sh, scols = _canon(sdf)
         oh, ocols = _canon(odf)
         ok = sh == oh and scols == ocols and len(sdf) == len(odf)
-        status = "PASS" if ok else "FAIL"
+        status = ("PASS*" if name in shadow else "PASS") if ok else "FAIL"
         detail = ""
         if not ok:
             failures += 1
