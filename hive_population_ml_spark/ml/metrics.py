@@ -137,3 +137,38 @@ def binned_rank_auc(
             F.broadcast(stats.select(F.col("n_bad").alias("n_dropped_nan")))
         )
     return out
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score + expected calibration error, exactly, in two
+    aggregations (bin agg -> summary over <= n_bins rows).
+
+    Equal-width probability bins; ECE = sum_b (n_b/N)*|conf_b - acc_b|
+    with conf_b = mean predicted probability and acc_b = positive rate
+    in bin b. Like ``binned_rank_auc``, the binned form is the EXACT
+    metric (ECE is defined on bins; Brier is a plain mean) — nothing
+    here approximates, and no global sort or per-row window exists, so
+    the plan is two shuffles regardless of corpus size.
+    """
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(p * n_bins), F.lit(n_bins - 1))
+    binned = df.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(p).alias("sum_p"),
+        F.sum(y).alias("sum_y"),
+        F.sum((p - y) * (p - y)).alias("sum_sq"),
+    )
+    return binned.agg(
+        F.round(F.sum("sum_sq") / F.sum("n"), 9).alias("brier"),
+        F.round(
+            F.sum(F.abs(F.col("sum_p") - F.col("sum_y"))) / F.sum("n"), 9
+        ).alias("ece"),
+        F.count("*").alias("n_bins_nonempty"),
+        F.sum("n").cast("long").alias("n"),
+    )

@@ -335,3 +335,43 @@ def m15_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc.select(
         F.round("auc", 6).alias("auc_roc"), "n_pos", "n_neg"
     )
+
+
+# -- Calibration (Brier + ECE): training-pipeline evaluation beyond the
+# reference's metric set; same scalable-exact binned posture as the AUC.
+# Registered past the driver window -> SHADOW_ORACLE (pytest-checked,
+# driver_sim PASS*).
+
+@register(
+    "m_calibration",
+    shadow_oracle=f"""
+WITH p AS ({_PRED_SQL}),
+s AS (
+    SELECT CAST(y >= 250000 AS INT) AS yt,
+           least(1.0, y_hat / 500000.0) AS ph
+    FROM p
+),
+b AS (
+    SELECT least(CAST(floor(ph * 10) AS BIGINT), 9) AS bin,
+           count(*) AS n, sum(ph) AS sum_p,
+           CAST(sum(yt) AS BIGINT) AS sum_y,
+           sum((ph - yt) * (ph - yt)) AS sum_sq
+    FROM s GROUP BY 1
+)
+SELECT round(sum(sum_sq) / sum(n), 9) AS brier,
+       round(sum(abs(sum_p - sum_y)) / sum(n), 9) AS ece,
+       count(*) AS n_bins_nonempty,
+       CAST(sum(n) AS BIGINT) AS n
+FROM b
+""",
+)
+def m_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier + ECE over the deterministic scored table (probability =
+    squashed y_hat). Two aggregations total; exact at any scale."""
+    from ..ml.metrics import calibration_report
+
+    p = _preds(spark, sf_dir).select(
+        (F.col("y") >= 250000).cast("int").alias("yt"),
+        F.least(F.lit(1.0), F.col("y_hat") / F.lit(500000.0)).alias("ph"),
+    )
+    return calibration_report(p, label_col="yt", prob_col="ph", n_bins=10)

@@ -20,7 +20,19 @@ SHADOW_NAMES = [
     "mix_temperature_weights",
     "pack_token_shards",
     "text_pii_mask",
+    "m_calibration",
 ]
+
+
+def test_shadow_list_is_complete():
+    """Every registered shadow oracle is exercised here — adding a
+    shadow query without its pytest differential check is the gap this
+    guard closes."""
+    from hive_population_ml_spark.queries import load_all
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
+
+    load_all()
+    assert set(SHADOW_NAMES) == set(SHADOW_ORACLE)
 
 
 @pytest.mark.parametrize("name", SHADOW_NAMES)
@@ -153,3 +165,28 @@ def test_pii_mask_real_patterns(spark):
     assert out[2]["ni"] == 1 and out[2]["masked"] == "server at <IP> port open"
     assert out[3]["np"] >= 1 and "<PHONE>" in out[3]["masked"]
     assert out[4]["masked"] == rows[3].text  # untouched
+
+
+def test_calibration_report_closed_forms(spark):
+    from hive_population_ml_spark.ml.metrics import calibration_report
+
+    # perfectly calibrated by bin: within each bin, positive rate equals
+    # the (constant) predicted probability -> ECE == 0 exactly.
+    rows = []
+    for b in range(10):
+        ph = b / 10 + 0.05
+        n_pos = b  # out of 10 docs: positive rate b/10 vs conf b/10+0.05
+        rows += [Row(y=1, p=ph)] * n_pos + [Row(y=0, p=ph)] * (10 - n_pos)
+    df = spark.createDataFrame(rows)
+    out = calibration_report(df, "y", "p").collect()[0]
+    assert out["n"] == 100 and out["n_bins_nonempty"] == 10
+    assert abs(out["ece"] - 0.05) < 1e-9  # |conf-acc| = 0.05 in every bin
+
+    # constant 0.5 on balanced labels: brier = 0.25, ece = 0
+    bal = spark.createDataFrame([Row(y=i % 2, p=0.5) for i in range(100)])
+    out = calibration_report(bal, "y", "p").collect()[0]
+    assert abs(out["brier"] - 0.25) < 1e-9
+    assert abs(out["ece"]) < 1e-9
+    # p=1.0 lands in the top bin (least() guard), never bin 10
+    edge = spark.createDataFrame([Row(y=1, p=1.0)])
+    assert calibration_report(edge, "y", "p").collect()[0]["n_bins_nonempty"] == 1
