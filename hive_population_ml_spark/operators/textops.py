@@ -185,6 +185,38 @@ def predict_lang(col: str | Column = "text") -> Column:
     return expr
 
 
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM-quality proxy: per-document mean negative
+    log-likelihood under the corpus's own unigram distribution (high
+    avg_nll = rare-token-heavy = candidate for quality filtering).
+
+    Plan shape at scale: one token-count aggregation builds the
+    vocabulary table (vocabulary ≪ corpus — it is the classic
+    broadcast-join side, AQE broadcasts it from runtime stats), the
+    corpus total folds in via a 1-row cross join, and one final
+    aggregation scores documents. No per-row Python, no window.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n_total"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n_total"))), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "avg_nll")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document text-analysis column bundle."""
     return df.select(

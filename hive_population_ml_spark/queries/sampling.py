@@ -162,3 +162,25 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.pii_count("phone", "t").cast("long").alias("n_phones"),
         F.md5(textops.pii_mask("t")).alias("masked_fp"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    shadow_oracle="""
+WITH tok AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t
+    FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq)
+SELECT doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(c / n_total)), 6) AS avg_nll
+FROM tok JOIN freq USING (t), tot
+GROUP BY doc
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram NLL quality score per document (CCNet-style LM
+    proxy) — see operators/textops.py::unigram_logprob_score."""
+    t = Tables(spark, sf_dir)
+    return textops.unigram_logprob_score(t.documents)

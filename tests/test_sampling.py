@@ -21,7 +21,24 @@ SHADOW_NAMES = [
     "pack_token_shards",
     "text_pii_mask",
     "m_calibration",
+    "text_unigram_logprob",
 ]
+
+
+def test_unigram_logprob_ranks_rarity(spark):
+    from hive_population_ml_spark.operators.textops import unigram_logprob_score
+
+    rows = [
+        Row(doc_id=1, text="common common common common"),
+        Row(doc_id=2, text="common common rare1 rare2"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob_score(spark.createDataFrame(rows)).collect()
+    }
+    # the rare-token doc must score a strictly higher mean NLL
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
 
 
 def test_shadow_list_is_complete():
