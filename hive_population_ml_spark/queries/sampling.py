@@ -184,3 +184,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy) — see operators/textops.py::unigram_logprob_score."""
     t = Tables(spark, sf_dir)
     return textops.unigram_logprob_score(t.documents)
+
+
+@register("sketch_distinct_tokens")  # rows-only: sketch estimates are
+# engine-specific (DataSketches HLL vs DuckDB's approx sketch);
+# accuracy vs exact + merge-consistency pinned in tests/test_sampling.py
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token estimates per language via mergeable HLL sketches:
+    per-(lang, source) sketches rolled up to lang WITHOUT rescanning —
+    the persisted-partition-sketch pattern for 100 TB distinct metrics."""
+    from ..operators.sketches import distinct_sketches, rollup_sketches
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang", "source", F.explode(textops.tokens("text")).alias("t")
+    )
+    fine = distinct_sketches(tok, ["lang", "source"], "t")
+    return rollup_sketches(fine, ["lang"]).select("lang", "est_distinct")

@@ -207,3 +207,40 @@ def test_calibration_report_closed_forms(spark):
     # p=1.0 lands in the top bin (least() guard), never bin 10
     edge = spark.createDataFrame([Row(y=1, p=1.0)])
     assert calibration_report(edge, "y", "p").collect()[0]["n_bins_nonempty"] == 1
+
+
+def test_hll_sketches_accuracy_and_mergeability(spark, sf_oracle_dir):
+    """Sketch estimates land within HLL error of exact counts, and the
+    rollup of fine-grained sketches equals sketching the coarse level
+    directly — the property that makes persisted partition sketches
+    composable without raw-data rescans."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+    )
+    from hive_population_ml_spark.operators.textops import tokens
+
+    tok = (
+        Tables(spark, sf_oracle_dir)
+        .documents.select("lang", "source", F.explode(tokens("text")).alias("t"))
+    )
+    exact = {
+        r["lang"]: r["d"]
+        for r in tok.groupBy("lang").agg(F.countDistinct("t").alias("d")).collect()
+    }
+    direct = {
+        r["lang"]: r["est_distinct"]
+        for r in distinct_sketches(tok, ["lang"], "t").collect()
+    }
+    rolled = {
+        r["lang"]: r["est_distinct"]
+        for r in rollup_sketches(
+            distinct_sketches(tok, ["lang", "source"], "t"), ["lang"]
+        ).collect()
+    }
+    assert set(exact) == set(direct) == set(rolled)
+    for lang, d in exact.items():
+        assert abs(direct[lang] - d) / d < 0.05, (lang, direct[lang], d)
+        # merging per-source sketches must estimate the SAME set union
+        assert rolled[lang] == direct[lang], (lang, rolled[lang], direct[lang])
