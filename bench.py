@@ -42,8 +42,11 @@ HEADLINE = [
     "text_repetition_filter",
     "text_decontaminate",
     "text_pii_mask",
+    "text_unigram_logprob",
     "sample_stratified",
     "pack_token_shards",
+    "sketch_distinct_tokens",
+    "m_calibration",
     "w5_sequence_digest",
     "w_sessionize",
 ]

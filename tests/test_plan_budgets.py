@@ -32,8 +32,11 @@ EXCHANGE_BUDGETS = {
     "text_repetition_filter": 0,
     "text_decontaminate": 4,
     "text_pii_mask": 0,
+    "text_unigram_logprob": 6,
     "sample_stratified": 0,
     "pack_token_shards": 2,
+    "sketch_distinct_tokens": 2,
+    "m_calibration": 4,
     "w5_sequence_digest": 1,
     "w_sessionize": 1,
 }
