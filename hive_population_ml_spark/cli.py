@@ -63,6 +63,18 @@ def _parser() -> argparse.ArgumentParser:
             )
         else:
             s.add_argument("--model-dir", required=True)
+    prep = sub.add_parser(
+        "prep",
+        help="corpus preparation: exact-dedup -> PII mask -> quality "
+        "gate -> deterministic stratified sample -> token-budget shard "
+        "manifest (the training-data pipeline, one lazy DAG per output)",
+    )
+    prep.add_argument("--data-dir", required=True)
+    prep.add_argument("--output-dir", required=True)
+    prep.add_argument("--sample-rate", type=float, default=1.0)
+    prep.add_argument("--min-tokens", type=int, default=5)
+    prep.add_argument("--shard-tokens", type=int, default=2000)
+    prep.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -224,8 +236,63 @@ def cmd_evaluate(args) -> dict:
     return out
 
 
+def cmd_prep(args) -> dict:
+    """Corpus-prep pipeline over ``documents``: keep one doc per exact
+    content group, mask PII, gate on a minimum token count, sample
+    deterministically, and write (a) the cleaned corpus parquet, (b) the
+    per-language token-budget shard manifest, (c) a summary JSON. Every
+    stage is the registered operator — the CLI only composes them."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators import textops
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import pack_shards, stratified_sample
+    from .session import get_spark
+
+    spark = get_spark("hpml-prep", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = Tables(spark, args.data_dir).documents
+    n_raw = docs.count()
+
+    canonical = exact_dedup(docs, "doc_id", "text").select("canonical_id")
+    kept = docs.join(
+        canonical, docs["doc_id"] == canonical["canonical_id"], "left_semi"
+    )
+    cleaned = (
+        kept.withColumn("text", textops.pii_mask("text"))
+        .withColumn("n_tokens", textops.token_count("text"))
+        .filter(F.col("n_tokens") >= args.min_tokens)
+    )
+    sampled = stratified_sample(
+        cleaned, "lang", {}, id_col="doc_id", default_rate=args.sample_rate
+    ).drop("__u")
+
+    corpus_path = os.path.join(args.output_dir, "corpus")
+    sampled.write.mode("overwrite").parquet(corpus_path)
+
+    back = spark.read.parquet(corpus_path)
+    manifest = pack_shards(
+        back, "lang", F.col("n_tokens"), budget=args.shard_tokens,
+        order_col="doc_id",
+    )
+    manifest_path = os.path.join(args.output_dir, "shards")
+    manifest.write.mode("overwrite").parquet(manifest_path)
+
+    summary = spark.read.parquet(manifest_path).agg(
+        F.lit(n_raw).alias("n_raw_docs"),
+        F.sum("n_docs").cast("long").alias("n_kept_docs"),
+        F.sum("total_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_shards"),
+    )
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    out = {k: v for k, v in summary.collect()[0].asDict().items()}
+    out.update({"corpus": corpus_path, "shards": manifest_path})
+    return out
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = _parser().parse_args(argv)
+    if args.command == "prep":
+        return cmd_prep(args)
     return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
 
 

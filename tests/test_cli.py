@@ -3,6 +3,8 @@
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from hive_population_ml_spark.cli import main
 
 
@@ -76,3 +78,36 @@ def test_cli_train_lstm_stages_sequence_shards(spark, sf_dir):
         assert len(sizes) == 1
         width = staged.select(F.size(F.element_at("seq", 1)).alias("w")).first()["w"]
         assert width == 3  # price, qty, disc
+
+
+def test_cli_prep_pipeline(spark, sf_dir, tmp_path):
+    """prep writes a deduped/masked/gated corpus, a token-budget shard
+    manifest that exactly covers it, and a consistent summary JSON."""
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "prep",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path),
+            "--min-tokens", "5",
+            "--shard-tokens", "1000",
+            "--cpus", "4",
+        ]
+    )
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    manifest = spark.read.parquet(str(tmp_path / "shards"))
+    n_corpus = corpus.count()
+    assert 0 < n_corpus <= out["n_raw_docs"]
+    assert out["n_kept_docs"] == n_corpus  # manifest covers every kept doc
+    # no duplicate contents survive
+    assert corpus.select("text").distinct().count() == n_corpus
+    # gate applied
+    assert corpus.filter(F.col("n_tokens") < 5).count() == 0
+    # summary agrees with the manifest
+    agg = manifest.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_tokens").alias("t")
+    ).collect()[0]
+    assert agg["d"] == out["n_kept_docs"]
+    assert agg["t"] == out["n_tokens"]
+    assert out["n_shards"] == manifest.count() > 0
