@@ -127,3 +127,37 @@ def test_mode_count_matches_python_counter(spark, docs):
         toks = " ".join(d).split(" ")  # mirrors split semantics ("" for empty)
         want = max(Counter(toks).values())
         assert got[i] == want, (toks, got[i], want)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_uniform_hash_portable_across_engines(spark, ids):
+    """The minstd mode is the cross-engine sampling contract: Spark,
+    DuckDB (shadow oracle) and pure-Python 64-bit integer arithmetic
+    must produce bit-identical u values for ANY id — retry-stable,
+    engine-portable sampling depends on it."""
+    from hive_population_ml_spark.operators.sampling import (
+        _MINSTD_A,
+        _MINSTD_M,
+        _MINSTD_OFFSET,
+        uniform_hash,
+    )
+
+    def py_u(i: int) -> float:
+        x = (abs(i) + _MINSTD_OFFSET) % _MINSTD_M
+        x = x * _MINSTD_A % _MINSTD_M
+        x = x * _MINSTD_A % _MINSTD_M
+        return x / float(_MINSTD_M)
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["u"]
+        for r in df.select("id", uniform_hash("id", "minstd").alias("u")).collect()
+    }
+    for i in ids:
+        assert got[i] == py_u(i), (i, got[i], py_u(i))
