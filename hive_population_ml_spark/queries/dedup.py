@@ -115,3 +115,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus size (13.5x wall-clock at 10x data on the scale probe)."""
     t = Tables(spark, sf_dir)
     return simhash_pairs(t.documents, "doc_id", "text", max_hamming=3)
+
+
+@register("dedup_canonical_simhash")  # rows-only: approximate op composition
+def dedup_canonical_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-first near-dup (the documented at-scale practice):
+    exact-collapse duplicate clusters, then SimHash near-dup over
+    distinct contents only; returns canonical pairs with the exact-group
+    sizes attached so consumers can expand on demand. Worst-case probe in
+    PERFORMANCE.md: 10x duplicate clusters -> 511 canonical pairs in
+    6.1s vs 277,500 raw pairs."""
+    from ..operators.dedup import canonical_near_dup_pairs
+
+    t = Tables(spark, sf_dir)
+    groups, pairs = canonical_near_dup_pairs(
+        t.documents, "doc_id", "text", method="simhash", max_hamming=3
+    )
+    g1 = groups.select(
+        F.col("canonical_id").alias("d1"), F.col("n_copies").alias("n_copies_1")
+    )
+    g2 = groups.select(
+        F.col("canonical_id").alias("d2"), F.col("n_copies").alias("n_copies_2")
+    )
+    return pairs.join(g1, "d1").join(g2, "d2")

@@ -114,3 +114,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_blocked(
         t.embeddings, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
+
+
+@register("ann_ivf_trained")  # rows-only: approximate; trained quantizer
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a KMeans-trained fixed-k coarse quantizer (seeded,
+    deterministic) — the production path: k stays fixed as the corpus
+    grows, so query-to-cell assignment is linear in corpus size (the
+    %101-sampled variant's probed superlinearity was k growing with n;
+    see PERFORMANCE.md)."""
+    from ..operators.similarity import train_ivf_centroids
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = train_ivf_centroids(emb, k=16, max_iter=5)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        centroids=cents,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=3,
+    )
