@@ -155,6 +155,8 @@ def calibration_report(
     here approximates, and no global sort or per-row window exists, so
     the plan is two shuffles regardless of corpus size.
     """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
     p = F.col(prob_col)
     y = F.col(label_col).cast("double")
     b = F.least(F.floor(p * n_bins), F.lit(n_bins - 1))

@@ -134,6 +134,8 @@ def pack_shards(
     """
     from pyspark.sql import Window
 
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     w = Window.partitionBy(bucket_col).orderBy(order_col)
     start = F.sum(size).over(w) - size

@@ -244,3 +244,14 @@ def test_hll_sketches_accuracy_and_mergeability(spark, sf_oracle_dir):
         assert abs(direct[lang] - d) / d < 0.05, (lang, direct[lang], d)
         # merging per-source sketches must estimate the SAME set union
         assert rolled[lang] == direct[lang], (lang, rolled[lang], direct[lang])
+
+
+def test_invalid_params_raise(spark):
+    from hive_population_ml_spark.ml.metrics import calibration_report
+    from hive_population_ml_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame([Row(b="x", n=3, o=1, y=1, p=0.5)])
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(df, "b", "n", budget=0, order_col="o")
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, "y", "p", n_bins=0)
