@@ -137,8 +137,17 @@ def a5_calendar_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key the sub-aggregations already shuffled on.
     Reference: preprocessing.py:330-358."""
     t = Tables(spark, sf_dir)
+    # One explicit hash-partitioning on user_id serves EVERY downstream
+    # distribution requirement: HashPartitioning(user) satisfies
+    # ClusteredDistribution(user, wk), (user, hr) and (user), so both
+    # agg-of-agg chains run shuffle-free after it — and because the two
+    # branches share the identical scan+repartition subtree, Spark
+    # reuses the exchange (ReusedExchange). Plan went from 4 data
+    # exchanges + broadcast to 1 (+1 reused); the "reuse a partitioning
+    # across stages" pattern, plan-asserted in test_plan_budgets.
+    ev = t.events.select("user_id", "ts", "value").repartition("user_id")
     weekly = (
-        t.events.groupBy("user_id", F.weekofyear("ts").alias("wk"))
+        ev.groupBy("user_id", F.weekofyear("ts").alias("wk"))
         .agg(F.avg("value").alias("wv"))
         .groupBy("user_id")
         .agg(
@@ -148,7 +157,7 @@ def a5_calendar_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hourly = (
-        t.events.groupBy("user_id", F.hour("ts").alias("hr"))
+        ev.groupBy("user_id", F.hour("ts").alias("hr"))
         .agg(F.avg("value").alias("hv"))
         .groupBy("user_id")
         .agg(

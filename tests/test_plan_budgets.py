@@ -17,7 +17,8 @@ EXCHANGE_BUDGETS = {
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
-    "a5_calendar_reagg": 5,
+    # one user_id repartition serves both agg-of-agg chains (was 5)
+    "a5_calendar_reagg": 3,
     "asof_nearest_ship": 3,
     "m16_regression_metrics": 3,
     "dedup_exact": 1,
