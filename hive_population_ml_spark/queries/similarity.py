@@ -7,11 +7,11 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..operators.similarity import (
-    cosine_dup_pairs,
     cosine_dup_pairs_blocked,
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
 )
 from .registry import register
 
@@ -76,15 +76,22 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf")  # rows-only: approximate; recall vs brute force in tests
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with a deterministic coarse quantizer (every 101st
-    vector as a centroid — stand-in for KMeans centers so both engines
-    and repeat runs agree)."""
+    """IVF ANN with a KMeans-trained fixed-k coarse quantizer (seeded,
+    deterministic — kmeans|| init, 5 Lloyd iterations).
+
+    k stays FIXED as the corpus grows, so query-to-cell assignment is
+    linear in corpus size. The previous registration sampled centroids
+    as ``vec_id % 101`` — k grew linearly with n, making assignment
+    O(queries x n/101); the 10x scale probe measured 8.71x wall-clock
+    (PERFORMANCE.md), so that variant is demoted to a test fixture
+    (tests/test_operators.py::test_ivf_topk_recall_vs_bruteforce)."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
+    cents = train_ivf_centroids(emb, k=16, max_iter=5)
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") % 100 == 0),
-        centroids=emb.filter(F.col("vec_id") % 101 == 0),
+        centroids=cents,
         id_col="vec_id",
         vec_col="embedding",
         k=5,
@@ -116,24 +123,3 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_trained")  # rows-only: approximate; trained quantizer
-def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a KMeans-trained fixed-k coarse quantizer (seeded,
-    deterministic) — the production path: k stays fixed as the corpus
-    grows, so query-to-cell assignment is linear in corpus size (the
-    %101-sampled variant's probed superlinearity was k growing with n;
-    see PERFORMANCE.md)."""
-    from ..operators.similarity import train_ivf_centroids
-
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings
-    cents = train_ivf_centroids(emb, k=16, max_iter=5)
-    return ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") % 100 == 0),
-        centroids=cents,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=5,
-        n_probe=3,
-    )

@@ -133,9 +133,16 @@ def time_query(spark, fn, sf_dir: str) -> tuple[float, int]:
     exchanges = df._jdf.queryExecution().executedPlan().toString().count(
         "Exchange"
     )
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3), exchanges
+    # best-of-2: the first execution at a new scale pays one-off JIT/
+    # codegen costs that are not throughput (measured 10.2s -> 3.2s on
+    # an identical repeated plan); min isolates the steady-state rate
+    # the ratio is meant to capture.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3), exchanges
 
 
 def main() -> None:
