@@ -25,9 +25,9 @@ _MODULES = [
     "text",
     "similarity",
     "streamq",
-    # past the driver's 50-entry window: registers rows-only queries
-    # whose differential SQL lives in SHADOW_ORACLE (pytest-checked) —
-    # must stay LAST so the 50 driver-checked oracles keep their window.
+    # sampling's queries rotated INTO the driver window in round 4;
+    # _prioritize() orders oracle-backed entries first, so module order
+    # only fixes relative position within each class.
     "sampling",
 ]
 

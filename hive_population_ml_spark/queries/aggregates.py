@@ -332,7 +332,7 @@ def a12_rowwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a13_global_stats",
-    oracle="""
+    shadow_oracle="""
 SELECT count(*) AS n,
        min(o_totalprice) AS tp_min,
        max(o_totalprice) AS tp_max,

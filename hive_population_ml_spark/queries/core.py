@@ -123,7 +123,7 @@ def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p_filter_project",
-    oracle="""
+    shadow_oracle="""
 SELECT event_id, event_type, value, 'W1' AS period
 FROM events
 WHERE user_id = 7
@@ -184,7 +184,7 @@ def p_null_guard_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s2_union_provenance",
-    oracle="""
+    shadow_oracle="""
 SELECT period, l_returnflag,
        count(*) AS n,
        sum(l_quantity) AS sum_qty
@@ -266,7 +266,7 @@ def j2_key_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j5_semi_split",
-    oracle="""
+    shadow_oracle="""
 SELECT split,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_custs

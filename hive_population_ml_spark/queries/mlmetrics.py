@@ -339,12 +339,12 @@ def m15_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Calibration (Brier + ECE): training-pipeline evaluation beyond the
 # reference's metric set; same scalable-exact binned posture as the AUC.
-# Registered past the driver window -> SHADOW_ORACLE (pytest-checked,
-# driver_sim PASS*).
+# Rotated INTO the driver's hash-check window in round 4 (was
+# SHADOW_ORACLE/pytest-checked in round 3).
 
 @register(
     "m_calibration",
-    shadow_oracle=f"""
+    oracle=f"""
 WITH p AS ({_PRED_SQL}),
 s AS (
     SELECT CAST(y >= 250000 AS INT) AS yt,

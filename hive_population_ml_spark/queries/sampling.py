@@ -1,9 +1,9 @@
 """Corpus sampling / data-mixing / PII queries (charter extension).
 
-These register AFTER the driver's 50-entry hash-check window filled, so
-they carry ``shadow_oracle`` SQL — the identical differential contract,
-executed by ``tests/test_sampling.py`` instead of the round driver (the
-driver sees them as rows-only tail entries).
+Round-4 rotation: these queries now carry full ``oracle`` SQL inside
+the driver's 50-entry hash-check window (six long-stable trivial
+queries ceded their slots and hold the same differential contract as
+``shadow_oracle`` checks in ``tests/test_sampling.py``).
 
 The PII oracle interpolates the very same ``PII_PATTERNS`` constants the
 Spark operator uses, so both engines run byte-identical regexes
@@ -28,7 +28,7 @@ _DEFAULT_RATE = 0.75
 
 @register(
     "sample_stratified",
-    shadow_oracle=f"""
+    oracle=f"""
 WITH s AS (
     SELECT doc_id, lang, source,
            (((((abs(doc_id) + 999983) % 2147483647) * 48271 % 2147483647)
@@ -55,7 +55,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mix_temperature_weights",
-    shadow_oracle="""
+    oracle="""
 WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT sum(pow(n_docs, 0.3)) AS tw FROM c)
 SELECT lang, n_docs,
@@ -74,7 +74,7 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_token_shards",
-    shadow_oracle="""
+    oracle="""
 WITH s AS (
     SELECT lang AS bucket, doc_id AS ord,
            len(string_split(text, ' ')) AS n_tokens
@@ -132,7 +132,7 @@ FROM d
 """
 
 
-@register("text_pii_mask", shadow_oracle=_pii_injected_sql())
+@register("text_pii_mask", oracle=_pii_injected_sql())
 def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking over the corpus. The synthetic corpus carries no PII,
     so a deterministic fixture suffix (emails/IPs/phones on every 7th
@@ -166,7 +166,7 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_logprob",
-    shadow_oracle="""
+    oracle="""
 WITH tok AS (
     SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t
     FROM documents),

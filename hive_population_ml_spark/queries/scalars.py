@@ -18,7 +18,7 @@ from .registry import register
 
 @register(
     "f_datetime_parts",
-    oracle="""
+    shadow_oracle="""
 SELECT o_orderkey,
        year(o_orderdate) AS yr,
        month(o_orderdate) AS mon,

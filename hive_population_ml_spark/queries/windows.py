@@ -22,7 +22,7 @@ _W = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E7
 
 @register(
     "w1_ordered_head",
-    oracle="""
+    shadow_oracle="""
 WITH r AS (
     SELECT user_id, event_id, value,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

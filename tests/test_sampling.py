@@ -15,13 +15,19 @@ from hive_population_ml_spark.operators.sampling import (
 from hive_population_ml_spark.operators.textops import pii_count, pii_mask
 from hive_population_ml_spark.testing import _normalize, duckdb_connection
 
+# Round-4 rotation (VERDICT r3 #2): the six round-3 shadow queries
+# (sample_stratified, mix_temperature_weights, pack_token_shards,
+# text_pii_mask, text_unigram_logprob, m_calibration) moved INTO the
+# driver's 50-entry hash-check window to earn real driver rows; these
+# six long-stable trivial queries ceded their slots and keep the
+# identical differential contract here as shadow checks.
 SHADOW_NAMES = [
-    "sample_stratified",
-    "mix_temperature_weights",
-    "pack_token_shards",
-    "text_pii_mask",
-    "m_calibration",
-    "text_unigram_logprob",
+    "p_filter_project",
+    "s2_union_provenance",
+    "f_datetime_parts",
+    "w1_ordered_head",
+    "j5_semi_split",
+    "a13_global_stats",
 ]
 
 
