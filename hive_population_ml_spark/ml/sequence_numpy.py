@@ -13,7 +13,12 @@ shuffling, patience early stopping; reference
 
 It shares :func:`~.sequence.load_staged_shard` with the torch path, so
 the staged-shard → tensor contract validated by these tests is the very
-code the torch workers run. This is a correctness/evidence backend, not
+code the torch workers run. Gate conventions follow torch exactly —
+LSTM [i,f,g,o] order with fused (weight-equivalent) bias, GRU v3
+gating with a separate hidden bias inside the reset gate — pinned by
+``tests/test_sequence_models.py::
+test_numpy_twin_matches_torch_documented_equations`` against an
+independent transcription of the documented recurrences. This is a correctness/evidence backend, not
 a performance path: at cluster scale the torch backend does the
 training; this one proves the semantics in any plain numpy environment.
 """
@@ -319,7 +324,12 @@ class NumpySeqModel:
             self.is_rnn = True
             n_gates = 4 if spec.model == "lstm" else 3
             self.dirs = 2 if spec.bidirectional else 1
-            self.cells = []  # [layer][direction] -> (Wx, Wh, b)
+            # [layer][direction] -> (Wx, Wh, b_ih) for LSTM (torch's two
+            # bias vectors are purely additive there, so a fused bias is
+            # weight-equivalent), plus a separate b_hh for GRU, where
+            # torch's v3 candidate gate places the hidden bias INSIDE
+            # the reset gate: n = tanh(x Wxn + b_in + r*(h Whn + b_hn)).
+            self.cells = []
             for layer in range(spec.num_layers):
                 in_dim = d if layer == 0 else d * self.dirs
                 row = []
@@ -328,7 +338,12 @@ class NumpySeqModel:
                     wh = T(rng.normal(0, 1 / np.sqrt(d), (d, n_gates * d)))
                     b = T(np.zeros(n_gates * d))
                     P(wx, wh, b)
-                    row.append((wx, wh, b))
+                    if spec.model == "gru":
+                        bh = T(np.zeros(n_gates * d))
+                        P(bh)
+                        row.append((wx, wh, b, bh))
+                    else:
+                        row.append((wx, wh, b))
                 self.cells.append(row)
             out_dim = d * self.dirs
         elif spec.model == "transformer":
@@ -365,10 +380,10 @@ class NumpySeqModel:
     # -- encoder pieces ----------------------------------------------------
 
     def _rnn_cell(self, cell, x_t: T, h: T, c: T | None):
-        wx, wh, b = cell
         d = self.spec.hidden_dim
-        pre = add(add(matmul(x_t, wx), matmul(h, wh)), b)
         if self.spec.model == "lstm":
+            wx, wh, b = cell
+            pre = add(add(matmul(x_t, wx), matmul(h, wh)), b)
             i = sigmoid(reshape(timestep(reshape(pre, (-1, 4, d)), 0), h.v.shape))
             # NOTE: timestep() indexes axis 1 — reshape (B, 4, d) exposes the
             # gate axis there, giving the torch [i, f, g, o] gate order.
@@ -378,20 +393,29 @@ class NumpySeqModel:
             c2 = add(mul(f, c), mul(i, g))
             h2 = mul(o, tanh(c2))
             return h2, c2
-        # GRU: torch gate order [r, z, n]; r and z read their slices of
-        # `pre` (the unused n-slice gets zero grad from the scatter).
+        # GRU, torch v3 gating (nn.GRU), gate order [r, z, n]. r and z
+        # read their slices of the fused pre-activation (both torch
+        # biases are additive for those gates); the candidate keeps the
+        # hidden matmul + its own bias INSIDE the reset gate:
+        #   n = tanh(x Wxn + b_in + r * (h Whn + b_hn))
+        # so weights/dynamics are interchangeable with the torch path.
+        # Parameter column-slices are graph nodes whose backward pads
+        # the gradient back into the full gate matrix; the unused
+        # n-slice of `pre` gets zero grad from the scatter.
+        wx, wh, b, bh = cell
+        pre = add(add(matmul(x_t, wx), matmul(h, wh)), add(b, bh))
         r = sigmoid(reshape(timestep(reshape(pre, (-1, 3, d)), 0), h.v.shape))
         z = sigmoid(reshape(timestep(reshape(pre, (-1, 3, d)), 1), h.v.shape))
-        # candidate: n = tanh(x Wxn + (r*h) Whn + b_n) — the standard GRU
-        # form (torch gates the hidden bias term too; equivalent trainer).
-        # Parameter column-slices are graph nodes whose backward pads the
-        # gradient back into the full gate matrix.
+        hn = add(
+            matmul(h, T(wh.v[:, 2 * d :], (wh,), lambda g: (_pad_cols(g, wh.v.shape, 2 * d),))),
+            T(bh.v[2 * d :], (bh,), lambda g: (_pad_cols_1d(g, bh.v.shape, 2 * d),)),
+        )
         pre_n = add(
             add(
                 matmul(x_t, T(wx.v[:, 2 * d :], (wx,), lambda g: (_pad_cols(g, wx.v.shape, 2 * d),))),
-                matmul(mul(r, h), T(wh.v[:, 2 * d :], (wh,), lambda g: (_pad_cols(g, wh.v.shape, 2 * d),))),
+                T(b.v[2 * d :], (b,), lambda g: (_pad_cols_1d(g, b.v.shape, 2 * d),)),
             ),
-            T(b.v[2 * d :], (b,), lambda g: (_pad_cols_1d(g, b.v.shape, 2 * d),)),
+            mul(r, hn),
         )
         n = tanh(pre_n)
         one_minus_z = cadd(cmul(z, -1.0), 1.0)
@@ -504,7 +528,7 @@ def train_numpy(staged_path: str, spec_dict: dict, out_path: str) -> dict:
     """Single-process numpy twin of ``_train_fn``: same shard reader
     (:func:`~.sequence.load_staged_shard`), same seeded shuffling, Adam,
     and patience early stopping; saves best params as ``.npz``."""
-    from .sequence import SequenceModelSpec, load_staged_shard
+    from .sequence import PatienceTracker, SequenceModelSpec, load_staged_shard
 
     spec = SequenceModelSpec(**spec_dict)
     x, mask, labels = load_staged_shard(staged_path, rank=0, world=1)
@@ -524,7 +548,8 @@ def train_numpy(staged_path: str, spec_dict: dict, out_path: str) -> dict:
     model = NumpySeqModel(spec, num_features=x.shape[-1])
     opt = Adam(model.params, lr=spec.lr)
 
-    best, best_state, bad = float("inf"), None, 0
+    tracker = PatienceTracker(spec.patience)
+    best_state = None
     n = x.shape[0]
     history = []
     for epoch in range(spec.max_epochs):
@@ -540,13 +565,11 @@ def train_numpy(staged_path: str, spec_dict: dict, out_path: str) -> dict:
             total += float(loss.v) * len(idx)
         total /= n
         history.append(total)
-        if total < best - 1e-6:
-            best, bad = total, 0
+        improved, stop = tracker.update(total)
+        if improved:
             best_state = model.state_arrays()
-        else:
-            bad += 1
-            if bad >= spec.patience:
-                break
+        elif stop:
+            break
     if best_state is not None:
         model.load_state_arrays(best_state)
     np.savez(
@@ -555,7 +578,7 @@ def train_numpy(staged_path: str, spec_dict: dict, out_path: str) -> dict:
         num_features=np.int64(x.shape[-1]),
     )
     return {
-        "final_loss": best,
+        "final_loss": tracker.best,
         "epochs_run": epoch + 1,
         "loss_history": history,
         "backend": "numpy",

@@ -161,6 +161,20 @@ def test_binned_rank_auc_nan_raises_like_sklearn(spark):
         binned_rank_auc(df, "yt", "s").collect()
 
 
+def test_binned_rank_auc_all_nan_still_raises(spark):
+    """ADVICE r3 regression: with EVERY score NaN/null the filtered side
+    is an empty relation, and AQE empty-relation propagation elided the
+    old smin-folded guard — a silent 1-row null-auc result. The guard
+    now lives on the output row, which a global agg always emits."""
+    from hive_population_ml_spark.ml.metrics import binned_rank_auc
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (0, None)], "yt int, s double"
+    )
+    with pytest.raises(Exception, match="2 NaN/null scores"):
+        binned_rank_auc(df, "yt", "s").collect()
+
+
 def test_binned_rank_auc_nan_drop_reports_count(spark):
     from hive_population_ml_spark.ml.metrics import binned_rank_auc
 

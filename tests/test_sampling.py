@@ -215,6 +215,31 @@ def test_calibration_report_closed_forms(spark):
     assert calibration_report(edge, "y", "p").collect()[0]["n_bins_nonempty"] == 1
 
 
+def test_calibration_report_nan_policy(spark):
+    """ADVICE r3: NaN/null probabilities previously diluted brier/ece
+    silently (null bin sums skipped by the outer SUM, count(*) still in
+    n). Default now raises like binned_rank_auc; drop mode excludes and
+    reports n_dropped_nan with metrics equal to the clean subset's."""
+    from hive_population_ml_spark.ml.metrics import calibration_report
+
+    clean = [Row(y=i % 2, p=0.5) for i in range(100)]
+    df = spark.createDataFrame(
+        clean + [Row(y=1, p=float("nan")), Row(y=0, p=None)]
+    )
+    with pytest.raises(Exception, match="2 NaN/null probabilities"):
+        calibration_report(df, "y", "p").collect()
+
+    row = calibration_report(df, "y", "p", on_nan="drop").collect()[0]
+    ref = calibration_report(
+        spark.createDataFrame(clean), "y", "p"
+    ).collect()[0]
+    assert row["n_dropped_nan"] == 2 and row["n"] == 100
+    assert row["brier"] == ref["brier"] and row["ece"] == ref["ece"]
+
+    with pytest.raises(ValueError, match="on_nan"):
+        calibration_report(df, "y", "p", on_nan="bogus")
+
+
 def test_hll_sketches_accuracy_and_mergeability(spark, sf_oracle_dir):
     """Sketch estimates land within HLL error of exact counts, and the
     rollup of fine-grained sketches equals sketching the coarse level

@@ -102,6 +102,168 @@ def test_load_staged_shard_rejects_world_gt_shards(spark, tmp_path):
         load_staged_shard(path, rank=3, world=4)
 
 
+def test_load_staged_shard_rejects_empty_shard(spark, tmp_path):
+    """ADVICE r3: a shard file that EXISTS but holds zero rows slipped
+    past the missing-file guard and would hit ZeroDivisionError in the
+    DDP batch-count padding (reps = -(-need // n), n == 0)."""
+    import pyarrow.parquet as pq
+
+    from hive_population_ml_spark.ml.sequence import load_staged_shard
+
+    path = _staged(spark, tmp_path, num_shards=2)
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    victim = os.path.join(path, files[1])
+    schema = pq.read_schema(victim)
+    pq.write_table(schema.empty_table(), victim)
+    with pytest.raises(ValueError, match="zero\\s+rows"):
+        load_staged_shard(path, rank=1, world=2)
+    # the other rank still loads fine
+    x, m, y = load_staged_shard(path, rank=0, world=2)
+    assert x.shape[0] > 0
+
+
+def _torch_doc_forward(m, x, mask):
+    """Independent plain-numpy transcription of the TORCH-DOCUMENTED
+    equations (nn.Linear, nn.LayerNorm, nn.LSTM [i,f,g,o], nn.GRU v3
+    gating n = tanh(x Wxn + b_in + r*(h Whn + b_hn)), attention/mean
+    pooling) — no autodiff graph, written from the docs rather than
+    from sequence_numpy.py. Agreement pins the twin to the torch
+    weight/dynamics convention, which is the cross-backend contract a
+    torch host would otherwise check (reference trainer.py:262-320)."""
+    import numpy as np
+
+    spec = m.spec
+    d = spec.hidden_dim
+
+    def sig(a):
+        return 1.0 / (1.0 + np.exp(-a))
+
+    h = x @ m.proj_w.v + m.proj_b.v
+    mu = h.mean(-1, keepdims=True)
+    var = ((h - mu) ** 2).mean(-1, keepdims=True)
+    h = m.proj_gamma.v * (h - mu) / np.sqrt(var + 1e-5) + m.proj_beta.v
+
+    B, Tlen, _ = h.shape
+    xl = h
+    for row in m.cells:
+        outs_dir = []
+        for di, cell in enumerate(row):
+            order = range(Tlen) if di == 0 else range(Tlen - 1, -1, -1)
+            hs = np.zeros((B, d))
+            cs = np.zeros((B, d))
+            out = np.zeros((B, Tlen, d))
+            for t in order:
+                xt = xl[:, t, :]
+                if spec.model == "lstm":
+                    wx, wh, b = cell
+                    pre = xt @ wx.v + hs @ wh.v + b.v
+                    i = sig(pre[:, 0 * d : 1 * d])
+                    f = sig(pre[:, 1 * d : 2 * d])
+                    g = np.tanh(pre[:, 2 * d : 3 * d])
+                    o = sig(pre[:, 3 * d : 4 * d])
+                    cs = f * cs + i * g
+                    hs = o * np.tanh(cs)
+                else:
+                    wx, wh, b, bh = cell
+                    gi = xt @ wx.v + b.v
+                    gh = hs @ wh.v + bh.v
+                    r = sig(gi[:, :d] + gh[:, :d])
+                    z = sig(gi[:, d : 2 * d] + gh[:, d : 2 * d])
+                    n = np.tanh(gi[:, 2 * d :] + r * gh[:, 2 * d :])
+                    hs = (1.0 - z) * n + z * hs
+                out[:, t, :] = hs
+            outs_dir.append(out)
+        xl = outs_dir[0] if len(outs_dir) == 1 else np.concatenate(outs_dir, -1)
+
+    if spec.use_attention:
+        s = np.tanh(xl @ m.attn1[0].v + m.attn1[1].v) @ m.attn2[0].v + m.attn2[1].v
+        s = s[..., 0] + np.where(mask, 0.0, -1e30)
+        s = s - s.max(-1, keepdims=True)
+        e = np.exp(s)
+        w = e / e.sum(-1, keepdims=True)
+        pooled = (w[..., None] * xl).sum(1)
+    else:
+        mm = mask[..., None].astype(np.float64)
+        pooled = (xl * mm).sum(1) / np.maximum(mm.sum(1), 1.0)
+    out = pooled @ m.head_w.v + m.head_b.v
+    return out[..., 0] if spec.num_classes == 1 else out
+
+
+@pytest.mark.parametrize("model", ["lstm", "gru"])
+def test_numpy_twin_matches_torch_documented_equations(model):
+    """Cross-backend contract (VERDICT r3 #3, torch uninstallable here):
+    the autodiff twin's forward must agree elementwise with an
+    independent direct transcription of torch's documented recurrences —
+    with every parameter (biases included) randomized so bias PLACEMENT
+    matters: the pre-fix GRU variant (fused bias, reset applied before
+    the hidden matmul) fails this at any nonzero b_hn."""
+    import numpy as np
+
+    from hive_population_ml_spark.ml.sequence_numpy import NumpySeqModel
+
+    spec = SequenceModelSpec(
+        model=model,
+        hidden_dim=5,
+        num_layers=2,
+        bidirectional=True,
+        use_attention=True,
+        dropout=0.0,
+        num_classes=1,
+        seed=11,
+    )
+    m = NumpySeqModel(spec, num_features=3)
+    rng = np.random.default_rng(99)
+    for p in m.params:  # nonzero biases everywhere
+        p.v = rng.normal(0.0, 0.5, size=p.v.shape)
+    x = rng.normal(size=(4, 6, 3))
+    mask = np.arange(6)[None, :] < np.array([6, 4, 2, 5])[:, None]
+
+    got = m.forward(x, mask, training=False).v
+    want = _torch_doc_forward(m, x, mask)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_ddp_early_stop_sync_semantics():
+    """The DDP loop's global early-stop decision (sequence.py::_train_fn
+    all-reduces the epoch loss to the global mean before the patience
+    test), executed via the shared PatienceTracker in a multi-rank
+    lockstep simulation: rank-LOCAL decisions diverge on these loss
+    traces (the deadlock the allreduce prevents); the synced decision
+    is identical on every rank at every epoch."""
+    from hive_population_ml_spark.ml.sequence import PatienceTracker
+
+    rank_losses = [
+        [1.0, 0.9, 0.95, 0.96, 0.97],  # improves early, then stalls
+        [1.0, 1.01, 0.7, 0.71, 0.72],  # stalls, then improves
+    ]
+    patience = 2
+
+    def stop_epoch(losses):
+        t = PatienceTracker(patience)
+        for e, loss in enumerate(losses):
+            if t.update(loss)[1]:
+                return e
+        return None
+
+    local_stops = [stop_epoch(ls) for ls in rank_losses]
+    assert len(set(local_stops)) > 1, "traces must expose the divergence"
+
+    trackers = [PatienceTracker(patience) for _ in rank_losses]
+    stopped_at = None
+    for e in range(len(rank_losses[0])):
+        g = sum(ls[e] for ls in rank_losses) / len(rank_losses)  # allreduce
+        decisions = {t.update(g)[1] for t in trackers}
+        assert len(decisions) == 1, "ranks disagreed on the same input"
+        if decisions.pop():
+            stopped_at = e
+            break
+    assert stopped_at == 4  # both trackers stop together
+
+
 @pytest.mark.parametrize("model", ["lstm", "gru", "transformer"])
 def test_numpy_backend_trains_and_loss_decreases(spark, tmp_path, model):
     path = _staged(spark, tmp_path, num_shards=1)
