@@ -326,6 +326,7 @@ def decontaminate(
     text_col: str = "text",
     k: int = 3,
     min_overlap: int = 1,
+    max_benchmark_shingles: int | None = 10_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing
     >= ``min_overlap`` distinct k-token shingles with an evaluation
@@ -337,6 +338,18 @@ def decontaminate(
     shingle explode joined against the broadcast set — rows survive
     only on hits, and the single shuffle (groupBy doc) carries hit
     counts, not shingles. int64 xxhash64 join keys, never strings.
+
+    The whole design stands on the benchmark side staying
+    broadcast-small: a caller that passes a corpus-sized "benchmark"
+    silently flips the probe into replicating it to every task (the
+    10x scale probe measured ~100x work when both sides grew — see
+    PERFORMANCE.md). ``max_benchmark_shingles`` pins that contract at
+    runtime: the benchmark's distinct-shingle count (one cheap count
+    over the SMALL side only) must not exceed it, or the call raises
+    with the shuffle-join alternative named. ``None`` disables the
+    guard for callers who have sized the broadcast themselves. The
+    default 10M int64 hashes ≈ 80 MB broadcast payload — comfortable
+    for executors, far below Spark's 8 GB broadcast ceiling.
     """
     d_sh = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
@@ -350,6 +363,19 @@ def decontaminate(
         .select(F.xxhash64("__s").alias("__h"))
         .distinct()
     )
+    if max_benchmark_shingles is not None:
+        n_b = b_sh.count()
+        if n_b > max_benchmark_shingles:
+            raise ValueError(
+                f"decontaminate: benchmark side has {n_b} distinct "
+                f"shingles > max_benchmark_shingles="
+                f"{max_benchmark_shingles}; broadcasting it would "
+                "replicate a non-small relation to every task. Shrink "
+                "the benchmark, raise the cap if the broadcast is "
+                "genuinely affordable, or use an explicit shuffle "
+                "hash-join (drop the broadcast hint) for two large "
+                "sides."
+            )
     ov = (
         d_sh.join(F.broadcast(b_sh), "__h")
         .groupBy(id_col)

@@ -482,6 +482,50 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert r[3]["contaminated"] == 0
 
 
+def test_decontaminate_broadcast_contract(spark, sf_oracle_dir):
+    """VERDICT r3 #4: the operator's 100 TB posture depends on the
+    benchmark shingles reaching the corpus via a BroadcastExchange —
+    the corpus's exploded shingles must NEVER shuffle. Pinned on the
+    executed plan of the registered query's own inputs."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.textops import decontaminate
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    plan = (
+        decontaminate(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # benchmark side broadcast into the shingle probe
+    assert "BroadcastExchange" in plan
+    joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "__h#" in ln
+    ]
+    assert joins, f"no shingle-hash join found in plan:\n{plan[:2000]}"
+    assert all("BroadcastHashJoin" in ln for ln in joins), (
+        "shingle-hash join left the broadcast strategy — the corpus "
+        f"shingle side would shuffle at scale:\n{joins}"
+    )
+
+
+def test_decontaminate_benchmark_size_guard(spark):
+    """A corpus-sized 'benchmark' must fail loudly instead of silently
+    replicating to every task (the probe's ~100x both-sides blow-up)."""
+    from hive_population_ml_spark.operators.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(30)],
+        "doc_id int, text string",
+    )
+    with pytest.raises(ValueError, match="max_benchmark_shingles"):
+        decontaminate(docs, docs, max_benchmark_shingles=10).collect()
+    # None disables the guard; identical inputs then fully overlap
+    out = decontaminate(docs, docs, max_benchmark_shingles=None)
+    assert out.filter(F.col("contaminated") == 1).count() == 30
+
+
 def test_interval_join_bounds_not_in_join_condition(spark):
     """Regression guard for the window-bound hoist: the interval
     arithmetic must appear in a dim-side Project, never in the join
