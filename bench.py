@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "knn_bruteforce",

@@ -138,3 +138,25 @@ def dedup_canonical_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").alias("d2"), F.col("n_copies").alias("n_copies_2")
     )
     return pairs.join(g1, "d1").join(g2, "d2")
+
+
+@register("dedup_cluster_components")  # rows-only: clusters over approximate
+# pairs; labeling checked exact vs a python union-find in
+# tests/test_operators.py (crafted graphs + these very sf pairs)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: the transitive-closure step that turns near-dup
+    PAIRS into duplicate CLUSTERS with one canonical keeper each (A~B,
+    B~C collapses {A,B,C} even though (A,C) was never emitted).
+    Alternating large-star/small-star connected components
+    (operators/components.py) over the MinHash-LSH pair graph, then a
+    full-corpus assignment: every doc labeled (cluster_id, is_canonical);
+    filter(is_canonical = 1) IS the deduplicated corpus."""
+    from ..operators.components import dedup_cluster_assignment
+
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.3
+    )
+    return dedup_cluster_assignment(
+        t.documents, pairs, id_col="doc_id", src="d1", dst="d2"
+    )

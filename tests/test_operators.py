@@ -631,3 +631,88 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
         F.min(dot / (norm("embedding") * norm("embedding_dq"))).alias("min_cos")
     ).first()["min_cos"]
     assert cos > 0.99
+
+
+# -- connected components: near-dup pairs -> duplicate clusters --------------
+
+
+def _union_find(pairs, vertices=()):
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for v in vertices:
+        find(v)
+    # canonical label = component minimum
+    comp = {}
+    for v in parent:
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i + 1) for i in range(64)],  # pathological 65-node chain
+        [(0, i) for i in range(1, 20)],  # star
+        [(1, 2), (2, 3), (10, 11), (11, 12), (3, 1)],  # 2 comps + cycle
+        [(5, 5), (7, 8)],  # self-loop dropped
+    ],
+)
+def test_connected_components_match_union_find(spark, edges):
+    from hive_population_ml_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_connected_components_on_minhash_pairs(spark, sf_oracle_dir):
+    """The registered query's own pair graph, labels checked EXACTLY
+    against a driver-side union-find over the identical pairs, and the
+    assignment invariants a deduplicated corpus rests on."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["dedup_cluster_components"](spark, sf_oracle_dir)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # every doc labeled exactly once
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(
+            Tables(spark, sf_oracle_dir).documents,
+            "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.3,
+        ).collect()
+    ]
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    want = _union_find(pairs)
+    for r in rows:
+        expect = want.get(r["doc_id"], r["doc_id"])  # singletons keep own id
+        assert r["cluster_id"] == expect
+        assert r["is_canonical"] == int(r["doc_id"] == expect)
+    # exactly one canonical doc per cluster
+    per = {}
+    for r in rows:
+        per[r["cluster_id"]] = per.get(r["cluster_id"], 0) + r["is_canonical"]
+    assert set(per.values()) == {1}

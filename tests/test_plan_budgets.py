@@ -24,6 +24,10 @@ EXCHANGE_BUDGETS = {
     "dedup_exact": 1,
     "dedup_ngram_jaccard": 2,
     "dedup_minhash_lsh": 14,
+    # iterative: localCheckpoint truncates lineage, so the final plan
+    # only shows the assignment join; per-iteration shuffles are bounded
+    # by the shrinking edge list (operators/components.py docstring)
+    "dedup_cluster_components": 2,
     "dedup_simhash": 7,
     "dedup_embedding_cosine": 3,
     "knn_bruteforce": 2,
