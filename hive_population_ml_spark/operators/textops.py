@@ -372,9 +372,10 @@ def decontaminate(
                 f"{max_benchmark_shingles}; broadcasting it would "
                 "replicate a non-small relation to every task. Shrink "
                 "the benchmark, raise the cap if the broadcast is "
-                "genuinely affordable, or use an explicit shuffle "
-                "hash-join (drop the broadcast hint) for two large "
-                "sides."
+                "genuinely affordable, use bloom_decontaminate (fixed-"
+                "size bitset broadcast, no false negatives) for a "
+                "large benchmark, or use an explicit shuffle hash-join "
+                "(drop the broadcast hint) for two large sides."
             )
     ov = (
         d_sh.join(F.broadcast(b_sh), "__h")
@@ -387,4 +388,57 @@ def decontaminate(
         (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
         .cast("int")
         .alias("contaminated"),
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Sketch-based decontamination — the scale path past
+    ``decontaminate``'s broadcast guard.
+
+    The exact path broadcasts the benchmark's distinct shingle hashes
+    (8 bytes/shingle: ~80 MB at 10M shingles, and growing linearly).
+    This path compresses the benchmark side into a FIXED-SIZE Bloom
+    bitset (``m_bits/8`` bytes — 1 MiB at the default 2^23 bits) built
+    by ``sketches.bloom_build``:
+
+    - Build: one pass over benchmark shingles, bit_or-aggregated; the
+      shuffle carries at most m/64 words. No distinct() needed (bit
+      sets are idempotent), so even the build beats the exact path.
+    - Probe: the one-row bitset broadcast-cross-joins the corpus and
+      every doc tests its shingles with O(1) ``element_at`` lookups —
+      a PURE MAP over the corpus. Unlike the exact path there is no
+      hit-count shuffle at all: zero corpus-side exchanges.
+
+    Semantics: ``maybe_contaminated`` is a SUPERSET of the exact
+    ``contaminated`` flag (Bloom filters have no false negatives);
+    the FP rate is ~(1 - e^(-k_hashes*n/m_bits))^k_hashes. Size
+    ``m_bits`` at ~10 bits per distinct benchmark shingle for <1% FP.
+    The at-100-TB recipe: bloom-probe first (map-only over the corpus),
+    then run the exact overlap count only on the tiny flagged slice.
+    """
+    from .sketches import bloom_build, bloom_probe_any
+
+    b_sh = (
+        benchmark.select(F.split(F.col(text_col), " ").alias("__t"))
+        .select(F.explode(shingles_of_tokens(F.col("__t"), k)).alias("__s"))
+    )
+    bits = bloom_build(b_sh, "__s", m_bits=m_bits, k_hashes=k_hashes)
+    probe = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+        .select(id_col, shingles_of_tokens(F.col("__t"), k).alias("__sh"))
+        .crossJoin(F.broadcast(bits))
+    )
+    return probe.select(
+        id_col,
+        bloom_probe_any("__sh", "bits", m_bits, k_hashes)
+        .cast("int")
+        .alias("maybe_contaminated"),
     )

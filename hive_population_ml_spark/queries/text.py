@@ -357,3 +357,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = t.documents.filter(F.col("doc_id") % 17 == 0)
     train = t.documents.filter(F.col("doc_id") % 17 != 0)
     return textops.decontaminate(train, bench, "doc_id", "text", k=3)
+
+
+@register("text_decontaminate_bloom")
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path decontamination (textops.bloom_decontaminate): the
+    benchmark compresses to a FIXED-SIZE Bloom bitset (2^20 bits here)
+    instead of a per-shingle broadcast, and the corpus branch becomes a
+    pure map — zero corpus-side exchanges. Rows-only check (xxhash64
+    bit positions have no DuckDB twin); the no-false-negative superset
+    property vs the exact path is pytest-pinned
+    (test_bloom_decontaminate_superset_of_exact)."""
+    t = Tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") % 17 == 0)
+    train = t.documents.filter(F.col("doc_id") % 17 != 0)
+    return textops.bloom_decontaminate(
+        train, bench, "doc_id", "text", k=3, m_bits=1 << 20
+    )

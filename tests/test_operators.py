@@ -526,6 +526,98 @@ def test_decontaminate_benchmark_size_guard(spark):
     assert out.filter(F.col("contaminated") == 1).count() == 30
 
 
+def test_bloom_membership_no_false_negatives(spark):
+    """Bloom's defining guarantee: every inserted value probes positive.
+    Checked on 1000 inserted + 1000 absent values; absent FPs are bounded
+    by the m/n sizing (here m=2^16 bits for n=1000*5 set bits -> ~0%)."""
+    from hive_population_ml_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe_member,
+    )
+
+    m = 1 << 16
+    items = spark.range(1000).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("v")
+    )
+    bits = bloom_build(items, "v", m_bits=m, k_hashes=5)
+    probe = (
+        spark.range(2000)
+        .select(F.concat(F.lit("tok"), F.col("id")).alias("v"))
+        .crossJoin(F.broadcast(bits))
+        .select("v", bloom_probe_member("v", "bits", m, 5).alias("hit"))
+    )
+    rows = probe.collect()
+    inserted = [r for r in rows if int(r["v"][3:]) < 1000]
+    absent = [r for r in rows if int(r["v"][3:]) >= 1000]
+    assert all(r["hit"] for r in inserted), "false negative — Bloom broken"
+    fp = sum(1 for r in absent if r["hit"])
+    assert fp <= 20, f"FP rate {fp}/1000 far above the sizing bound"
+
+
+def test_bloom_build_rejects_bad_params(spark):
+    from hive_population_ml_spark.operators.sketches import bloom_build
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_build(df, "v", m_bits=1000)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_build(df, "v", m_bits=64, k_hashes=0)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_oracle_dir):
+    """The sketch path may only ADD flags (false positives), never drop
+    one the exact path raises — checked on the registered query's own
+    inputs at sf0.01, plus an FP bound from the m-sizing."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.textops import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["maybe_contaminated"]
+        for r in bloom_decontaminate(train, bench, m_bits=1 << 20).collect()
+    }
+    assert set(bloom) == set(exact)
+    fn = [d for d, c in exact.items() if c and not bloom[d]]
+    assert not fn, f"Bloom dropped exact hits (false negatives): {fn[:5]}"
+    fp = sum(1 for d, c in bloom.items() if c and not exact[d])
+    assert fp <= max(3, len(exact) // 50), f"FP count {fp} above bound"
+
+
+def test_bloom_decontaminate_corpus_side_is_map_only(spark, sf_oracle_dir):
+    """The sketch path's scale contract is STRONGER than the exact
+    one: the corpus branch has ZERO exchanges — scan, shingle, probe
+    against the broadcast one-row bitset, done. Only the (bounded,
+    m/64-word) build side may shuffle."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.textops import bloom_decontaminate
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    q = bloom_decontaminate(train, bench, m_bits=1 << 20)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset cross join
+    # Corpus branch: everything above the BNLJ's streamed side must be
+    # exchange-free. The only Exchanges permitted in the whole plan are
+    # the build side's word-aggregation pair.
+    n_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+    assert n_exchanges <= 2, f"unexpected shuffles ({n_exchanges}):\n{plan[:3000]}"
+
+
 def test_interval_join_bounds_not_in_join_condition(spark):
     """Regression guard for the window-bound hoist: the interval
     arithmetic must appear in a dim-side Project, never in the join
