@@ -442,3 +442,66 @@ def bloom_decontaminate(
         .cast("int")
         .alias("maybe_contaminated"),
     )
+
+
+def token_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Token -> occurrence count (optionally per group): the corpus
+    vocabulary table behind heavy-hitter and unigram-LM analyses.
+
+    Scale shape: explode is map-side; the groupBy's partial aggregation
+    collapses each task's tokens to its local vocabulary BEFORE the
+    shuffle, so the exchange carries one row per (task, distinct token)
+    — bounded by vocabulary size, not corpus size. Vocabulary grows
+    ~sublinearly (Heaps' law), so this stays cheap at 100 TB while
+    per-document structures would not."""
+    g = list(group_cols or [])
+    exploded = docs.select(
+        *g, F.explode(tokens(text_col)).alias("token")
+    )
+    return exploded.groupBy(*g, "token").agg(F.count("*").alias("n"))
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Global top-k tokens by frequency, deterministic tie-break
+    (n DESC, token ASC).
+
+    The orderBy+limit compiles to TakeOrderedAndProject: every partition
+    keeps its local top-k and the driver merges #partitions * k rows —
+    no global sort ever materializes. This exact form is the Spark-first
+    heavy-hitter answer; a Misra-Gries/count-min sketch only becomes
+    necessary when the VOCABULARY itself cannot flow through one
+    shuffle, which for word-like tokens it always can."""
+    return (
+        token_frequencies(docs, text_col)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def heavy_hitters_by(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k tokens per group (same tie-break). The rank window
+    partitions by the group column — parallelism = #groups, and each
+    window instance only ranks that group's vocabulary."""
+    from pyspark.sql import Window
+
+    freq = token_frequencies(docs, text_col, [group_col])
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

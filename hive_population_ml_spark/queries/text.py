@@ -359,6 +359,49 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.decontaminate(train, bench, "doc_id", "text", k=3)
 
 
+@register(
+    "text_heavy_hitters",
+    shadow_oracle="""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 corpus tokens (textops.heavy_hitters): vocabulary-
+    bounded partial agg + TakeOrderedAndProject — per-partition local
+    top-k, merge of #partitions*k rows, no global sort."""
+    t = Tables(spark, sf_dir)
+    return textops.heavy_hitters(t.documents, "text", k=20)
+
+
+@register(
+    "text_heavy_hitters_lang",
+    shadow_oracle="""
+SELECT lang, token, n, rank FROM (
+    SELECT lang, token, n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, token ASC) AS rank
+    FROM (
+        SELECT lang, token, count(*) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        GROUP BY lang, token
+    )
+) WHERE rank <= 5
+""",
+)
+def text_heavy_hitters_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language (textops.heavy_hitters_by): the rank
+    window partitions by lang, so each instance ranks one language's
+    vocabulary — parallelism = #languages, never a global sort."""
+    t = Tables(spark, sf_dir)
+    out = textops.heavy_hitters_by(t.documents, "lang", "text", k=5)
+    return out.select("lang", "token", "n", F.col("rank").cast("long"))
+
+
 @register("text_decontaminate_bloom")
 def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-path decontamination (textops.bloom_decontaminate): the

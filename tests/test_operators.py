@@ -618,6 +618,38 @@ def test_bloom_decontaminate_corpus_side_is_map_only(spark, sf_oracle_dir):
     assert n_exchanges <= 2, f"unexpected shuffles ({n_exchanges}):\n{plan[:3000]}"
 
 
+def test_heavy_hitters_known_values_and_plan(spark):
+    """Top-k tokens with deterministic tie-break; the plan must compile
+    to TakeOrderedAndProject (per-partition local top-k, driver merges
+    #partitions*k rows) — a global Sort would be the scale bug."""
+    from hive_population_ml_spark.operators.textops import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b z")], "doc_id int, text string"
+    )
+    out = heavy_hitters(docs, "text", k=3)
+    rows = [(r["token"], r["n"]) for r in out.collect()]
+    assert rows == [("a", 3), ("b", 3), ("c", 1)]  # a before b on tie
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan[:1500]
+
+
+def test_heavy_hitters_by_ranks_within_group(spark):
+    from hive_population_ml_spark.operators.textops import heavy_hitters_by
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "x x y"),
+            (2, "en", "x z"),
+            (3, "de", "u u v"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    out = heavy_hitters_by(docs, "lang", "text", k=1)
+    got = {r["lang"]: (r["token"], r["n"], r["rank"]) for r in out.collect()}
+    assert got == {"en": ("x", 3, 1), "de": ("u", 2, 1)}
+
+
 def test_interval_join_bounds_not_in_join_condition(spark):
     """Regression guard for the window-bound hoist: the interval
     arithmetic must appear in a dim-side Project, never in the join

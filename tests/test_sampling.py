@@ -28,6 +28,9 @@ SHADOW_NAMES = [
     "w1_ordered_head",
     "j5_semi_split",
     "a13_global_stats",
+    # round-4 additions past the full driver window
+    "text_heavy_hitters",
+    "text_heavy_hitters_lang",
 ]
 
 
