@@ -151,3 +151,80 @@ def pack_shards(
         F.min("ord").alias("first_ord"),
         F.max("ord").alias("last_ord"),
     )
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    mode: str = "minstd",
+    prefilter_safety: float | None = 4.0,
+) -> DataFrame:
+    """EXACT-size deterministic sample: the k rows per group with the
+    smallest ``uniform_hash(id)`` — the distributed replacement for
+    per-group reservoir sampling.
+
+    Why hash-order bottom-k instead of a reservoir: the result is a
+    pure function of the data (stable across runs/retries/partition
+    layouts), and bottom-k is MERGEABLE — bottom-k of a union is the
+    bottom-k of the parts' bottom-ks, so per-shard samples roll up
+    without rescanning (the classic bottom-k sketch property).
+
+    Scale shape: the naive form shuffles every row into its group and
+    rank-windows it. With ``prefilter_safety`` set, a tiny per-group
+    count table (one agg, #groups rows) broadcasts back and a MAP-SIDE
+    filter keeps only rows with u < safety*k/n_g — the expected
+    survivor set is safety*k per group, so the window sorts O(k) rows
+    per group instead of O(n_g). The prefilter is validated EXACTLY:
+    a survivor recount raises loudly if any group kept fewer than
+    min(k, n_g) rows (cannot silently under-sample; for uniform-ish
+    hashes P(miss) < e^-k at safety 4). Set ``prefilter_safety=None``
+    for the single-pass exact form.
+
+    Returns ``df``'s columns plus ``u`` (the hash) and ``rk`` (1..k).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = uniform_hash(id_col, mode)
+    with_u = df.withColumn("__u", u)
+    if prefilter_safety is not None:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("__n_g"))
+        thresh = F.least(
+            F.lit(1.0), F.lit(float(prefilter_safety) * k) / F.col("__n_g")
+        )
+        survivors = with_u.join(F.broadcast(counts), group_col).filter(
+            (F.col("__u") < thresh) | (F.col("__n_g") <= k)
+        )
+        # validate: every group must still hold min(k, n_g) candidates.
+        # Checked against the COUNTS table (left join), not the survivor
+        # set alone — a fully-starved group vanishes from the survivors
+        # and would otherwise dodge the check.
+        kept = survivors.groupBy(group_col).agg(F.count("*").alias("__kept"))
+        bad = (
+            counts.join(kept, group_col, "left")
+            .filter(
+                F.coalesce(F.col("__kept"), F.lit(0))
+                < F.least(F.lit(k), F.col("__n_g"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"bottom_k_sample: prefilter at safety={prefilter_safety} "
+                f"kept too few rows for group {bad[0][group_col]!r} — "
+                "raise prefilter_safety or pass None for the exact "
+                "single-pass form."
+            )
+        with_u = survivors.drop("__n_g")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__u").asc(), F.col(id_col).asc()
+    )
+    return (
+        with_u.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumnRenamed("__u", "u")
+    )

@@ -201,3 +201,40 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fine = distinct_sketches(tok, ["lang", "source"], "t")
     return rollup_sketches(fine, ["lang"]).select("lang", "est_distinct")
+
+
+@register(
+    "sample_group_bottomk",
+    shadow_oracle="""
+WITH s AS (
+    SELECT doc_id, lang,
+           (((((abs(doc_id) + 999983) % 2147483647) * 48271 % 2147483647)
+               * 48271) % 2147483647) / 2147483647.0 AS u
+    FROM documents),
+r AS (
+    SELECT doc_id, lang, u,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY u ASC, doc_id ASC) AS rk
+    FROM s)
+SELECT doc_id, lang, round(u, 9) AS u, rk
+FROM r WHERE rk <= 10
+""",
+)
+def sample_group_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-doc deterministic sample per language
+    (operators/sampling.py::bottom_k_sample): hash-order bottom-k —
+    the mergeable, retry-stable replacement for per-group reservoir
+    sampling. The count-broadcast prefilter shrinks the rank window to
+    O(k) candidates per group before any shuffle."""
+    from ..operators.sampling import bottom_k_sample
+
+    t = Tables(spark, sf_dir)
+    out = bottom_k_sample(
+        t.documents.select("doc_id", "lang"), "lang", k=10, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("u", 9).alias("u"),
+        F.col("rk").cast("long").alias("rk"),
+    )

@@ -31,6 +31,7 @@ SHADOW_NAMES = [
     # round-4 additions past the full driver window
     "text_heavy_hitters",
     "text_heavy_hitters_lang",
+    "sample_group_bottomk",
 ]
 
 
@@ -289,3 +290,60 @@ def test_invalid_params_raise(spark):
         pack_shards(df, "b", "n", budget=0, order_col="o")
     with pytest.raises(ValueError, match="n_bins"):
         calibration_report(df, "y", "p", n_bins=0)
+
+
+def test_bottom_k_sample_prefilter_matches_exact(spark, sf_oracle_dir):
+    """The count-broadcast prefilter is an OPTIMIZATION, never a
+    semantic change: its output must equal the single-pass exact form
+    row for row."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.sampling import bottom_k_sample
+
+    docs = Tables(spark, sf_oracle_dir).documents.select("doc_id", "lang")
+    fast = bottom_k_sample(docs, "lang", k=7, id_col="doc_id")
+    exact = bottom_k_sample(
+        docs, "lang", k=7, id_col="doc_id", prefilter_safety=None
+    )
+    f = {(r["doc_id"], r["lang"], r["rk"]) for r in fast.collect()}
+    e = {(r["doc_id"], r["lang"], r["rk"]) for r in exact.collect()}
+    assert f == e and len(f) > 0
+
+
+def test_bottom_k_sample_is_mergeable(spark):
+    """Bottom-k sketch property: bottom-k(A ∪ B) == bottom-k of
+    bottom-k(A) ∪ bottom-k(B) — per-shard samples roll up without
+    rescanning raw data."""
+    from hive_population_ml_spark.operators.sampling import bottom_k_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("g")
+    )
+    a = df.filter(F.col("doc_id") < 500)
+    b = df.filter(F.col("doc_id") >= 500)
+    whole = bottom_k_sample(df, "g", k=5, id_col="doc_id")
+    parts = bottom_k_sample(
+        bottom_k_sample(a, "g", k=5, id_col="doc_id")
+        .select("doc_id", "g")
+        .union(
+            bottom_k_sample(b, "g", k=5, id_col="doc_id").select("doc_id", "g")
+        ),
+        "g",
+        k=5,
+        id_col="doc_id",
+    )
+    w = {(r["doc_id"], r["g"], r["rk"]) for r in whole.collect()}
+    p = {(r["doc_id"], r["g"], r["rk"]) for r in parts.collect()}
+    assert w == p and len(w) == 15
+
+
+def test_bottom_k_sample_guards(spark):
+    from hive_population_ml_spark.operators.sampling import bottom_k_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("g").alias("g")
+    )
+    with pytest.raises(ValueError, match="k must be positive"):
+        bottom_k_sample(df, "g", k=0, id_col="doc_id")
+    # a starved prefilter must raise loudly, never silently under-sample
+    with pytest.raises(ValueError, match="prefilter"):
+        bottom_k_sample(df, "g", k=5, id_col="doc_id", prefilter_safety=0.01)
