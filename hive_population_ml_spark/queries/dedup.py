@@ -160,3 +160,67 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignment(
         t.documents, pairs, id_col="doc_id", src="d1", dst="d2"
     )
+
+
+@register(
+    "dedup_cluster_ngram",
+    shadow_oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT s FROM sh GROUP BY s
+    HAVING count(*) <= ceil(0.1 * (SELECT count(*) FROM documents))
+),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d1, d2
+    FROM inter
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
+),
+verts AS (SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+          UNION SELECT d2 AS u, d1 AS v FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.v AS id, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+""",
+)
+def dedup_cluster_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure with a FULL differential oracle: the same
+    alternating large-star/small-star connected components as
+    ``dedup_cluster_components``, but over the EXACT n-gram-Jaccard
+    pair graph (SQL-expressible, unlike the seeded MinHash graph), so
+    DuckDB can recompute the whole query — pairs via the shared shingle
+    CTEs, closure via a recursive min-label-propagation CTE. This is
+    the strongest check the cluster operator has: every (doc, cluster,
+    canonical) row hash-compared, not just union-find parity on the
+    labeling step."""
+    from ..operators.components import dedup_cluster_assignment
+
+    t = Tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    )
+    return dedup_cluster_assignment(
+        t.documents, pairs, id_col="doc_id", src="d1", dst="d2"
+    )

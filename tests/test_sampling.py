@@ -32,6 +32,7 @@ SHADOW_NAMES = [
     "text_heavy_hitters",
     "text_heavy_hitters_lang",
     "sample_group_bottomk",
+    "dedup_cluster_ngram",
 ]
 
 
