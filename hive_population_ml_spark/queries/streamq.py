@@ -52,3 +52,48 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+@register(
+    "stream_attribution_join",
+    shadow_oracle="""
+SELECT c.user_id,
+       c.event_id AS trigger_id,
+       p.event_id AS outcome_id,
+       date_diff('second', c.ts, p.ts) AS delay_s
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through a REAL two-stream Structured
+    Streaming query: clicks and purchases replay as two independent
+    file streams, shuffle-join on user_id with watermarks and the
+    [t, t+30min] event-time range (state evicted past
+    watermark+horizon), availableNow append into a memory sink. Inner
+    stream-stream joins emit eagerly, so the replayed result equals the
+    batch join — which is what the DuckDB oracle states, hash-checking
+    the stateful streaming path itself."""
+    from ..streaming.pipeline import events_raw_stream, interval_join
+
+    clicks = events_raw_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_raw_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = interval_join(
+        clicks, purchases, key="user_id", horizon="30 minutes", watermark="2 days"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("q_stream_attribution")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("q_stream_attribution")

@@ -193,3 +193,80 @@ def stream_decontaminate(
         n_overlap.alias("n_overlap"),
         (n_overlap >= min_overlap).cast("int").alias("contaminated"),
     )
+
+
+def interval_join(
+    triggers: DataFrame,
+    outcomes: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 day",
+    trigger_id: str = "event_id",
+    outcome_id: str = "event_id",
+) -> DataFrame:
+    """Stream-stream event-time interval join (click->conversion
+    attribution): match each trigger with every outcome of the same key
+    inside ``[t_ts, t_ts + horizon]``.
+
+    The streaming form is Spark's canonical stateful two-stream join:
+    both sides shuffle on the key, both carry watermarks, and the time-
+    range condition lets the state store evict a buffered row once the
+    other side's watermark passes ``row_ts + horizon`` — state is
+    bounded by (watermark + horizon) x per-key arrival rate, never the
+    whole stream. Inner joins emit eagerly on match (no watermark hold),
+    so an availableNow replay yields the complete batch answer; rows
+    arriving later than the watermark bound are dropped — that loss
+    contract is the price of bounded state and is the documented
+    difference from the batch form. The SAME function applied to batch
+    inputs is the equality oracle (parity-tested).
+    """
+    t = triggers.select(
+        F.col(key).alias("__k"),
+        F.col(trigger_id).alias("trigger_id"),
+        F.col(ts).cast("timestamp").alias("t_ts"),
+    )
+    o = outcomes.select(
+        F.col(key).alias("__k2"),
+        F.col(outcome_id).alias("outcome_id"),
+        F.col(ts).cast("timestamp").alias("o_ts"),
+    )
+    if t.isStreaming:
+        t = t.withWatermark("t_ts", watermark)
+    if o.isStreaming:
+        o = o.withWatermark("o_ts", watermark)
+    j = t.join(
+        o,
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("o_ts") >= F.col("t_ts"))
+        & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return j.select(
+        F.col("__k").alias(key),
+        "trigger_id",
+        "outcome_id",
+        (F.unix_timestamp("o_ts") - F.unix_timestamp("t_ts")).alias("delay_s"),
+    )
+
+
+def streaming_dedup_bounded(
+    events: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Exact in-flight dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` holds each key only until the
+    watermark passes its first-seen event time, so the state store size
+    is (watermark window x key arrival rate) — the plain
+    ``dropDuplicates`` form keeps every key forever, which cannot run
+    unbounded streams. Semantic contract: duplicates arriving WITHIN
+    the watermark of each other collapse to the first; re-occurrences
+    farther apart than the watermark are treated as new (both kept) —
+    the standard at-scale trade, test-pinned."""
+    src = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    if src.isStreaming:
+        return src.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return src.dropDuplicates(keys)

@@ -33,6 +33,7 @@ SHADOW_NAMES = [
     "text_heavy_hitters_lang",
     "sample_group_bottomk",
     "dedup_cluster_ngram",
+    "stream_attribution_join",
 ]
 
 

@@ -184,3 +184,112 @@ def test_stream_sample_and_pii_match_batch(spark, sf_dir):
     }
     assert stream_out == batch_out
     assert len(stream_out) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """The stateful two-stream interval join under availableNow replay
+    equals the identical function applied to batch inputs (inner
+    stream-stream joins emit eagerly; nothing here is late, so nothing
+    is watermark-dropped)."""
+    from hive_population_ml_spark.streaming.pipeline import (
+        events_raw_stream,
+        interval_join,
+    )
+
+    clicks_s = events_raw_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    buys_s = events_raw_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = interval_join(clicks_s, buys_s, watermark="2 days")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"], r["delay_s"])
+        for r in spark.table("t_attr_join").collect()
+    }
+    ev = Tables(spark, sf_dir).events
+    want = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"], r["delay_s"])
+        for r in interval_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_bounded_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates WITHIN the
+    watermark of each other collapse; re-occurrences farther apart are
+    both kept (the bounded-state trade vs global dropDuplicates)."""
+    import datetime as dt
+
+    from hive_population_ml_spark.streaming.pipeline import (
+        streaming_dedup_bounded,
+    )
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # One file per micro-batch, mtime-ordered: arrival order is the
+    # semantics here (the watermark only advances between batches, and
+    # an out-of-order replay would drop earlier rows as late).
+    batches = [
+        [("k1", t0), ("k2", t0 + dt.timedelta(minutes=1))],   # both kept
+        [("k1", t0 + dt.timedelta(minutes=5))],               # dup in wm: drop
+        [("k3", t0 + dt.timedelta(hours=3))],                 # advances wm
+        # watermark from a batch only applies in the NEXT one, and state
+        # eviction runs during batch processing — so a second advancing
+        # batch is needed before k1's expired state is actually gone
+        [("k4", t0 + dt.timedelta(hours=4))],                 # evicts k1/k2
+        [("k1", t0 + dt.timedelta(hours=30))],                # state expired: keep
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        path = src_dir / f"b{i}.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (1700000000 + i * 60, 1700000000 + i * 60))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    out = streaming_dedup_bounded(stream, ["k"], watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["ts"]) for r in spark.table("t_dedup_wm").collect())
+    assert got == sorted(
+        [
+            ("k1", t0),
+            ("k2", t0 + dt.timedelta(minutes=1)),
+            ("k3", t0 + dt.timedelta(hours=3)),
+            ("k4", t0 + dt.timedelta(hours=4)),
+            ("k1", t0 + dt.timedelta(hours=30)),
+        ]
+    )
