@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
+    "dedup_cluster_ngram",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "knn_bruteforce",
@@ -47,9 +48,12 @@ HEADLINE = [
     "text_quality_profile",
     "text_repetition_filter",
     "text_decontaminate",
+    "text_decontaminate_bloom",
+    "text_heavy_hitters",
     "text_pii_mask",
     "text_unigram_logprob",
     "sample_stratified",
+    "sample_group_bottomk",
     "pack_token_shards",
     "sketch_distinct_tokens",
     "m_calibration",

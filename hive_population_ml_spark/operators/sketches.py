@@ -106,14 +106,53 @@ def bloom_build(
         raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     mask = m_bits - 1
     n_words = m_bits // 64
-    pos = df.select(
-        F.expr(
-            f"explode(transform(sequence(0, {k_hashes - 1}), i -> "
-            f"(({_bloom_h1(col, mask)} + cast(i as bigint) * "
-            f"{_bloom_h2(col, mask)}) & {mask})))"
+    # Positions as a PLAIN expression array (array(h1, h1+h2, ...)), not
+    # a transform() lambda: higher-order functions are interpreted
+    # (CodegenFallback), and on the build's hot explode path that
+    # measured ~10x slower than the codegen'd flat form. h1/h2 are
+    # materialized first so xxhash64 runs once per item, not per k.
+    words = _bloom_words(df, col, mask, k_hashes)
+    # Densify via range left-join + one ordered collect. NOT via
+    # element_at over a map_from_entries literal: Spark's map
+    # element_at is a LINEAR scan of ArrayBasedMapData, so a per-index
+    # lookup densify is O(n_words x set_words) — measured ~30 s at
+    # 16k x 60k where this form is sub-second.
+    dense = (
+        df.sparkSession.range(n_words)
+        .join(words, F.col("id") == F.col("__w"), "left")
+        .select(
+            "id",
+            F.coalesce("__word", F.lit(0).cast("bigint")).alias("__word"),
+        )
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("id", "__word"))).alias("__a")
+    ).select(F.transform(F.col("__a"), lambda s: s["__word"]).alias("bits"))
+
+
+def _bloom_words(df: DataFrame, col: str, mask: int, k_hashes: int) -> DataFrame:
+    """Sparse bitset: (word index, or-ed 64-bit word) for every word
+    with at least one set bit. Positions are a PLAIN expression array
+    (array(h1, h1+h2, ...)), not a transform() lambda: higher-order
+    functions are interpreted (CodegenFallback), and on the build's hot
+    explode path that measured ~10x slower than the codegen'd flat
+    form. h1/h2 are materialized first so xxhash64 runs once per item.
+    """
+    hashed = df.select(
+        F.expr(_bloom_h1(col, mask)).alias("__h1"),
+        F.expr(_bloom_h2(col, mask)).alias("__h2"),
+    )
+    pos = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"(__h1 + {i} * __h2) & {mask}")
+                    for i in range(k_hashes)
+                ]
+            )
         ).alias("__p")
     )
-    words = (
+    return (
         pos.select(
             F.expr("cast(__p div 64 as bigint)").alias("__w"),
             F.expr("shiftleft(cast(1 as bigint), cast(__p % 64 as int))").alias(
@@ -123,17 +162,48 @@ def bloom_build(
         .groupBy("__w")
         .agg(F.bit_or("__b").alias("__word"))
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w", "__word"))).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__m"), i.cast("bigint")),
-                F.lit(0).cast("bigint"),
-            ),
-        ).alias("bits")
-    )
+
+
+def bloom_bits_literal(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+) -> Column:
+    """Build the Bloom bitset and return it as a plan-constant LITERAL
+    array column — the fast probe-side transport.
+
+    Why not join the one-row bitset DataFrame onto the probe side: a
+    joined array column is rematerialized per output row, so probe cost
+    becomes O(rows x m/64) — measured 17 s vs 0.5 s at m=2^23/sf0.1 for
+    the identical probe. A ``Literal`` is evaluated by reference (no
+    per-row copy) and rides the task binary to every executor. The one
+    driver collect this requires is m/8 bytes — FIXED-SIZE by
+    construction (1 MiB at the default), which is the entire point of
+    the sketch; the distributed one-row-DataFrame form
+    (``bloom_build``) remains for pipelines that must stay fully lazy.
+    """
+    import json
+
+    import numpy as np
+
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    # Collect the SPARSE (word, bits) rows — bounded by m/64 — and
+    # densify driver-side; cheaper than shipping the dense array
+    # through a second aggregation.
+    sparse = _bloom_words(df, col, m_bits - 1, k_hashes).collect()
+    dense = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in sparse:
+        dense[r["__w"]] = r["__word"]
+    # from_json of a literal string constant-folds to a plain array
+    # Literal at optimization time (verified in the optimized plan) and
+    # crosses py4j as ONE string; F.lit(list) builds one py4j Literal
+    # per element — measured 7 s for 16k words where this is ~0.
+    payload = json.dumps([int(w) for w in dense])
+    return F.expr(f"from_json('{payload}', 'array<bigint>')")
 
 
 def bloom_probe_any(
@@ -148,8 +218,11 @@ def bloom_probe_any(
     ``values_col`` must name a MATERIALIZED array column (lambda bodies
     inline captured expressions — same hazard as
     ``textops.shingles_of_tokens``). h1/h2 are bound once per value via
-    ``named_struct``, then k bit probes run against the broadcast
-    ``bits`` array — O(1) ``element_at`` lookups, all inside codegen.
+    ``named_struct``, then k bit probes run with O(1) ``element_at``
+    lookups. ``bits_col`` should be the ``bloom_bits_literal`` constant
+    (or the name of a column bound to it) — probing a JOINED array
+    column pays a per-row copy of the whole bitset (see
+    ``bloom_bits_literal``).
     """
     mask = m_bits - 1
     return F.expr(

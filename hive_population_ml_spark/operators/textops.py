@@ -412,10 +412,13 @@ def bloom_decontaminate(
     - Build: one pass over benchmark shingles, bit_or-aggregated; the
       shuffle carries at most m/64 words. No distinct() needed (bit
       sets are idempotent), so even the build beats the exact path.
-    - Probe: the one-row bitset broadcast-cross-joins the corpus and
-      every doc tests its shingles with O(1) ``element_at`` lookups —
-      a PURE MAP over the corpus. Unlike the exact path there is no
-      hit-count shuffle at all: zero corpus-side exchanges.
+    - Probe: the bitset is embedded as a plan-constant LITERAL
+      (``sketches.bloom_bits_literal`` — one m/8-byte driver collect;
+      a joined array column would be re-copied per row, measured 34x
+      slower) and every doc tests its shingles with O(1)
+      ``element_at`` lookups — a PURE MAP over the corpus with ZERO
+      corpus-side exchanges, not even the exact path's hit-count
+      shuffle.
 
     Semantics: ``maybe_contaminated`` is a SUPERSET of the exact
     ``contaminated`` flag (Bloom filters have no false negatives);
@@ -424,21 +427,21 @@ def bloom_decontaminate(
     The at-100-TB recipe: bloom-probe first (map-only over the corpus),
     then run the exact overlap count only on the tiny flagged slice.
     """
-    from .sketches import bloom_build, bloom_probe_any
+    from .sketches import bloom_bits_literal, bloom_probe_any
 
     b_sh = (
         benchmark.select(F.split(F.col(text_col), " ").alias("__t"))
         .select(F.explode(shingles_of_tokens(F.col("__t"), k)).alias("__s"))
     )
-    bits = bloom_build(b_sh, "__s", m_bits=m_bits, k_hashes=k_hashes)
+    bits = bloom_bits_literal(b_sh, "__s", m_bits=m_bits, k_hashes=k_hashes)
     probe = (
         docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
         .select(id_col, shingles_of_tokens(F.col("__t"), k).alias("__sh"))
-        .crossJoin(F.broadcast(bits))
+        .withColumn("__bits", bits)
     )
     return probe.select(
         id_col,
-        bloom_probe_any("__sh", "bits", m_bits, k_hashes)
+        bloom_probe_any("__sh", "__bits", m_bits, k_hashes)
         .cast("int")
         .alias("maybe_contaminated"),
     )

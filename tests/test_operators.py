@@ -594,9 +594,11 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_oracle_dir):
 
 def test_bloom_decontaminate_corpus_side_is_map_only(spark, sf_oracle_dir):
     """The sketch path's scale contract is STRONGER than the exact
-    one: the corpus branch has ZERO exchanges — scan, shingle, probe
-    against the broadcast one-row bitset, done. Only the (bounded,
-    m/64-word) build side may shuffle."""
+    one: the probe plan is a pure map — scan, shingle, test against
+    the plan-LITERAL bitset. Zero exchanges, zero joins (a joined
+    bitset column is re-copied per row: 34x slower, see
+    bloom_bits_literal). The build's bounded shuffles run in their own
+    collect job."""
     from hive_population_ml_spark.io import Tables
     from hive_population_ml_spark.operators.textops import bloom_decontaminate
 
@@ -605,17 +607,8 @@ def test_bloom_decontaminate_corpus_side_is_map_only(spark, sf_oracle_dir):
     train = docs.filter(F.col("doc_id") % 17 != 0)
     q = bloom_decontaminate(train, bench, m_bits=1 << 20)
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset cross join
-    # Corpus branch: everything above the BNLJ's streamed side must be
-    # exchange-free. The only Exchanges permitted in the whole plan are
-    # the build side's word-aggregation pair.
-    n_exchanges = sum(
-        1
-        for ln in plan.splitlines()
-        if "Exchange" in ln and "BroadcastExchange" not in ln
-    )
-    assert n_exchanges <= 2, f"unexpected shuffles ({n_exchanges}):\n{plan[:3000]}"
+    assert "Exchange" not in plan, f"probe plan shuffles:\n{plan[:3000]}"
+    assert "Join" not in plan, f"probe plan joins:\n{plan[:3000]}"
 
 
 def test_heavy_hitters_known_values_and_plan(spark):

@@ -36,6 +36,16 @@ EXCHANGE_BUDGETS = {
     "text_quality_profile": 0,
     "text_repetition_filter": 0,
     "text_decontaminate": 4,
+    # probe is a pure map against the plan-literal bitset; the build's
+    # 2 bounded shuffles run in the bloom_bits_literal collect job
+    "text_decontaminate_bloom": 0,
+    # vocabulary-bounded partial agg; top-k is TakeOrdered, not a sort
+    "text_heavy_hitters": 1,
+    # count agg + count BroadcastExchange + per-group rank window
+    "sample_group_bottomk": 3,
+    # ngram pair shuffles live behind the components localCheckpoint;
+    # final plan shows only the corpus assignment join
+    "dedup_cluster_ngram": 2,
     "text_pii_mask": 0,
     "text_unigram_logprob": 6,
     "sample_stratified": 0,
