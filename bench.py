@@ -45,6 +45,7 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "ann_pq",
     "text_quality_profile",
     "text_repetition_filter",
     "text_decontaminate",

@@ -501,3 +501,234 @@ def dequantize_embeddings(
         + F.col(f"{prefix}min"),
     )
     return df.withColumn(out_col, dq)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN STORAGE tier. Jégou et al. 2011
+# ("Product quantization for nearest neighbor search"): split the vector
+# into m subspaces, k-means each subspace to k centroids, store each
+# vector as m uint8 codes — 64 float32 dims become 8 bytes (32x), and
+# approximate distances are m table lookups (ADC) instead of d
+# multiplies. Vectors are L2-NORMALIZED first so squared-L2 and cosine
+# are interchangeable (cos = 1 - d²/2) and the output schema matches the
+# other ANN operators.
+#
+# Scale shape: training is DRIVER-BOUNDED (seeded numpy Lloyd on the
+# same ~4096-row deterministic hash-sample train_ivf_centroids uses;
+# codebooks are m*k*sub_dim floats — KBs). Encoding is one vectorized
+# Arrow pass over the corpus (argmin via one GEMM per subspace), done
+# at WRITE time in a real deployment. Queries scan codes, not vectors:
+# the scan moves 8 bytes/vector instead of 256.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    k: int = 16,
+    iters: int = 12,
+    seed: int = 7,
+    sample_n: int = 4096,
+):
+    """Seeded per-subspace Lloyd on a bounded deterministic hash-sample.
+    Returns a numpy array of shape (n_subspaces, k, dim/n_subspaces).
+    Deterministic: same corpus + seed -> bit-identical codebooks, so
+    codes written years apart remain comparable."""
+    import numpy as np
+
+    n = corpus.count()
+    train = corpus
+    if sample_n and n > sample_n:
+        mod = 1_000_003
+        thresh = int(mod * (sample_n / n))
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) < F.lit(thresh)
+        )
+    rows = train.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] < k:
+        raise ValueError(
+            f"PQ training needs >= k={k} sampled vectors, got {x.shape}"
+        )
+    d = x.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sub = d // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, k, sub))
+    for s in range(n_subspaces):
+        xs = x[:, s * sub : (s + 1) * sub]
+        c = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(k):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(0)
+                else:  # re-seed empty cluster to the worst-served point
+                    c[j] = xs[d2.min(1).argmax()]
+        books[s] = c
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one argmin GEMM per subspace per Arrow
+    batch; the codebooks ride the task closure (KBs)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, _, sub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                # ||x-c||² argmin == (−2x·c + ||c||²) argmin
+                d2 = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double(F.col(vec_col)).alias(vec_col),
+    )
+    return src.mapInPandas(run, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    seed: int = 7,
+    rerank: int = 4,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) with
+    exact re-ranking: the corpus is scanned as PQ CODES (8
+    bytes/vector); each query precomputes an (m x k) lookup table of
+    sub-distances to every centroid, and a candidate's distance is m
+    table lookups summed — one fancy-index + sum per Arrow batch, no
+    per-row Python. The ADC top ``rerank*k`` shortlist then fetches its
+    TRUE vectors (an equi-join where the shortlist side is tiny — AQE
+    broadcasts it) and re-ranks by exact cosine — the standard ADC+R
+    recipe: the full-vector read cost is paid for shortlist rows only,
+    never the corpus scan. ``rerank=0`` ranks by raw ADC distance.
+
+    Output schema matches ``cosine_topk`` (query_id, neighbor_id,
+    cosine, rank); with re-ranking, ``cosine`` is exact for the
+    returned rows (recall is bounded by shortlist quality,
+    test-measured vs the exact scan)."""
+    import numpy as np
+
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, n_subspaces, n_centroids, seed=seed
+    )
+    m, _, sub = books.shape
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    # (n_queries, m, k): squared sub-distances query -> every centroid
+    luts = np.stack(
+        [
+            ((qx[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None]) ** 2)
+            .sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    import pandas as pd
+
+    shortlist = max(1, rerank) * k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (rows, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for qi in range(len(q_ids)):
+                d2 = luts[qi, np.arange(m), c].sum(1)  # (rows,)
+                keep = ids != q_ids[qi]
+                d2k, idk = d2[keep], ids[keep]
+                top = np.argsort(d2k, kind="stable")[:shortlist]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": idk[top],
+                            "cosine": 1.0 - d2k[top] / 2.0,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.select(
+                "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    cdf = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    exact = (
+        short.join(cdf, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

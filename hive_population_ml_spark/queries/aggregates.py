@@ -435,3 +435,46 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, q in qs.items()
         ]
     )
+
+
+@register(
+    "a_key_skew",
+    shadow_oracle="""
+WITH per_key AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(avg(n), 6) AS avg_per_key,
+       round(quantile_cont(n, 0.50), 6) AS p50,
+       round(quantile_cont(n, 0.90), 6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99,
+       max(n) AS max_n,
+       round(max(n) / sum(n), 9) AS top_share,
+       round(max(n) / avg(n), 6) AS skew_ratio
+FROM per_key
+""",
+)
+def a_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the per-key frequency distribution
+    (percentiles, max, top-key share, max/avg skew ratio) that decides
+    WHEN the `operators/skew.py` remedies (salting, AQE skew-join) are
+    needed. Two exchanges: the per-key count's partial agg collapses to
+    distinct keys map-side, and the summary runs over the #keys-row
+    table — at 100 TB this is the cheap first query you run against any
+    new join key. Spark `percentile` and DuckDB `quantile_cont` share
+    the p*(n-1) linear-interpolation definition (as in a_percentiles)."""
+    t = Tables(spark, sf_dir)
+    per_key = t.events.groupBy("user_id").agg(F.count("*").alias("n"))
+    n = F.col("n").cast("double")
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.round(F.avg("n"), 6).alias("avg_per_key"),
+        F.round(F.percentile(n, F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.90)), 6).alias("p90"),
+        F.round(F.percentile(n, F.lit(0.99)), 6).alias("p99"),
+        F.max("n").alias("max_n"),
+        F.round(F.max("n") / F.sum("n"), 9).alias("top_share"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    )

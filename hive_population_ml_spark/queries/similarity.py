@@ -142,3 +142,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register("ann_pq")  # rows-only: approximate; recall vs brute force in tests
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (Jégou et al.
+    2011): corpus scanned as 8-byte PQ codes (32x smaller than float32
+    vectors), ADC shortlist via per-query lookup tables, true-vector
+    re-rank on the shortlist only. Codebooks train driver-side on the
+    same bounded ~4096-row hash-sample as the IVF quantizer. Measured
+    recall@5 at sf0.01: 0.56 pure-ADC, 0.92 at rerank=4 (registered),
+    1.0 at rerank=8."""
+    from ..operators.similarity import pq_topk
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        rerank=4,
+    )

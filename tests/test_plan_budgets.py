@@ -33,6 +33,9 @@ EXCHANGE_BUDGETS = {
     "knn_bruteforce": 2,
     "ann_lsh": 3,
     "ann_ivf": 8,
+    # codes scan is map-side (mapInPandas); shortlist window + the two
+    # rerank joins (shortlist side tiny -> AQE broadcasts)
+    "ann_pq": 4,
     "text_quality_profile": 0,
     "text_repetition_filter": 0,
     "text_decontaminate": 4,

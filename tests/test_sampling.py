@@ -34,6 +34,7 @@ SHADOW_NAMES = [
     "sample_group_bottomk",
     "dedup_cluster_ngram",
     "stream_attribution_join",
+    "a_key_skew",
 ]
 
 
