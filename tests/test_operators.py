@@ -891,3 +891,38 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_oracle_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert abs(r["cosine"] - bf[key]) < 1e-9
+
+
+def test_connected_components_paths_agree(spark, sf_oracle_dir):
+    """The small-graph driver union-find cutover must produce byte-
+    identical labels to the distributed alternating-star path — forced
+    on the registered query's own sf pair graph plus a crafted chain
+    (worst case for star convergence)."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.components import (
+        connected_components,
+    )
+    from hive_population_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)] + [(100, 100), (7, 3)],
+        "id1 long, id2 long",
+    )
+    pairs = ngram_jaccard_pairs(
+        Tables(spark, sf_oracle_dir).documents,
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.3,
+        max_shingle_frac=0.1,
+    ).select(F.col("d1").alias("id1"), F.col("d2").alias("id2"))
+    for df in (chain, pairs):
+        fast = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(df, small_graph_threshold=0).collect()
+        }
+        assert fast == dist and len(fast) > 0
