@@ -51,6 +51,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_decontaminate_bloom",
     "text_heavy_hitters",
+    "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",
     "sample_stratified",

@@ -417,3 +417,22 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bloom_decontaminate(
         train, bench, "doc_id", "text", k=3, m_bits=1 << 20
     )
+
+
+@register("text_bpe_merges")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (operators/bpe.py): one
+    distributed word-count pass (the only corpus-sized stage), then 30
+    merge iterations over the bounded vocabulary — driver loop below
+    the vocab threshold, per-iteration pair aggregation above it, with
+    a test-pinned identical merge sequence. Rows-only (iterative, not
+    SQL-expressible); the Sennrich walkthrough merges and the two-path
+    equality are pytest-pinned. Returns the ordered merge table."""
+    from ..operators.bpe import train_bpe
+
+    t = Tables(spark, sf_dir)
+    merges = train_bpe(t.documents, n_merges=30)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )

@@ -926,3 +926,65 @@ def test_connected_components_paths_agree(spark, sf_oracle_dir):
             for r in connected_components(df, small_graph_threshold=0).collect()
         }
         assert fast == dist and len(fast) > 0
+
+
+def test_bpe_known_merges_sennrich_example(spark):
+    """The classic BPE walkthrough corpus: merge sequence is exact
+    (count desc, pair lexicographic tie-break)."""
+    from hive_population_ml_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["low"] * 5 + ["lower"] * 2)),
+            (2, " ".join(["newest"] * 6 + ["widest"] * 3)),
+        ],
+        "doc_id int, text string",
+    )
+    merges = train_bpe(docs, n_merges=6)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+    ]
+
+
+def test_bpe_distributed_path_matches_python(spark, sf_dir):
+    """vocab_threshold=0 forces the distributed per-iteration loop; the
+    merge SEQUENCE must be byte-identical to the driver path (both use
+    the shared _merge_word and the same tie-break)."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.bpe import train_bpe
+
+    docs = Tables(spark, sf_dir).documents
+    py = train_bpe(docs, n_merges=8)
+    dist = train_bpe(docs, n_merges=8, vocab_threshold=0)
+    assert py == dist and len(py) == 8
+
+
+def test_bpe_segment_roundtrip(spark, sf_dir):
+    """Segmentation is lossless: a word's tokens concatenate back to
+    word + </w>, and merging only ever SHRINKS the token count."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.bpe import (
+        bpe_segment_words,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    merges = train_bpe(docs, n_merges=20)
+    seg = bpe_segment_words(word_counts(docs), merges).collect()
+    assert len(seg) > 0
+    for r in seg:
+        assert "".join(r["tokens"]) == r["word"] + "</w>"
+        assert r["n_tokens"] <= len(r["word"]) + 1
+
+
+def test_bpe_empty_corpus(spark):
+    from hive_population_ml_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([], "doc_id int, text string")
+    assert train_bpe(docs, n_merges=5) == []

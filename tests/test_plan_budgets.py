@@ -44,6 +44,9 @@ EXCHANGE_BUDGETS = {
     "text_decontaminate_bloom": 0,
     # vocabulary-bounded partial agg; top-k is TakeOrdered, not a sort
     "text_heavy_hitters": 1,
+    # training runs in its own jobs (word-count pass + vocab merge
+    # loop); the returned merge table is a local relation
+    "text_bpe_merges": 0,
     # count agg + count BroadcastExchange + per-group rank window
     "sample_group_bottomk": 3,
     # ngram pair shuffles live behind the components localCheckpoint;
