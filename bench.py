@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "ann_pq",
+    "ann_ivfpq",
     "text_quality_profile",
     "text_repetition_filter",
     "text_decontaminate",

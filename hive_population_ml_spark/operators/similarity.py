@@ -560,19 +560,25 @@ def train_pq_codebooks(
     rng = np.random.default_rng(seed)
     books = np.empty((n_subspaces, k, sub))
     for s in range(n_subspaces):
-        xs = x[:, s * sub : (s + 1) * sub]
-        c = xs[rng.choice(len(xs), size=k, replace=False)]
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for j in range(k):
-                members = xs[assign == j]
-                if len(members):
-                    c[j] = members.mean(0)
-                else:  # re-seed empty cluster to the worst-served point
-                    c[j] = xs[d2.min(1).argmax()]
-        books[s] = c
+        books[s] = _lloyd(x[:, s * sub : (s + 1) * sub], k, iters, rng)
     return books
+
+
+def _lloyd(xs, k: int, iters: int, rng):
+    """Seeded numpy Lloyd (shared by PQ subspace codebooks and the
+    IVF-PQ coarse quantizer). Empty clusters re-seed to the
+    worst-served point."""
+    c = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = xs[assign == j]
+            if len(members):
+                c[j] = members.mean(0)
+            else:
+                c[j] = xs[d2.min(1).argmax()]
+    return c
 
 
 def pq_encode(
@@ -715,6 +721,242 @@ def pq_topk(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    cdf = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    exact = (
+        short.join(cdf, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the composition production ANN
+# systems actually deploy. The coarse quantizer partitions the corpus
+# into cells (queries probe n_probe cells instead of scanning
+# everything); within a cell, vectors are stored as PQ codes of their
+# RESIDUAL x - centroid (residuals are far more compact than raw
+# vectors, so the same 8-byte budget buys much finer resolution), and
+# candidates are scored by ADC lookup tables built per (query, probed
+# cell). The exact re-rank tail is shared with pq_topk.
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    iters: int = 12,
+    seed: int = 7,
+    sample_n: int = 4096,
+):
+    """Driver-bounded index training: coarse centroids by seeded Lloyd
+    on the deterministic hash-sample, then PQ codebooks trained on the
+    sample's RESIDUALS. Returns (centroids (n_cells, d), books
+    (m, k, d/m)) — KBs, deterministic."""
+    import numpy as np
+
+    n = corpus.count()
+    train = corpus
+    if sample_n and n > sample_n:
+        mod = 1_000_003
+        thresh = int(mod * (sample_n / n))
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) < F.lit(thresh)
+        )
+    rows = train.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] < max(n_cells, n_centroids):
+        raise ValueError(
+            f"IVF-PQ training needs >= {max(n_cells, n_centroids)} sampled "
+            f"vectors, got {x.shape}"
+        )
+    d = x.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = _lloyd(x, n_cells, iters, rng)
+    assign = (
+        (-2.0 * (x @ centroids.T) + (centroids**2).sum(1)).argmin(1)
+    )
+    resid = x - centroids[assign]
+    sub = d // n_subspaces
+    books = np.empty((n_subspaces, n_centroids, sub))
+    for s in range(n_subspaces):
+        books[s] = _lloyd(resid[:, s * sub : (s + 1) * sub], n_centroids, iters, rng)
+    return centroids, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, codes): nearest-cell assignment + residual PQ codes in
+    one Arrow pass (write-time partitioning in a real deployment — the
+    codes table would be PARTITIONED BY cid so a probe reads only its
+    cells)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids)
+    bks = np.asarray(books)
+    m, _, sub = bks.shape
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cid = (-2.0 * (x @ cents.T) + (cents**2).sum(1)).argmin(1)
+            resid = x - cents[cid]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                rs = resid[:, s * sub : (s + 1) * sub]
+                codes[:, s] = (
+                    -2.0 * (rs @ bks[s].T) + (bks[s] ** 2).sum(1)
+                ).argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cid": cid.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double(F.col(vec_col)).alias(vec_col),
+    )
+    return src.mapInPandas(run, schema=f"{id_col} long, cid int, codes array<int>")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    seed: int = 7,
+    rerank: int = 4,
+    index=None,
+) -> DataFrame:
+    """IVFADC top-k: probe ``n_probe`` cells per query, ADC-score only
+    their members' residual codes (per-(query, cell) lookup tables ride
+    the task closure — n_queries*n_probe*m*k floats, MBs at most), exact
+    re-rank of the shortlist. Output schema matches ``cosine_topk``.
+
+    At 100 TB the cell assignment is the table's physical partitioning,
+    so each query's IO is n_probe cells of 8-byte codes — neither the
+    raw vectors nor the other cells are read. ``index`` takes a trained
+    (centroids, books) pair (offline build); None trains in place."""
+    import numpy as np
+    import pandas as pd
+
+    cents, books = (
+        index
+        if index is not None
+        else train_ivfpq_index(
+            corpus, id_col, vec_col, n_cells, n_subspaces, n_centroids, seed=seed
+        )
+    )
+    cents = np.asarray(cents)
+    books = np.asarray(books)
+    m, _, sub = books.shape
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    cell_d2 = -2.0 * (qx @ cents.T) + (cents**2).sum(1)  # (nq, n_cells)
+    probe_cells = np.argsort(cell_d2, axis=1, kind="stable")[:, :n_probe]
+    # LUT[qi, pi, s, j] = || (q - c_cell)_s - book[s][j] ||^2
+    nq = len(q_ids)
+    luts = np.empty((nq, n_probe, m, books.shape[1]))
+    for qi in range(nq):
+        for pi in range(n_probe):
+            r = qx[qi] - cents[probe_cells[qi, pi]]
+            for s in range(m):
+                rs = r[s * sub : (s + 1) * sub]
+                luts[qi, pi, s] = ((books[s] - rs) ** 2).sum(1)
+
+    codes = ivfpq_encode(corpus, cents, books, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    shortlist = max(1, rerank) * k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)
+            cid = pdf["cid"].to_numpy()
+            ids = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for qi in range(nq):
+                d2s, idss = [], []
+                for pi in range(n_probe):
+                    mask = (cid == probe_cells[qi, pi]) & (ids != q_ids[qi])
+                    if not mask.any():
+                        continue
+                    cm = c[mask]
+                    d2s.append(luts[qi, pi, np.arange(m), cm].sum(1))
+                    idss.append(ids[mask])
+                if not d2s:
+                    continue
+                d2 = np.concatenate(d2s)
+                idk = np.concatenate(idss)
+                top = np.argsort(d2, kind="stable")[:shortlist]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": idk[top],
+                            "cosine": 1.0 - d2[top] / 2.0,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     short = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist)

@@ -176,3 +176,33 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=4,
         codebooks=_PQ_BOOKS[sf_dir],
     )
+
+
+# IVF-PQ index memo (offline build, same pattern as _PQ_BOOKS).
+_IVFPQ_INDEX: dict[str, object] = {}
+
+
+@register("ann_ivfpq")  # rows-only: approximate; recall vs brute force in tests
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV) — the composition production ANN
+    systems deploy: coarse cells bound each query's IO to n_probe
+    cells of 8-byte residual-PQ codes, ADC lookup tables score cell
+    members, the shortlist re-ranks exactly. n_probe=8 of 16 cells at
+    this toy scale (recall 0.8 vs brute force; at corpus scale
+    n_cells ~ sqrt(n) and n_probe stays small)."""
+    from ..operators.similarity import ivfpq_topk, train_ivfpq_index
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    if sf_dir not in _IVFPQ_INDEX:
+        _IVFPQ_INDEX[sf_dir] = train_ivfpq_index(emb, "vec_id", "embedding")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=8,
+        rerank=4,
+        index=_IVFPQ_INDEX[sf_dir],
+    )

@@ -988,3 +988,62 @@ def test_bpe_empty_corpus(spark):
 
     docs = spark.createDataFrame([], "doc_id int, text string")
     assert train_bpe(docs, n_merges=5) == []
+
+
+def test_ivfpq_recall_and_exact_rerank(spark, sf_oracle_dir):
+    """IVFADC with n_probe=8/16 cells must recover most true top-5
+    (measured 0.8; bound leaves slack), and returned cosines are EXACT
+    (the rerank tail reads true vectors)."""
+    import numpy as np
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        train_ivfpq_index,
+    )
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact: dict = {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = ivfpq_topk(emb, q, k=5, n_probe=8, rerank=4).collect()
+    approx: dict = {}
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+        for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, q, k=100).collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["cosine"] - bf[key]) < 1e-9
+    # index training is seeded-deterministic
+    c1, b1 = train_ivfpq_index(emb)
+    c2, b2 = train_ivfpq_index(emb)
+    assert np.array_equal(c1, c2) and np.array_equal(b1, b2)
+
+
+def test_ivfpq_encode_partitions_all_rows(spark, sf_oracle_dir):
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        ivfpq_encode,
+        train_ivfpq_index,
+    )
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    cents, books = train_ivfpq_index(emb)
+    codes = ivfpq_encode(emb, cents, books).collect()
+    assert len(codes) == emb.count()
+    cells = {r["cid"] for r in codes}
+    assert cells <= set(range(16)) and len(cells) > 1
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 256 for c in r["codes"])

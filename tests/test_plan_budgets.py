@@ -36,6 +36,9 @@ EXCHANGE_BUDGETS = {
     # codes scan is map-side (mapInPandas); shortlist window + the two
     # rerank joins (shortlist side tiny -> AQE broadcasts)
     "ann_pq": 4,
+    # same shape as ann_pq: map-side code scan, shortlist window, two
+    # AQE-broadcast rerank joins; cell probing changes IO, not shuffles
+    "ann_ivfpq": 4,
     "text_quality_profile": 0,
     "text_repetition_filter": 0,
     "text_decontaminate": 4,
