@@ -217,6 +217,53 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM quality proxy: per-document mean NLL of
+    P(w_i | w_{i-1}) = c(w_{i-1}, w_i) / c(w_{i-1}, ·) under the
+    corpus's own MLE bigram model — a sharper rarity signal than the
+    unigram form (it penalizes improbable token TRANSITIONS, the
+    classic gibberish detector).
+
+    Plan shape: one bigram-count aggregation (bounded by distinct
+    bigrams, still ≪ corpus for natural text), a left-context rollup of
+    that same table, and joins back for the per-doc average — both
+    model tables are the small AQE-broadcast side. Docs with < 2 tokens
+    carry no bigrams and are excluded (mirrored by the oracle). The
+    size>=2 filter is correctness: Spark's sequence(0, size-2) for
+    size=1 is the DESCENDING [0,-1], which would index out of bounds.
+    """
+    bg = (
+        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> struct(__t[i] as w1, __t[i+1] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc", "b.w1", "b.w2")
+    )
+    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    left = freq.groupBy("w1").agg(F.sum("c").cast("double").alias("cl"))
+    return (
+        bg.join(freq, ["w1", "w2"])
+        .join(left, "w1")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("cl"))), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "avg_nll")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document text-analysis column bundle."""
     return df.select(

@@ -436,3 +436,31 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )
+
+
+@register(
+    "text_bigram_logprob",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+            i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS s
+        FROM toks)
+),
+freq AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+lft AS (SELECT w1, sum(c) AS cl FROM freq GROUP BY 1)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln(c / cl)), 6) AS avg_nll
+FROM bg JOIN freq USING (w1, w2) JOIN lft USING (w1)
+GROUP BY bg.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (textops.bigram_logprob_score): mean
+    NLL of token transitions under the corpus's own MLE bigram model —
+    the gibberish detector tier above the unigram scorer. Model tables
+    are AQE-broadcast; one bigram agg + one rollup + scoring agg."""
+    t = Tables(spark, sf_dir)
+    return textops.bigram_logprob_score(t.documents, "doc_id", "text")

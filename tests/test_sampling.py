@@ -35,6 +35,7 @@ SHADOW_NAMES = [
     "dedup_cluster_ngram",
     "stream_attribution_join",
     "a_key_skew",
+    "text_bigram_logprob",
 ]
 
 
@@ -350,3 +351,24 @@ def test_bottom_k_sample_guards(spark):
     # a starved prefilter must raise loudly, never silently under-sample
     with pytest.raises(ValueError, match="prefilter"):
         bottom_k_sample(df, "g", k=5, id_col="doc_id", prefilter_safety=0.01)
+
+
+def test_bigram_logprob_ranks_transition_rarity(spark):
+    """A doc whose TOKENS are all common but whose TRANSITIONS are
+    improbable must score worse than a doc with common transitions —
+    the signal unigram scoring cannot see."""
+    from hive_population_ml_spark.operators.textops import bigram_logprob_score
+
+    rows = [
+        Row(doc_id=1, text="a b a b a b a b"),   # only (a,b)/(b,a): common
+        Row(doc_id=2, text="a b a b a b a b"),
+        Row(doc_id=3, text="b b a a b b a a"),   # rare transitions, same tokens
+        Row(doc_id=4, text="x"),                 # single token: no bigrams
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob_score(spark.createDataFrame(rows)).collect()
+    }
+    assert 4 not in out  # excluded, mirrored by the oracle
+    assert out[3]["avg_nll"] > out[1]["avg_nll"]
+    assert out[1]["n_bigrams"] == 7
