@@ -55,6 +55,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "sample_stratified",
     "sample_group_bottomk",
     "pack_token_shards",

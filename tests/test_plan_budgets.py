@@ -57,6 +57,9 @@ EXCHANGE_BUDGETS = {
     "dedup_cluster_ngram": 2,
     "text_pii_mask": 0,
     "text_unigram_logprob": 6,
+    # bigram model: pair agg + left-context rollup + 2 broadcast joins
+    # back + scoring agg
+    "text_bigram_logprob": 6,
     "sample_stratified": 0,
     "pack_token_shards": 2,
     "sketch_distinct_tokens": 2,

@@ -293,3 +293,64 @@ def test_streaming_dedup_bounded_semantics(spark, tmp_path):
             ("k1", t0 + dt.timedelta(hours=30)),
         ]
     )
+
+
+def test_stream_bloom_decontaminate_matches_batch(spark, sf_dir):
+    """The Bloom bitset is a plan-constant Literal, so the probe is a
+    stateless map — it drops into a streaming plan unchanged (no
+    state, no watermark, no output-mode constraint). availableNow
+    replay must produce the batch operator's verdicts exactly."""
+    from hive_population_ml_spark.operators.sketches import (
+        bloom_bits_literal,
+        bloom_probe_any,
+    )
+    from hive_population_ml_spark.operators.textops import (
+        bloom_decontaminate,
+        shingles_of_tokens,
+    )
+    from hive_population_ml_spark.streaming.pipeline import _as_stream_dir
+
+    docs_batch = Tables(spark, sf_dir).documents
+    bench = docs_batch.filter(F.col("doc_id") % 17 == 0)
+    train = docs_batch.filter(F.col("doc_id") % 17 != 0)
+    m = 1 << 20
+
+    b_sh = bench.select(F.split("text", " ").alias("__t")).select(
+        F.explode(shingles_of_tokens(F.col("__t"), 3)).alias("__s")
+    )
+    bits = bloom_bits_literal(b_sh, "__s", m_bits=m)
+
+    src = (
+        spark.readStream.schema(docs_batch.schema)
+        .format("parquet")
+        .load(_as_stream_dir(f"{sf_dir.rstrip('/')}/documents.parquet"))
+        .filter(F.col("doc_id") % 17 != 0)
+    )
+    out = (
+        src.select("doc_id", F.split("text", " ").alias("__t"))
+        .select("doc_id", shingles_of_tokens(F.col("__t"), 3).alias("__sh"))
+        .withColumn("__bits", bits)
+        .select(
+            "doc_id",
+            bloom_probe_any("__sh", "__bits", m).cast("int").alias(
+                "maybe_contaminated"
+            ),
+        )
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_bloom_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["maybe_contaminated"])
+        for r in spark.table("t_bloom_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["maybe_contaminated"])
+        for r in bloom_decontaminate(train, bench, m_bits=m).collect()
+    }
+    assert got == want and len(got) > 0
