@@ -478,3 +478,77 @@ def a_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n") / F.sum("n"), 9).alias("top_share"),
         F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
     )
+
+
+@register(
+    "a_pivot_event_counts",
+    shadow_oracle="""
+SELECT user_id,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
+       round(sum(value), 6) AS value_total
+FROM events
+GROUP BY user_id
+""",
+)
+def a_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — the reference's feature-matrix construction step (long
+    observations -> wide per-entity columns; SURVEY.md §1 'Feature
+    matrix'). The pivot VALUES are passed explicitly: without them
+    Spark runs an extra distinct-scan job to discover categories, and
+    an unbounded category set would mint unbounded columns — at scale
+    the category list is a contract, not a discovery."""
+    t = Tables(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        # count(lit(1)): count(*) is rejected inside Pivot
+        .agg(F.count(F.lit(1)))
+    )
+    out = t.events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("value_total")
+    )
+    sel = [F.col("user_id")]
+    sel += [
+        F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+        for k in kinds
+    ]
+    return wide.join(out, "user_id").select(*sel, "value_total")
+
+
+@register(
+    "a_unpivot_user_stats",
+    shadow_oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY user_id
+)
+SELECT user_id, stat, val FROM per_user
+UNPIVOT (val FOR stat IN (avg_value, min_value, max_value))
+""",
+)
+def a_unpivot_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide stat columns back to long (stat, value)
+    rows via Spark's native ``unpivot`` (ids/values/variable/value) —
+    the inverse of the feature-matrix pivot, used to feed generic
+    per-metric consumers. Pure map-side reshape: no shuffle beyond the
+    feeding aggregation."""
+    t = Tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return per_user.unpivot(
+        ids=["user_id"],
+        values=["avg_value", "min_value", "max_value"],
+        variableColumnName="stat",
+        valueColumnName="val",
+    )

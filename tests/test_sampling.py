@@ -36,6 +36,8 @@ SHADOW_NAMES = [
     "stream_attribution_join",
     "a_key_skew",
     "text_bigram_logprob",
+    "a_pivot_event_counts",
+    "a_unpivot_user_stats",
 ]
 
 
