@@ -270,3 +270,34 @@ def streaming_dedup_bounded(
             keys
         )
     return src.dropDuplicates(keys)
+
+
+def foreach_batch_idempotent_sink(
+    out: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once file sink via ``foreachBatch``: each micro-batch
+    overwrites its own ``batch_id=N`` directory.
+
+    Why this composition is exactly-once: Structured Streaming replays
+    a failed micro-batch under the SAME batch_id (offsets come from
+    the checkpoint WAL), and ``mode("overwrite")`` of the batch's own
+    directory makes the replay idempotent — a crash between write and
+    checkpoint-commit re-writes identical files instead of appending
+    duplicates. Readers scan ``path`` as ordinary partitioned parquet.
+    This is the pattern for sinks without transactional support;
+    arbitrary-upsert targets get the same guarantee from the
+    (batch_id, key) pair.
+
+    Returns the DataStreamWriter (caller picks the trigger/starts)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    return (
+        out.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )

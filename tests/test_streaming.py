@@ -354,3 +354,61 @@ def test_stream_bloom_decontaminate_matches_batch(spark, sf_dir):
         for r in bloom_decontaminate(train, bench, m_bits=m).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_sink_idempotent_replay(spark, sf_dir, tmp_path):
+    """The foreachBatch exactly-once contract: (a) a replayed batch_id
+    overwrites its own directory — byte-identical content, no
+    duplicates; (b) restarting the query from the same checkpoint with
+    no new input writes nothing new."""
+    from hive_population_ml_spark.streaming.pipeline import (
+        _as_stream_dir,
+        foreach_batch_idempotent_sink,
+    )
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = Tables(spark, sf_dir).events
+    # ONE stable source dir: the checkpoint WAL records source paths, so
+    # a restart must see the same location (a per-call tmp dir would be
+    # rejected with a basePath mismatch)
+    src_dir = _as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet")
+
+    def start():
+        src = (
+            spark.readStream.schema(
+                spark.read.parquet(src_dir).schema
+            )
+            .format("parquet")
+            .load(src_dir)
+            .select("event_id", "user_id", "value")
+        )
+        return (
+            foreach_batch_idempotent_sink(src, out_dir, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    n_events = Tables(spark, sf_dir).events.count()
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+
+    # simulate a replay of batch 0: same batch_id, same data -> the
+    # directory is overwritten, never appended
+    batch0 = sorted(
+        r["batch_id"] for r in got.select("batch_id").distinct().collect()
+    )[0]
+    replay = Tables(spark, sf_dir).events.select(
+        "event_id", "user_id", "value"
+    )
+    replay.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch0}")
+    again = spark.read.parquet(out_dir)
+    assert again.select("event_id").distinct().count() == n_events
+
+    # restart from the same checkpoint: no new input -> no new batches
+    q2 = start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_events
