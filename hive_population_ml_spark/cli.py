@@ -75,6 +75,39 @@ def _parser() -> argparse.ArgumentParser:
     prep.add_argument("--min-tokens", type=int, default=5)
     prep.add_argument("--shard-tokens", type=int, default=2000)
     prep.add_argument("--cpus", type=int, default=8)
+    dedup = sub.add_parser(
+        "dedup",
+        help="near-duplicate clustering over documents: pairs "
+        "(ngram|minhash|simhash) -> connected components -> full-corpus "
+        "(doc_id, cluster_id, is_canonical) assignment parquet; "
+        "filter(is_canonical=1) IS the deduplicated corpus",
+    )
+    dedup.add_argument("--data-dir", required=True)
+    dedup.add_argument("--output-dir", required=True)
+    dedup.add_argument(
+        "--method", choices=["ngram", "minhash", "simhash"], default="minhash"
+    )
+    dedup.add_argument("--threshold", type=float, default=0.3)
+    dedup.add_argument("--cpus", type=int, default=8)
+    ann = sub.add_parser(
+        "ann",
+        help="similarity search over embeddings: build the chosen index "
+        "(lsh|ivf|pq|ivfpq) and write per-query top-k neighbors parquet "
+        "+ summary JSON",
+    )
+    ann.add_argument("--data-dir", required=True)
+    ann.add_argument("--output-dir", required=True)
+    ann.add_argument(
+        "--method", choices=["lsh", "ivf", "pq", "ivfpq", "exact"], default="ivfpq"
+    )
+    ann.add_argument("--k", type=int, default=5)
+    ann.add_argument(
+        "--queries-mod",
+        type=int,
+        default=100,
+        help="vectors with vec_id %% MOD == 0 are the query set",
+    )
+    ann.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -289,10 +322,104 @@ def cmd_prep(args) -> dict:
     return out
 
 
+def cmd_dedup(args) -> dict:
+    """Near-dup clustering: the registered pair emitter for the chosen
+    method feeds connected components; the full-corpus assignment and a
+    cluster-size summary land as parquet + JSON."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators.components import dedup_cluster_assignment
+    from .operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from .session import get_spark
+
+    spark = get_spark("hpml-dedup", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = Tables(spark, args.data_dir).documents
+    if args.method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=args.threshold,
+            max_shingle_frac=0.1,
+        )
+    elif args.method == "minhash":
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, n_hashes=32, bands=8,
+            threshold=args.threshold,
+        )
+    else:
+        pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    assign = dedup_cluster_assignment(
+        docs, pairs, id_col="doc_id", src="d1", dst="d2"
+    )
+    out_path = os.path.join(args.output_dir, "clusters")
+    assign.write.mode("overwrite").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    summary = back.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_canonical").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("is_canonical")).cast("long").alias("n_dropped"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    out = summary.collect()[0].asDict()
+    out["clusters"] = out_path
+    return out
+
+
+def cmd_ann(args) -> dict:
+    """Similarity search: build the chosen index over ``embeddings`` and
+    write per-query top-k neighbors. Trained structures (KMeans
+    centers, PQ codebooks) are the offline index-build step."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+        train_ivf_centroids,
+    )
+    from .session import get_spark
+
+    spark = get_spark("hpml-ann", cpus=args.cpus, shuffle_partitions=args.cpus)
+    emb = Tables(spark, args.data_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % args.queries_mod == 0)
+    if args.method == "exact":
+        topk = cosine_topk(emb, queries, k=args.k)
+    elif args.method == "lsh":
+        topk = lsh_topk(emb, queries, k=args.k, n_planes=4, n_tables=8)
+    elif args.method == "ivf":
+        cents = train_ivf_centroids(emb, k=16, max_iter=5)
+        topk = ivf_topk(emb, queries, centroids=cents, k=args.k, n_probe=3)
+    elif args.method == "pq":
+        topk = pq_topk(emb, queries, k=args.k, rerank=4)
+    else:
+        topk = ivfpq_topk(emb, queries, k=args.k, n_probe=8, rerank=4)
+    out_path = os.path.join(args.output_dir, "neighbors")
+    topk.write.mode("overwrite").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    summary = back.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_results"),
+        F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+    )
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    out = summary.collect()[0].asDict()
+    out["neighbors"] = out_path
+    return out
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = _parser().parse_args(argv)
     if args.command == "prep":
         return cmd_prep(args)
+    if args.command == "dedup":
+        return cmd_dedup(args)
+    if args.command == "ann":
+        return cmd_ann(args)
     return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
 
 

@@ -111,3 +111,53 @@ def test_cli_prep_pipeline(spark, sf_dir, tmp_path):
     assert agg["d"] == out["n_kept_docs"]
     assert agg["t"] == out["n_tokens"]
     assert out["n_shards"] == manifest.count() > 0
+
+
+def test_cli_dedup_clusters(spark, sf_dir, tmp_path):
+    """`dedup` writes a full-corpus cluster assignment whose canonical
+    set partitions the corpus (every doc exactly one cluster; each
+    cluster exactly one canonical keeper = its min id)."""
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "dedup",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "dd"),
+            "--method", "ngram",
+            "--cpus", "4",
+        ]
+    )
+    assert out["n_docs"] == out["n_kept"] + out["n_dropped"]
+    assert out["n_clusters"] == out["n_kept"]
+    back = spark.read.parquet(out["clusters"])
+    assert back.count() == out["n_docs"]
+    per_cluster = back.groupBy("cluster_id").agg(
+        F.sum("is_canonical").alias("k"), F.min("doc_id").alias("mn")
+    )
+    rows = per_cluster.collect()
+    assert all(r["k"] == 1 for r in rows)
+    canon = {
+        r["doc_id"] for r in back.filter(F.col("is_canonical") == 1).collect()
+    }
+    assert canon == {r["mn"] for r in rows}
+
+
+def test_cli_ann_topk(spark, sf_dir, tmp_path):
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "ann",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "ann"),
+            "--method", "ivfpq",
+            "--k", "3",
+            "--cpus", "4",
+        ]
+    )
+    assert out["n_queries"] >= 1
+    assert out["n_results"] == out["n_queries"] * 3
+    back = spark.read.parquet(out["neighbors"])
+    assert set(back.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    assert back.filter(F.col("rank") > 3).count() == 0
