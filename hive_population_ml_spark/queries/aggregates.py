@@ -552,3 +552,53 @@ def a_unpivot_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="stat",
         valueColumnName="val",
     )
+
+
+@register(
+    "quality_constraint_report",
+    shadow_oracle="""
+WITH m AS (
+    SELECT
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        count(o_orderkey) - count(DISTINCT o_orderkey) AS v_u,
+        sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS v_r,
+        sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+            AS v_av,
+        sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            THEN 1 ELSE 0 END) AS v_re,
+        CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS v_ne
+    FROM orders
+)
+SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+       CAST(violations = 0 AS INT) AS passed
+FROM (
+    SELECT 'accepted_values(o_orderstatus,[F,O,P])' AS "constraint", v_av AS violations FROM m
+    UNION ALL SELECT 'in_range(o_totalprice,0,None)', v_r FROM m
+    UNION ALL SELECT 'matches_regex(o_orderpriority)', v_re FROM m
+    UNION ALL SELECT 'non_empty()', v_ne FROM m
+    UNION ALL SELECT 'not_null(o_orderkey)', v_nn FROM m
+    UNION ALL SELECT 'unique(o_orderkey)', v_u FROM m
+)
+ORDER BY "constraint"
+""",
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data validation compiled to ONE
+    distributed aggregation (operators/quality.py): the whole suite is
+    a single corpus pass with map-side partials — not one job per
+    constraint. Report is data (constraint, violations, passed);
+    pipelines gate on violations == 0."""
+    from ..operators import quality as Q
+
+    t = Tables(spark, sf_dir)
+    return Q.check_constraints(
+        t.orders,
+        [
+            Q.not_null("o_orderkey"),
+            Q.unique("o_orderkey"),
+            Q.in_range("o_totalprice", 0, None),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.matches_regex("o_orderpriority", "^[1-5]-"),
+            Q.non_empty(),
+        ],
+    )

@@ -1047,3 +1047,71 @@ def test_ivfpq_encode_partitions_all_rows(spark, sf_oracle_dir):
     for r in codes[:20]:
         assert len(r["codes"]) == 8
         assert all(0 <= c < 256 for c in r["codes"])
+
+
+def test_quality_constraints_count_violations(spark):
+    from hive_population_ml_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok-1"),
+            (2, -5.0, "B", "ok-2"),
+            (2, 200.0, "C", "bad"),
+            (None, 50.0, "A", "ok-3"),
+        ],
+        "id int, v double, cat string, tag string",
+    )
+    rep = {
+        r["constraint"]: (r["violations"], r["passed"])
+        for r in Q.check_constraints(
+            df,
+            [
+                Q.not_null("id"),
+                Q.unique("id"),        # id=2 twice -> 1 violation
+                Q.in_range("v", 0, 100),  # -5 and 200 -> 2
+                Q.accepted_values("cat", ["A", "B"]),  # C -> 1
+                Q.matches_regex("tag", "^ok-"),  # bad -> 1
+                Q.non_empty(),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(id)"] == (1, 0)
+    assert rep["unique(id)"] == (1, 0)
+    assert rep["in_range(v,0,100)"] == (2, 0)
+    assert rep["accepted_values(cat,[A,B])"] == (1, 0)
+    assert rep["matches_regex(tag)"] == (1, 0)
+    assert rep["non_empty()"] == (0, 1)
+
+
+def test_quality_constraints_single_aggregation_plan(spark):
+    """The whole suite must compile to ONE aggregation over the input —
+    not a job per constraint (the entire point at 100 TB). Count the
+    input scans in the plan: exactly one."""
+    from hive_population_ml_spark.operators import quality as Q
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    rep = Q.check_constraints(
+        df, [Q.not_null("id"), Q.unique("id"), Q.in_range("v", 0, 6)]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1, plan[:2000]
+
+
+def test_quality_constraints_empty_and_guards(spark):
+    from hive_population_ml_spark.operators import quality as Q
+
+    empty = spark.createDataFrame([], "id int")
+    rep = {
+        r["constraint"]: r["passed"]
+        for r in Q.check_constraints(
+            empty, [Q.not_null("id"), Q.non_empty()]
+        ).collect()
+    }
+    assert rep["not_null(id)"] == 1  # vacuous pass
+    assert rep["non_empty()"] == 0  # the guard catches it
+    with pytest.raises(ValueError, match="empty constraint suite"):
+        Q.check_constraints(empty, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        Q.check_constraints(empty, [Q.not_null("id"), Q.not_null("id")])

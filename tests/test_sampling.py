@@ -38,6 +38,7 @@ SHADOW_NAMES = [
     "text_bigram_logprob",
     "a_pivot_event_counts",
     "a_unpivot_user_stats",
+    "quality_constraint_report",
 ]
 
 
