@@ -276,7 +276,7 @@ def cmd_prep(args) -> dict:
     per-language token-budget shard manifest, (c) a summary JSON. Every
     stage is the registered operator — the CLI only composes them."""
     from .io import Tables
-    from .io.sinks import write_metrics_json
+    from .io.sinks import write_metrics_json, write_parquet_observed
     from .operators import textops
     from .operators.dedup import exact_dedup
     from .operators.sampling import pack_shards, stratified_sample
@@ -300,7 +300,16 @@ def cmd_prep(args) -> dict:
     ).drop("__u")
 
     corpus_path = os.path.join(args.output_dir, "corpus")
-    sampled.write.mode("overwrite").parquet(corpus_path)
+    # metrics piggyback the write's own pass (Observation API) — no
+    # second scan of the output to learn what was just written
+    observed = write_parquet_observed(
+        sampled,
+        corpus_path,
+        {
+            "n_written_docs": F.count(F.lit(1)),
+            "n_written_tokens": F.sum("n_tokens"),
+        },
+    )
 
     back = spark.read.parquet(corpus_path)
     manifest = pack_shards(
@@ -318,6 +327,7 @@ def cmd_prep(args) -> dict:
     )
     write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
     out = {k: v for k, v in summary.collect()[0].asDict().items()}
+    out.update(observed)
     out.update({"corpus": corpus_path, "shards": manifest_path})
     return out
 

@@ -602,3 +602,42 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.non_empty(),
         ],
     )
+
+
+@register(
+    "a_cube_revenue",
+    shadow_oracle="""
+SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+           AS gid,
+       COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def a_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — every grouping-set combination (flag x status, per-flag,
+    per-status, grand total) in ONE 2-phase aggregation; grouping_id
+    disambiguates genuine NULL keys from subtotal rows (both engines
+    use the SQL-standard bitmask, hash-compared). Completes the
+    rollup/cube/pivot reshaping family."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        # grouping_id() is only legal INSIDE the grouping aggregation
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum(rev), 4).alias("revenue"),
+        )
+        .select(
+            "gid",
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "revenue",
+        )
+    )

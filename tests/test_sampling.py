@@ -39,6 +39,7 @@ SHADOW_NAMES = [
     "a_pivot_event_counts",
     "a_unpivot_user_stats",
     "quality_constraint_report",
+    "a_cube_revenue",
 ]
 
 
