@@ -33,7 +33,14 @@ HEADLINE = [
     "a1_stats_bundle",
     "a3_temporal_deltas",
     "a5_calendar_reagg",
+    "a_cube_revenue",
+    "a_pivot_event_counts",
+    "a_key_skew",
     "asof_nearest_ship",
+    "j_multiway_revenue",
+    "o_set_operations",
+    "w_rank_functions",
+    "quality_constraint_report",
     "m16_regression_metrics",
     "dedup_exact",
     "dedup_ngram_jaccard",

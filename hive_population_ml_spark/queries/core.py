@@ -399,3 +399,90 @@ def j_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "j_multiway_revenue",
+    shadow_oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def j_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped five-table join: local-supplier revenue by
+    nation for one region. The join-planning stress query: Catalyst
+    orders the chain, broadcasts every dimension (region/nation/
+    supplier/customer are all tiny next to lineitem), and pushes the
+    region filter through nation to customer BEFORE the fact join —
+    at 100 TB only lineitem⋈orders shuffles, co-partitioned on
+    orderkey. Declared with plain joins, no hints: the point is that
+    the OPTIMIZER finds this plan."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.customer.join(
+            t.orders, F.col("c_custkey") == F.col("o_custkey")
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "o_set_operations",
+    shadow_oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+both_ AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+SELECT 'clicked_and_bought' AS cohort, count(*) AS n FROM both_
+UNION ALL
+SELECT 'clicked_never_bought', count(*) FROM only_click
+""",
+)
+def o_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort arithmetic (the set-operator surface):
+    Spark compiles both to semi/anti hash joins over the distinct key
+    sets — at scale these are the same shuffles a groupBy needs, never
+    a sort-merge of full rows."""
+    t = Tables(spark, sf_dir)
+    clickers = (
+        t.events.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    both = clickers.intersect(buyers).agg(
+        F.lit("clicked_and_bought").alias("cohort"),
+        F.count("*").alias("n"),
+    )
+    only = clickers.exceptAll(buyers).agg(
+        F.lit("clicked_never_bought").alias("cohort"),
+        F.count("*").alias("n"),
+    )
+    return both.unionByName(only)

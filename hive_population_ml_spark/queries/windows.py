@@ -257,3 +257,45 @@ def w_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "w_rank_functions",
+    shadow_oracle="""
+SELECT user_id, event_id,
+       round(value, 6) AS v,
+       round(lead(value) OVER w, 6) AS next_v,
+       round(first_value(value) OVER w, 6) AS first_v,
+       rank() OVER (PARTITION BY user_id ORDER BY round(value, 6) DESC)
+           AS value_rank,
+       round(percent_rank() OVER (PARTITION BY user_id
+                                  ORDER BY round(value, 6)), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY user_id
+                               ORDER BY round(value, 6)), 6) AS cdist
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window family in one bundle:
+    lead / first_value over the event-time frame, rank / percent_rank /
+    cume_dist over the value order — every function per-key-partitioned
+    (no global window). Ranks order by the ROUNDED value on both
+    engines so float noise cannot flip tie groups."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") < 10)
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v6 = F.round("value", 6)
+    wv_desc = Window.partitionBy("user_id").orderBy(v6.desc())
+    wv_asc = Window.partitionBy("user_id").orderBy(v6.asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        v6.alias("v"),
+        F.round(F.lead("value").over(wt), 6).alias("next_v"),
+        F.round(F.first("value").over(wt), 6).alias("first_v"),
+        F.rank().over(wv_desc).cast("long").alias("value_rank"),
+        F.round(F.percent_rank().over(wv_asc), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wv_asc), 6).alias("cdist"),
+    )

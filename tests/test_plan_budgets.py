@@ -20,6 +20,19 @@ EXCHANGE_BUDGETS = {
     # one user_id repartition serves both agg-of-agg chains (was 5)
     "a5_calendar_reagg": 3,
     "asof_nearest_ship": 3,
+    # 5 BroadcastExchange (every dim broadcasts) + the final agg shuffle
+    "j_multiway_revenue": 6,
+    # per-key windows over the filtered slice share one partitioning
+    "w_rank_functions": 1,
+    # two distinct sets + intersect/except semi/anti joins + 1-row aggs
+    "o_set_operations": 7,
+    # grouping-set expand feeds ONE 2-phase agg
+    "a_cube_revenue": 1,
+    # whole constraint suite = one aggregation (plan-asserted single scan)
+    "quality_constraint_report": 2,
+    # pivot agg + totals agg + join back
+    "a_pivot_event_counts": 4,
+    "a_key_skew": 2,
     "m16_regression_metrics": 3,
     "dedup_exact": 1,
     "dedup_ngram_jaccard": 2,

@@ -40,6 +40,9 @@ SHADOW_NAMES = [
     "a_unpivot_user_stats",
     "quality_constraint_report",
     "a_cube_revenue",
+    "j_multiway_revenue",
+    "w_rank_functions",
+    "o_set_operations",
 ]
 
 
