@@ -276,7 +276,7 @@ def cmd_prep(args) -> dict:
     per-language token-budget shard manifest, (c) a summary JSON. Every
     stage is the registered operator — the CLI only composes them."""
     from .io import Tables
-    from .io.sinks import write_metrics_json, write_parquet_observed
+    from .io.sinks import write_metrics_json
     from .operators import textops
     from .operators.dedup import exact_dedup
     from .operators.sampling import pack_shards, stratified_sample
@@ -300,16 +300,13 @@ def cmd_prep(args) -> dict:
     ).drop("__u")
 
     corpus_path = os.path.join(args.output_dir, "corpus")
-    # metrics piggyback the write's own pass (Observation API) — no
-    # second scan of the output to learn what was just written
-    observed = write_parquet_observed(
-        sampled,
-        corpus_path,
-        {
-            "n_written_docs": F.count(F.lit(1)),
-            "n_written_tokens": F.sum("n_tokens"),
-        },
-    )
+    # NOTE: an Observation-API piggyback of written-docs/tokens metrics
+    # was tried here and reverted — in this Spark build any Observation
+    # use leaves the session's ObservationManager reachable from later
+    # RDD closures, failing MLlib evaluators with Task-not-serializable
+    # (reproduced: Observation+get, then BinaryClassificationEvaluator
+    # in the same session). PERFORMANCE.md "deliberately did NOT do".
+    sampled.write.mode("overwrite").parquet(corpus_path)
 
     back = spark.read.parquet(corpus_path)
     manifest = pack_shards(
@@ -327,7 +324,6 @@ def cmd_prep(args) -> dict:
     )
     write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
     out = {k: v for k, v in summary.collect()[0].asDict().items()}
-    out.update(observed)
     out.update({"corpus": corpus_path, "shards": manifest_path})
     return out
 

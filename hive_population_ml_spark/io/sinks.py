@@ -58,17 +58,3 @@ def write_predictions(preds: DataFrame, path: str, partition_by: str | None = No
 def read_predictions(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
-
-def write_parquet_observed(
-    df: DataFrame, path: str, metrics: dict[str, Column], mode: str = "overwrite"
-) -> dict:
-    """Write parquet and collect aggregate metrics IN THE SAME JOB via
-    the Observation API — the metrics piggyback the write's single pass
-    instead of costing a second scan (at 100 TB a post-write count() or
-    summary agg re-reads the entire output). Returns {name: value}."""
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
-    observed.write.mode(mode).parquet(path)
-    return dict(obs.get)

@@ -166,20 +166,3 @@ def test_class_weighted_classifier_and_auc(spark, sf_dir):
     auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(scored)
     assert 0.5 <= auc <= 1.0
 
-
-def test_write_parquet_observed_single_pass_metrics(spark, tmp_path):
-    """Observation metrics piggyback the write job — values must equal
-    a separate aggregation of what landed on disk."""
-    from hive_population_ml_spark.io.sinks import write_parquet_observed
-
-    df = spark.range(1000).select(
-        F.col("id"), (F.col("id") % 10).alias("v")
-    )
-    got = write_parquet_observed(
-        df,
-        str(tmp_path / "obs"),
-        {"n": F.count(F.lit(1)), "v_sum": F.sum("v")},
-    )
-    back = spark.read.parquet(str(tmp_path / "obs"))
-    assert got["n"] == back.count() == 1000
-    assert got["v_sum"] == back.agg(F.sum("v")).collect()[0][0]
