@@ -412,3 +412,97 @@ def test_foreach_batch_sink_idempotent_replay(spark, sf_dir, tmp_path):
     q2 = start()
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_events
+
+
+def test_stateful_agg_checkpoint_recovery(spark, tmp_path):
+    """§2.9 state recovery: a watermarked windowed aggregation stopped
+    and RESTARTED from its checkpoint must resume its state store —
+    the second run processes only the new file, and the final sink
+    content equals the batch aggregation over ALL data. Update mode +
+    idempotent foreachBatch sink, so re-emitted windows overwrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+    import os
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "v": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        path = src_dir / name
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    write_file(
+        "a.parquet",
+        [("k1", t0, 1.0), ("k1", t0 + dt.timedelta(minutes=5), 2.0),
+         ("k2", t0, 10.0)],
+        1700000000,
+    )
+
+    def run_stream():
+        src = (
+            spark.readStream.schema("k string, ts timestamp, v double")
+            .format("parquet")
+            .load(str(src_dir))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = src.groupBy(
+            "k", F.window("ts", "1 hour").alias("win")
+        ).agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        flat = agg.select(
+            "k", F.col("win.start").alias("ws"), "n", "s"
+        )
+
+        def handle(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+
+        q = (
+            flat.writeStream.outputMode("update")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    # new data arrives while the query is DOWN — same window for k1
+    # (state must resume to accumulate) plus a new key
+    write_file(
+        "b.parquet",
+        [("k1", t0 + dt.timedelta(minutes=20), 4.0), ("k3", t0, 7.0)],
+        1700000100,
+    )
+    run_stream()
+
+    # update-mode: the LAST emission per (k, window) is the truth
+    got_df = spark.read.parquet(out_dir)
+    latest = {}
+    for r in got_df.collect():
+        key = (r["k"], r["ws"])
+        if key not in latest or r["batch_id"] > latest[key][0]:
+            latest[key] = (r["batch_id"], r["n"], r["s"])
+    got = {k: v[1:] for k, v in latest.items()}
+    want = {
+        ("k1", t0): (3, 7.0),   # state resumed: 1+2 from run 1, +4 after
+        ("k2", t0): (1, 10.0),
+        ("k3", t0): (1, 7.0),
+    }
+    assert got == want
+    # run 2 really was incremental: its batches saw only the new keys'
+    # windows, not a reprocessing of file a
+    run2 = got_df.filter(F.col("batch_id") >= 1)
+    assert run2.count() == 2  # (k1 updated) + (k3 new)
