@@ -103,21 +103,36 @@ def as_of_join(
     unit: str = "day",
     dim_id: str | None = None,
     tiebreak: list | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each dim row, the single most recent fact row at or before
-    ``dim_ts`` (within ``max_lookback``) — the "nearest reading to the
+    """For each dim row, the single nearest fact row within
+    ``max_lookback`` of ``dim_ts`` — the "nearest reading to the
     annotation date" extension noted at SURVEY.md §2.3.
+    ``direction="backward"`` (default) takes the most recent fact at
+    or before the anchor; ``"forward"`` the first at or after it.
 
     Implemented as bounded range join + row_number()=1, so it stays a
-    hash join + one windowed shuffle rather than a per-row scan.
+    hash join + one windowed shuffle rather than a per-row scan; the
+    tolerance bound caps per-anchor fan-in in both directions.
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    back = direction == "backward"
     joined = interval_join(
-        fact, dim, on, fact_ts, dim_ts, before=max_lookback, after=0, unit=unit
+        fact,
+        dim,
+        on,
+        fact_ts,
+        dim_ts,
+        before=max_lookback if back else 0,
+        after=0 if back else max_lookback,
+        unit=unit,
     )
     keys = [dim_id] if dim_id else [dc for _, dc in on] + [dim_ts]
-    order = [F.col(fact_ts).desc(), *(tiebreak or [])]
+    near = F.col(fact_ts).desc() if back else F.col(fact_ts).asc()
+    order = [near, *(tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))

@@ -486,3 +486,71 @@ def o_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     return both.unionByName(only)
+
+
+@register(
+    "asof_forward_ship",
+    shadow_oracle="""
+SELECT anchor_orderkey, ship_date, price
+FROM (
+    SELECT d.o_orderkey AS anchor_orderkey,
+           strftime(f.ts, '%Y-%m-%d') AS ship_date,
+           f.price,
+           row_number() OVER (
+               PARTITION BY d.o_orderkey
+               ORDER BY f.ts ASC, f.price DESC, f.lineid ASC
+           ) AS rn
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+          WHERE o_orderkey % 7 = 0) d
+    JOIN (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ts,
+               l.l_extendedprice AS price,
+               l.l_orderkey * 10 + l.l_linenumber AS lineid
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) f
+      ON f.custkey = d.o_custkey
+     AND f.ts BETWEEN d.o_orderdate AND d.o_orderdate + INTERVAL 7 DAY
+)
+WHERE rn = 1
+""",
+)
+def asof_forward_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of (nearest-after with bounded tolerance): the first
+    shipment at or after each anchor date within 7 days — the
+    symmetric twin of asof_nearest_ship via the same
+    ``as_of_join(direction="forward")`` operator. Same scale shape:
+    the tolerance bound caps per-anchor fan-in, the rank window
+    partitions by anchor, ties break deterministically."""
+    t = Tables(spark, sf_dir)
+    fact = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_extendedprice").alias("price"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lineid"),
+        )
+    )
+    dim = t.orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = as_of_join(
+        fact,
+        dim,
+        on=[("custkey", "o_custkey")],
+        fact_ts="ts",
+        dim_ts="o_orderdate",
+        max_lookback=7,
+        unit="day",
+        dim_id="o_orderkey",
+        tiebreak=[F.col("price").desc(), F.col("lineid").asc()],
+        direction="forward",
+    )
+    return j.select(
+        F.col("o_orderkey").alias("anchor_orderkey"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ship_date"),
+        "price",
+    )

@@ -43,6 +43,7 @@ SHADOW_NAMES = [
     "j_multiway_revenue",
     "w_rank_functions",
     "o_set_operations",
+    "asof_forward_ship",
 ]
 
 
