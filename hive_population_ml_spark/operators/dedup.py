@@ -425,3 +425,79 @@ def canonical_near_dup_pairs(
     else:
         raise ValueError(f"unknown method {method!r}")
     return groups, pairs
+
+
+def incremental_ngram_dups(
+    new_docs: DataFrame,
+    historical: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW-batch document whose best
+    n-gram Jaccard against ANY historical document reaches
+    ``threshold`` — the production shape (dedupe the day's crawl
+    against the corpus, not the corpus against itself).
+
+    Scale shape: in a real deployment the historical shingle-hash
+    table is materialized at write time (it never recomputes), the
+    join is an int64 equi-join on shingle hash, and the per-pair
+    intersection counts collapse to ONE row per (new, historical)
+    candidate pair before the jaccard math; a final max() reduces to
+    one row per new doc. The cheap at-100-TB composition: run
+    ``textops.bloom_decontaminate`` (map-only) over the new batch
+    first and feed only its flagged slice here; boilerplate-shingle
+    skew takes the same fractional guard as ``ngram_jaccard_pairs``.
+
+    Returns (id, best_jaccard, is_dup) for EVERY new doc (0.0 for no
+    overlap).
+    """
+    def shingle_hashes(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(name),
+                F.split(F.col(text_col), " ").alias("__t"),
+            )
+            .select(
+                name,
+                F.explode(
+                    shingles_of_tokens(F.col("__t"), k)
+                ).alias("__s"),
+            )
+            .select(name, F.xxhash64("__s").alias("__h"))
+        )
+
+    ns = shingle_hashes(new_docs, "nd")
+    hs = shingle_hashes(historical, "hd")
+    nsize = ns.groupBy("nd").agg(F.count("*").alias("__nn"))
+    hsize = hs.groupBy("hd").agg(F.count("*").alias("__hn"))
+    inter = (
+        ns.join(hs, "__h")
+        .groupBy("nd", "hd")
+        .agg(F.count("*").alias("__i"))
+    )
+    best = (
+        inter.join(nsize, "nd")
+        .join(hsize, "hd")
+        .select(
+            "nd",
+            F.round(
+                F.col("__i") / (F.col("__nn") + F.col("__hn") - F.col("__i")),
+                6,
+            ).alias("__j"),
+        )
+        .groupBy("nd")
+        .agg(F.max("__j").alias("best_j"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("nd"), "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("best_j", F.lit(0.0)), 6).alias("best_jaccard"),
+            (F.coalesce("best_j", F.lit(0.0)) >= threshold)
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

@@ -224,3 +224,48 @@ def dedup_cluster_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignment(
         t.documents, pairs, id_col="doc_id", src="d1", dst="d2"
     )
+
+
+@register(
+    "dedup_incremental_ngram",
+    shadow_oracle="""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+ht AS (SELECT doc_id, string_split(text, ' ') AS t FROM hist),
+nt AS (SELECT doc_id, string_split(text, ' ') AS t FROM newb),
+hs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
+        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s FROM ht),
+ns AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
+        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s FROM nt),
+hsize AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+nsize AS (SELECT doc_id, count(*) AS n FROM ns GROUP BY doc_id),
+inter AS (
+    SELECT ns.doc_id AS nd, hs.doc_id AS hd, count(*) AS i
+    FROM ns JOIN hs ON ns.s = hs.s GROUP BY 1, 2
+),
+best AS (
+    SELECT nd, max(round(i * 1.0 / (nsize.n + hsize.n - i), 6)) AS best_j
+    FROM inter
+    JOIN nsize ON inter.nd = nsize.doc_id
+    JOIN hsize ON inter.hd = hsize.doc_id
+    GROUP BY nd
+)
+SELECT newb.doc_id,
+       round(coalesce(best_j, 0), 6) AS best_jaccard,
+       CAST(coalesce(best_j, 0) >= 0.3 AS INT) AS is_dup
+FROM newb LEFT JOIN best ON newb.doc_id = best.nd
+""",
+)
+def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.py::incremental_ngram_dups):
+    docs with doc_id % 5 == 0 stand in as the day's new batch, the
+    rest as the historical corpus; each new doc gets its best Jaccard
+    against ANY historical doc. The production at-scale composition
+    (persisted historical shingle table + Bloom prefilter) is in the
+    operator docstring."""
+    from ..operators.dedup import incremental_ngram_dups
+
+    t = Tables(spark, sf_dir)
+    hist = t.documents.filter(F.col("doc_id") % 5 != 0)
+    newb = t.documents.filter(F.col("doc_id") % 5 == 0)
+    return incremental_ngram_dups(newb, hist, "doc_id", "text", k=3)

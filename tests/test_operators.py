@@ -1115,3 +1115,29 @@ def test_quality_constraints_empty_and_guards(spark):
         Q.check_constraints(empty, [])
     with pytest.raises(ValueError, match="duplicate"):
         Q.check_constraints(empty, [Q.not_null("id"), Q.not_null("id")])
+
+
+def test_incremental_dedup_known_values(spark):
+    """A new doc identical to a historical one scores 1.0; a disjoint
+    one scores 0.0 and is not flagged."""
+    from hive_population_ml_spark.operators.dedup import incremental_ngram_dups
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact
+            (101, "totally different words appear in this one here"),
+            (102, "xx"),  # too short for 3-grams
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["best_jaccard"], r["is_dup"])
+        for r in incremental_ngram_dups(new, hist).collect()
+    }
+    assert out[100] == (1.0, 1)
+    assert out[101] == (0.0, 0)
+    assert out[102] == (0.0, 0)

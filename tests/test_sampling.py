@@ -44,6 +44,7 @@ SHADOW_NAMES = [
     "w_rank_functions",
     "o_set_operations",
     "asof_forward_ship",
+    "dedup_incremental_ngram",
 ]
 
 
