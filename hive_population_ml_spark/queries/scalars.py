@@ -106,3 +106,57 @@ def f_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b * (1 - 0.05) * (1 + 0.04), 6).alias("bal_net"),
         F.round(F.abs(b - 3000.0) / 3000.0, 6).alias("pct_err"),
     )
+
+
+@register(
+    "f_array_funcs",
+    shadow_oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_slice(string_split(text, ' '), 1, 6) AS a,
+           list_slice(string_split(text, ' '), 4, 9) AS b
+    FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       len(a) AS n_a,
+       list_sort(list_distinct(list_concat(a, b))) AS u,
+       list_sort(list_distinct(list_intersect(a, b))) AS i,
+       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+           AS d,
+       list_contains(a, 'the') AS has_the,
+       coalesce(list_position(a, 'the'), 0) AS pos_the,
+       list_reverse(a) AS rev_a,
+       list_sort(a)[1] AS min_tok,
+       list_sort(a)[-1] AS max_tok
+FROM t
+""",
+)
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function bundle (union/intersect/except,
+    contains/position, reverse, min/max element, slice) — Catalyst
+    collection expressions vs DuckDB list functions. Set-valued
+    outputs are SORTED on both engines: array_union/intersect/except
+    preserve first-occurrence order in Spark but not in DuckDB's
+    list composition, so ordered output would hash-diverge while the
+    SET is identical."""
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = t.documents.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.slice(toks, 1, 6).alias("a"),
+        F.slice(toks, 4, 6).alias("b"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("a").alias("n_a"),
+        F.array_sort(F.array_union("a", "b")).alias("u"),
+        F.array_sort(F.array_intersect("a", "b")).alias("i"),
+        F.array_sort(F.array_except("a", "b")).alias("d"),
+        F.array_contains("a", "the").alias("has_the"),
+        F.coalesce(
+            F.array_position("a", "the"), F.lit(0)
+        ).alias("pos_the"),
+        F.reverse("a").alias("rev_a"),
+        F.array_min("a").alias("min_tok"),
+        F.array_max("a").alias("max_tok"),
+    )

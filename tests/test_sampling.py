@@ -45,6 +45,7 @@ SHADOW_NAMES = [
     "o_set_operations",
     "asof_forward_ship",
     "dedup_incremental_ngram",
+    "f_array_funcs",
 ]
 
 
