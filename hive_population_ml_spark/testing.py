@@ -36,6 +36,12 @@ def _normalize(df: pd.DataFrame, round_to: int = 9) -> list[tuple]:
             elif isinstance(v, float):
                 r = round(v, round_to)
                 norm.append(0.0 if r == 0 else r)  # -0.0 == 0.0
+            elif isinstance(v, (list, tuple)) or (
+                hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
+            ):  # array cells (Spark arrays / DuckDB lists via pandas)
+                norm.append(
+                    tuple(_norm_scalar(x, round_to) for x in list(v))
+                )
             elif hasattr(v, "item"):  # numpy scalars
                 norm.append(_norm_scalar(v.item(), round_to))
             else:
@@ -46,6 +52,8 @@ def _normalize(df: pd.DataFrame, round_to: int = 9) -> list[tuple]:
 
 
 def _norm_scalar(v, round_to):
+    if hasattr(v, "item") and getattr(v, "ndim", 0) == 0:  # numpy scalar
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return None
