@@ -160,3 +160,78 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("a").alias("min_tok"),
         F.array_max("a").alias("max_tok"),
     )
+
+
+@register(
+    "f_json_funcs",
+    shadow_oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid
+FROM events
+GROUP BY event_type
+""",
+)
+def f_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON processing over the semi-structured ``events.props``
+    column: path extraction (`get_json_object`) + validity — the
+    schema-on-read surface. At scale prefer `from_json` with an
+    explicit schema ONCE per pipeline over repeated path extraction;
+    both stay JVM-side expressions."""
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    valid = F.when(
+        F.try_parse_json(F.col("props")).isNotNull(), 1
+    ).otherwise(0)
+    return t.events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.sum(valid).cast("long").alias("n_valid"),
+    )
+
+
+@register(
+    "f_lambda_funcs",
+    shadow_oracle="""
+WITH t AS (
+    SELECT doc_id, list_slice(string_split(text, ' '), 1, 8) AS a
+    FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       list_transform(a, x -> upper(x)) AS up,
+       list_filter(a, x -> length(x) > 3) AS long_toks,
+       CAST(list_sum(list_transform(a, x -> length(x))) AS BIGINT)
+           AS total_chars,
+       len(list_filter(a, x -> x = 'the')) > 0 AS has_the,
+       CAST(len(list_filter(a, x -> length(x) <= 3)) = len(a) AS BOOLEAN)
+           AS all_short
+FROM t
+""",
+)
+def f_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function bundle (transform / filter / aggregate /
+    exists / forall) — the lambda-expression surface mirrored by
+    DuckDB's list_* lambdas. Reminder from PERFORMANCE fix 10c: HOFs
+    are CodegenFallback (interpreted per element) — fine for bounded
+    arrays like these 8-token slices, moved off the hot path (plain
+    expression arrays, explodes) everywhere volume lives."""
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = t.documents.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.slice(toks, 1, 8).alias("a")
+    )
+    return base.select(
+        "doc_id",
+        F.transform("a", lambda x: F.upper(x)).alias("up"),
+        F.filter("a", lambda x: F.length(x) > 3).alias("long_toks"),
+        F.aggregate(
+            "a", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.exists("a", lambda x: x == "the").alias("has_the"),
+        F.forall("a", lambda x: F.length(x) <= 3).alias("all_short"),
+    )

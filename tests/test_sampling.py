@@ -46,6 +46,8 @@ SHADOW_NAMES = [
     "asof_forward_ship",
     "dedup_incremental_ngram",
     "f_array_funcs",
+    "f_json_funcs",
+    "f_lambda_funcs",
 ]
 
 
