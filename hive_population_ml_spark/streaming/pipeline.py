@@ -204,10 +204,18 @@ def interval_join(
     watermark: str = "1 day",
     trigger_id: str = "event_id",
     outcome_id: str = "event_id",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join (click->conversion
     attribution): match each trigger with every outcome of the same key
     inside ``[t_ts, t_ts + horizon]``.
+
+    ``join_type="left_outer"`` keeps unconverted triggers with NULL
+    outcome columns — the "abandoned click" cohort. Outer semantics
+    change the emission contract: a NULL-padded row can only emit once
+    the outcome side's WATERMARK has passed trigger_ts + horizon
+    (before that, a match could still arrive), so outer results trail
+    the watermark where inner matches emit eagerly — test-pinned.
 
     The streaming form is Spark's canonical stateful two-stream join:
     both sides shuffle on the key, both carry watermarks, and the time-
@@ -240,6 +248,7 @@ def interval_join(
         (F.col("__k") == F.col("__k2"))
         & (F.col("o_ts") >= F.col("t_ts"))
         & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {horizon}")),
+        join_type,
     )
     return j.select(
         F.col("__k").alias(key),

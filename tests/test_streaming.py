@@ -506,3 +506,87 @@ def test_stateful_agg_checkpoint_recovery(spark, tmp_path):
     # windows, not a reprocessing of file a
     run2 = got_df.filter(F.col("batch_id") >= 1)
     assert run2.count() == 2  # (k1 updated) + (k3 new)
+
+
+def test_interval_join_left_outer_stream(spark, sf_dir):
+    """Left-outer stream-stream join contract: matched rows emit
+    eagerly and equal the batch inner join exactly; NULL-padded rows
+    for unconverted triggers emit only once the watermark passes
+    trigger_ts + horizon — so triggers inside the final
+    watermark+horizon window stay HELD at termination (they might
+    still convert), and everything older is flushed. The test pins
+    the boundary on both sides instead of naive batch equality."""
+    from hive_population_ml_spark.streaming.pipeline import (
+        events_raw_stream,
+        interval_join,
+    )
+
+    clicks_s = events_raw_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    buys_s = events_raw_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = interval_join(
+        clicks_s, buys_s, watermark="2 days", join_type="left_outer"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr_outer")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"], r["delay_s"])
+        for r in spark.table("t_attr_outer").collect()
+    }
+    ev = Tables(spark, sf_dir).events
+    want = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"], r["delay_s"])
+        for r in interval_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            join_type="left_outer",
+        ).collect()
+    }
+    matched = {g for g in got if g[2] is not None}
+    want_matched = {w for w in want if w[2] is not None}
+    assert matched == want_matched  # inner matches emit eagerly, all of them
+
+    got_un = {g[1] for g in got if g[2] is None}
+    want_un = {w[1] for w in want if w[2] is None}
+    assert got_un <= want_un  # never a spurious NULL row
+    assert len(matched) > 0 and len(got_un) > 0  # both cohorts real
+
+    # Boundary: the watermark stops at max_event_ts - delay, so NULL
+    # rows for triggers with ts + horizon >= watermark stay held at
+    # termination; everything decided must have flushed.
+    import datetime as dt
+
+    ts_by_id = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .collect()
+    }
+    # the GLOBAL watermark of a stream-stream join is the MIN of the
+    # two sides' watermarks (each side: its own max event time - delay)
+    side_max = [
+        ev.filter(F.col("event_type") == et)
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .collect()[0][0]
+        for et in ("click", "purchase")
+    ]
+    wm = min(side_max) - dt.timedelta(days=2)
+    horizon = dt.timedelta(minutes=30)
+    held = want_un - got_un
+    for tid in held:
+        assert ts_by_id[tid] + horizon >= wm, (
+            f"decided trigger {tid} was never flushed"
+        )
+    for tid in got_un:
+        assert ts_by_id[tid] + horizon < wm + dt.timedelta(seconds=1), (
+            f"undecided trigger {tid} emitted early"
+        )
