@@ -105,7 +105,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    n_edges, _ = _checksum(e)
+    prev = _checksum(e)
+    n_edges = prev[0]
     if n_edges <= small_graph_threshold:
         labels = _union_find_labels(
             [(r["u"], r["v"]) for r in e.collect()]
@@ -117,7 +118,6 @@ def connected_components(
             [(int(k), int(v)) for k, v in sorted(labels.items())],
             "id long, component long",
         )
-    prev = _checksum(e)
     for _ in range(max_iter):
         # large-star: every neighbor v > u re-attaches to u's
         # neighborhood minimum m = min(N(u) + {u}).
