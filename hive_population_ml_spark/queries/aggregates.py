@@ -237,7 +237,7 @@ def a8_season_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a9_distinct_counts",
-    oracle="""
+    shadow_oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events,
@@ -270,7 +270,7 @@ def a9_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a11_class_weights",
-    oracle="""
+    shadow_oracle="""
 WITH c AS (SELECT o_orderstatus AS label, count(*) AS n FROM orders GROUP BY 1)
 SELECT label, n, round((1.0 / n) / sum(1.0 / n) OVER (), 6) AS weight
 FROM c
@@ -360,7 +360,7 @@ def a13_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a14_weighted_mean",
-    oracle="""
+    shadow_oracle="""
 SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
            AS weighted_avg_price
@@ -556,7 +556,7 @@ def a_unpivot_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_constraint_report",
-    shadow_oracle="""
+    oracle="""
 WITH m AS (
     SELECT
         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,

@@ -223,7 +223,7 @@ def s2_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j2_key_normalize",
-    oracle="""
+    shadow_oracle="""
 SELECT k2,
        count(*) AS n_pairs,
        round(avg(c.c_acctbal + s.s_acctbal), 6) AS avg_joint_bal
@@ -403,7 +403,7 @@ def j_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j_multiway_revenue",
-    shadow_oracle="""
+    oracle="""
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        count(*) AS n_items

@@ -164,7 +164,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_ngram",
-    shadow_oracle="""
+    oracle="""
 WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
     SELECT doc_id,

@@ -205,7 +205,7 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_group_bottomk",
-    shadow_oracle="""
+    oracle="""
 WITH s AS (
     SELECT doc_id, lang,
            (((((abs(doc_id) + 999983) % 2147483647) * 48271 % 2147483647)

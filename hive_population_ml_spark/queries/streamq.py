@@ -56,7 +56,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_attribution_join",
-    shadow_oracle="""
+    oracle="""
 SELECT c.user_id,
        c.event_id AS trigger_id,
        p.event_id AS outcome_id,

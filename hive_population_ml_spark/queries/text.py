@@ -440,7 +440,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bigram_logprob",
-    shadow_oracle="""
+    oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (
     SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (

@@ -43,7 +43,7 @@ def w1_ordered_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w3_stride_subsample",
-    oracle="""
+    shadow_oracle="""
 WITH r AS (
     SELECT user_id, value,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -126,7 +126,7 @@ def w5_sequence_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "o4_top1_per_group",
-    oracle="""
+    shadow_oracle="""
 WITH r AS (
     SELECT event_type, event_id, value,
            row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn

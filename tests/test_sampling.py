@@ -31,16 +31,10 @@ SHADOW_NAMES = [
     # round-4 additions past the full driver window
     "text_heavy_hitters",
     "text_heavy_hitters_lang",
-    "sample_group_bottomk",
-    "dedup_cluster_ngram",
-    "stream_attribution_join",
     "a_key_skew",
-    "text_bigram_logprob",
     "a_pivot_event_counts",
     "a_unpivot_user_stats",
-    "quality_constraint_report",
     "a_cube_revenue",
-    "j_multiway_revenue",
     "w_rank_functions",
     "o_set_operations",
     "asof_forward_ship",
@@ -48,6 +42,17 @@ SHADOW_NAMES = [
     "f_array_funcs",
     "f_json_funcs",
     "f_lambda_funcs",
+    # second round-4 rotation: six NEW differential queries
+    # (cluster-ngram closure, bigram LM, Q5 join, quality constraints,
+    # bottom-k, the stream-stream join) moved INTO the driver window to
+    # earn real hash rows; these six long-green trivial queries ceded
+    # their slots and keep the identical contract here
+    "j2_key_normalize",
+    "a9_distinct_counts",
+    "a11_class_weights",
+    "a14_weighted_mean",
+    "w3_stride_subsample",
+    "o4_top1_per_group",
 ]
 
 
