@@ -108,6 +108,16 @@ def _parser() -> argparse.ArgumentParser:
         help="vectors with vec_id %% MOD == 0 are the query set",
     )
     ann.add_argument("--cpus", type=int, default=8)
+    tok = sub.add_parser(
+        "tokenize",
+        help="train a BPE tokenizer on the corpus (one word-count pass "
+        "+ merge loop on the bounded vocab) and write the merge table "
+        "+ segmented-vocabulary parquet + summary JSON",
+    )
+    tok.add_argument("--data-dir", required=True)
+    tok.add_argument("--output-dir", required=True)
+    tok.add_argument("--n-merges", type=int, default=50)
+    tok.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -418,6 +428,47 @@ def cmd_ann(args) -> dict:
     return out
 
 
+def cmd_tokenize(args) -> dict:
+    """BPE tokenizer training (operators/bpe.py): merges + the
+    segmented vocabulary (word -> tokens) as parquet — tokenizing a
+    corpus afterwards is a JOIN against that table, never a re-merge
+    over raw text."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators.bpe import bpe_segment_words, train_bpe, word_counts
+    from .session import get_spark
+
+    spark = get_spark("hpml-tok", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = Tables(spark, args.data_dir).documents
+    merges = train_bpe(docs, n_merges=args.n_merges)
+    merges_path = os.path.join(args.output_dir, "merges")
+    spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    ).write.mode("overwrite").parquet(merges_path)
+    vocab_path = os.path.join(args.output_dir, "vocab")
+    bpe_segment_words(word_counts(docs), merges).write.mode(
+        "overwrite"
+    ).parquet(vocab_path)
+    back = spark.read.parquet(vocab_path)
+    summary = back.agg(
+        F.lit(len(merges)).alias("n_merges"),
+        F.count("*").cast("long").alias("n_vocab_words"),
+        F.sum(F.col("n") * F.col("n_tokens")).cast("long").alias(
+            "n_corpus_tokens"
+        ),
+        F.round(
+            F.sum(F.col("n") * F.col("n_tokens"))
+            / F.sum(F.col("n") * (F.length("word") + 1)),
+            6,
+        ).alias("compression_vs_chars"),
+    )
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    out = summary.collect()[0].asDict()
+    out.update({"merges": merges_path, "vocab": vocab_path})
+    return out
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = _parser().parse_args(argv)
     if args.command == "prep":
@@ -426,6 +477,8 @@ def main(argv: list[str] | None = None) -> dict:
         return cmd_dedup(args)
     if args.command == "ann":
         return cmd_ann(args)
+    if args.command == "tokenize":
+        return cmd_tokenize(args)
     return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
 
 

@@ -161,3 +161,28 @@ def test_cli_ann_topk(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out["neighbors"])
     assert set(back.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
     assert back.filter(F.col("rank") > 3).count() == 0
+
+
+def test_cli_tokenize(spark, sf_dir, tmp_path):
+    """`tokenize` trains merges and writes a segmented vocabulary whose
+    tokens losslessly reconstruct every word; compression < 1 means the
+    merges genuinely shorten the corpus vs characters."""
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "tokenize",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "tok"),
+            "--n-merges", "15",
+            "--cpus", "4",
+        ]
+    )
+    assert out["n_merges"] == 15
+    assert 0 < out["compression_vs_chars"] < 1
+    vocab = spark.read.parquet(out["vocab"]).collect()
+    assert len(vocab) == out["n_vocab_words"]
+    for r in vocab[:50]:
+        assert "".join(r["tokens"]) == r["word"] + "</w>"
+    merges = spark.read.parquet(out["merges"])
+    assert merges.count() == 15
