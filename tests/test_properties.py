@@ -161,3 +161,82 @@ def test_uniform_hash_portable_across_engines(spark, ids):
     }
     for i in ids:
         assert got[i] == py_u(i), (i, got[i], py_u(i))
+
+
+# --- Round-4 primitives ------------------------------------------------------
+
+word = st.text(alphabet="abcde", min_size=1, max_size=5)
+corpus_strategy = st.lists(word, min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=corpus_strategy)
+def test_bpe_python_twin_invariants(spark, words):
+    """For ANY corpus: recorded pair counts are honest (replaying the
+    merges in order, each merged pair really occurs exactly that many
+    times at its step), and segmentation stays lossless. (Counts need
+    NOT be monotonic — a merge can create a new frequent pair.)"""
+    from hive_population_ml_spark.operators.bpe import (
+        _merge_word,
+        _pair_counts,
+        _symbols,
+        _train_bpe_python,
+    )
+    from collections import Counter
+
+    vocab = [( _symbols(w), n) for w, n in Counter(words).items()]
+    merges = _train_bpe_python(vocab, n_merges=5, min_pair_count=1)
+    # replay: applying merges in order reproduces each step's pair count
+    v = [( _symbols(w), n) for w, n in Counter(words).items()]
+    for left, right, cnt in merges:
+        assert _pair_counts(v)[(left, right)] == cnt
+        v = [(_merge_word(s, left, right), n) for s, n in v]
+    # lossless: concatenating final symbols recovers word + </w>
+    for (syms, _), (w, _) in zip(v, Counter(words).items()):
+        assert "".join(syms) == w + "</w>"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_bottom_k_mergeable_any_partitioning(spark, ids, k):
+    """Bottom-k of a union equals bottom-k of the parts' bottom-ks for
+    ANY id set and ANY split point — the sketch property that makes
+    per-shard samples roll up."""
+    from hive_population_ml_spark.operators.sampling import bottom_k_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in ids], "doc_id long, g long"
+    )
+    cut = ids[len(ids) // 2]
+    a = df.filter(F.col("doc_id") <= cut)
+    b = df.filter(F.col("doc_id") > cut)
+    whole = {
+        (r["doc_id"], r["g"], r["rk"])
+        for r in bottom_k_sample(
+            df, "g", k=k, id_col="doc_id", prefilter_safety=None
+        ).collect()
+    }
+    part_union = (
+        bottom_k_sample(a, "g", k=k, id_col="doc_id", prefilter_safety=None)
+        .select("doc_id", "g")
+        .union(
+            bottom_k_sample(
+                b, "g", k=k, id_col="doc_id", prefilter_safety=None
+            ).select("doc_id", "g")
+        )
+    )
+    parts = {
+        (r["doc_id"], r["g"], r["rk"])
+        for r in bottom_k_sample(
+            part_union, "g", k=k, id_col="doc_id", prefilter_safety=None
+        ).collect()
+    }
+    assert whole == parts
