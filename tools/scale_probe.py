@@ -119,7 +119,14 @@ def replicate_dir(spark, src: str, mult: int) -> str:
         ),
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-    done = {"customer", "orders", "lineitem", "documents", "embeddings"}
+    # events: shift BOTH ids so per-user cardinality stays
+    # distribution-identical (10x users, same events/user); timestamps
+    # stay in range so windows/sessions/watermarks see the same shape.
+    rep(
+        read("events"), {"event_id": "key", "user_id": "key"}
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    done = {"customer", "orders", "lineitem", "documents", "embeddings", "events"}
     for t in TABLES:
         if t not in done:
             os.symlink(
