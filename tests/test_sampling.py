@@ -15,12 +15,12 @@ from hive_population_ml_spark.operators.sampling import (
 from hive_population_ml_spark.operators.textops import pii_count, pii_mask
 from hive_population_ml_spark.testing import _normalize, duckdb_connection
 
-# Round-4 rotation (VERDICT r3 #2): the six round-3 shadow queries
-# (sample_stratified, mix_temperature_weights, pack_token_shards,
-# text_pii_mask, text_unigram_logprob, m_calibration) moved INTO the
-# driver's 50-entry hash-check window to earn real driver rows; these
-# six long-stable trivial queries ceded their slots and keep the
-# identical differential contract here as shadow checks.
+# Round-5 rotation (VERDICT r4 #2): the 13 never-driver-checked shadow
+# queries moved INTO the driver's 50-entry hash window (see
+# queries/__init__.py::ROTATE_TO_ORACLE); 13 queries that were
+# driver-green in ALL of rounds 1-4 ceded their slots and keep the
+# identical differential contract here as shadow checks. Rotated out in
+# earlier rounds (and still driver-green r1-r3): the first block below.
 SHADOW_NAMES = [
     "p_filter_project",
     "s2_union_provenance",
@@ -28,31 +28,26 @@ SHADOW_NAMES = [
     "w1_ordered_head",
     "j5_semi_split",
     "a13_global_stats",
-    # round-4 additions past the full driver window
-    "text_heavy_hitters",
-    "text_heavy_hitters_lang",
-    "a_key_skew",
-    "a_pivot_event_counts",
-    "a_unpivot_user_stats",
-    "a_cube_revenue",
-    "w_rank_functions",
-    "o_set_operations",
-    "asof_forward_ship",
-    "dedup_incremental_ngram",
-    "f_array_funcs",
-    "f_json_funcs",
-    "f_lambda_funcs",
-    # second round-4 rotation: six NEW differential queries
-    # (cluster-ngram closure, bigram LM, Q5 join, quality constraints,
-    # bottom-k, the stream-stream join) moved INTO the driver window to
-    # earn real hash rows; these six long-green trivial queries ceded
-    # their slots and keep the identical contract here
     "j2_key_normalize",
     "a9_distinct_counts",
     "a11_class_weights",
     "a14_weighted_mean",
     "w3_stride_subsample",
     "o4_top1_per_group",
+    # round-5 rotation: ceded their driver slots after 4/4 green rounds
+    "a1_stats_bundle",
+    "a2_higher_moments",
+    "a3_temporal_deltas",
+    "a5_calendar_reagg",
+    "a7_half_contrast",
+    "a8_season_scoped",
+    "a12_rowwise_mean",
+    "a_percentiles",
+    "a_rollup_revenue",
+    "m13_oof_folds",
+    "m14_ensemble_blend",
+    "w4_tail_k",
+    "text_fingerprint_groups",
 ]
 
 
