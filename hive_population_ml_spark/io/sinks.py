@@ -17,7 +17,7 @@ through ``collect()``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_metrics_json(metrics: DataFrame, path: str) -> None:
@@ -57,4 +57,3 @@ def write_predictions(preds: DataFrame, path: str, partition_by: str | None = No
 
 def read_predictions(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
-

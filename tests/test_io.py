@@ -165,4 +165,3 @@ def test_class_weighted_classifier_and_auc(spark, sf_dir):
     scored = model.transform(data)
     auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(scored)
     assert 0.5 <= auc <= 1.0
-

@@ -1141,3 +1141,151 @@ def test_incremental_dedup_known_values(spark):
     assert out[100] == (1.0, 1)
     assert out[101] == (0.0, 0)
     assert out[102] == (0.0, 0)
+
+
+def test_ann_query_collect_guard(spark):
+    """PQ/IVF-PQ build ADC lookup tables from a driver-side collect of
+    the QUERY side; the max_query_rows guard (VERDICT r4 #3) must raise
+    loudly before a corpus-sized query set serializes through the
+    driver — same contract shape as decontaminate's
+    max_benchmark_shingles. None disables it for callers who sized the
+    collect themselves."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        train_ivfpq_index,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(32)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = train_pq_codebooks(emb, n_subspaces=2, k=4)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(emb, emb, k=2, codebooks=books, max_query_rows=8).collect()
+    ok = pq_topk(emb, emb, k=2, codebooks=books, max_query_rows=None)
+    assert ok.count() > 0
+
+    index = train_ivfpq_index(
+        emb, n_cells=2, n_subspaces=2, n_centroids=4
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivfpq_topk(
+            emb, emb, k=2, n_probe=2, index=index, max_query_rows=8
+        ).collect()
+    ok = ivfpq_topk(emb, emb, k=2, n_probe=2, index=index, max_query_rows=None)
+    assert ok.count() > 0
+
+
+def test_trainer_sample_collect_tripwire():
+    """The trainers' post-collect tripwire refuses a hash-sample far
+    above its expected size (broken sampler -> silent driver OOM)."""
+    from hive_population_ml_spark.operators.similarity import (
+        _check_sample_collect,
+    )
+
+    _check_sample_collect(4096, 4096, "t")  # expected size: fine
+    _check_sample_collect(0, 0, "t")  # sampling disabled: fine
+    with pytest.raises(ValueError, match="sampler contract"):
+        _check_sample_collect(4 * 4096 + 2000, 4096, "t")
+
+
+def test_ivfpq_rerank0_is_adc_only(spark, sf_oracle_dir):
+    """rerank=0 must rank by raw ADC distance with NO exact-rerank joins
+    (ADVICE r4: previously it silently exact-reranked a k-sized
+    shortlist). Plan check: the ADC-only path reads the corpus once
+    (encode scan) — no second scan for true-vector fetch; and both
+    rerank=0 paths share pq_topk's 9-decimal rounding contract."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        train_ivfpq_index,
+        train_pq_codebooks,
+    )
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 200 == 0)
+    index = train_ivfpq_index(emb)
+    adc = ivfpq_topk(emb, q, k=5, n_probe=8, rerank=0, index=index)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    # the rerank tail joins codes->true vectors; ADC-only must not join
+    assert "Join" not in plan
+    got = adc.collect()
+    assert len(got) > 0
+    assert {r["rank"] for r in got} <= set(range(1, 6))
+    books = train_pq_codebooks(emb)
+    pq_adc = pq_topk(emb, q, k=5, rerank=0, codebooks=books)
+    assert "Join" not in pq_adc._jdf.queryExecution().executedPlan().toString()
+    assert sorted(pq_adc.columns) == sorted(adc.columns)
+
+
+def test_semantic_dedup_within_cell_exactness(spark, sf_dir):
+    """SemDeDup contract: within a cell the pass is EXACT — its pair
+    set must equal the quadratic baseline's pairs restricted to
+    same-cell members, with identical cosines; the only recall loss vs
+    the full baseline is cross-cell pairs (the designed trade)."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        assign_cells,
+        cosine_dup_pairs_blocked,
+        semantic_dup_pairs,
+        train_ivf_centroids,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = train_ivf_centroids(emb, k=16, max_iter=5)
+    cell = {
+        r["id"]: r["cell"] for r in assign_cells(emb, cents).collect()
+    }
+    sem = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in semantic_dup_pairs(emb, cents, threshold=0.35).collect()
+    }
+    exact = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in cosine_dup_pairs_blocked(emb, threshold=0.35).collect()
+    }
+    same_cell = {
+        k: v for k, v in exact.items() if cell[k[0]] == cell[k[1]]
+    }
+    assert sem == same_cell
+    assert len(exact) > 0 and len(sem) > 0
+    # the cell partition must retain a usable share of true near-dups
+    # on this corpus (random-ish embeddings are the WORST case for
+    # cell recall; real semantic clusters concentrate much harder)
+    assert len(sem) / len(exact) >= 0.05
+
+
+def test_semantic_dedup_cluster_quality(spark, sf_dir):
+    """Assignment invariants: every vector labeled exactly once;
+    cluster_id = min member id; exactly one canonical per cluster (the
+    min); both endpoints of every within-cell pair share a cluster."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+        train_ivf_centroids,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = train_ivf_centroids(emb, k=16, max_iter=5)
+    rows = semantic_dedup(
+        emb, threshold=0.35, centroids=cents
+    ).collect()
+    n_vec = emb.count()
+    assert len(rows) == n_vec
+    assert len({r["vec_id"] for r in rows}) == n_vec
+    clusters: dict = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        ids = sorted(m["vec_id"] for m in members)
+        assert cid == ids[0]
+        canons = [m["vec_id"] for m in members if m["is_canonical"] == 1]
+        assert canons == [ids[0]]
+    label = {r["vec_id"]: r["cluster_id"] for r in rows}
+    for p in semantic_dup_pairs(emb, cents, threshold=0.35).collect():
+        assert label[p["id1"]] == label[p["id2"]]

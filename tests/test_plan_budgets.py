@@ -68,6 +68,9 @@ EXCHANGE_BUDGETS = {
     # ngram pair shuffles live behind the components localCheckpoint;
     # final plan shows only the corpus assignment join
     "dedup_cluster_ngram": 2,
+    # same closure tail; the cell-assignment window + within-cell pack
+    # shuffles run inside the checkpoint job
+    "dedup_semantic": 2,
     "text_pii_mask": 0,
     "text_unigram_logprob": 6,
     # bigram model: pair agg + left-context rollup + 2 broadcast joins
