@@ -53,7 +53,48 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-runtime-settable in some build: best effort.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    mapInPandas closures do ``from . import codecs``-style imports that
+    the WORKER resolves, not the driver. Local-mode workers inherit the
+    driver's cwd, which hides a missing deployment until the driver
+    runs from another directory (driver-sim from /tmp reproduced the
+    ModuleNotFoundError). The cluster-correct mechanism is shipping the
+    package with the job — ``sc.addPyFile`` of a package zip, exactly
+    what spark-submit --py-files does on a real cluster. Idempotent per
+    SparkContext; the zip is rebuilt keyed on source mtimes so an
+    edited module re-ships in long-lived test sessions.
+    """
+    import pathlib
+    import zipfile
+
+    sc = spark.sparkContext
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    sources = sorted(pkg_dir.rglob("*.py"))
+    fingerprint = hash(tuple((str(p), p.stat().st_mtime_ns) for p in sources))
+    zip_path = pathlib.Path(
+        f"/tmp/{pkg_dir.name}_pkg_{fingerprint & 0xFFFFFFFFFFFF:012x}.zip"
+    )
+    shipped = getattr(sc, "_hpml_shipped", None)
+    if shipped == zip_path.name:
+        return
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".zip.tmp")
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for p in sources:
+                zf.write(p, arcname=f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        tmp.replace(zip_path)
+    try:
+        sc.addPyFile(str(zip_path))
+        sc._hpml_shipped = zip_path.name
+    except Exception:
+        # Same-name re-add on a reused context: already shipped.
+        sc._hpml_shipped = zip_path.name
 
 
 def get_spark(
