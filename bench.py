@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_cluster_components",
     "dedup_cluster_ngram",
     "dedup_simhash",
+    "dedup_semantic",
     "dedup_embedding_cosine",
     "knn_bruteforce",
     "ann_lsh",
@@ -113,6 +114,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Spread (min/med/max per query) goes on its OWN earlier line: round 4's
+    # driver artifact came back "parsed": null because folding spread into the
+    # summary line pushed it past the driver's tail-capture buffer. The driver
+    # parses the LAST stdout line, so the compact summary must be final and
+    # small (well under ~4 KB).
+    print(json.dumps({"spread": spread, "n_runs": n_runs}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -120,8 +128,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
