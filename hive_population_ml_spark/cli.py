@@ -75,6 +75,13 @@ def _parser() -> argparse.ArgumentParser:
     prep.add_argument("--min-tokens", type=int, default=5)
     prep.add_argument("--shard-tokens", type=int, default=2000)
     prep.add_argument("--cpus", type=int, default=8)
+    prep.add_argument(
+        "--stream",
+        action="store_true",
+        help="incremental mode: run the same composed pipeline through "
+        "the exactly-once foreachBatch sink (availableNow trigger); "
+        "cross-batch exact dedup via the content-hash history",
+    )
     dedup = sub.add_parser(
         "dedup",
         help="near-duplicate clustering over documents: pairs "
@@ -284,41 +291,47 @@ def cmd_prep(args) -> dict:
     content group, mask PII, gate on a minimum token count, sample
     deterministically, and write (a) the cleaned corpus parquet, (b) the
     per-language token-budget shard manifest, (c) a summary JSON. Every
-    stage is the registered operator — the CLI only composes them."""
+    stage is the registered operator — the CLI only composes them.
+    ``--stream`` runs the identical ``prep_transform`` composition
+    incrementally through the exactly-once foreachBatch sink
+    (streaming/pipeline.py::prep_stream); the manifest/summary tail is
+    the same batch post-pass over the written corpus either way."""
     from .io import Tables
     from .io.sinks import write_metrics_json
-    from .operators import textops
-    from .operators.dedup import exact_dedup
-    from .operators.sampling import pack_shards, stratified_sample
+    from .operators.sampling import pack_shards
     from .session import get_spark
+    from .streaming.pipeline import prep_stream, prep_transform
 
     spark = get_spark("hpml-prep", cpus=args.cpus, shuffle_partitions=args.cpus)
     docs = Tables(spark, args.data_dir).documents
     n_raw = docs.count()
 
-    canonical = exact_dedup(docs, "doc_id", "text").select("canonical_id")
-    kept = docs.join(
-        canonical, docs["doc_id"] == canonical["canonical_id"], "left_semi"
-    )
-    cleaned = (
-        kept.withColumn("text", textops.pii_mask("text"))
-        .withColumn("n_tokens", textops.token_count("text"))
-        .filter(F.col("n_tokens") >= args.min_tokens)
-    )
-    sampled = stratified_sample(
-        cleaned, "lang", {}, id_col="doc_id", default_rate=args.sample_rate
-    ).drop("__u")
-
     corpus_path = os.path.join(args.output_dir, "corpus")
-    # NOTE: an Observation-API piggyback of written-docs/tokens metrics
-    # was tried here and reverted — in this Spark build any Observation
-    # use leaves the session's ObservationManager reachable from later
-    # RDD closures, failing MLlib evaluators with Task-not-serializable
-    # (reproduced: Observation+get, then BinaryClassificationEvaluator
-    # in the same session). PERFORMANCE.md "deliberately did NOT do".
-    sampled.write.mode("overwrite").parquet(corpus_path)
-
-    back = spark.read.parquet(corpus_path)
+    if getattr(args, "stream", False):
+        q = (
+            prep_stream(
+                spark,
+                f"{args.data_dir.rstrip('/')}/documents.parquet",
+                args.output_dir,
+                os.path.join(args.output_dir, "_checkpoint"),
+                min_tokens=args.min_tokens,
+                sample_rate=args.sample_rate,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.parquet(corpus_path).drop("batch_id")
+    else:
+        sampled = prep_transform(docs, args.min_tokens, args.sample_rate)
+        # NOTE: an Observation-API piggyback of written-docs/tokens metrics
+        # was tried here and reverted — in this Spark build any Observation
+        # use leaves the session's ObservationManager reachable from later
+        # RDD closures, failing MLlib evaluators with Task-not-serializable
+        # (reproduced: Observation+get, then BinaryClassificationEvaluator
+        # in the same session). PERFORMANCE.md "deliberately did NOT do".
+        sampled.write.mode("overwrite").parquet(corpus_path)
+        back = spark.read.parquet(corpus_path)
     manifest = pack_shards(
         back, "lang", F.col("n_tokens"), budget=args.shard_tokens,
         order_col="doc_id",

@@ -310,3 +310,111 @@ def foreach_batch_idempotent_sink(
         out.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus prep: the §2.10 training-data pipeline (exact dedup
+# -> PII mask -> quality gate -> deterministic sample) running INSIDE
+# the §2.9 exactly-once streaming sink — the two charter slices
+# composed, not side-by-side. ``prep_transform`` is the single shared
+# definition both the batch CLI and the per-micro-batch handler run, so
+# batch/stream parity holds by construction for the stateless stages;
+# the only cross-batch state is the content-hash history (incremental
+# exact dedup — the production write-path shape, like
+# dedup.incremental_ngram_dups for near-dups).
+# ---------------------------------------------------------------------------
+
+
+def prep_transform(docs: DataFrame, min_tokens: int, sample_rate: float) -> DataFrame:
+    """One corpus-prep pass over ``docs``: keep the min-id canonical of
+    each exact content group, mask PII, gate on token count, sample
+    deterministically by hash (retry-stable). Every stage is the
+    registered operator; this function only composes them."""
+    from ..operators import textops
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import stratified_sample
+
+    canonical = exact_dedup(docs, "doc_id", "text").select("canonical_id")
+    kept = docs.join(
+        canonical, docs["doc_id"] == canonical["canonical_id"], "left_semi"
+    )
+    cleaned = (
+        kept.withColumn("text", textops.pii_mask("text"))
+        .withColumn("n_tokens", textops.token_count("text"))
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return stratified_sample(
+        cleaned, "lang", {}, id_col="doc_id", default_rate=sample_rate
+    ).drop("__u")
+
+
+def prep_batch_handler(out_dir: str, min_tokens: int, sample_rate: float):
+    """foreachBatch handler for the incremental prep pipeline.
+
+    Per micro-batch: (1) anti-join the batch's content hashes against
+    the hashes of STRICTLY EARLIER batches (first-batch-wins cross-
+    batch exact dedup — within a batch the min-id canonical wins,
+    matching the batch pipeline); (2) run ``prep_transform``; (3) write
+    the cleaned slice to ``corpus/batch_id=N``; (4) record the batch's
+    distinct content hashes under ``content_hashes/batch_id=N``.
+
+    Replay-idempotent by the same argument as
+    ``foreach_batch_idempotent_sink``: a replayed batch_id overwrites
+    its OWN corpus and hash directories, and the history anti-join
+    reads only batch_id < N — a half-written attempt of batch N can
+    never mask batch N's own rows."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = f"{out_dir}/content_hashes"
+        with_hash = batch_df.withColumn("content_hash", F.md5(F.col("text")))
+        fresh = with_hash
+        try:
+            seen = (
+                spark.read.option("basePath", hist)
+                .parquet(hist)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("content_hash")
+                .distinct()
+            )
+            fresh = with_hash.join(seen, "content_hash", "left_anti")
+        except Exception:
+            pass  # no history yet (first batch)
+        cleaned = prep_transform(
+            fresh.drop("content_hash"), min_tokens, sample_rate
+        )
+        cleaned.write.mode("overwrite").parquet(
+            f"{out_dir}/corpus/batch_id={batch_id}"
+        )
+        with_hash.select("content_hash").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{hist}/batch_id={batch_id}")
+
+    return handle
+
+
+def prep_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 5,
+    sample_rate: float = 1.0,
+):
+    """Streaming corpus prep: parquet file source -> per-batch prep
+    handler -> exactly-once partitioned corpus. Returns the
+    DataStreamWriter (caller picks the trigger/starts); readers scan
+    ``out_dir/corpus`` as ordinary partitioned parquet. The shard
+    manifest stays a batch post-pass over the written corpus — shard
+    packing is a global cumulative sum, which is re-derived, not
+    streamed state."""
+    from ..session import tune
+
+    tune(spark)
+    src_dir = _as_stream_dir(source_dir)
+    schema = spark.read.parquet(src_dir).schema
+    src = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    handle = prep_batch_handler(out_dir, min_tokens, sample_rate)
+    return src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
