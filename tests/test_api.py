@@ -147,6 +147,37 @@ def test_registry_oracle_backed_queries_fit_driver_window():
     )
 
 
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's header counts drifted twice (VERDICT r4 #2); pin
+    them to the registry so a rotation or new query can't leave the doc
+    stale again."""
+    import os
+    import re
+
+    from hive_population_ml_spark import queries
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
+
+    queries.load_all()
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    m = re.search(
+        r"(\d+) registered queries; (\d+) oracle-checked by the driver, "
+        r"(\d+) shadow-oracle\s*\nchecked .*?(\d+) rows-only",
+        doc,
+        re.S,
+    )
+    assert m, "COVERAGE.md header counts sentence not found"
+    got = tuple(int(x) for x in m.groups())
+    want = (
+        len(queries.QUERIES),
+        len(queries.ORACLE),
+        len(SHADOW_ORACLE),
+        len(queries.QUERIES) - len(queries.ORACLE) - len(SHADOW_ORACLE),
+    )
+    assert got == want, f"COVERAGE.md says {got}, registry has {want}"
+
+
 def test_sequence_dataset_mirrors_population_alignment(sensor, annotations):
     """use_sequences=True parity: the sequence dataset aligns the same
     (annotation, window) populations as the aggregate dataset, but
