@@ -92,7 +92,12 @@ def _parser() -> argparse.ArgumentParser:
     dedup.add_argument("--data-dir", required=True)
     dedup.add_argument("--output-dir", required=True)
     dedup.add_argument(
-        "--method", choices=["ngram", "minhash", "simhash"], default="minhash"
+        "--method",
+        choices=["ngram", "minhash", "simhash", "semantic"],
+        default="minhash",
+        help="semantic = SemDeDup over the embeddings table (IVF cells "
+        "-> within-cell cosine pairs -> closure); text methods run "
+        "over documents",
     )
     dedup.add_argument("--threshold", type=float, default=0.3)
     dedup.add_argument("--cpus", type=int, default=8)
@@ -366,6 +371,14 @@ def cmd_dedup(args) -> dict:
     from .session import get_spark
 
     spark = get_spark("hpml-dedup", cpus=args.cpus, shuffle_partitions=args.cpus)
+    if args.method == "semantic":
+        from .operators.similarity import semantic_dedup
+
+        emb = Tables(spark, args.data_dir).embeddings
+        assign = semantic_dedup(
+            emb, id_col="vec_id", vec_col="embedding", threshold=args.threshold
+        ).withColumnRenamed("vec_id", "doc_id")
+        return _write_dedup_outputs(spark, assign, args.output_dir)
     docs = Tables(spark, args.data_dir).documents
     if args.method == "ngram":
         pairs = ngram_jaccard_pairs(
@@ -382,7 +395,13 @@ def cmd_dedup(args) -> dict:
     assign = dedup_cluster_assignment(
         docs, pairs, id_col="doc_id", src="d1", dst="d2"
     )
-    out_path = os.path.join(args.output_dir, "clusters")
+    return _write_dedup_outputs(spark, assign, args.output_dir)
+
+
+def _write_dedup_outputs(spark, assign, output_dir: str) -> dict:
+    from .io.sinks import write_metrics_json
+
+    out_path = os.path.join(output_dir, "clusters")
     assign.write.mode("overwrite").parquet(out_path)
     back = spark.read.parquet(out_path)
     summary = back.agg(
@@ -391,7 +410,7 @@ def cmd_dedup(args) -> dict:
         (F.count("*") - F.sum("is_canonical")).cast("long").alias("n_dropped"),
         F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
     )
-    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    write_metrics_json(summary, os.path.join(output_dir, "summary"))
     out = summary.collect()[0].asDict()
     out["clusters"] = out_path
     return out

@@ -555,3 +555,64 @@ def heavy_hitters_by(
         freq.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Frequent verbatim k-token spans across documents — the signal
+    behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a span repeated
+    verbatim in >= ``min_docs`` distinct documents is boilerplate /
+    template text to strip or down-weight before training.
+
+    Output: (span, n_docs, n_total) — the ``top_n`` most-shared spans,
+    deterministically ordered (n_docs DESC, n_total DESC, span ASC).
+
+    Scale shape: the span explode is map-side; ONE aggregation groups
+    occurrences by the span's 64-bit hash, carrying (min(span) example,
+    distinct-doc count, total count) — partial aggregation means the
+    shuffle moves one row per distinct span per partition, never one
+    per occurrence, and the hash group key keeps shuffle rows at 8
+    bytes + one example string. The final ordering compiles to
+    TakeOrderedAndProject (per-partition top-N merged on the driver) —
+    no global sort materializes. A full suffix-array pass (arbitrary-
+    length maximal repeats) is the exact-substring endgame; fixed-k
+    span mining is its one-scan distributed approximation, exact for
+    spans of length k.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).filter(F.size("__t") >= F.lit(k))
+    idx = F.sequence(F.lit(0), F.size("__t") - F.lit(k))
+    spans = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)],
+                ),
+            )
+        ).alias("span"),
+    )
+    agg = (
+        spans.groupBy(F.xxhash64("span").alias("__h"))
+        .agg(
+            F.min("span").alias("span"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+    )
+    return (
+        agg.select("span", "n_docs", "n_total")
+        .orderBy(F.col("n_docs").desc(), F.col("n_total").desc(), F.col("span"))
+        .limit(top_n)
+    )

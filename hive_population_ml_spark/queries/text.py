@@ -464,3 +464,32 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     are AQE-broadcast; one bigram agg + one rollup + scoring agg."""
     t = Tables(spark, sf_dir)
     return textops.bigram_logprob_score(t.documents, "doc_id", "text")
+
+
+@register(
+    "text_dup_spans",
+    shadow_oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sp AS (
+    SELECT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS span
+    FROM tok, LATERAL UNNEST(range(1, len(t) - 3 + 2)) AS i(i)
+    WHERE len(t) >= 3
+)
+SELECT span,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM sp
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 3
+ORDER BY n_docs DESC, n_total DESC, span ASC
+LIMIT 50
+""",
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 verbatim 3-token spans shared by >= 3 distinct documents
+    (textops.dup_spans) — the boilerplate/template-detection signal of
+    exact-substring dedup (Lee et al. 2022). One map-side span explode,
+    one hash-grouped aggregation, TakeOrderedAndProject top-N."""
+    t = Tables(spark, sf_dir)
+    return textops.dup_spans(t.documents, "text", "doc_id", k=3, min_docs=3)

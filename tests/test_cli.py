@@ -186,3 +186,31 @@ def test_cli_tokenize(spark, sf_dir, tmp_path):
         assert "".join(r["tokens"]) == r["word"] + "</w>"
     merges = spark.read.parquet(out["merges"])
     assert merges.count() == 15
+
+
+def test_cli_dedup_semantic(spark, sf_dir, tmp_path):
+    """`dedup --method semantic` runs SemDeDup over embeddings: same
+    assignment invariants as the text methods (partition of the corpus,
+    one min-id canonical per cluster)."""
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "dedup",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "sd"),
+            "--method", "semantic",
+            "--threshold", "0.35",
+            "--cpus", "4",
+        ]
+    )
+    assert out["n_docs"] == out["n_kept"] + out["n_dropped"]
+    assert out["n_clusters"] == out["n_kept"]
+    assert out["n_dropped"] > 0  # threshold 0.35 really merges on this data
+    back = spark.read.parquet(out["clusters"])
+    assert back.count() == out["n_docs"]
+    per_cluster = back.groupBy("cluster_id").agg(
+        F.sum("is_canonical").alias("k"), F.min("doc_id").alias("mn")
+    )
+    rows = per_cluster.collect()
+    assert all(r["k"] == 1 for r in rows)

@@ -1289,3 +1289,25 @@ def test_semantic_dedup_cluster_quality(spark, sf_dir):
     label = {r["vec_id"]: r["cluster_id"] for r in rows}
     for p in semantic_dup_pairs(emb, cents, threshold=0.35).collect():
         assert label[p["id1"]] == label[p["id2"]]
+
+
+def test_dup_spans_finds_crafted_boilerplate(spark):
+    """A verbatim footer shared by many docs must surface with exact
+    doc/occurrence counts; spans unique to one doc never appear; short
+    docs are skipped, not crashed."""
+    from hive_population_ml_spark.operators.textops import dup_spans
+
+    footer = "subscribe to our newsletter"
+    rows = [(i, f"unique{i} words here {footer}") for i in range(6)]
+    rows += [(100, f"totally different text {footer} {footer}")]
+    rows += [(200, "one-of-a-kind content nothing shared anywhere")]
+    rows += [(300, "tiny")]  # shorter than k tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["span"]: (r["n_docs"], r["n_total"])
+        for r in dup_spans(docs, k=4, min_docs=3, top_n=10).collect()
+    }
+    assert got[footer] == (7, 8)  # 6 single + 1 double occurrence
+    assert all("one-of-a-kind" not in s and "unique" not in s for s in got)
+    # every reported span is genuinely in >= 3 docs
+    assert all(n_docs >= 3 for n_docs, _ in got.values())

@@ -60,6 +60,9 @@ EXCHANGE_BUDGETS = {
     "text_decontaminate_bloom": 0,
     # vocabulary-bounded partial agg; top-k is TakeOrdered, not a sort
     "text_heavy_hitters": 1,
+    # span explode is map-side; count_distinct splits the one agg into
+    # two phases (by (hash, doc) then hash); top-N is TakeOrdered
+    "text_dup_spans": 2,
     # training runs in its own jobs (word-count pass + vocab merge
     # loop); the returned merge table is a local relation
     "text_bpe_merges": 0,

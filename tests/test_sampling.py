@@ -48,6 +48,8 @@ SHADOW_NAMES = [
     "m14_ensemble_blend",
     "w4_tail_k",
     "text_fingerprint_groups",
+    # round-5 addition past the full driver window
+    "text_dup_spans",
 ]
 
 
