@@ -1078,9 +1078,11 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, v, cell): nearest-centroid assignment — centroids broadcast,
-    so this is a map-side argmin; Spark 4's WindowGroupLimit keeps the
-    per-id shuffle at one row (see ivf_topk's audit note)."""
+    """(id, v, cell, sim): nearest-centroid assignment — centroids
+    broadcast, so this is a map-side argmin; Spark 4's WindowGroupLimit
+    keeps the per-id shuffle at one row (see ivf_topk's audit note).
+    ``sim`` is the cosine to the assigned centroid (the typicality
+    score SemDeDup's keeper policy ranks on)."""
     cent = centroids.select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -1098,7 +1100,7 @@ def assign_cells(
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .select("id", "v", "cell")
+        .select("id", "v", "cell", "sim")
     )
 
 
@@ -1163,13 +1165,23 @@ def semantic_dedup(
     n_cells: int = 16,
     seed: int = 7,
     block_size: int = 2048,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """SemDeDup assignment: every vector labeled (id, cluster_id,
     is_canonical) where clusters are the transitive closure of
-    within-cell cosine-near-dup pairs and the canonical keeper is the
-    cluster's minimum id (the repo-wide convention — deterministic and
-    join-free). ``filter(is_canonical = 1)`` is the semantically
-    deduplicated corpus.
+    within-cell cosine-near-dup pairs. ``filter(is_canonical = 1)`` is
+    the semantically deduplicated corpus.
+
+    ``keeper`` picks the canonical member per cluster:
+    - ``"min_id"`` (default): the cluster's minimum id — the repo-wide
+      convention, deterministic and join-free.
+    - ``"centroid_far"``: the member with the LOWEST cosine to its
+      assigned cell centroid — the SemDeDup paper's policy (Abbas et
+      al. 2023 §3: keeping the most atypical example preserves more
+      diversity than keeping a random/arbitrary one). One extra
+      per-cluster rank window over the (id, sim) table; cluster_id
+      stays the min member id either way, so labels are
+      policy-independent.
 
     ``centroids`` accepts a pre-trained quantizer (offline index build,
     same contract as ivf_topk); None trains the seeded KMeans coarse
@@ -1180,6 +1192,8 @@ def semantic_dedup(
     """
     from .components import dedup_cluster_assignment
 
+    if keeper not in ("min_id", "centroid_far"):
+        raise ValueError(f"keeper must be min_id|centroid_far, got {keeper!r}")
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
@@ -1192,6 +1206,21 @@ def semantic_dedup(
         threshold=threshold,
         block_size=block_size,
     )
-    return dedup_cluster_assignment(
+    assign = dedup_cluster_assignment(
         corpus, pairs, id_col=id_col, src="id1", dst="id2"
+    )
+    if keeper == "min_id":
+        return assign
+    sims = assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias(id_col), "sim"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("sim").asc(), F.col(id_col)
+    )
+    return (
+        assign.drop("is_canonical")
+        .join(sims, id_col)
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("is_canonical", (F.col("__r") == 1).cast("int"))
+        .drop("__r", "sim")
     )

@@ -1311,3 +1311,39 @@ def test_dup_spans_finds_crafted_boilerplate(spark):
     assert all("one-of-a-kind" not in s and "unique" not in s for s in got)
     # every reported span is genuinely in >= 3 docs
     assert all(n_docs >= 3 for n_docs, _ in got.values())
+
+
+def test_semantic_dedup_centroid_far_keeper(spark, sf_dir):
+    """The SemDeDup-paper keeper policy: one canonical per cluster, and
+    it is the member with the LOWEST cosine to its cell centroid
+    (ties -> min id); cluster labels are policy-independent."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        assign_cells,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = train_ivf_centroids(emb, k=16, max_iter=5)
+    base = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semantic_dedup(
+            emb, threshold=0.35, centroids=cents
+        ).collect()
+    }
+    far = semantic_dedup(
+        emb, threshold=0.35, centroids=cents, keeper="centroid_far"
+    ).collect()
+    assert {r["vec_id"]: r["cluster_id"] for r in far} == base
+    sim = {r["id"]: r["sim"] for r in assign_cells(emb, cents).collect()}
+    clusters: dict = {}
+    for r in far:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for members in clusters.values():
+        canons = [m for m in members if m["is_canonical"] == 1]
+        assert len(canons) == 1
+        expected = min(members, key=lambda m: (sim[m["vec_id"]], m["vec_id"]))
+        assert canons[0]["vec_id"] == expected["vec_id"]
+    with pytest.raises(ValueError, match="keeper"):
+        semantic_dedup(emb, centroids=cents, keeper="nope")
