@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",
+    "embedding_pca",
     "text_quality_profile",
     "text_repetition_filter",
     "text_decontaminate",

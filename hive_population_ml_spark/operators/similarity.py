@@ -1224,3 +1224,61 @@ def semantic_dedup(
         .withColumn("is_canonical", (F.col("__r") == 1).cast("int"))
         .drop("__r", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimensionality reduction: the standard pre-ANN/pre-cluster
+# step of a 100 TB embedding pipeline (project 768-dim vectors to the
+# 32-64 dims that carry the variance; ANN index size and GEMM cost drop
+# proportionally). MLlib PCA: the fit is a distributed covariance +
+# driver SVD (deterministic — no RNG in the decomposition), the
+# transform is a map-side JVM matrix multiply — no Python anywhere.
+# ---------------------------------------------------------------------------
+
+
+def pca_project(
+    corpus: DataFrame,
+    n_components: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    model=None,
+):
+    """Project the embedding column onto its top ``n_components``
+    principal axes. Returns ``(projected_df, model)`` where
+    ``projected_df`` is (id, embedding: array<double>[n_components])
+    and ``model`` the fitted PCAModel (pass it back in to reuse a
+    trained projection — the offline index-build contract shared with
+    train_ivf_centroids / train_pq_codebooks).
+
+    The fit runs on the bounded deterministic hash-sample (principal
+    axes converge long before the full corpus is seen; the covariance
+    of a uniform sample is an unbiased estimate), so training cost is
+    CONSTANT in corpus size; the projection itself is one map-side
+    matvec per row — zero shuffles, scan-bound at any scale.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if model is None:
+        train = corpus
+        if sample_n:
+            n = corpus.count()
+            if n > sample_n:
+                mod = 1_000_003
+                thresh = int(mod * (sample_n / n))
+                train = corpus.filter(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) < F.lit(thresh)
+                )
+        feats = train.select(
+            array_to_vector(_as_double(F.col(vec_col))).alias("__v")
+        )
+        model = PCA(k=n_components, inputCol="__v", outputCol="__p").fit(feats)
+    src = corpus.select(
+        F.col(id_col),
+        array_to_vector(_as_double(F.col(vec_col))).alias("__v"),
+    )
+    projected = model.transform(src).select(
+        id_col, vector_to_array(F.col("__p")).alias(vec_col)
+    )
+    return projected, model

@@ -247,3 +247,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
         centroids=cents,
     )
+
+
+# PCA projection memo (offline build, same pattern as _PQ_BOOKS).
+_PCA_MODELS: dict[tuple, object] = {}
+
+
+@register("embedding_pca")  # rows-only: SVD has no DuckDB twin;
+# rotation-invariance / variance-ordering / determinism property tests
+# in tests/test_operators.py pin the semantics
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings onto their top-8 principal axes — the
+    standard dimensionality-reduction step before ANN indexing or
+    clustering at corpus scale (index size and GEMM cost drop with the
+    dimension). Fit on the bounded hash-sample (memoized offline
+    build); the projection is a map-side JVM matvec, zero shuffles."""
+    from ..operators.similarity import pca_project
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    key = _corpus_key(emb, sf_dir)
+    projected, model = pca_project(
+        emb, n_components=8, model=_PCA_MODELS.get(key)
+    )
+    _PCA_MODELS[key] = model
+    return projected

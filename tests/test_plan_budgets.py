@@ -80,6 +80,9 @@ EXCHANGE_BUDGETS = {
     # back + scoring agg
     "text_bigram_logprob": 6,
     "sample_stratified": 0,
+    # PCA fit runs in its own (memoized, sample-bounded) jobs; the
+    # projection itself is a map-side matvec — pure scan
+    "embedding_pca": 0,
     "pack_token_shards": 2,
     "sketch_distinct_tokens": 2,
     "m_calibration": 4,
