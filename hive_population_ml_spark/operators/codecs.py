@@ -1,7 +1,7 @@
 """Stdlib-only media codecs for the multimodal operators.
 
 The usual decode libraries (PIL / librosa / av) are not in this
-container, but two real formats need nothing beyond the standard
+container, but three real formats need nothing beyond the standard
 library, so the ``decode_stub=False`` path in
 ``operators/multimodal.py`` is EXECUTABLE for them:
 
@@ -10,10 +10,13 @@ library, so the ``decode_stub=False`` path in
   chunking for the frame-sampling shape.
 - **Uncompressed 24-bit BMP images** — parsed/written with ``struct``:
   width / height / channel statistics, and nearest-neighbor resize.
+- **PNG images (8-bit RGB/RGBA)** — zlib-inflated with all five
+  scanline filters unfiltered per the spec: a real COMPRESSED format,
+  decode pinned in tests against an independent forward-filter writer.
 
-These are the codec plug points the stubs document; video stays
-honestly stubbed (no stdlib video codec exists). Encoders are included
-so tests and fixtures can round-trip without external tools.
+These are the codec plug points the stubs document; JPEG/MP3/video stay
+honestly stubbed (no stdlib DCT or video codec exists). Encoders are
+included so tests and fixtures can round-trip without external tools.
 """
 
 from __future__ import annotations
@@ -182,3 +185,143 @@ def bmp_resize(data: bytes, width: int, height: int) -> bytes:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return encode_bmp(arr[rows][:, cols])
+
+
+# --------------------------------------------------------------------------
+# PNG (stdlib zlib): a real COMPRESSED image codec with no external
+# dependency — upgrades the former image/png NotImplementedError stub.
+# Supported: 8-bit RGB (color type 2) and RGBA (6), non-interlaced,
+# all five scanline filters on decode. Python-loop unfiltering is fine
+# for the fixture/feature sizes exercised here; a production pipeline
+# swaps PIL/libpng in at the same dispatch point for throughput.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 array -> PNG bytes (filter 0 rows, one IDAT)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects (H, W, 3|4) uint8")
+    h, w, c = arr.shape
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3|4) uint8 array.
+
+    Handles 8-bit RGB/RGBA, non-interlaced, every scanline filter
+    (None/Sub/Up/Average/Paeth). Raises NotImplementedError for other
+    bit depths / color types / interlacing — the honest boundary."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or interlace:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    c = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for row in range(h):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(c, stride):
+                line[i] = (line[i] + line[i - c]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - c] if i >= c else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - c] if i >= c else 0
+                up_left = prev[i - c] if i >= c else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[row] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(h, w, c)
+
+
+def png_features(data: bytes, dim: int = 8) -> list[float]:
+    """Same feature contract as bmp_features, decoded from PNG (alpha
+    channel ignored for the channel means)."""
+    arr = decode_png(data)[:, :, :3].astype(np.float64) / 255.0
+    h, w, _ = arr.shape
+    gray = arr.mean(axis=2)
+    feats = [
+        float(w),
+        float(h),
+        float(arr[:, :, 0].mean()),
+        float(arr[:, :, 1].mean()),
+        float(arr[:, :, 2].mean()),
+        float(gray.std()),
+    ]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def png_resize(data: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize, re-encoded as PNG."""
+    arr = decode_png(data)
+    h, w, _ = arr.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_png(arr[rows][:, cols])

@@ -141,9 +141,12 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
         return codecs.wav_features(media, dim)
     if media_type == "image/bmp":
         return codecs.bmp_features(media, dim)
+    if media_type == "image/png":
+        return codecs.png_features(media, dim)
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; executable here: "
-        f"audio/wav, image/bmp — PIL/librosa/av plug in at this dispatch"
+        f"audio/wav, image/bmp, image/png — PIL/librosa/av plug in at "
+        f"this dispatch"
     )
 
 
@@ -172,12 +175,16 @@ def resize_media(
             else:
                 out = []
                 for m, t in zip(pdf["media"], pdf["media_type"]):
-                    if t != "image/bmp":
+                    if t == "image/bmp":
+                        out.append(codecs.bmp_resize(m, width, height))
+                    elif t == "image/png":
+                        out.append(codecs.png_resize(m, width, height))
+                    else:
                         raise NotImplementedError(
                             f"no stdlib resize codec for media_type={t!r}; "
-                            f"executable here: image/bmp (PIL plugs in here)"
+                            f"executable here: image/bmp, image/png (PIL "
+                            f"plugs in here)"
                         )
-                    out.append(codecs.bmp_resize(m, width, height))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

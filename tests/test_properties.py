@@ -240,3 +240,56 @@ def test_bottom_k_mergeable_any_partitioning(spark, ids, k):
         ).collect()
     }
     assert whole == parts
+
+
+_span_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=_span_corpus)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_spans_matches_python_reference(spark, texts):
+    """dup_spans == a pure-Python sliding-window counter on any corpus:
+    same spans, same distinct-doc and total counts, same ordering
+    prefix (tiny alphabet maximizes span collisions — the regime the
+    aggregation must get right)."""
+    from collections import defaultdict
+
+    from hive_population_ml_spark.operators.textops import dup_spans
+
+    k, min_docs, top_n = 2, 2, 10
+    docs_ref = defaultdict(set)
+    total_ref = defaultdict(int)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        for j in range(len(toks) - k + 1):
+            span = " ".join(toks[j : j + k])
+            docs_ref[span].add(i)
+            total_ref[span] += 1
+    expected = sorted(
+        (
+            (s, len(d), total_ref[s])
+            for s, d in docs_ref.items()
+            if len(d) >= min_docs
+        ),
+        key=lambda r: (-r[1], -r[2], r[0]),
+    )[:top_n]
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["span"], r["n_docs"], r["n_total"])
+        for r in dup_spans(
+            df, k=k, min_docs=min_docs, top_n=top_n
+        ).collect()
+    ]
+    # ordering ties beyond the sort key triple are impossible (span is
+    # unique), so the comparison is exact
+    assert got == expected
