@@ -82,6 +82,14 @@ def _parser() -> argparse.ArgumentParser:
         "the exactly-once foreachBatch sink (availableNow trigger); "
         "cross-batch exact dedup via the content-hash history",
     )
+    prep.add_argument(
+        "--decontaminate",
+        metavar="PARQUET",
+        default=None,
+        help="optional eval-benchmark parquet (a 'text' column); docs "
+        "sharing any 3-token shingle with it are dropped via the Bloom "
+        "bitset probe (map-only, no false negatives) before masking",
+    )
     dedup = sub.add_parser(
         "dedup",
         help="near-duplicate clustering over documents: pairs "
@@ -311,6 +319,7 @@ def cmd_prep(args) -> dict:
     docs = Tables(spark, args.data_dir).documents
     n_raw = docs.count()
 
+    bench_path = getattr(args, "decontaminate", None)
     corpus_path = os.path.join(args.output_dir, "corpus")
     if getattr(args, "stream", False):
         q = (
@@ -321,6 +330,7 @@ def cmd_prep(args) -> dict:
                 os.path.join(args.output_dir, "_checkpoint"),
                 min_tokens=args.min_tokens,
                 sample_rate=args.sample_rate,
+                benchmark_path=bench_path,
             )
             .trigger(availableNow=True)
             .start()
@@ -328,7 +338,10 @@ def cmd_prep(args) -> dict:
         q.awaitTermination()
         back = spark.read.parquet(corpus_path).drop("batch_id")
     else:
-        sampled = prep_transform(docs, args.min_tokens, args.sample_rate)
+        benchmark = spark.read.parquet(bench_path) if bench_path else None
+        sampled = prep_transform(
+            docs, args.min_tokens, args.sample_rate, benchmark
+        )
         # NOTE: an Observation-API piggyback of written-docs/tokens metrics
         # was tried here and reverted — in this Spark build any Observation
         # use leaves the session's ObservationManager reachable from later

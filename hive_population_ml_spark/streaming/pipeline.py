@@ -325,9 +325,18 @@ def foreach_batch_idempotent_sink(
 # ---------------------------------------------------------------------------
 
 
-def prep_transform(docs: DataFrame, min_tokens: int, sample_rate: float) -> DataFrame:
+def prep_transform(
+    docs: DataFrame,
+    min_tokens: int,
+    sample_rate: float,
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
     """One corpus-prep pass over ``docs``: keep the min-id canonical of
-    each exact content group, mask PII, gate on token count, sample
+    each exact content group, Bloom-decontaminate against the optional
+    evaluation ``benchmark`` (on RAW text, before masking alters the
+    shingles — drops any doc the fixed-size bitset flags; no false
+    negatives, a bounded false-positive rate trades a few clean docs
+    for a map-only corpus pass), mask PII, gate on token count, sample
     deterministically by hash (retry-stable). Every stage is the
     registered operator; this function only composes them."""
     from ..operators import textops
@@ -338,6 +347,11 @@ def prep_transform(docs: DataFrame, min_tokens: int, sample_rate: float) -> Data
     kept = docs.join(
         canonical, docs["doc_id"] == canonical["canonical_id"], "left_semi"
     )
+    if benchmark is not None:
+        flagged = textops.bloom_decontaminate(
+            kept, benchmark, "doc_id", "text"
+        ).filter(F.col("maybe_contaminated") == 1)
+        kept = kept.join(flagged.select("doc_id"), "doc_id", "left_anti")
     cleaned = (
         kept.withColumn("text", textops.pii_mask("text"))
         .withColumn("n_tokens", textops.token_count("text"))
@@ -348,7 +362,12 @@ def prep_transform(docs: DataFrame, min_tokens: int, sample_rate: float) -> Data
     ).drop("__u")
 
 
-def prep_batch_handler(out_dir: str, min_tokens: int, sample_rate: float):
+def prep_batch_handler(
+    out_dir: str,
+    min_tokens: int,
+    sample_rate: float,
+    benchmark_path: str | None = None,
+):
     """foreachBatch handler for the incremental prep pipeline.
 
     Per micro-batch: (1) anti-join the batch's content hashes against
@@ -380,8 +399,11 @@ def prep_batch_handler(out_dir: str, min_tokens: int, sample_rate: float):
             fresh = with_hash.join(seen, "content_hash", "left_anti")
         except Exception:
             pass  # no history yet (first batch)
+        benchmark = (
+            spark.read.parquet(benchmark_path) if benchmark_path else None
+        )
         cleaned = prep_transform(
-            fresh.drop("content_hash"), min_tokens, sample_rate
+            fresh.drop("content_hash"), min_tokens, sample_rate, benchmark
         )
         cleaned.write.mode("overwrite").parquet(
             f"{out_dir}/corpus/batch_id={batch_id}"
@@ -400,6 +422,7 @@ def prep_stream(
     checkpoint_dir: str,
     min_tokens: int = 5,
     sample_rate: float = 1.0,
+    benchmark_path: str | None = None,
 ):
     """Streaming corpus prep: parquet file source -> per-batch prep
     handler -> exactly-once partitioned corpus. Returns the
@@ -414,7 +437,7 @@ def prep_stream(
     src_dir = _as_stream_dir(source_dir)
     schema = spark.read.parquet(src_dir).schema
     src = spark.readStream.schema(schema).format("parquet").load(src_dir)
-    handle = prep_batch_handler(out_dir, min_tokens, sample_rate)
+    handle = prep_batch_handler(out_dir, min_tokens, sample_rate, benchmark_path)
     return src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )

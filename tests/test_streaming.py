@@ -670,3 +670,44 @@ def test_prep_stream_replay_and_incremental_dedup(spark, sf_dir, tmp_path):
         .filter(F.col("batch_id") == 2).count()
     )
     assert b2 > 0
+
+
+def test_prep_decontaminate_stage_batch_stream_parity(spark, sf_dir, tmp_path):
+    """--decontaminate drops every doc sharing a shingle with the
+    benchmark (Bloom probe: no false negatives) in BOTH modes, and
+    batch == stream on the decontaminated corpus."""
+    from hive_population_ml_spark.cli import main
+
+    docs = Tables(spark, sf_dir).documents
+    bench_path = str(tmp_path / "benchmark")
+    # benchmark = 5 real docs' raw text -> those docs MUST be dropped
+    bench_ids = [r["doc_id"] for r in docs.limit(5).collect()]
+    docs.filter(F.col("doc_id").isin(bench_ids)).select("text").write.parquet(
+        bench_path
+    )
+    out_b = main(
+        [
+            "prep", "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "b"),
+            "--decontaminate", bench_path, "--cpus", "8",
+        ]
+    )
+    out_s = main(
+        [
+            "prep", "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "s"),
+            "--decontaminate", bench_path, "--stream", "--cpus", "8",
+        ]
+    )
+    corpus_b = spark.read.parquet(str(tmp_path / "b" / "corpus"))
+    kept_ids = {r["doc_id"] for r in corpus_b.select("doc_id").collect()}
+    assert not (kept_ids & set(bench_ids))  # no false negatives
+    assert len(kept_ids) > 0
+    for k in ("n_kept_docs", "n_tokens", "n_shards"):
+        assert out_b[k] == out_s[k], k
+    s_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "s" / "corpus"))
+        .select("doc_id").collect()
+    }
+    assert s_ids == kept_ids
