@@ -202,3 +202,33 @@ def test_sequence_dataset_mirrors_population_alignment(sensor, annotations):
     for r in rows:
         assert r["seq_len"] == min(n_by_id[r["hive_id"]], 16)
     assert {r["label"] for r in rows} <= {0.0, 1.0}
+
+
+def test_bench_summary_line_stays_compact():
+    """BENCH_r04 was unparseable because the summary line outgrew the
+    driver's tail-capture buffer (VERDICT r4 #1). Pin the structure:
+    the final stdout line carries ONLY metric/value/unit/queries/sf —
+    simulated at worst-case widths it must stay well under ~4 KB, and
+    the spread map must NOT be part of it."""
+    import inspect
+    import json
+
+    import bench
+
+    simulated = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {name: 99999.999 for name in bench.HEADLINE},
+            "sf": 0.1,
+        }
+    )
+    assert len(simulated) < 3500, (
+        f"bench summary line would be {len(simulated)} bytes; keep it "
+        "under the driver's tail buffer (split more onto earlier lines)"
+    )
+    src = inspect.getsource(bench.main)
+    # spread prints on its own EARLIER line; the final print is compact
+    final_print = src[src.rfind("print(") :]
+    assert "spread" not in final_print
