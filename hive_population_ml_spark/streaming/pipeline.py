@@ -384,6 +384,8 @@ def prep_batch_handler(
     never mask batch N's own rows."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         hist = f"{out_dir}/content_hashes"
         with_hash = batch_df.withColumn("content_hash", F.md5(F.col("text")))
@@ -397,8 +399,15 @@ def prep_batch_handler(
                 .distinct()
             )
             fresh = with_hash.join(seen, "content_hash", "left_anti")
-        except Exception:
-            pass  # no history yet (first batch)
+        except AnalysisException:
+            # History dir absent: first batch. ONLY plan-time
+            # path-not-found is tolerable here — the read is lazy, so
+            # actual corruption surfaces when the batch job runs and
+            # fails it loudly (the checkpoint then replays the batch);
+            # a blanket except would have silently skipped cross-batch
+            # dedup. Works on any Hadoop filesystem, unlike an
+            # os.path existence probe.
+            pass
         benchmark = (
             spark.read.parquet(benchmark_path) if benchmark_path else None
         )
