@@ -269,3 +269,51 @@ def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = t.documents.filter(F.col("doc_id") % 5 != 0)
     newb = t.documents.filter(F.col("doc_id") % 5 == 0)
     return incremental_ngram_dups(newb, hist, "doc_id", "text", k=3)
+
+
+@register(
+    "dedup_cluster_embedding",
+    shadow_oracle="""
+WITH RECURSIVE e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS d1, b.vec_id AS d2
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v)
+                / NULLIF(sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(b.v, b.v)), 0), 9) >= 0.35
+),
+verts AS (SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+          UNION SELECT d2 AS u, d1 AS v FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.v AS id, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+SELECT emb.vec_id,
+       coalesce(c.component, emb.vec_id) AS cluster_id,
+       CAST(coalesce(c.component, emb.vec_id) = emb.vec_id AS INT) AS is_canonical
+FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+""",
+)
+def dedup_cluster_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over the EXACT embedding-cosine pair graph —
+    the second full recursive-CTE differential on the distributed CC
+    operator, over a different (GEMM-scored) pair generator than the
+    n-gram variant. dedup_semantic is this query's sub-quadratic
+    production form (cells bound the pair search); the exact graph here
+    is what makes DuckDB able to recompute every (vec, cluster,
+    canonical) row."""
+    from ..operators.components import dedup_cluster_assignment
+    from ..operators.similarity import cosine_dup_pairs_blocked
+
+    t = Tables(spark, sf_dir)
+    pairs = cosine_dup_pairs_blocked(
+        t.embeddings, id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+    return dedup_cluster_assignment(
+        t.embeddings, pairs, id_col="vec_id", src="id1", dst="id2"
+    )

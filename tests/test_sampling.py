@@ -48,8 +48,9 @@ SHADOW_NAMES = [
     "m14_ensemble_blend",
     "w4_tail_k",
     "text_fingerprint_groups",
-    # round-5 addition past the full driver window
+    # round-5 additions past the full driver window
     "text_dup_spans",
+    "dedup_cluster_embedding",
 ]
 
 
