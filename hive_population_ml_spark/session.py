@@ -70,15 +70,20 @@ def _ship_package(spark: SparkSession) -> None:
     SparkContext; the zip is rebuilt keyed on source mtimes so an
     edited module re-ships in long-lived test sessions.
     """
+    import hashlib
     import pathlib
     import zipfile
 
     sc = spark.sparkContext
     pkg_dir = pathlib.Path(__file__).resolve().parent
     sources = sorted(pkg_dir.rglob("*.py"))
-    fingerprint = hash(tuple((str(p), p.stat().st_mtime_ns) for p in sources))
+    # sha1, not hash(): str hashing is salted per process, which would
+    # mint a new zip name every run and litter /tmp
+    digest = hashlib.sha1()
+    for p in sources:
+        digest.update(f"{p}:{p.stat().st_mtime_ns}\n".encode())
     zip_path = pathlib.Path(
-        f"/tmp/{pkg_dir.name}_pkg_{fingerprint & 0xFFFFFFFFFFFF:012x}.zip"
+        f"/tmp/{pkg_dir.name}_pkg_{digest.hexdigest()[:12]}.zip"
     )
     shipped = getattr(sc, "_hpml_shipped", None)
     if shipped == zip_path.name:
