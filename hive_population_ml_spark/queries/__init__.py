@@ -38,6 +38,10 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r5 additions: the only two shadow queries never driver-checked
+    # (registered late in round 4 / early round 5).
+    "dedup_cluster_embedding",
+    "text_dup_spans",
     "a_cube_revenue",
     "a_key_skew",
     "a_pivot_event_counts",
@@ -54,6 +58,8 @@ ROTATE_TO_ORACLE = [
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    "p_null_guard_cast",
+    "asof_nearest_ship",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",
