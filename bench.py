@@ -62,6 +62,7 @@ HEADLINE = [
     "text_decontaminate_bloom",
     "text_heavy_hitters",
     "text_dup_spans",
+    "text_chunk_chars",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

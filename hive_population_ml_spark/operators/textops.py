@@ -616,3 +616,80 @@ def dup_spans(
         .orderBy(F.col("n_docs").desc(), F.col("n_total").desc(), F.col("span"))
         .limit(top_n)
     )
+
+
+# -- Document chunking --------------------------------------------------------
+
+
+def _chunk_starts(n: Column, size: int, overlap: int) -> Column:
+    """1-based window start positions for length ``n``: ``1, 1+stride,
+    ...`` while ``start <= max(n - overlap, 1)``. Every position is
+    covered, the final window may be short, and a document shorter than
+    ``size`` yields exactly one chunk."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    return F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+
+
+def char_chunks(
+    col: str | Column = "text", size: int = 120, overlap: int = 24
+) -> Column:
+    """Fixed-size character windows with ``overlap`` chars of overlap —
+    ``array<string>``. Pure Catalyst (sequence + transform + substr):
+    zero shuffle at any corpus size; chunking a 100 TB corpus is a
+    map-only pass inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    starts = _chunk_starts(F.length(c), size, overlap)
+    return F.transform(starts, lambda s: c.substr(s, F.lit(size)))
+
+
+def token_chunks(
+    col: str | Column = "text", size: int = 32, overlap: int = 8
+) -> Column:
+    """Fixed-size token windows (whitespace tokens, re-joined with a
+    single space) — the context-window packing shape LLM pipelines
+    actually chunk by. Same zero-shuffle posture as char_chunks."""
+    t = tokens(col)
+    starts = _chunk_starts(F.size(t), size, overlap)
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(t, s, size), " ")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 120,
+    overlap: int = 24,
+    by: str = "chars",
+) -> DataFrame:
+    """Explode documents into overlapping chunks for embedding /
+    retrieval / context-window packing.
+
+    Output: (id_col, chunk_idx, chunk_text, chunk_chars, chunk_tokens),
+    chunk_idx 0-based and contiguous per document.
+
+    Scale shape: posexplode of a map-side array — no exchange, no
+    window, output partitioning inherits the scan. Downstream embedding
+    jobs consume chunks with the same parallelism as the source files.
+    """
+    if by == "chars":
+        arr = char_chunks(text_col, size, overlap)
+    elif by == "tokens":
+        arr = token_chunks(text_col, size, overlap)
+    else:
+        raise ValueError(f"by must be 'chars' or 'tokens', got {by!r}")
+    out = docs.select(
+        F.col(id_col), F.posexplode(arr).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.length("chunk_text").alias("chunk_chars"),
+        token_count("chunk_text").alias("chunk_tokens"),
+    )

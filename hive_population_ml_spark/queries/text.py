@@ -493,3 +493,52 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash-grouped aggregation, TakeOrderedAndProject top-N."""
     t = Tables(spark, sf_dir)
     return textops.dup_spans(t.documents, "text", "doc_id", k=3, min_docs=3)
+
+
+@register(
+    "text_chunk_chars",
+    oracle="""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - 24, 1) + 1, 96)) AS start
+    FROM documents
+)
+SELECT doc_id,
+       (start - 1) // 96 AS chunk_idx,
+       substr(text, start, 120) AS chunk_text,
+       length(substr(text, start, 120)) AS chunk_chars,
+       len(string_split(substr(text, start, 120), ' ')) AS chunk_tokens
+FROM starts
+""",
+)
+def text_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping char-window chunking (size=120, overlap=24) — the
+    embedding/retrieval precut. Map-only: posexplode of a Catalyst
+    sequence/transform array, zero exchanges at any corpus size."""
+    t = Tables(spark, sf_dir)
+    return textops.chunk_documents(t.documents, size=120, overlap=24, by="chars")
+
+
+@register(
+    "text_chunk_tokens",
+    shadow_oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), starts AS (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS start
+    FROM toks
+)
+SELECT doc_id,
+       (start - 1) // 24 AS chunk_idx,
+       array_to_string(t[start:start + 31], ' ') AS chunk_text,
+       length(array_to_string(t[start:start + 31], ' ')) AS chunk_chars,
+       len(t[start:start + 31]) AS chunk_tokens
+FROM starts
+""",
+)
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size=32 tokens, overlap=8) — the
+    context-window packing shape. Same zero-exchange map-only plan."""
+    t = Tables(spark, sf_dir)
+    return textops.chunk_documents(t.documents, size=32, overlap=8, by="tokens")

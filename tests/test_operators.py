@@ -1513,3 +1513,82 @@ def test_multimodal_real_png_paths_in_spark(spark):
     rows = resize_media(df, width=3, height=4, decode_stub=False).collect()
     for r in rows:
         assert codecs.decode_png(bytes(r["media"])).shape == (4, 3, 3)
+
+
+# -- Document chunking --------------------------------------------------------
+
+
+def test_chunk_documents_char_reconstruction(spark):
+    """Dropping each chunk's leading `overlap` chars (except chunk 0) and
+    concatenating reconstructs the document exactly — full coverage, no
+    gaps, no double-counting."""
+    from hive_population_ml_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "short"), (3, "x" * 10)],
+        "doc_id long, text string",
+    )
+    size, overlap = 10, 3
+    rows = (
+        chunk_documents(docs, size=size, overlap=overlap, by="chars")
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        piece = r["chunk_text"] if r["chunk_idx"] == 0 else r["chunk_text"][overlap:]
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], "") + piece
+        assert r["chunk_chars"] == len(r["chunk_text"]) <= size
+    assert by_doc == {
+        1: "abcdefghijklmnopqrstuvwxyz0123456789",
+        2: "short",
+        3: "x" * 10,
+    }
+    # short doc -> exactly one chunk
+    assert sum(1 for r in rows if r["doc_id"] == 2) == 1
+
+
+def test_chunk_documents_token_windows(spark):
+    from hive_population_ml_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = (
+        chunk_documents(docs, size=4, overlap=1, by="tokens")
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    texts = [r["chunk_text"] for r in rows]
+    assert texts == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert [r["chunk_tokens"] for r in rows] == [4, 4, 4]
+
+
+def test_chunk_documents_zero_exchanges(spark):
+    """Chunking must stay a map-only pass — no shuffle at any size."""
+    from hive_population_ml_spark.operators.textops import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_validates_args(spark):
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=5, overlap=5)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, by="bytes")

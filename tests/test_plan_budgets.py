@@ -14,6 +14,9 @@ commit and say why in PERFORMANCE.md.
 import pytest
 
 EXCHANGE_BUDGETS = {
+    # chunking is a map-only posexplode — any Exchange is a regression
+    "text_chunk_chars": 0,
+    "text_chunk_tokens": 0,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
