@@ -63,6 +63,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "text_dup_spans",
     "text_chunk_chars",
+    "text_tfidf_keywords",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

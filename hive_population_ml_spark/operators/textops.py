@@ -693,3 +693,56 @@ def chunk_documents(
         F.length("chunk_text").alias("chunk_chars"),
         token_count("chunk_text").alias("chunk_tokens"),
     )
+
+
+# -- TF-IDF keyword extraction ------------------------------------------------
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> Column | DataFrame:
+    """Top-``k`` TF-IDF terms per document (idf = ln(N/df), no
+    smoothing — every scored term has df >= 1).
+
+    Output: (id_col, term, tf, tfidf, rank), rank 1..k per document,
+    ties broken by term ASC for determinism.
+
+    Scale shape: ONE explode feeds a partially-aggregated (doc, term)
+    count; document frequency is a count window PARTITIONED BY term over
+    that same tf table — not a separate agg + join, which would
+    recompute the tokenize/agg subtree (column pruning makes the two
+    subtrees non-identical, so exchange reuse cannot merge them and the
+    corpus would scan twice). N arrives as a broadcast 1-row scalar from
+    a doc_id-only column-pruned scan, not a driver collect. Total: 3
+    hash exchanges of the (doc,term) table (tf agg, term window, doc
+    top-k window) + one 1-row broadcast; the corpus text scans ONCE.
+    Term skew (stopwords) is count-only work inside the term window;
+    AQE handles residual partition imbalance.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfw = Window.partitionBy("term")
+    n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

@@ -61,6 +61,7 @@ ROTATE_TO_SHADOW = [
     "p_null_guard_cast",
     "asof_nearest_ship",
     "w5_sequence_digest",
+    "text_stats",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -542,3 +542,34 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window packing shape. Same zero-exchange map-only plan."""
     t = Tables(spark, sf_dir)
     return textops.chunk_documents(t.documents, size=32, overlap=8, by="tokens")
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — the classic salience signal
+    for corpus exploration / topic labeling. See
+    textops.tfidf_keywords for the broadcast-vocab scale shape."""
+    t = Tables(spark, sf_dir)
+    return textops.tfidf_keywords(t.documents, k=3)

@@ -1592,3 +1592,29 @@ def test_chunk_documents_validates_args(spark):
         chunk_documents(docs, size=5, overlap=5)
     with _pytest.raises(ValueError):
         chunk_documents(docs, by="bytes")
+
+
+def test_tfidf_keywords_closed_form(spark):
+    """3 docs, hand-computed scores: idf = ln(N/df), tfidf = tf*idf."""
+    import math
+
+    from hive_population_ml_spark.operators.textops import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_keywords(docs, k=2).orderBy("doc_id", "rank").collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"]) for r in rows}
+    ln = math.log
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5); common df=3 -> 0
+    assert got[(1, 1)] == ("apple", 2, round(2 * ln(3), 6))
+    assert got[(1, 2)] == ("banana", 1, round(ln(1.5), 6))
+    # doc 3: cherry tf=3 df=2 -> 3*ln(1.5) beats common (0)
+    assert got[(3, 1)] == ("cherry", 3, round(3 * ln(1.5), 6))
+    # every doc emits exactly k rows when it has >= k distinct terms
+    assert len(rows) == 6

@@ -17,6 +17,11 @@ EXCHANGE_BUDGETS = {
     # chunking is a map-only posexplode — any Exchange is a regression
     "text_chunk_chars": 0,
     "text_chunk_tokens": 0,
+    # tf agg + term-df window + doc top-k window + 1-row N broadcast
+    # (+ its BroadcastNestedLoop marker); corpus text scans ONCE —
+    # df-as-window avoids the agg+join form whose pruned subtrees
+    # defeat exchange reuse and scan the corpus twice
+    "text_tfidf_keywords": 5,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
