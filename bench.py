@@ -64,6 +64,7 @@ HEADLINE = [
     "text_dup_spans",
     "text_chunk_chars",
     "text_tfidf_keywords",
+    "cdc_latest_state",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

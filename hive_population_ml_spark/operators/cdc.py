@@ -1,0 +1,110 @@
+"""Change-data-capture compaction: latest-wins per key, snapshot merge.
+
+No reference citation exists (SURVEY.md §2.10 charter extension — the
+incremental-ingest shape every production training-data pipeline needs:
+crawl recrawls, label fixes, document re-scores arrive as change rows
+that must compact to one current version per key).
+
+Spark-first design: compaction is ``max_by(payload_struct,
+version_struct)`` — a declarative aggregate with a map-side partial, so
+the shuffle carries ONE candidate row per key per input partition, not
+every version. The window-function formulation (`row_number() ... rn=1`)
+would shuffle and sort every version of every key; at 100 TB of change
+history with hot keys that is strictly worse. DuckDB oracles use the
+window form precisely because it is an independent formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cols(names: Sequence[str]) -> list[Column]:
+    return [F.col(n) for n in names]
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    payload: Sequence[str],
+    n_versions_col: str | None = "n_versions",
+) -> DataFrame:
+    """Compact a change log to the latest version per key.
+
+    ``order_by`` columns form the version vector (compared
+    lexicographically, later = winner — include a unique id last for a
+    deterministic total order). ``payload`` columns are carried from the
+    winning row. Output: keys + payload + optional version count.
+
+    One exchange, partial-aggregated: per-partition ``max_by`` keeps a
+    single candidate per key before the shuffle — the reduce side sees
+    |keys| rows per partition regardless of how many versions a hot key
+    has (the skew profile of real CDC streams).
+    """
+    version = F.struct(*_cols(order_by))
+    winner = F.max_by(F.struct(*_cols(payload)), version).alias("__w")
+    aggs = [winner]
+    if n_versions_col:
+        aggs.append(F.count(F.lit(1)).alias(n_versions_col))
+    out = df.groupBy(*_cols(keys)).agg(*aggs)
+    cols = [*keys, *(f"__w.{p}" for p in payload)]
+    if n_versions_col:
+        cols.append(n_versions_col)
+    return out.select(*cols)
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply a change batch onto a base snapshot, latest-wins
+    (Delta/Iceberg MERGE semantics, expressed as union + compaction).
+
+    Base rows rank below every change row (priority 0 vs 1, prepended to
+    the version vector), so a change always overrides the snapshot; among
+    change rows ``order_by`` decides. If ``delete_col`` names a boolean
+    column on ``changes``, keys whose winning change row has it true are
+    dropped from the result (tombstones).
+
+    Scale shape: ONE shuffle of (base ∪ changes) via the same
+    partial-aggregated ``max_by`` as latest_by_key — cheaper than the
+    full-outer-join formulation, which shuffles both sides AND breaks
+    partial aggregation. The output schema is the base schema (+ no
+    tombstone column); re-writing it partitioned by the key hash makes
+    the next merge's shuffle a no-op on the snapshot side (see
+    skew.write_partitioned).
+    """
+    payload = [c for c in base.columns if c not in keys]
+    ctypes = dict(changes.dtypes)
+    # Base order fields are NULL: __pri=0 already ranks every base row
+    # below every change row, and NULL struct fields compare lowest.
+    b = base.select(
+        *_cols(keys),
+        F.lit(0).alias("__pri"),
+        *[F.lit(None).cast(ctypes[o]).alias(f"__o_{o}") for o in order_by],
+        F.lit(False).alias("__del"),
+        *_cols(payload),
+    )
+    c = changes.select(
+        *_cols(keys),
+        F.lit(1).alias("__pri"),
+        *[F.col(o).alias(f"__o_{o}") for o in order_by],
+        (F.col(delete_col) if delete_col else F.lit(False)).alias("__del"),
+        *_cols(payload),
+    )
+    version = ["__pri", *(f"__o_{o}" for o in order_by)]
+    merged = latest_by_key(
+        b.unionByName(c),
+        keys=keys,
+        order_by=version,
+        payload=["__del", *payload],
+        n_versions_col=None,
+    )
+    return merged.filter(~F.col("__del")).select(*keys, *payload)

@@ -62,6 +62,7 @@ ROTATE_TO_SHADOW = [
     "asof_nearest_ship",
     "w5_sequence_digest",
     "text_stats",
+    "text_token_counts",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -554,3 +554,38 @@ def asof_forward_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("ship_date"),
         "price",
     )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+    FROM events
+)
+SELECT user_id, event_type, event_id, ts_us, value, n_versions
+FROM ranked WHERE rn = 1
+""",
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC compaction: events as a change log keyed by
+    (user_id, event_type), current version = max (ts, event_id). The
+    Spark plan is ONE partial-aggregated max_by (operators/cdc.py — the
+    shuffle carries one candidate per key per partition); the oracle is
+    the independent row_number window formulation."""
+    from ..operators.cdc import latest_by_key
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return latest_by_key(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+        payload=["event_id", "ts_us", "value"],
+    )

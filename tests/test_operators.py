@@ -1618,3 +1618,92 @@ def test_tfidf_keywords_closed_form(spark):
     assert got[(3, 1)] == ("cherry", 3, round(3 * ln(1.5), 6))
     # every doc emits exactly k rows when it has >= k distinct terms
     assert len(rows) == 6
+
+
+# -- CDC compaction -----------------------------------------------------------
+
+
+def test_latest_by_key_picks_max_version(spark):
+    from hive_population_ml_spark.operators.cdc import latest_by_key
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "a", 1.0),
+            (1, 30, "c", 3.0),
+            (1, 20, "b", 2.0),
+            (2, 5, "x", 9.0),
+        ],
+        "k long, seq long, tag string, v double",
+    )
+    rows = latest_by_key(
+        log, keys=["k"], order_by=["seq"], payload=["tag", "v"]
+    ).orderBy("k").collect()
+    assert [(r["k"], r["tag"], r["v"], r["n_versions"]) for r in rows] == [
+        (1, "c", 3.0, 3),
+        (2, "x", 9.0, 1),
+    ]
+
+
+def test_latest_by_key_partial_aggregates(spark):
+    """The compaction must partially aggregate (map-side combine): the
+    plan shows two HashAggregate levels around ONE exchange, never a
+    window sort."""
+    from hive_population_ml_spark.operators.cdc import latest_by_key
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        latest_by_key(
+            ev, keys=["user_id"], order_by=["event_id"], payload=["value"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    # struct-buffer max_by compiles to SortAggregate, but still in
+    # partial+final form: partial_max_by MUST run before the exchange so
+    # the shuffle carries one candidate per key per partition.
+    assert "partial_max_by" in plan
+    assert plan.count("Aggregate(") == 2
+    assert "Window" not in plan
+
+
+def test_merge_upsert_latest_wins_and_deletes(spark):
+    from hive_population_ml_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "old1", 1.0), (2, "old2", 2.0), (3, "old3", 3.0)],
+        "k long, tag string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "new1a", 10.0, 100, False),
+            (1, "new1b", 11.0, 200, False),  # later seq wins
+            (3, None, 0.0, 150, True),       # tombstone deletes k=3
+            (4, "ins4", 4.0, 50, False),     # brand-new key inserted
+        ],
+        "k long, tag string, v double, seq long, is_delete boolean",
+    )
+    rows = merge_upsert(
+        base, changes, keys=["k"], order_by=["seq"], delete_col="is_delete"
+    ).orderBy("k").collect()
+    assert [(r["k"], r["tag"], r["v"]) for r in rows] == [
+        (1, "new1b", 11.0),  # latest change overrides base
+        (2, "old2", 2.0),    # untouched base row survives
+        (4, "ins4", 4.0),    # insert
+    ]
+
+
+def test_merge_upsert_idempotent_replay(spark):
+    """Re-applying the same change batch is a no-op — the exactly-once
+    property the incremental snapshot pipeline relies on."""
+    from hive_population_ml_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 1.0)], "k long, tag string, v double")
+    ch = spark.createDataFrame(
+        [(1, "b", 2.0, 7, False)],
+        "k long, tag string, v double, seq long, is_delete boolean",
+    )
+    once = merge_upsert(base, ch, ["k"], ["seq"], "is_delete")
+    twice = merge_upsert(once, ch, ["k"], ["seq"], "is_delete")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

@@ -22,6 +22,8 @@ EXCHANGE_BUDGETS = {
     # df-as-window avoids the agg+join form whose pruned subtrees
     # defeat exchange reuse and scan the corpus twice
     "text_tfidf_keywords": 5,
+    # ONE partial max_by shuffle (no window sort of full history)
+    "cdc_latest_state": 1,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
