@@ -19,7 +19,7 @@ AQE's automatic handling isn't enough (SURVEY.md §4.3, PERFORMANCE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,94 @@ def bucketed_table(
         w = w.option("path", path)
     w.saveAsTable(table)
     return spark.table(table)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> Column:
+    """Morton (Z-order) interleave key over ``cols`` — the multi-column
+    clustering layout (Delta OPTIMIZE ZORDER BY's core): sorting by the
+    interleaved key gives every listed column locally-clustered files,
+    so parquet row-group min/max stats prune scans filtered on ANY of
+    them, not only the leading sort column.
+
+    Each column is min-max scaled to a ``bits``-wide unsigned int, then
+    bit i of column j lands at position ``i * len(cols) + j``. All
+    Catalyst (shift/and/or fold — whole-stage codegen'd); requires
+    ``bits * len(cols) <= 63``.
+
+    ``bounds`` maps col -> (min, max); omitted columns get a one-pass
+    global agg computed HERE (an eager, tiny action — pass bounds
+    explicitly in pipelines that must stay fully lazy or when writing
+    incrementally with stable scaling).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) must fit a long: {bits}*{n} > 63")
+    bounds = dict(bounds or {})
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in missing],
+            *[F.max(c).alias(f"hi_{c}") for c in missing],
+        ).collect()[0]
+        for c in missing:
+            bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = (float(bounds[c][0]), float(bounds[c][1]))
+        span = hi - lo if hi > lo else 1.0
+        s = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top))
+                .cast("long"),
+            ),
+        )
+        scaled.append(s)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve over ``cols``:
+    range-partition by the Morton key (n_files output files with
+    contiguous curve segments), sort within partitions, drop the key.
+
+    At 100 TB this is the write-amplification-free alternative to
+    maintaining one sorted copy per filter column: ONE layout serves
+    range filters on every z-ordered dimension, because each file's
+    min/max envelope is tight in all of them. The range partitioner
+    samples the key (no global sort); the within-partition sort keeps
+    row-group stats tight inside each file.
+    """
+    keyed = df.withColumn("__z", zorder_key(df, cols, bits=bits, bounds=bounds))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -130,3 +130,77 @@ def test_pack_shards_no_global_sort(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan.replace(
         "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
     ), plan
+
+
+# -- Z-order layout -----------------------------------------------------------
+
+
+def _py_morton(vals, bits, n):
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from hive_population_ml_spark.operators.skew import zorder_key
+
+    import random
+
+    rnd = random.Random(7)
+    data = [(rnd.randrange(0, 256), rnd.randrange(0, 256)) for _ in range(200)]
+    df = spark.createDataFrame(data, "x long, y long")
+    # bounds (0,255) + bits=8 make the scaling the identity on ints
+    out = df.withColumn(
+        "z",
+        zorder_key(df, ["x", "y"], bits=8, bounds={"x": (0, 255), "y": (0, 255)}),
+    ).collect()
+    for r in out:
+        assert r["z"] == _py_morton((r["x"], r["y"]), 8, 2), (r["x"], r["y"])
+
+
+def test_zorder_key_validates_args(spark):
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators.skew import zorder_key
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with _pytest.raises(ValueError):
+        zorder_key(df, [])
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_write_zordered_tightens_both_dims(spark, tmp_path):
+    """On a uniform 2-D grid, z-ordered files have SMALL min/max
+    envelopes in BOTH dimensions, while a single-column sort leaves the
+    second dimension's per-file envelope spanning the full range — the
+    property parquet row-group pruning feeds on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_population_ml_spark.operators.skew import write_zordered
+
+    grid = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(grid, "x long, y long")
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zdir, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(sdir)
+
+    def avg_file_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                spans.append((max(t) - min(t)) / 63.0)
+        assert len(spans) >= 8
+        return sum(spans) / len(spans)
+
+    # single-column layout: y per-file span is ~the whole domain
+    assert avg_file_span(sdir, "y") > 0.9
+    # z-order: BOTH dims' envelopes shrink to curve-cell size
+    assert avg_file_span(zdir, "x") < 0.6
+    assert avg_file_span(zdir, "y") < 0.6
