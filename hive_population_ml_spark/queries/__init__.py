@@ -63,6 +63,7 @@ ROTATE_TO_SHADOW = [
     "w5_sequence_digest",
     "text_stats",
     "text_token_counts",
+    "m1_standard_scale",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

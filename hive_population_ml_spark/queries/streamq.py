@@ -97,3 +97,43 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table("q_stream_attribution")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 2 DAY
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM ordered
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM tagged GROUP BY user_id, sid
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows through a REAL replay: the events file
+    stream feeds ``F.session_window`` (merging session state with a
+    watermark) into a complete-mode memory sink via availableNow. The
+    finite complete replay must equal batch gap-sessionization — the
+    DuckDB oracle states that batch form (lag >= gap opens a session,
+    matching session_window's boundary rule), so the stateful
+    session-merge path itself is hash-checked, beyond the rows-only
+    evidence a custom stateful op usually gets."""
+    from ..streaming.pipeline import run_events_session_stream
+
+    return run_events_session_stream(
+        spark, sf_dir, query_name=f"q_sessions_{abs(hash(sf_dir)) % 10**6}"
+    )

@@ -450,3 +450,62 @@ def prep_stream(
     return src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "2 days",
+    watermark: str = "30 days",
+    ts: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (merging state windows): an event at
+    >= ``gap`` after the previous one opens a new session —
+    ``F.session_window``'s exact boundary rule, which the batch/oracle
+    twin must mirror with ``>=`` (not ``>``) on the lag difference.
+
+    Works identically on batch and streaming inputs; streaming gets the
+    watermark so session state is evicted once no earlier event can
+    still merge.
+    """
+    src = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts, watermark)
+    return (
+        src.groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            key,
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_events_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "events_sessions",
+    gap: str = "2 days",
+) -> DataFrame:
+    """Drive the session-window agg over the replayed event stream
+    (availableNow, complete-mode memory sink — complete mode so the
+    tail sessions still inside the watermark horizon materialize too;
+    the replay is finite, so the result equals the batch form)."""
+    raw = events_raw_stream(spark, sf_dir)
+    q = (
+        session_agg(raw, gap=gap)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)

@@ -711,3 +711,25 @@ def test_prep_decontaminate_stage_batch_stream_parity(spark, sf_dir, tmp_path):
         .select("doc_id").collect()
     }
     assert s_ids == kept_ids
+
+
+def test_session_agg_helper_stream_equals_batch(spark, sf_dir):
+    """The session_agg operator gives identical results fed a batch
+    DataFrame or driven through the streaming replay path — the
+    batch/stream unification contract of the registered
+    stream_session_window query."""
+    from hive_population_ml_spark.streaming.pipeline import (
+        run_events_session_stream,
+        session_agg,
+    )
+
+    streamed = {
+        tuple(r)
+        for r in run_events_session_stream(
+            spark, sf_dir, query_name="t_sess_helper"
+        ).collect()
+    }
+    batch = {
+        tuple(r) for r in session_agg(Tables(spark, sf_dir).events).collect()
+    }
+    assert streamed == batch and len(batch) > 0
