@@ -65,6 +65,7 @@ HEADLINE = [
     "text_chunk_chars",
     "text_tfidf_keywords",
     "cdc_latest_state",
+    "graph_pagerank",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

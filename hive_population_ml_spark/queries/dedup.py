@@ -317,3 +317,28 @@ def dedup_cluster_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignment(
         t.embeddings, pairs, id_col="vec_id", src="id1", dst="id2"
     )
+
+
+@register("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized n-gram dup-pair graph of the
+    documents table — graph-based corpus quality weighting (rank by the
+    duplicate/link structure, weight or prune the corpus). rows-only:
+    per-iteration aggregation makes the fixpoint non-SQL-expressible;
+    the operator is pinned value-exact (<1e-9) against a pure-python
+    power iteration on crafted graphs AND these same sf pairs
+    (tests/test_operators.py::test_pagerank_*). Ranks round to 6 for
+    display; isolated docs (no dup edges) are excluded by construction."""
+    from ..operators.pagerank import pagerank
+
+    t = Tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    )
+    edges = pairs.select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    ).unionByName(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+    pr = pagerank(edges, max_iter=8)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )

@@ -1707,3 +1707,67 @@ def test_merge_upsert_idempotent_replay(spark):
     once = merge_upsert(base, ch, ["k"], ["seq"], "is_delete")
     twice = merge_upsert(once, ch, ["k"], ["seq"], "is_delete")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# -- PageRank -----------------------------------------------------------------
+
+
+def _pr_cases():
+    chain = [(1, 2), (2, 3), (3, 4)]                    # dangling tail
+    star = [(i, 0) for i in range(1, 6)]                # hub + dangling hub
+    cycle = [(1, 2), (2, 3), (3, 1)]                    # no dangling
+    multi = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]    # mixed degrees
+    return {"chain": chain, "star": star, "cycle": cycle, "multi": multi}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from hive_population_ml_spark.operators.pagerank import (
+        pagerank,
+        pagerank_reference,
+    )
+
+    for name, edges in _pr_cases().items():
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=15).collect()}
+        want = pagerank_reference(edges, max_iter=15)
+        assert got.keys() == want.keys(), name
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (name, k, got[k], want[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9, name
+
+
+def test_pagerank_cycle_uniform_and_tol_early_exit(spark):
+    from hive_population_ml_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "u long, v long")
+    # symmetric cycle: uniform 1/3 is the fixed point from iteration 0,
+    # so tol exits immediately and the answer is exact
+    rows = pagerank(df, max_iter=50, tol=1e-12).collect()
+    for r in rows:
+        assert abs(r["rank"] - 1 / 3) < 1e-12
+
+
+def test_pagerank_on_dup_pair_graph(spark, sf_dir):
+    """Real edges: the ngram dup-pair graph of the documents table,
+    symmetrized. Pinned against the python power iteration."""
+    from hive_population_ml_spark.operators.dedup import ngram_jaccard_pairs
+    from hive_population_ml_spark.operators.pagerank import (
+        pagerank,
+        pagerank_reference,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    edges = [
+        (r["u"], r["v"])
+        for r in pairs.select(
+            F.col("d1").alias("u"), F.col("d2").alias("v")
+        ).collect()
+    ]
+    sym = edges + [(v, u) for u, v in edges]
+    assert len(sym) > 0
+    df = spark.createDataFrame(sym, "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=8).collect()}
+    want = pagerank_reference(sym, max_iter=8)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

@@ -24,6 +24,9 @@ EXCHANGE_BUDGETS = {
     "text_tfidf_keywords": 5,
     # ONE partial max_by shuffle (no window sort of full history)
     "cdc_latest_state": 1,
+    # iterative; localCheckpoint truncates lineage — final plan is the
+    # checkpointed rank table projection
+    "graph_pagerank": 0,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
