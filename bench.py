@@ -66,6 +66,7 @@ HEADLINE = [
     "text_tfidf_keywords",
     "cdc_latest_state",
     "graph_pagerank",
+    "text_inverted_index",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

@@ -746,3 +746,58 @@ def tfidf_keywords(
         .filter(F.col("rank") <= F.lit(k))
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+# -- Inverted index -----------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Positional inverted index: one row per term with document
+    frequency, collection frequency, and the ordered posting list
+    rendered as ``"doc:pos,doc:pos,..."`` (0-based positions — string
+    form so differential oracles compare exactly).
+
+    Scale shape: posexplode is map-side; ONE aggregation groups by term
+    (vocab-sized output, Heaps-bounded). Postings for stopword-grade
+    terms are the classic skew hazard — ``max_postings`` truncates each
+    list to its first N entries AFTER the deterministic (doc, pos) sort
+    while df/cf keep exact full counts; production layouts shard hot
+    terms' postings across (term, doc-range) rows instead of one giant
+    cell, which is the same groupBy with a composite key.
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    # df derives from the collected list itself, NOT count_distinct —
+    # a distinct aggregate would expand into a (term, doc) pre-agg and
+    # a SECOND exchange; the list is already in the agg buffer and the
+    # distinct pass runs on vocab-sized rows post-shuffle.
+    agg = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col), F.col("pos")))
+        ).alias("__plist"),
+    )
+    plist = F.col("__plist")
+    if max_postings is not None:
+        plist = F.slice(plist, 1, max_postings)
+    return agg.select(
+        "term",
+        F.size(
+            F.array_distinct(F.transform("__plist", lambda s: s[id_col]))
+        ).cast("long").alias("df"),
+        "cf",
+        F.array_join(
+            F.transform(
+                plist,
+                lambda s: F.concat_ws(":", s[id_col].cast("string"),
+                                      s["pos"].cast("string")),
+            ),
+            ",",
+        ).alias("postings"),
+    ).select("term", "df", "cf", "postings")

@@ -64,6 +64,7 @@ ROTATE_TO_SHADOW = [
     "text_stats",
     "text_token_counts",
     "m1_standard_scale",
+    "multimodal_bytes",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

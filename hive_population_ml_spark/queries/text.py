@@ -573,3 +573,27 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     textops.tfidf_keywords for the broadcast-vocab scale shape."""
     t = Tables(spark, sf_dir)
     return textops.tfidf_keywords(t.documents, k=3)
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+)
+SELECT term,
+       count(DISTINCT doc_id) AS df,
+       count(*) AS cf,
+       string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS postings
+FROM toks GROUP BY term
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over documents (term -> df, cf,
+    ordered "doc:pos" posting string). See textops.inverted_index for
+    the vocab-bounded aggregation + hot-term sharding posture."""
+    t = Tables(spark, sf_dir)
+    return textops.inverted_index(t.documents)

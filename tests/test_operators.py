@@ -1771,3 +1771,34 @@ def test_pagerank_on_dup_pair_graph(spark, sf_dir):
     want = pagerank_reference(sym, max_iter=8)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_inverted_index_exact_postings(spark):
+    from hive_population_ml_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert rows["a"]["df"] == 2 and rows["a"]["cf"] == 3
+    assert rows["a"]["postings"] == "1:0,1:2,3:0"
+    assert rows["b"]["postings"] == "1:1,2:0"
+    assert rows["c"]["postings"] == "2:1" and rows["c"]["df"] == 1
+    # cap keeps counts exact while truncating the list
+    capped = {
+        r["term"]: r
+        for r in inverted_index(docs, max_postings=2).collect()
+    }
+    assert capped["a"]["postings"] == "1:0,1:2"
+    assert capped["a"]["df"] == 2 and capped["a"]["cf"] == 3
+
+
+def test_inverted_index_single_aggregation(spark):
+    from hive_population_ml_spark.operators.textops import inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1

@@ -27,6 +27,9 @@ EXCHANGE_BUDGETS = {
     # iterative; localCheckpoint truncates lineage — final plan is the
     # checkpointed rank table projection
     "graph_pagerank": 0,
+    # ONE vocab-keyed agg; df derived from the collected postings (a
+    # count_distinct would add a (term,doc) pre-agg exchange)
+    "text_inverted_index": 1,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
