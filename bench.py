@@ -67,6 +67,7 @@ HEADLINE = [
     "cdc_latest_state",
     "graph_pagerank",
     "text_inverted_index",
+    "a_outlier_iqr",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

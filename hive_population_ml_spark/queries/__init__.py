@@ -65,6 +65,7 @@ ROTATE_TO_SHADOW = [
     "text_token_counts",
     "m1_standard_scale",
     "multimodal_bytes",
+    "text_lang_id",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -641,3 +641,70 @@ def a_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "a_outlier_iqr",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                  OR e.value > q3 + 1.5 * (q3 - q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                        OR e.value > q3 + 1.5 * (q3 - q1)
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_frac,
+       round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+       round(q3 + 1.5 * (q3 - q1), 6) AS hi
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type, q1, q3
+""",
+)
+def a_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per event_type: exact quartiles
+    (Spark `percentile` == DuckDB `quantile_cont`, the a_percentiles
+    parity), fences broadcast back onto the stream, flags counted
+    map-side. Two passes over events by construction (exact quantiles
+    need the first); at 100 TB swap percentile -> approx_percentile for
+    a one-pass mergeable-sketch form with identical plan shape. The
+    fence table is group-cardinality-sized — always the broadcast side.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    fenced = s.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("__lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("__hi"),
+    )
+    out_flag = (
+        (F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi"))
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(fenced), "event_type")
+        .groupBy("event_type", "__lo", "__hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_flag).alias("n_outliers"),
+            F.round(F.sum(out_flag) / F.count(F.lit(1)), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            "outlier_frac",
+            F.round("__lo", 6).alias("lo"),
+            F.round("__hi", 6).alias("hi"),
+        )
+    )

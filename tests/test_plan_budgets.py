@@ -30,6 +30,8 @@ EXCHANGE_BUDGETS = {
     # ONE vocab-keyed agg; df derived from the collected postings (a
     # count_distinct would add a (term,doc) pre-agg exchange)
     "text_inverted_index": 1,
+    # quartile agg + flag agg + fence BroadcastExchange
+    "a_outlier_iqr": 4,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
