@@ -48,9 +48,22 @@ SHADOW_NAMES = [
     "m14_ensemble_blend",
     "w4_tail_k",
     "text_fingerprint_groups",
-    # round-5 additions past the full driver window
-    "text_dup_spans",
-    "dedup_cluster_embedding",
+    # round-5 additions past the full driver window (text_dup_spans and
+    # dedup_cluster_embedding later rotated INTO the window; these two
+    # lists track the post-rotation state)
+    "text_chunk_tokens",
+    # second round-5 rotation wave: ceded slots to the new operators
+    # (text_chunk_chars, text_tfidf_keywords, cdc_latest_state,
+    # stream_session_window, text_inverted_index, a_outlier_iqr,
+    # dedup_cluster_embedding, text_dup_spans)
+    "p_null_guard_cast",
+    "asof_nearest_ship",
+    "w5_sequence_digest",
+    "text_stats",
+    "text_token_counts",
+    "m1_standard_scale",
+    "multimodal_bytes",
+    "text_lang_id",
 ]
 
 
