@@ -42,12 +42,38 @@ def pagerank(
     alpha: float = 0.85,
     max_iter: int = 10,
     tol: float | None = None,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Rank nodes of the directed graph ``edges``; returns (node, rank)
     summing to 1. ``tol`` (L1 change) enables early exit — one extra
     scalar agg per iteration; leave None to run exactly ``max_iter``
-    rounds (deterministic plan count)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    rounds (deterministic plan count).
+
+    Small-graph cutover (components.py's runtime-stats policy): when
+    the materialized edge list fits the driver comfortably (default 1M
+    edges ~ 16 MB) the power iteration runs driver-side via
+    ``pagerank_reference`` — identical ranks (test-pinned <1e-9 against
+    the distributed path), none of the per-iteration job-scheduling
+    cost that dominates small graphs. Similarity graphs are TINY
+    relative to the corpus, so most real runs take this branch; a web-
+    scale link graph exceeds the threshold and iterates distributively.
+    Set ``small_graph_threshold=0`` to force the distributed path.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
+    n_edges = e.count()
+    if 0 < n_edges <= small_graph_threshold:
+        ranks = pagerank_reference(
+            [(r["s"], r["d"]) for r in e.collect()],
+            alpha=alpha,
+            max_iter=max_iter,
+            tol=tol,
+        )
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(ranks.items()), "node long, rank double"
+        )
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -66,33 +92,40 @@ def pagerank(
     dangling_nodes = nodes.join(
         out_deg.select(F.col("s").alias("node")), "node", "left_anti"
     ).localCheckpoint()
+    # Symmetrized similarity graphs have NO dangling nodes — detect once
+    # and drop the per-iteration dangling-mass join entirely (it is pure
+    # per-iteration overhead when the mass is identically zero).
+    has_dangling = dangling_nodes.limit(1).count() > 0
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - alpha) / n
     for _ in range(max_iter):
-        d_mass = (
-            dangling_nodes.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
         contribs = (
             w_edges.join(ranks, w_edges["s"] == ranks["node"])
             .select(F.col("d").alias("node"), (F.col("w") * F.col("rank")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(d_mass / n))
-                ).alias("rank"),
+        new_ranks = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            # Dangling mass stays IN the plan as a broadcast 1-row
+            # scalar — a separate .first() action here would double the
+            # jobs per iteration (measured ~2x wall on overhead-bound
+            # graphs).
+            d_mass = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
-            .localCheckpoint()
-        )
+            new_ranks = new_ranks.join(F.broadcast(d_mass))
+            in_mass = (
+                F.coalesce(F.col("c"), F.lit(0.0))
+                + F.col("__dm") / F.lit(float(n))
+            )
+        else:
+            in_mass = F.coalesce(F.col("c"), F.lit(0.0))
+        new_ranks = new_ranks.select(
+            "node",
+            (F.lit(base) + F.lit(alpha) * in_mass).alias("rank"),
+        ).localCheckpoint()
         if tol is not None:
             diff = (
                 new_ranks.join(
@@ -113,10 +146,11 @@ def pagerank_reference(
     edge_list: list[tuple[int, int]],
     alpha: float = 0.85,
     max_iter: int = 10,
+    tol: float | None = None,
 ) -> dict[int, float]:
     """Pure-python power iteration with identical dangling handling —
     the pinning twin for tests (same role as _union_find_labels for
-    connected components)."""
+    connected components) AND the small-graph cutover executor."""
     nodes = sorted({x for uv in edge_list for x in uv})
     n = len(nodes)
     if n == 0:
@@ -132,8 +166,12 @@ def pagerank_reference(
             share = rank[u] / len(vs)
             for v in vs:
                 contrib[v] += share
-        rank = {
+        new_rank = {
             x: (1.0 - alpha) / n + alpha * (contrib[x] + d_mass / n)
             for x in nodes
         }
+        diff = sum(abs(new_rank[x] - rank[x]) for x in nodes)
+        rank = new_rank
+        if tol is not None and diff < tol:
+            break
     return rank

@@ -338,7 +338,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
     ).unionByName(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
-    pr = pagerank(edges, max_iter=8)
+    pr = pagerank(edges, max_iter=8, tol=1e-7)
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     )

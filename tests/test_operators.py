@@ -1728,7 +1728,13 @@ def test_pagerank_matches_power_iteration(spark):
 
     for name, edges in _pr_cases().items():
         df = spark.createDataFrame(edges, "u long, v long")
-        got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=15).collect()}
+        # small_graph_threshold=0 forces the DISTRIBUTED path — the
+        # point of the pin; the default cutover would just re-run the
+        # reference (covered by test_pagerank_cutover_parity).
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, max_iter=15, small_graph_threshold=0).collect()
+        }
         want = pagerank_reference(edges, max_iter=15)
         assert got.keys() == want.keys(), name
         for k in want:
@@ -1742,7 +1748,7 @@ def test_pagerank_cycle_uniform_and_tol_early_exit(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "u long, v long")
     # symmetric cycle: uniform 1/3 is the fixed point from iteration 0,
     # so tol exits immediately and the answer is exact
-    rows = pagerank(df, max_iter=50, tol=1e-12).collect()
+    rows = pagerank(df, max_iter=50, tol=1e-12, small_graph_threshold=0).collect()
     for r in rows:
         assert abs(r["rank"] - 1 / 3) < 1e-12
 
@@ -1767,7 +1773,10 @@ def test_pagerank_on_dup_pair_graph(spark, sf_dir):
     sym = edges + [(v, u) for u, v in edges]
     assert len(sym) > 0
     df = spark.createDataFrame(sym, "u long, v long")
-    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=8).collect()}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=8, small_graph_threshold=0).collect()
+    }
     want = pagerank_reference(sym, max_iter=8)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
@@ -1802,3 +1811,20 @@ def test_inverted_index_single_aggregation(spark):
         inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_pagerank_cutover_parity(spark):
+    """Default small-graph cutover (driver power iteration) and the
+    forced distributed path give identical ranks."""
+    from hive_population_ml_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    fast = {r["node"]: r["rank"] for r in pagerank(df, max_iter=12).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=12, small_graph_threshold=0).collect()
+    }
+    assert fast.keys() == dist.keys()
+    for k in fast:
+        assert abs(fast[k] - dist[k]) < 1e-9
