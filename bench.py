@@ -68,6 +68,7 @@ HEADLINE = [
     "graph_pagerank",
     "text_inverted_index",
     "a_outlier_iqr",
+    "dedup_levenshtein",
     "text_bpe_merges",
     "text_pii_mask",
     "text_unigram_logprob",

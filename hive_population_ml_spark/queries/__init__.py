@@ -66,6 +66,7 @@ ROTATE_TO_SHADOW = [
     "m1_standard_scale",
     "multimodal_bytes",
     "text_lang_id",
+    "w_sessionize",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

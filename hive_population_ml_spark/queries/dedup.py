@@ -342,3 +342,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id AS id,
+           lower(substr(text, 1, 40)) AS k,
+           substr(lower(substr(text, 1, 40)), 1, 6) AS b
+    FROM documents
+)
+SELECT a.id AS d1, b.id AS d2, levenshtein(a.k, b.k) AS dist
+FROM keyed a JOIN keyed b ON a.b = b.b AND a.id < b.id
+WHERE levenshtein(a.k, b.k) <= 5
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs over the lowercased 40-char
+    document head (record-linkage tier). Spark `levenshtein` and DuckDB
+    `levenshtein` implement the same unit-cost edit distance, so the
+    whole blocked pipeline is differential — blocking INCLUDED."""
+    from ..operators.dedup import levenshtein_pairs
+
+    t = Tables(spark, sf_dir)
+    return levenshtein_pairs(t.documents, "doc_id", "text")

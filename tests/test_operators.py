@@ -1828,3 +1828,57 @@ def test_pagerank_cutover_parity(spark):
     assert fast.keys() == dist.keys()
     for k in fast:
         assert abs(fast[k] - dist[k]) < 1e-9
+
+
+def test_levenshtein_pairs_crafted(spark):
+    from hive_population_ml_spark.operators.dedup import levenshtein_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox"),
+            (2, "prefix the quikc brown fox"),   # one transposition = 2 edits
+            (3, "prefix completely different!"),
+            (4, "other block entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = levenshtein_pairs(
+        docs, "doc_id", "text", max_dist=3, head=40, block_prefix=6
+    ).collect()
+    got = {(r["d1"], r["d2"]): r["dist"] for r in rows}
+    assert (1, 2) in got and got[(1, 2)] == 2
+    # doc 3 shares the block but is far; doc 4 is in another block
+    assert all(p == (1, 2) for p in got)
+
+
+def test_levenshtein_blocking_recall_vs_bruteforce(spark, sf_dir):
+    """Measured recall of prefix blocking against unblocked brute force
+    on the real corpus head keys — the LSH-style honesty contract."""
+    from pyspark.sql import functions as F2
+
+    from hive_population_ml_spark.operators.dedup import levenshtein_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        F2.col("doc_id").alias("id"),
+        F2.lower(F2.substring("text", 1, 40)).alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    brute = {
+        (r["d1"], r["d2"])
+        for r in a.join(b, F2.col("a.id") < F2.col("b.id"))
+        .select(
+            F2.col("a.id").alias("d1"),
+            F2.col("b.id").alias("d2"),
+            F2.levenshtein(F2.col("a.k"), F2.col("b.k")).alias("dist"),
+        )
+        .filter(F2.col("dist") <= 5)
+        .collect()
+    }
+    blocked = {
+        (r["d1"], r["d2"])
+        for r in levenshtein_pairs(docs, "doc_id", "text").collect()
+    }
+    assert blocked <= brute  # blocking never invents pairs
+    if brute:
+        assert len(blocked) / len(brute) >= 0.5, (len(blocked), len(brute))

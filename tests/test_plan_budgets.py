@@ -32,6 +32,8 @@ EXCHANGE_BUDGETS = {
     "text_inverted_index": 1,
     # quartile agg + flag agg + fence BroadcastExchange
     "a_outlier_iqr": 4,
+    # block-key equi-join: one shuffle per side
+    "dedup_levenshtein": 2,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
