@@ -74,6 +74,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_bigram_logprob",
     "sample_stratified",
+    "sample_weighted",
     "sample_group_bottomk",
     "pack_token_shards",
     "sketch_distinct_tokens",

@@ -228,3 +228,46 @@ def bottom_k_sample(
         .filter(F.col("rk") <= k)
         .withColumnRenamed("__u", "u")
     )
+
+
+def weighted_sample_by(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    mode: str = "minstd",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis & Spirakis A-ES): key = u^(1/w) with u =
+    uniform_hash(id); the top-k keys per group are a weighted sample —
+    inclusion probability proportional to weight, exactly the
+    importance-sampling shape corpus mixing wants (e.g. sample documents
+    proportional to token count).
+
+    Deterministic and retry-stable like stratified_sample: u comes from
+    the portable hash, never rand(). Keys ROUND to 9 decimals before
+    ranking (ties broken by id) so the DuckDB differential cannot flip
+    on cross-engine pow() ulps.
+
+    Scale shape: key computation is map-side; selection is one rank
+    window per group. For huge groups compose with bottom_k_sample's
+    count-broadcast prefilter; for full-corpus k use the
+    TakeOrderedAndProject form (orderBy + limit).
+    """
+    from pyspark.sql import Window
+
+    u = uniform_hash(id_col, mode)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__wkey"), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__wkey", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(k))
+        .drop("__rn")
+        .withColumnRenamed("__wkey", "sample_key")
+    )

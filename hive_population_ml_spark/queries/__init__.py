@@ -67,6 +67,7 @@ ROTATE_TO_SHADOW = [
     "multimodal_bytes",
     "text_lang_id",
     "w_sessionize",
+    "f_scalar_funcs",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -238,3 +238,38 @@ def sample_group_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("u", 9).alias("u"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           round(pow(
+               ((((abs(doc_id) + 999983) % 2147483647) * 48271 % 2147483647)
+                 * 48271 % 2147483647) / 2147483647.0,
+               1.0 / n_chars), 9) AS sample_key
+    FROM documents
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_key DESC, doc_id ASC) AS rn
+    FROM keyed
+)
+SELECT doc_id, lang, n_chars, sample_key FROM ranked WHERE rn <= 5
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement: 5 docs per lang with
+    inclusion probability proportional to n_chars — deterministic
+    (portable minstd hash, keys rounded to 9 before ranking so pow()
+    ulps cannot flip the cross-engine selection)."""
+    from ..operators.sampling import weighted_sample_by
+
+    t = Tables(spark, sf_dir)
+    return weighted_sample_by(
+        t.documents.select("doc_id", "lang", "n_chars"),
+        group_col="lang",
+        weight_col="n_chars",
+        k=5,
+        id_col="doc_id",
+    )

@@ -1882,3 +1882,43 @@ def test_levenshtein_blocking_recall_vs_bruteforce(spark, sf_dir):
     assert blocked <= brute  # blocking never invents pairs
     if brute:
         assert len(blocked) / len(brute) >= 0.5, (len(blocked), len(brute))
+
+
+def test_weighted_sample_by_semantics(spark):
+    from hive_population_ml_spark.operators.sampling import weighted_sample_by
+
+    rows = [
+        (i, "g", 1000.0 if i % 10 == 0 else 1.0) for i in range(1, 2001)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_by(
+        df, group_col="g", weight_col="w", k=100, id_col="id"
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == 100 and len(set(ids)) == 100  # exactly k, no dups
+    # heavy items are 10% of the pool but weight 1000x: nearly all of
+    # the top-100 keys should be heavy (A-ES inclusion ~ weight)
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    assert heavy >= 90, heavy
+    # deterministic: re-running selects the identical set
+    again = [
+        r["id"]
+        for r in weighted_sample_by(
+            df, group_col="g", weight_col="w", k=100, id_col="id"
+        ).collect()
+    ]
+    assert sorted(ids) == sorted(again)
+
+
+def test_weighted_sample_per_group_exact_k(spark):
+    from hive_population_ml_spark.operators.sampling import weighted_sample_by
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i)) for i in range(1, 100)],
+        "id long, g string, w double",
+    )
+    out = weighted_sample_by(df, "g", "w", k=7, id_col="id").collect()
+    from collections import Counter
+
+    c = Counter(r["g"] for r in out)
+    assert c == {"a": 7, "b": 7}

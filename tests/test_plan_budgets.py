@@ -34,6 +34,8 @@ EXCHANGE_BUDGETS = {
     "a_outlier_iqr": 4,
     # block-key equi-join: one shuffle per side
     "dedup_levenshtein": 2,
+    # map-side keys + one rank window
+    "sample_weighted": 1,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
