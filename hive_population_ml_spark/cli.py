@@ -101,10 +101,11 @@ def _parser() -> argparse.ArgumentParser:
     dedup.add_argument("--output-dir", required=True)
     dedup.add_argument(
         "--method",
-        choices=["ngram", "minhash", "simhash", "semantic"],
+        choices=["ngram", "minhash", "simhash", "semantic", "levenshtein"],
         default="minhash",
         help="semantic = SemDeDup over the embeddings table (IVF cells "
-        "-> within-cell cosine pairs -> closure); text methods run "
+        "-> within-cell cosine pairs -> closure); levenshtein = "
+        "prefix-blocked edit distance on doc heads; text methods run "
         "over documents",
     )
     dedup.add_argument("--threshold", type=float, default=0.3)
@@ -403,6 +404,10 @@ def cmd_dedup(args) -> dict:
             docs, "doc_id", "text", k=3, n_hashes=32, bands=8,
             threshold=args.threshold,
         )
+    elif args.method == "levenshtein":
+        from .operators.dedup import levenshtein_pairs
+
+        pairs = levenshtein_pairs(docs, "doc_id", "text")
     else:
         pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
     assign = dedup_cluster_assignment(

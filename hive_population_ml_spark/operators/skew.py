@@ -169,3 +169,40 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files — the
+    small-files compaction every streaming/incremental sink eventually
+    needs (a foreachBatch sink writing per-minute micro-batches leaves
+    thousands of KB-scale files; scans then pay one task + one open per
+    file, and the NameNode/listing cost grows unbounded).
+
+    File count comes from the REAL on-disk byte size (Hadoop
+    ContentSummary — works for any filesystem scheme), not a row-count
+    guess. With ``sort_by`` the rewrite range-partitions + sorts so the
+    compacted files also get tight min/max envelopes (compaction and
+    clustering in one pass, like OPTIMIZE ... ZORDER's 1-D cousin).
+    Returns the number of files written.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode(mode).parquet(dst_path)
+    return n_files

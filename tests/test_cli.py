@@ -214,3 +214,20 @@ def test_cli_dedup_semantic(spark, sf_dir, tmp_path):
     )
     rows = per_cluster.collect()
     assert all(r["k"] == 1 for r in rows)
+
+
+def test_cli_dedup_levenshtein(spark, sf_dir, tmp_path):
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "dedup",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "dl"),
+            "--method", "levenshtein",
+            "--cpus", "4",
+        ]
+    )
+    assert out["n_docs"] == out["n_kept"] + out["n_dropped"]
+    back = spark.read.parquet(out["clusters"])
+    assert back.count() == out["n_docs"]

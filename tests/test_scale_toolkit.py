@@ -204,3 +204,50 @@ def test_write_zordered_tightens_both_dims(spark, tmp_path):
     # z-order: BOTH dims' envelopes shrink to curve-cell size
     assert avg_file_span(zdir, "x") < 0.6
     assert avg_file_span(zdir, "y") < 0.6
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from hive_population_ml_spark.operators.skew import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(64).write.parquet(src)  # the streaming-sink pathology
+
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    got_files = glob.glob(f"{dst}/*.parquet")
+    assert len(got_files) == n <= 4
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+
+
+def test_compact_parquet_with_sort_tightens_envelopes(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_population_ml_spark.operators.skew import compact_parquet
+
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "sorted")
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (i % 97, hashlib.md5(str(i).encode()).hexdigest() * 12)
+            for i in range(20000)
+        ],
+        "k long, pad string",
+    )  # incompressible payload so the byte-size -> file-count math bites
+    df.repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=1, sort_by=["k"])
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) >= 2
+    spans = []
+    for f in files:
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        spans.append((max(ks) - min(ks)) / 96.0)
+    # range-partitioned + sorted: each file covers a slice, not the domain
+    assert sum(spans) / len(spans) < 0.7
