@@ -273,3 +273,19 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         id_col="doc_id",
     )
+
+
+@register("sketch_value_quantiles")  # rows-only: GK estimates are
+# algorithm-specific (DuckDB's approx_quantile is t-digest); rank-error
+# bound and partial-agg shape pinned in tests/test_operators.py
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-group quantile sketches (percentile_approx / GK)
+    over event values — the one-pass, fixed-state replacement for exact
+    percentile at 100 TB. a_percentiles / a_outlier_iqr are the exact
+    twins this swaps in for."""
+    from ..operators.sketches import quantile_sketches
+
+    t = Tables(spark, sf_dir)
+    return quantile_sketches(
+        t.events, "value", ["event_type"], probs=[0.25, 0.5, 0.75, 0.95]
+    )

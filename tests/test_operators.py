@@ -1922,3 +1922,48 @@ def test_weighted_sample_per_group_exact_k(spark):
 
     c = Counter(r["g"] for r in out)
     assert c == {"a": 7, "b": 7}
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """GK guarantees rank error <= n/accuracy: compare every sketched
+    quantile's RANK in the sorted group against the target rank."""
+    from hive_population_ml_spark.operators.sketches import quantile_sketches
+
+    import random
+
+    rnd = random.Random(11)
+    rows = [("g1", rnd.gauss(0, 1)) for _ in range(4000)] + [
+        ("g2", rnd.expovariate(2.0)) for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    acc = 100  # rank error <= n/acc = 40
+    got = {
+        r["g"]: r
+        for r in quantile_sketches(
+            df, "v", ["g"], probs=[0.25, 0.5, 0.9], accuracy=acc
+        ).collect()
+    }
+    by_g = {"g1": sorted(v for g, v in rows if g == "g1"),
+            "g2": sorted(v for g, v in rows if g == "g2")}
+    import bisect
+
+    for g, vals in by_g.items():
+        n = len(vals)
+        for p, col in [(0.25, "q_25"), (0.5, "q_5"), (0.9, "q_9")]:
+            est = got[g][col]
+            rank = bisect.bisect_left(vals, est)
+            assert abs(rank - p * n) <= n / acc + 1, (g, p, rank)
+
+
+def test_quantile_sketch_partial_aggregates(spark):
+    from hive_population_ml_spark.operators.sketches import quantile_sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        quantile_sketches(ev, "value", ["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_percentile_approx" in plan
