@@ -78,6 +78,7 @@ HEADLINE = [
     "sample_group_bottomk",
     "pack_token_shards",
     "sketch_distinct_tokens",
+    "sketch_value_quantiles",
     "m_calibration",
     "w5_sequence_digest",
     "w_sessionize",

@@ -510,6 +510,7 @@ def levenshtein_pairs(
     max_dist: int = 5,
     head: int = 40,
     block_prefix: int = 6,
+    max_block_frac: float | None = None,
 ) -> DataFrame:
     """Blocked edit-distance near-dup pairs — the record-linkage tier
     (typo'd titles, OCR noise, near-identical headers) that token-set
@@ -526,9 +527,17 @@ def levenshtein_pairs(
 
     Scale shape: one equi-join on the block key (both sides shuffle on
     a short string); the quadratic levenshtein verify runs only within
-    blocks. Prefix blocks follow a Zipf-ish size law — the usual skew
-    remedies (AQE skew join, or a block-size cap like
-    ngram_jaccard_pairs' max_shingle_df) apply unchanged.
+    blocks. Prefix blocks follow a Zipf-ish size law —
+    ``max_block_frac`` drops blocks holding more than that fraction of
+    the corpus before pair expansion (the fractional skew guard,
+    ngram_jaccard_pairs' max_shingle_frac design: the cap GROWS with
+    the corpus instead of silently binding tighter). Output volume is
+    inherently quadratic in near-dup FAMILY size — a corpus where every
+    head has 10 near-copies yields ~45 pairs per family (measured 390x
+    pairs at the 10x distinct-content probe, time linear in pairs);
+    consumers wanting one row per family feed the pairs to
+    components.dedup_cluster_assignment exactly like the other
+    emitters.
 
     Output: (d1, d2, dist), d1 < d2, deterministic.
     """
@@ -538,6 +547,19 @@ def levenshtein_pairs(
         norm.alias("__k"),
         F.substring(norm, 1, block_prefix).alias("__b"),
     )
+    if max_block_frac is not None:
+        from pyspark.sql import Window
+
+        n = df.agg(F.count(F.lit(1)).alias("__n"))
+        bc = F.count(F.lit(1)).over(Window.partitionBy("__b"))
+        keyed = (
+            keyed.withColumn("__bc", bc)
+            .join(F.broadcast(n))
+            .filter(
+                F.col("__bc") <= F.ceil(F.lit(max_block_frac) * F.col("__n"))
+            )
+            .drop("__bc", "__n")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -352,9 +352,14 @@ WITH keyed AS (
            lower(substr(text, 1, 40)) AS k,
            substr(lower(substr(text, 1, 40)), 1, 6) AS b
     FROM documents
+), counted AS (
+    SELECT *, count(*) OVER (PARTITION BY b) AS bc FROM keyed
+), flt AS (
+    SELECT id, k, b FROM counted
+    WHERE bc <= ceil(0.1 * (SELECT count(*) FROM documents))
 )
 SELECT a.id AS d1, b.id AS d2, levenshtein(a.k, b.k) AS dist
-FROM keyed a JOIN keyed b ON a.b = b.b AND a.id < b.id
+FROM flt a JOIN flt b ON a.b = b.b AND a.id < b.id
 WHERE levenshtein(a.k, b.k) <= 5
 """,
 )

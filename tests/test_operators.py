@@ -1967,3 +1967,20 @@ def test_quantile_sketch_partial_aggregates(spark):
     )
     assert plan.count("Exchange") == 1
     assert "partial_percentile_approx" in plan
+
+
+def test_levenshtein_block_cap_drops_hot_blocks(spark):
+    from hive_population_ml_spark.operators.dedup import levenshtein_pairs
+
+    hot = [(i, "sameprefix hot block member text") for i in range(1, 9)]
+    cold = [(100, "coldpre unique one"), (101, "coldpre unique two")]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    # cap = ceil(0.5 * 10) = 5 < 8: the hot block is dropped entirely,
+    # the cold block (2 <= 5) survives
+    rows = levenshtein_pairs(
+        docs, "doc_id", "text", max_dist=10, max_block_frac=0.5
+    ).collect()
+    assert {(r["d1"], r["d2"]) for r in rows} == {(100, 101)}
+    # without the guard the hot block contributes C(8,2) pairs
+    rows_all = levenshtein_pairs(docs, "doc_id", "text", max_dist=10).collect()
+    assert len(rows_all) == 28 + 1

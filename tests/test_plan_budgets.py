@@ -107,6 +107,7 @@ EXCHANGE_BUDGETS = {
     "embedding_pca": 0,
     "pack_token_shards": 2,
     "sketch_distinct_tokens": 2,
+    "sketch_value_quantiles": 1,
     "m_calibration": 4,
     "w5_sequence_digest": 1,
     "w_sessionize": 1,
