@@ -325,3 +325,31 @@ def png_resize(data: bytes, width: int, height: int) -> bytes:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return encode_png(arr[rows][:, cols])
+
+
+def wav_spectral(data: bytes, n_bands: int = 8) -> list[float]:
+    """Spectral profile from real PCM: [centroid_hz, rolloff85_hz,
+    band_0..band_{n-1}] where bands are equal-width energy FRACTIONS of
+    [0, Nyquist]. numpy rFFT on the mono mix — the stdlib-only stand-in
+    for mel/MFCC front ends (librosa plugs in at this function), and the
+    audio-side analog of png/bmp_features.
+    """
+    d = decode_wav(data)
+    x = d["samples"].astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    if mono.size < 2:
+        return [0.0] * (2 + n_bands)
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    spec[0] = 0.0  # drop DC so silence/offset doesn't dominate
+    freqs = np.fft.rfftfreq(mono.size, d=1.0 / d["sample_rate"])
+    total = float(spec.sum())
+    if total <= 0.0:
+        return [0.0] * (2 + n_bands)
+    centroid = float((freqs * spec).sum() / total)
+    cum = np.cumsum(spec)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    nyq = d["sample_rate"] / 2.0
+    idx = np.minimum((freqs / nyq * n_bands).astype(int), n_bands - 1)
+    bands = np.zeros(n_bands)
+    np.add.at(bands, idx, spec)
+    return [centroid, rolloff, *(bands / total).tolist()]

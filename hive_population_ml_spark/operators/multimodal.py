@@ -245,3 +245,35 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+SPECTRAL_SCHEMA = (
+    "id bigint, media_type string, centroid_hz double, rolloff85_hz double, "
+    "bands array<double>"
+)
+
+
+def extract_spectral(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Real-FFT spectral profiles over audio media batches (mapInPandas,
+    partition-preserving like extract_features; codecs.wav_spectral does
+    the numpy work per payload — librosa/mel front ends plug in there).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            rows = [
+                codecs.wav_spectral(m, n_bands) for m in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "centroid_hz": [r[0] for r in rows],
+                    "rolloff85_hz": [r[1] for r in rows],
+                    "bands": [r[2:] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(run, schema=SPECTRAL_SCHEMA)

@@ -597,3 +597,26 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab-bounded aggregation + hot-term sharding posture."""
     t = Tables(spark, sf_dir)
     return textops.inverted_index(t.documents)
+
+
+@register("multimodal_wav_spectral")  # rows-only: FFT decode, not SQL
+def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis over binary audio columns: synthesized
+    per-doc WAV payloads -> numpy rFFT centroid / 85% rolloff / band
+    energy fractions (operators/codecs.py::wav_spectral), Arrow-batched
+    via mapInPandas with no shuffle. Value correctness pinned by
+    closed-form pure/two-tone tests in tests/test_operators.py."""
+    from ..operators import multimodal
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_wav(docs, "doc_id")
+    out = multimodal.extract_spectral(media, n_bands=8)
+    return out.select(
+        "id",
+        "media_type",
+        F.round("centroid_hz", 3).alias("centroid_hz"),
+        F.round("rolloff85_hz", 3).alias("rolloff85_hz"),
+        F.round(F.element_at("bands", 1), 6).alias("band0"),
+        F.round(F.element_at("bands", 2), 6).alias("band1"),
+    )

@@ -1984,3 +1984,42 @@ def test_levenshtein_block_cap_drops_hot_blocks(spark):
     # without the guard the hot block contributes C(8,2) pairs
     rows_all = levenshtein_pairs(docs, "doc_id", "text", max_dist=10).collect()
     assert len(rows_all) == 28 + 1
+
+
+def test_wav_spectral_pure_tone_closed_form(spark):
+    """A pure 1 kHz sine: spectral centroid and rolloff sit AT the tone,
+    and the band holding 1 kHz carries ~all energy."""
+    import math
+
+    import numpy as np
+
+    from hive_population_ml_spark.operators.codecs import encode_wav, wav_spectral
+
+    rate, freq, dur = 16000, 1000.0, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    samples = (np.sin(2 * math.pi * freq * t) * 20000).astype("<i2")
+    feats = wav_spectral(encode_wav(samples, rate, 1), n_bands=8)
+    centroid, rolloff, bands = feats[0], feats[1], feats[2:]
+    assert abs(centroid - freq) < 20.0, centroid
+    assert abs(rolloff - freq) < 40.0, rolloff
+    # band width = 8000/8 = 1000 Hz; 1 kHz falls in band index 1
+    assert bands[1] > 0.95, bands
+    assert abs(sum(bands) - 1.0) < 1e-9
+
+
+def test_wav_spectral_two_tone_centroid_between(spark):
+    import math
+
+    import numpy as np
+
+    from hive_population_ml_spark.operators.codecs import encode_wav, wav_spectral
+
+    rate = 16000
+    t = np.arange(8000) / rate
+    mix = 0.5 * np.sin(2 * math.pi * 1000 * t) + 0.5 * np.sin(
+        2 * math.pi * 3000 * t
+    )
+    samples = (mix * 16000).astype("<i2")
+    feats = wav_spectral(encode_wav(samples, rate, 1), n_bands=8)
+    assert abs(feats[0] - 2000.0) < 30.0  # equal-power tones -> midpoint
+    assert feats[2 + 1] > 0.4 and feats[2 + 3] > 0.4
