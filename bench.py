@@ -64,6 +64,8 @@ HEADLINE = [
     "text_dup_spans",
     "text_chunk_chars",
     "text_tfidf_keywords",
+    "text_token_entropy",
+    "text_pmi_collocations",
     "cdc_latest_state",
     "graph_pagerank",
     "text_inverted_index",

@@ -801,3 +801,120 @@ def inverted_index(
             ",",
         ).alias("postings"),
     ).select("term", "df", "cf", "postings")
+
+
+# -- Token entropy ------------------------------------------------------------
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution —
+    the repetitiveness signal (low entropy = template/spam; a uniform
+    doc of n distinct tokens scores ln n). One explode + two partial
+    aggregations keyed by (doc, token) then doc.
+
+    Output: (id_col, n_tokens, n_distinct, entropy).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+            ).alias("__h"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.round("__h", 6).alias("entropy"),
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-N adjacent-token collocations by pointwise mutual information
+    PMI = ln(p(xy) / (p(x) p(y))) with p(xy) over bigram positions and
+    p(x) over token positions — the classic phrase-mining signal
+    (Church & Hanks 1990). ``min_count`` suppresses the low-frequency
+    PMI explosion.
+
+    Scale shape: bigram explode is map-side; one bigram agg + one
+    unigram agg (both Heaps-bounded outputs) + two broadcast joins of
+    the unigram table onto the bigram table; the final ordering
+    compiles to TakeOrderedAndProject. Corpus scans twice (bigrams +
+    unigrams) — fusable into one pass via a shared exploded view when
+    scan cost dominates.
+
+    Output: (w1, w2, n_pair, pmi) ordered by pmi DESC, w1, w2.
+    """
+    t = tokens(text_col)
+    toks = docs.select(F.col(id_col), t.alias("__t")).filter(F.size("__t") > 0)
+    uni = toks.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    idx = F.sequence(F.lit(1), F.size("__t") - F.lit(1))
+    bi = (
+        toks.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("__t", i.cast("int")).alias("w1"),
+                        F.element_at("__t", (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= F.lit(min_count))
+    )
+    n_tok = toks.select(F.explode("__t").alias("w")).agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    n_bi = bi.agg(F.sum("n_pair"))  # not used; totals from full bigram set
+    del n_bi
+    n_pairs = (
+        toks.filter(F.size("__t") >= 2)
+        .agg(F.sum(F.size("__t") - 1).alias("__np"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("__np"))
+                    / (
+                        (F.col("c1") / F.col("__nt"))
+                        * (F.col("c2") / F.col("__nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_n)

@@ -68,6 +68,8 @@ ROTATE_TO_SHADOW = [
     "text_lang_id",
     "w_sessionize",
     "f_scalar_funcs",
+    "m15_auc_roc",
+    "text_repetition_filter",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -620,3 +620,66 @@ def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("bands", 1), 6).alias("band0"),
         F.round(F.element_at("bands", 2), 6).alias("band1"),
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM tf GROUP BY doc_id
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon token entropy (repetitiveness / template
+    signal). See textops.token_entropy for the two-partial-agg shape."""
+    t = Tables(spark, sf_dir)
+    return textops.token_entropy(t.documents)
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) > 0
+), uni AS (
+    SELECT term AS w, count(*) AS cw
+    FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+), nt AS (
+    SELECT count(*) AS n FROM (SELECT unnest(t) FROM toks)
+), bi AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks
+          WHERE len(t) >= 2)
+), bic AS (
+    SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+    HAVING count(*) >= 5
+), np AS (
+    SELECT CAST(sum(len(t) - 1) AS BIGINT) AS np FROM toks WHERE len(t) >= 2
+)
+SELECT w1, w2, n_pair,
+       round(ln((n_pair * 1.0 / np.np)
+                / ((u1.cw * 1.0 / nt.n) * (u2.cw * 1.0 / nt.n))), 6) AS pmi
+FROM bic
+JOIN uni u1 ON bic.w1 = u1.w
+JOIN uni u2 ON bic.w2 = u2.w
+CROSS JOIN nt CROSS JOIN np
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by PMI (Church & Hanks) with
+    min_count=5 — phrase mining for corpus exploration / tokenizer
+    vocabulary seeding. See textops.pmi_collocations for the
+    broadcast-unigram + TakeOrdered shape."""
+    t = Tables(spark, sf_dir)
+    return textops.pmi_collocations(t.documents, min_count=5, top_n=50)

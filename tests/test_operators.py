@@ -2023,3 +2023,42 @@ def test_wav_spectral_two_tone_centroid_between(spark):
     feats = wav_spectral(encode_wav(samples, rate, 1), n_bands=8)
     assert abs(feats[0] - 2000.0) < 30.0  # equal-power tones -> midpoint
     assert feats[2 + 1] > 0.4 and feats[2 + 3] > 0.4
+
+
+def test_token_entropy_closed_forms(spark):
+    import math
+
+    from hive_population_ml_spark.operators.textops import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # constant -> H = 0
+            (2, "a b c d"),          # uniform over 4 -> ln 4
+            (3, "a a b b b c"),      # mixed, hand-computed
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_distinct"] == 1
+    assert abs(got[2]["entropy"] - math.log(4)) < 1e-6
+    p = [2 / 6, 3 / 6, 1 / 6]
+    want = -sum(x * math.log(x) for x in p)
+    assert abs(got[3]["entropy"] - want) < 1e-6
+    assert got[3]["n_tokens"] == 6 and got[3]["n_distinct"] == 3
+
+
+def test_pmi_collocations_favors_exclusive_pair(spark):
+    """'zeta omega' always co-occur and never appear elsewhere — max
+    PMI; 'the x' pairs with everything — low PMI."""
+    from hive_population_ml_spark.operators.textops import pmi_collocations
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "zeta omega the a" + str(i % 3)))
+        rows.append((100 + i, "the b" + str(i % 4) + " the c" + str(i % 5)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=5, top_n=10).collect()
+    assert out[0]["w1"] == "zeta" and out[0]["w2"] == "omega"
+    pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    exclusive = pmis[("zeta", "omega")]
+    assert all(v <= exclusive for v in pmis.values())

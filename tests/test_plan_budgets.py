@@ -36,6 +36,10 @@ EXCHANGE_BUDGETS = {
     "dedup_levenshtein": 2,
     # map-side keys + one rank window
     "sample_weighted": 1,
+    # (doc,token) partial agg + doc agg
+    "text_token_entropy": 2,
+    # bigram agg + unigram agg + 4 broadcast scalars/vocab + TakeOrdered
+    "text_pmi_collocations": 9,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
