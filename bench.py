@@ -67,11 +67,13 @@ HEADLINE = [
     "text_token_entropy",
     "text_pmi_collocations",
     "cdc_latest_state",
+    "cdc_snapshot_diff",
     "graph_pagerank",
     "text_inverted_index",
     "a_outlier_iqr",
     "dedup_levenshtein",
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_pii_mask",
     "text_unigram_logprob",
     "text_bigram_logprob",

@@ -108,3 +108,57 @@ def merge_upsert(
         n_versions_col=None,
     )
     return merged.filter(~F.col("__del")).select(*keys, *payload)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table — the
+    data-versioning primitive (what changed between yesterday's corpus
+    build and today's): FULL OUTER join on ``keys``, rows classified
+    ``added`` / ``removed`` / ``changed`` (any ``compare`` column
+    differing, null-safe); unchanged rows are dropped.
+
+    Output: keys + status + <col>_old/<col>_new per compare column.
+
+    Scale shape: one co-partitioned shuffle per side (zero when both
+    snapshots are written bucketed on the key — skew.bucketed_table);
+    classification is map-side. ``compare`` defaults to all non-key
+    columns shared by both frames.
+    """
+    if compare is None:
+        compare = [
+            c for c in old.columns if c not in keys and c in new.columns
+        ]
+    o = old.select(
+        *_cols(keys),
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"{c}_old") for c in compare],
+    )
+    n = new.select(
+        *_cols(keys),
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"{c}_new") for c in compare],
+    )
+    j = o.join(n, list(keys), "full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(
+            *keys,
+            "status",
+            *[x for c in compare for x in (f"{c}_old", f"{c}_new")],
+        )
+    )

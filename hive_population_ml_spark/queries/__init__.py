@@ -70,6 +70,7 @@ ROTATE_TO_SHADOW = [
     "f_scalar_funcs",
     "m15_auc_roc",
     "text_repetition_filter",
+    "j_outer_anti",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

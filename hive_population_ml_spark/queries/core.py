@@ -589,3 +589,60 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["ts", "event_id"],
         payload=["event_id", "ts_us", "value"],
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH old AS (
+    SELECT event_id, value FROM events
+), new AS (
+    SELECT event_id, round(CASE WHEN event_id % 7 = 0 THEN value * 2
+                                ELSE value END, 2) AS value
+    FROM events WHERE event_id % 11 <> 0
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id, value
+    FROM events WHERE event_id % 13 = 0
+)
+SELECT coalesce(old.event_id, new.event_id) AS event_id,
+       CASE WHEN old.event_id IS NULL THEN 'added'
+            WHEN new.event_id IS NULL THEN 'removed'
+            WHEN old.value IS DISTINCT FROM new.value THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old.value AS value_old,
+       new.value AS value_new
+FROM old FULL OUTER JOIN new ON old.event_id = new.event_id
+WHERE CASE WHEN old.event_id IS NULL THEN 'added'
+           WHEN new.event_id IS NULL THEN 'removed'
+           WHEN old.value IS DISTINCT FROM new.value THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between a derived 'yesterday' and 'today' of the
+    events table (deterministic edits: every 11th row removed, every
+    7th value doubled, every 13th re-ingested under a shifted id) —
+    row-level added/removed/changed via operators/cdc.py::snapshot_diff
+    (one co-partitioned full-outer join, classification map-side)."""
+    from ..operators.cdc import snapshot_diff
+
+    t = Tables(spark, sf_dir)
+    old = t.events.select("event_id", "value")
+    new = (
+        t.events.filter(F.col("event_id") % 11 != 0)
+        .select(
+            "event_id",
+            F.round(
+                F.when(
+                    F.col("event_id") % 7 == 0, F.col("value") * 2
+                ).otherwise(F.col("value")),
+                2,
+            ).alias("value"),
+        )
+        .unionByName(
+            t.events.filter(F.col("event_id") % 13 == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"), "value"
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["event_id"], compare=["value"])

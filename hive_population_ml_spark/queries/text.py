@@ -683,3 +683,25 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-unigram + TakeOrdered shape."""
     t = Tables(spark, sf_dir)
     return textops.pmi_collocations(t.documents, min_count=5, top_n=50)
+
+
+@register("text_bpe_segment")  # rows-only: segmentation replays the
+# trained (iterative) merge table; apply rule pinned by the two-path
+# byte-equality + Sennrich walkthrough tests
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges: segment the corpus VOCABULARY
+    (word -> subword tokens) — tokenizing raw text is then a join of
+    its words against this table, so the merge replay runs once per
+    distinct word, never once per occurrence (the production tokenizer
+    serving shape). Returns (word, n, segmented, n_tokens)."""
+    from ..operators.bpe import bpe_segment_words, train_bpe, word_counts
+
+    t = Tables(spark, sf_dir)
+    merges = train_bpe(t.documents, n_merges=30)
+    seg = bpe_segment_words(word_counts(t.documents), merges)
+    return seg.select(
+        "word",
+        "n",
+        F.array_join("tokens", " ").alias("segmented"),
+        "n_tokens",
+    )

@@ -2062,3 +2062,20 @@ def test_pmi_collocations_favors_exclusive_pair(spark):
     pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
     exclusive = pmis[("zeta", "omega")]
     assert all(v <= exclusive for v in pmis.values())
+
+
+def test_snapshot_diff_classifies(spark):
+    from hive_population_ml_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0), (3, 3.0), (5, 5.0)], "k long, v double"
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert 1 not in rows                       # unchanged dropped
+    assert rows[2]["status"] == "changed" and rows[2]["v_new"] == 9.0
+    assert rows[3]["status"] == "changed"      # null -> value, null-safe
+    assert rows[4]["status"] == "removed" and rows[4]["v_new"] is None
+    assert rows[5]["status"] == "added" and rows[5]["v_old"] is None

@@ -40,6 +40,12 @@ EXCHANGE_BUDGETS = {
     "text_token_entropy": 2,
     # bigram agg + unigram agg + 4 broadcast scalars/vocab + TakeOrdered
     "text_pmi_collocations": 9,
+    # full-outer join: one co-partitioned shuffle per snapshot side
+    # (+1 when AQE re-plans the union side)
+    "cdc_snapshot_diff": 3,
+    # train word-count pass runs in its own jobs; segmentation is a
+    # mapInPandas over the vocab agg
+    "text_bpe_segment": 1,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
