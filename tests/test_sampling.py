@@ -64,6 +64,13 @@ SHADOW_NAMES = [
     "m1_standard_scale",
     "multimodal_bytes",
     "text_lang_id",
+    # third wave: ceded to dedup_levenshtein, sample_weighted,
+    # text_token_entropy, text_pmi_collocations, cdc_snapshot_diff
+    "w_sessionize",
+    "f_scalar_funcs",
+    "m15_auc_roc",
+    "text_repetition_filter",
+    "j_outer_anti",
 ]
 
 
