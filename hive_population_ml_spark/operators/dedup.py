@@ -248,7 +248,13 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    cand = _pairs_from_groups(buckets).distinct()
+    # Materialize the candidate table: it feeds BOTH the semi-join doc
+    # filter and the verify join, and without the checkpoint the whole
+    # signature->banding->pair chain recomputes for each consumer (two
+    # full corpus tokenize+minhash passes; measured ~2x wall and plan
+    # exchanges 14->8). Candidates are the tiny post-LSH set — exactly
+    # what should pin in memory.
+    cand = _pairs_from_groups(buckets).distinct().localCheckpoint()
     # Exact verification only on candidates: first shrink the shingle
     # table to docs that appear in some candidate pair (the LSH payoff —
     # at corpus scale this is a tiny fraction), then verify.

@@ -68,7 +68,9 @@ EXCHANGE_BUDGETS = {
     "m16_regression_metrics": 3,
     "dedup_exact": 1,
     "dedup_ngram_jaccard": 2,
-    "dedup_minhash_lsh": 14,
+    # candidate table localCheckpoint'd (it feeds two consumers);
+    # remaining: banding agg + verify chain (was 14 pre-checkpoint)
+    "dedup_minhash_lsh": 6,
     # iterative: localCheckpoint truncates lineage, so the final plan
     # only shows the assignment join; per-iteration shuffles are bounded
     # by the shrinking edge list (operators/components.py docstring)
