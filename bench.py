@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_ivfpq",
     "embedding_pca",
     "text_quality_profile",
+    "text_quality_clf_scores",
     "text_repetition_filter",
     "text_decontaminate",
     "text_decontaminate_bloom",

@@ -705,3 +705,39 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", " ").alias("segmented"),
         "n_tokens",
     )
+
+
+# Fitted filter-model memo, keyed (sf_dir, corpus fingerprint) like the
+# ANN index memos — a rewritten corpus refits instead of reusing stale
+# coefficients.
+_QUALITY_CLF: dict = {}
+
+
+@register("text_quality_clf_scores")  # rows-only: learned model scores
+# (seeded MLlib fit); separation + map-only-scoring pinned in
+# tests/test_ml.py
+def text_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/fastText-style learned quality filter: HashingTF -> IDF ->
+    LogisticRegression trained on the heuristic quality gate's weak
+    labels (ml/quality_clf.py), then the whole corpus scored. Training
+    is the offline step (memoized per corpus fingerprint); SCORING is a
+    map-only JVM transform chain — plan-asserted zero exchanges — so
+    filtering 100 TB costs one scan. The hash trick (no vocabulary
+    state) is what lets the featurizer scale."""
+    from ..ml.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    fp = docs.agg(
+        F.count("doc_id").alias("n"), F.max("doc_id").alias("mx")
+    ).first()
+    key = (sf_dir, int(fp["n"]), int(fp["mx"]) if fp["mx"] is not None else -1)
+    if key not in _QUALITY_CLF:
+        _QUALITY_CLF[key] = train_quality_classifier(
+            weak_quality_labels(docs), n_features=4096
+        )
+    return score_quality(_QUALITY_CLF[key], docs)

@@ -297,3 +297,56 @@ def test_dual_head_predicts_both_targets_in_one_pass(spark):
     ).first()
     assert agg["mse"] < 0.25 * agg["var"]  # regression head genuinely fits
     assert agg["acc"] > 0.85  # classification head genuinely fits
+
+
+# -- Learned quality classifier ----------------------------------------------
+
+
+def test_quality_classifier_separates_crafted_docs(spark):
+    """Train on weak labels over crafted docs; the model must rank an
+    unseen good-style doc above an unseen bad-style doc."""
+    from hive_population_ml_spark.ml.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 8
+    bad = "4531 9981 2210 7743 0912 " * 10
+    rows = [(i, good + f"tail{i}") for i in range(20)] + [
+        (100 + i, bad + f"{i}") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = weak_quality_labels(docs)
+    # weak labels really split the crafted corpus
+    assert labeled.filter("label = 1.0").count() == 20
+    model = train_quality_classifier(labeled, n_features=1024)
+    test = spark.createDataFrame(
+        [(900, "the brown dog jumps over a quick fox " * 6),
+         (901, "8812 3341 5567 9090 1123 " * 8)],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["p_good"] for r in score_quality(model, test).collect()}
+    # unseen digit tokens hash to mostly-unseen features, so the bad
+    # score floats toward the prior — require correct ordering with a
+    # wide margin rather than absolute calibration
+    assert scores[900] > 0.8 and scores[901] < 0.5, scores
+    assert scores[900] - scores[901] > 0.5, scores
+
+
+def test_quality_scoring_is_map_only(spark):
+    from hive_population_ml_spark.ml.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_quality_classifier(weak_quality_labels(docs), n_features=512)
+    plan = (
+        score_quality(model, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # scoring must stay a pure scan

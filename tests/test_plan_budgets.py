@@ -46,6 +46,8 @@ EXCHANGE_BUDGETS = {
     # train word-count pass runs in its own jobs; segmentation is a
     # mapInPandas over the vocab agg
     "text_bpe_segment": 1,
+    # fit is memoized offline; scoring is a map-only transform chain
+    "text_quality_clf_scores": 0,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,
