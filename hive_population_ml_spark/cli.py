@@ -76,6 +76,16 @@ def _parser() -> argparse.ArgumentParser:
     prep.add_argument("--shard-tokens", type=int, default=2000)
     prep.add_argument("--cpus", type=int, default=8)
     prep.add_argument(
+        "--learned-quality",
+        type=float,
+        default=None,
+        metavar="THRESHOLD",
+        help="additionally fit the hashing-trick filter model "
+        "(ml/quality_clf.py) on the input corpus's weak labels and keep "
+        "only docs with P(good) >= THRESHOLD; works in batch and "
+        "--stream modes (model fit once, offline, before the stream)",
+    )
+    prep.add_argument(
         "--stream",
         action="store_true",
         help="incremental mode: run the same composed pipeline through "
@@ -321,6 +331,12 @@ def cmd_prep(args) -> dict:
     n_raw = docs.count()
 
     bench_path = getattr(args, "decontaminate", None)
+    q_thresh = getattr(args, "learned_quality", None)
+    q_model = None
+    if q_thresh is not None:
+        from .ml.quality_clf import train_quality_classifier, weak_quality_labels
+
+        q_model = train_quality_classifier(weak_quality_labels(docs))
     corpus_path = os.path.join(args.output_dir, "corpus")
     if getattr(args, "stream", False):
         q = (
@@ -332,6 +348,8 @@ def cmd_prep(args) -> dict:
                 min_tokens=args.min_tokens,
                 sample_rate=args.sample_rate,
                 benchmark_path=bench_path,
+                quality_model=q_model,
+                quality_threshold=q_thresh if q_thresh is not None else 0.5,
             )
             .trigger(availableNow=True)
             .start()
@@ -341,7 +359,12 @@ def cmd_prep(args) -> dict:
     else:
         benchmark = spark.read.parquet(bench_path) if bench_path else None
         sampled = prep_transform(
-            docs, args.min_tokens, args.sample_rate, benchmark
+            docs,
+            args.min_tokens,
+            args.sample_rate,
+            benchmark,
+            quality_model=q_model,
+            quality_threshold=q_thresh if q_thresh is not None else 0.5,
         )
         # NOTE: an Observation-API piggyback of written-docs/tokens metrics
         # was tried here and reverted — in this Spark build any Observation

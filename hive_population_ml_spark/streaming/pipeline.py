@@ -330,6 +330,8 @@ def prep_transform(
     min_tokens: int,
     sample_rate: float,
     benchmark: DataFrame | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
 ) -> DataFrame:
     """One corpus-prep pass over ``docs``: keep the min-id canonical of
     each exact content group, Bloom-decontaminate against the optional
@@ -357,6 +359,22 @@ def prep_transform(
         .withColumn("n_tokens", textops.token_count("text"))
         .filter(F.col("n_tokens") >= min_tokens)
     )
+    if quality_model is not None:
+        # Learned filter-model stage (ml/quality_clf.py): the model is
+        # fit ONCE offline (batch mode: on the input corpus; stream
+        # mode: on a static read of the same dir before the stream
+        # starts) and applied here as a map-only transform — works
+        # identically on batch and micro-batch frames.
+        from ..ml.quality_clf import score_quality
+
+        scores = score_quality(quality_model, cleaned, id_col="doc_id")
+        cleaned = cleaned.join(
+            scores.filter(F.col("p_good") >= quality_threshold).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
     return stratified_sample(
         cleaned, "lang", {}, id_col="doc_id", default_rate=sample_rate
     ).drop("__u")
@@ -366,6 +384,8 @@ def prep_batch_handler(
     out_dir: str,
     min_tokens: int,
     sample_rate: float,
+    quality_model=None,
+    quality_threshold: float = 0.5,
     benchmark_path: str | None = None,
 ):
     """foreachBatch handler for the incremental prep pipeline.
@@ -412,7 +432,12 @@ def prep_batch_handler(
             spark.read.parquet(benchmark_path) if benchmark_path else None
         )
         cleaned = prep_transform(
-            fresh.drop("content_hash"), min_tokens, sample_rate, benchmark
+            fresh.drop("content_hash"),
+            min_tokens,
+            sample_rate,
+            benchmark,
+            quality_model=quality_model,
+            quality_threshold=quality_threshold,
         )
         cleaned.write.mode("overwrite").parquet(
             f"{out_dir}/corpus/batch_id={batch_id}"
@@ -432,6 +457,8 @@ def prep_stream(
     min_tokens: int = 5,
     sample_rate: float = 1.0,
     benchmark_path: str | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
 ):
     """Streaming corpus prep: parquet file source -> per-batch prep
     handler -> exactly-once partitioned corpus. Returns the
@@ -446,7 +473,14 @@ def prep_stream(
     src_dir = _as_stream_dir(source_dir)
     schema = spark.read.parquet(src_dir).schema
     src = spark.readStream.schema(schema).format("parquet").load(src_dir)
-    handle = prep_batch_handler(out_dir, min_tokens, sample_rate, benchmark_path)
+    handle = prep_batch_handler(
+        out_dir,
+        min_tokens,
+        sample_rate,
+        benchmark_path=benchmark_path,
+        quality_model=quality_model,
+        quality_threshold=quality_threshold,
+    )
     return src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -733,3 +733,36 @@ def test_session_agg_helper_stream_equals_batch(spark, sf_dir):
         tuple(r) for r in session_agg(Tables(spark, sf_dir).events).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_prep_learned_quality_batch_stream_parity(spark, sf_dir, tmp_path):
+    """The learned filter-model stage composes into BOTH prep modes with
+    identical results (model fit once offline, map-only apply)."""
+    from hive_population_ml_spark.cli import main
+
+    b_out, s_out = str(tmp_path / "b"), str(tmp_path / "s")
+    rb = main(
+        ["prep", "--data-dir", sf_dir, "--output-dir", b_out,
+         "--min-tokens", "3", "--cpus", "4", "--learned-quality", "0.6"]
+    )
+    rs = main(
+        ["prep", "--data-dir", sf_dir, "--output-dir", s_out,
+         "--min-tokens", "3", "--cpus", "4", "--learned-quality", "0.6",
+         "--stream"]
+    )
+    assert rb["n_kept_docs"] == rs["n_kept_docs"] > 0
+    # the learned gate really filters relative to the heuristic-only run
+    r_plain = main(
+        ["prep", "--data-dir", sf_dir, "--output-dir", str(tmp_path / "p"),
+         "--min-tokens", "3", "--cpus", "4"]
+    )
+    assert rb["n_kept_docs"] <= r_plain["n_kept_docs"]
+    got_b = {
+        r["doc_id"]
+        for r in spark.read.parquet(rb["corpus"]).select("doc_id").collect()
+    }
+    got_s = {
+        r["doc_id"]
+        for r in spark.read.parquet(rs["corpus"]).select("doc_id").collect()
+    }
+    assert got_b == got_s
