@@ -87,6 +87,8 @@ HEADLINE = [
     "m_calibration",
     "w5_sequence_digest",
     "w_sessionize",
+    "w_rolling_range",
+    "w_resample_ffill",
 ]
 
 

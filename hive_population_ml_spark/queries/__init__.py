@@ -71,6 +71,8 @@ ROTATE_TO_SHADOW = [
     "m15_auc_roc",
     "text_repetition_filter",
     "j_outer_anti",
+    "m15_classification_metrics",
+    "text_quality_profile",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -299,3 +299,112 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(wv_asc), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(wv_asc), 6).alias("cdist"),
     )
+
+
+@register(
+    "w_rolling_range",
+    oracle="""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       round(sum(value) OVER w, 4) AS sum_7d,
+       round(avg(value) OVER w, 6) AS avg_7d
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def w_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE rolling aggregates (trailing 7 days per user) — the
+    rangeBetween window, not rowsBetween: irregular event spacing means
+    row-count frames are wrong for temporal features. One sort shuffle
+    per user partition serves all three aggregates; at 100 TB the frame
+    is bounded by arrival rate x 7 days, never the partition. DuckDB's
+    RANGE INTERVAL frame states the identical semantics."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+    )
+
+
+@register(
+    "w_resample_ffill",
+    oracle="""
+WITH bounds AS (
+    SELECT user_id,
+           CAST(min(ts) AS DATE) AS d0,
+           CAST(max(ts) AS DATE) AS d1
+    FROM events GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+    FROM bounds
+), daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           round(sum(value), 4) AS day_value
+    FROM events GROUP BY 1, 2
+)
+SELECT g.user_id,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       round(last_value(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill,
+       CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS gap_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+)
+def w_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling with forward-fill: each user's daily value
+    series on a COMPLETE per-user day grid (min..max), gaps carrying
+    the last observation forward (the classic time-series regularizer
+    before windowed features / sequence models). Grid = sequence()
+    explode of per-user bounds (map-side after one bounds agg); fill =
+    last(ignorenulls) running window. Day cast, not date_trunc: both
+    engines drop the time component identically."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.withColumn("day", F.col("ts").cast("date"))
+    bounds = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 4).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                F.last("day_value", ignorenulls=True).over(w), 4
+            ).alias("value_ffill"),
+            F.when(F.col("day_value").isNull(), 1).otherwise(0).alias(
+                "gap_filled"
+            ),
+        )
+    )

@@ -48,6 +48,11 @@ EXCHANGE_BUDGETS = {
     "text_bpe_segment": 1,
     # fit is memoized offline; scoring is a map-only transform chain
     "text_quality_clf_scores": 0,
+    # one (user) sort shuffle serves all three range-frame aggregates
+    "w_rolling_range": 1,
+    # bounds agg + daily agg + grid join + ffill window share the
+    # user_id partitioning where Catalyst can prove it
+    "w_resample_ffill": 4,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,

@@ -71,6 +71,9 @@ SHADOW_NAMES = [
     "m15_auc_roc",
     "text_repetition_filter",
     "j_outer_anti",
+    # fourth wave: ceded to w_rolling_range, w_resample_ffill
+    "m15_classification_metrics",
+    "text_quality_profile",
 ]
 
 
