@@ -88,6 +88,8 @@ HEADLINE = [
     "w5_sequence_digest",
     "w_sessionize",
     "w_rolling_range",
+    "a_profile_table",
+    "a_retention_cohorts",
     "w_resample_ffill",
 ]
 

@@ -73,6 +73,9 @@ ROTATE_TO_SHADOW = [
     "j_outer_anti",
     "m15_classification_metrics",
     "text_quality_profile",
+    "m16_regression_metrics",
+    "dedup_exact",
+    "m_calibration",
     "a1_stats_bundle",
     "a2_higher_moments",
     "a3_temporal_deltas",

@@ -708,3 +708,168 @@ def a_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__hi", 6).alias("hi"),
         )
     )
+
+
+@register(
+    "a_profile_table",
+    oracle="""
+WITH m AS (
+    SELECT count(*) AS n,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS null_q,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS dist_q,
+           round(min(l_quantity), 6) AS min_q,
+           round(max(l_quantity), 6) AS max_q,
+           round(avg(l_quantity), 6) AS avg_q,
+           CAST(count(*) - count(l_extendedprice) AS BIGINT) AS null_p,
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS dist_p,
+           round(min(l_extendedprice), 6) AS min_p,
+           round(max(l_extendedprice), 6) AS max_p,
+           round(avg(l_extendedprice), 6) AS avg_p,
+           CAST(count(*) - count(l_discount) AS BIGINT) AS null_d,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS dist_d,
+           round(min(l_discount), 6) AS min_d,
+           round(max(l_discount), 6) AS max_d,
+           round(avg(l_discount), 6) AS avg_d
+    FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, n, null_q AS n_null, dist_q AS n_distinct,
+       min_q AS min_value, max_q AS max_value, avg_q AS avg_value FROM m
+UNION ALL
+SELECT 'l_extendedprice', n, null_p, dist_p, min_p, max_p, avg_p FROM m
+UNION ALL
+SELECT 'l_discount', n, null_d, dist_d, min_d, max_d, avg_d FROM m
+""",
+)
+def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column PROFILING (the sibling of the constraint
+    suite): one row per profiled column with count/null/distinct/
+    min/max/mean — computed in a SINGLE aggregation pass over the table
+    (every metric for every column in one scan), then unpivoted with
+    stack(). At 100 TB swap count_distinct for the HLL sketch
+    (sketch_distinct_tokens pattern) to keep the agg state fixed."""
+    t = Tables(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.round(F.min(c), 6).alias(f"min_{c}"),
+            F.round(F.max(c), 6).alias(f"max_{c}"),
+            F.round(F.avg(c), 6).alias(f"avg_{c}"),
+        ]
+    m = t.lineitem.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}, avg_{c}" for c in cols
+    )
+    return m.selectExpr(
+        "n",
+        f"stack({len(cols)}, {stack_expr}) as "
+        "(column_name, n_null, n_distinct, min_value, max_value, avg_value)",
+    ).select(
+        "column_name", "n", "n_null", "n_distinct",
+        "min_value", "max_value", "avg_value",
+    )
+
+
+@register(
+    "a_funnel_conversion",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase,
+       round((SELECT count(*) FROM p) * 1.0
+             / NULLIF((SELECT count(*) FROM v), 0), 6) AS conversion
+""",
+)
+def a_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users counted at each
+    stage only when the stage event happens STRICTLY AFTER their first
+    event of the previous stage — the order constraint is what makes it
+    a funnel rather than three independent counts. Three first-touch
+    aggs chained by user_id joins, all partitioned on the same key; the
+    final stage counts are 1-row aggregates."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(tcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"__{etype}"))
+
+    v = first_after("view", None, "")
+    c = first_after("click", v, "__view")
+    p = first_after("purchase", c, "__click")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.round(
+            F.col("n_view_click_purchase")
+            / F.nullif(F.col("n_view"), F.lit(0)),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@register(
+    "a_retention_cohorts",
+    oracle="""
+WITH first_day AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events
+    GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS week_offset
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       week_offset,
+       count(*) AS n_active
+FROM activity GROUP BY cohort_day, week_offset
+""",
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day, each
+    (cohort, week-offset) cell counting users active that week — the
+    standard engagement decay table. First-touch agg + distinct
+    activity + cell agg, all co-partitioned on user_id then cohort."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.col("ts").cast("date").alias("day"))
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("day"), F.col("cohort_day")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "week_offset",
+        "n_active",
+    )

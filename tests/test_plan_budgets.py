@@ -53,6 +53,13 @@ EXCHANGE_BUDGETS = {
     # bounds agg + daily agg + grid join + ffill window share the
     # user_id partitioning where Catalyst can prove it
     "w_resample_ffill": 4,
+    # ONE scan aggregation (3 count_distincts expand it) + stack unpivot
+    "a_profile_table": 4,
+    # three first-touch aggs chained on user_id + 1-row count joins +
+    # the BroadcastNestedLoop markers on the three count crossJoins
+    "a_funnel_conversion": 13,
+    # first-touch agg + distinct + cell agg on shared user partitioning
+    "a_retention_cohorts": 4,
     "flagship_interval_stats": 3,
     "a1_stats_bundle": 1,
     "a3_temporal_deltas": 1,

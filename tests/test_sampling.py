@@ -71,9 +71,13 @@ SHADOW_NAMES = [
     "m15_auc_roc",
     "text_repetition_filter",
     "j_outer_anti",
-    # fourth wave: ceded to w_rolling_range, w_resample_ffill
+    # fourth wave: ceded to w_rolling_range, w_resample_ffill,
+    # a_profile_table, a_funnel_conversion, a_retention_cohorts
     "m15_classification_metrics",
     "text_quality_profile",
+    "m16_regression_metrics",
+    "dedup_exact",
+    "m_calibration",
 ]
 
 
