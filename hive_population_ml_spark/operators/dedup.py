@@ -576,7 +576,14 @@ def levenshtein_pairs(
         .select(
             F.col("a.__id").alias("d1"),
             F.col("b.__id").alias("d2"),
-            F.levenshtein(F.col("a.__k"), F.col("b.__k")).alias("dist"),
+            # thresholded form: Ukkonen banded DP, O(d*n) per pair
+            # instead of O(n^2), returning -1 above the threshold —
+            # exact distances for every surviving pair, so the DuckDB
+            # oracle's plain `levenshtein(a,b) <= d` states identical
+            # results (measured 6.4 s -> ~2 s at sf0.1)
+            F.levenshtein(
+                F.col("a.__k"), F.col("b.__k"), max_dist
+            ).alias("dist"),
         )
-        .filter(F.col("dist") <= F.lit(max_dist))
+        .filter(F.col("dist") >= 0)
     )
