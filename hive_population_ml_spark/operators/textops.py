@@ -201,7 +201,11 @@ def unigram_logprob_score(
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     )
-    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # The vocab table feeds BOTH the total and the scoring join; without
+    # materialization each consumer recomputes the corpus tokenize+agg
+    # chain (a third full scan). Vocabulary is Heaps-bounded — exactly
+    # what should pin. (Same fix as the MinHash candidate checkpoint.)
+    freq = tok.groupBy("t").agg(F.count("*").alias("c")).localCheckpoint()
     total = freq.agg(F.sum("c").cast("double").alias("n_total"))
     return (
         tok.join(freq, "t")
@@ -248,7 +252,10 @@ def bigram_logprob_score(
         )
         .select("doc", "b.w1", "b.w2")
     )
-    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # Materialize the bigram model table: it feeds the left-context
+    # rollup AND the scoring join — without the checkpoint the bigram
+    # explode+agg chain recomputes per consumer (vocab-bounded state).
+    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint()
     left = freq.groupBy("w1").agg(F.sum("c").cast("double").alias("cl"))
     return (
         bg.join(freq, ["w1", "w2"])

@@ -123,10 +123,11 @@ EXCHANGE_BUDGETS = {
     # shuffles run inside the checkpoint job
     "dedup_semantic": 2,
     "text_pii_mask": 0,
-    "text_unigram_logprob": 6,
-    # bigram model: pair agg + left-context rollup + 2 broadcast joins
-    # back + scoring agg
-    "text_bigram_logprob": 6,
+    # vocab table checkpointed (feeds total + scoring join): was 6
+    "text_unigram_logprob": 4,
+    # bigram model table checkpointed (feeds rollup + scoring join):
+    # pair agg shuffles live in the checkpoint job; was 6
+    "text_bigram_logprob": 4,
     "sample_stratified": 0,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
