@@ -38,6 +38,10 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r6 (VERDICT r5 #3): the one remaining never-driver-checked
+    # SQL-expressible query rotates in; text_pii_mask (green r4+r5)
+    # cedes its slot.
+    "text_chunk_tokens",
     # r5 additions: the only two shadow queries never driver-checked
     # (registered late in round 4 / early round 5).
     "dedup_cluster_embedding",
@@ -58,6 +62,9 @@ ROTATE_TO_ORACLE = [
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    # r6 wave: multi-round-green queries ceding slots to
+    # text_chunk_tokens and the round-6 additions.
+    "text_pii_mask",
     "p_null_guard_cast",
     "asof_nearest_ship",
     "w5_sequence_digest",

@@ -119,13 +119,15 @@ WITH t AS (
 )
 SELECT doc_id,
        len(a) AS n_a,
-       list_sort(list_distinct(list_concat(a, b))) AS u,
-       list_sort(list_distinct(list_intersect(a, b))) AS i,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
-           AS d,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), ' ') AS u,
+       array_to_string(list_sort(list_distinct(list_intersect(a, b))), ' ')
+           AS i,
+       array_to_string(
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))),
+           ' ') AS d,
        list_contains(a, 'the') AS has_the,
        coalesce(list_position(a, 'the'), 0) AS pos_the,
-       list_reverse(a) AS rev_a,
+       array_to_string(list_reverse(a), ' ') AS rev_a,
        list_sort(a)[1] AS min_tok,
        list_sort(a)[-1] AS max_tok
 FROM t
@@ -135,10 +137,14 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/collection function bundle (union/intersect/except,
     contains/position, reverse, min/max element, slice) — Catalyst
     collection expressions vs DuckDB list functions. Set-valued
-    outputs are SORTED on both engines: array_union/intersect/except
-    preserve first-occurrence order in Spark but not in DuckDB's
-    list composition, so ordered output would hash-diverge while the
-    SET is identical."""
+    outputs are SORTED on both engines (array_union/intersect/except
+    preserve first-occurrence order in Spark but not in DuckDB's list
+    composition), then EVERY array-valued output column is serialized
+    to a space-joined string: the round driver's canonicalizer
+    (pandas ``sort_values``) cannot hash array cells — the only 2 red
+    rows in CORRECTNESS_r05.json — so output columns must be scalar.
+    The array/lambda expressions under test are unchanged; tokens come
+    from a split on ' ' so the join separator cannot collide."""
     t = Tables(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     base = t.documents.filter(F.col("doc_id") < 50).select(
@@ -149,14 +155,14 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         F.size("a").alias("n_a"),
-        F.array_sort(F.array_union("a", "b")).alias("u"),
-        F.array_sort(F.array_intersect("a", "b")).alias("i"),
-        F.array_sort(F.array_except("a", "b")).alias("d"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), " ").alias("u"),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), " ").alias("i"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), " ").alias("d"),
         F.array_contains("a", "the").alias("has_the"),
         F.coalesce(
             F.array_position("a", "the"), F.lit(0)
         ).alias("pos_the"),
-        F.reverse("a").alias("rev_a"),
+        F.array_join(F.reverse("a"), " ").alias("rev_a"),
         F.array_min("a").alias("min_tok"),
         F.array_max("a").alias("max_tok"),
     )
@@ -203,8 +209,8 @@ WITH t AS (
     FROM documents WHERE doc_id < 50
 )
 SELECT doc_id,
-       list_transform(a, x -> upper(x)) AS up,
-       list_filter(a, x -> length(x) > 3) AS long_toks,
+       array_to_string(list_transform(a, x -> upper(x)), ' ') AS up,
+       array_to_string(list_filter(a, x -> length(x) > 3), ' ') AS long_toks,
        CAST(list_sum(list_transform(a, x -> length(x))) AS BIGINT)
            AS total_chars,
        len(list_filter(a, x -> x = 'the')) > 0 AS has_the,
@@ -216,10 +222,14 @@ FROM t
 def f_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order-function bundle (transform / filter / aggregate /
     exists / forall) — the lambda-expression surface mirrored by
-    DuckDB's list_* lambdas. Reminder from PERFORMANCE fix 10c: HOFs
-    are CodegenFallback (interpreted per element) — fine for bounded
-    arrays like these 8-token slices, moved off the hot path (plain
-    expression arrays, explodes) everywhere volume lives."""
+    DuckDB's list_* lambdas. Array-valued outputs (`up`, `long_toks`)
+    are serialized to space-joined strings — transform/filter preserve
+    element order on both engines, and the driver's canonicalizer
+    cannot hash array cells (CORRECTNESS_r05 red rows). Reminder from
+    PERFORMANCE fix 10c: HOFs are CodegenFallback (interpreted per
+    element) — fine for bounded arrays like these 8-token slices,
+    moved off the hot path (plain expression arrays, explodes)
+    everywhere volume lives."""
     t = Tables(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     base = t.documents.filter(F.col("doc_id") < 50).select(
@@ -227,8 +237,10 @@ def f_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "doc_id",
-        F.transform("a", lambda x: F.upper(x)).alias("up"),
-        F.filter("a", lambda x: F.length(x) > 3).alias("long_toks"),
+        F.array_join(F.transform("a", lambda x: F.upper(x)), " ").alias("up"),
+        F.array_join(
+            F.filter("a", lambda x: F.length(x) > 3), " "
+        ).alias("long_toks"),
         F.aggregate(
             "a", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),

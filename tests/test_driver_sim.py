@@ -50,6 +50,32 @@ def test_integer_width_is_not_a_mismatch():
     assert driver_sim._canon(a)[0] == driver_sim._canon(b)[0]
 
 
+def test_array_typed_cells_fail_like_the_driver():
+    # Round-5 post-mortem (VERDICT r5 #2): the driver canonicalizes with
+    # pandas sort_values over all columns, which raises on array cells
+    # (ndarray/list are unhashable in factorize) — f_array_funcs and
+    # f_lambda_funcs burned both their r5 window slots on this while the
+    # sim stringified the arrays and said PASS. _canon must now raise
+    # DriverCanonError on exactly the frames the driver cannot hash.
+    import numpy as np
+    import pytest
+
+    arr_df = pd.DataFrame(
+        {"doc_id": pd.array([1, 2], dtype="int64"),
+         "u": [np.array(["a", "b"]), np.array(["c"])]}
+    )
+    with pytest.raises(driver_sim.DriverCanonError):
+        driver_sim._canon(arr_df)
+    list_df = pd.DataFrame({"u": [["a", "b"], ["c"]]})
+    with pytest.raises(driver_sim.DriverCanonError):
+        driver_sim._canon(list_df)
+    # ...and the FIXED serialized form (joined strings) must hash fine.
+    ok_df = pd.DataFrame(
+        {"doc_id": pd.array([1, 2], dtype="int64"), "u": ["a b", "c"]}
+    )
+    driver_sim._canon(ok_df)
+
+
 def test_nan_and_none_both_null():
     a = pd.DataFrame({"x": [float("nan")], "s": pd.array([None], dtype=object)})
     b = pd.DataFrame({"x": [float("nan")], "s": pd.array([None], dtype=object)})

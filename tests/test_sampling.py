@@ -48,10 +48,11 @@ SHADOW_NAMES = [
     "m14_ensemble_blend",
     "w4_tail_k",
     "text_fingerprint_groups",
-    # round-5 additions past the full driver window (text_dup_spans and
-    # dedup_cluster_embedding later rotated INTO the window; these two
-    # lists track the post-rotation state)
-    "text_chunk_tokens",
+    # round-6 rotation (VERDICT r5 #3): text_chunk_tokens — the one
+    # never-driver-checked SQL-expressible query — rotated INTO the
+    # window; these multi-round-green queries ceded slots to it and the
+    # round-6 additions.
+    "text_pii_mask",
     # second round-5 rotation wave: ceded slots to the new operators
     # (text_chunk_chars, text_tfidf_keywords, cdc_latest_state,
     # stream_session_window, text_inverted_index, a_outlier_iqr,

@@ -54,6 +54,10 @@ def _tag(v) -> str:
     return f"{type(v).__name__}:{v}"
 
 
+class DriverCanonError(RuntimeError):
+    """The REAL driver's canonicalizer would error on this frame."""
+
+
 def _canon(df: pd.DataFrame) -> tuple[str, list[str]]:
     """Order-insensitive, type-sensitive canonical hash of a result.
 
@@ -63,8 +67,36 @@ def _canon(df: pd.DataFrame) -> tuple[str, list[str]]:
     float on BOTH the Spark and oracle side — which hides exactly the
     DuckDB-HUGEINT-vs-Spark-BIGINT class this hash exists to catch
     (see CORRECTNESS_r02 `corpus_clean_pipeline`).
+
+    FIDELITY PROBE (r5 lesson — VERDICT r5 #2): the real driver
+    canonicalizes with ``df.sort_values(by=<all columns>)``, which raises
+    ``TypeError: unhashable type`` on array-typed cells (ndarray/list) —
+    that killed `f_array_funcs`/`f_lambda_funcs` in CORRECTNESS_r05 while
+    this sim's per-cell tagging happily stringified them and said PASS.
+    So before hashing, run the driver's exact call; if it raises, surface
+    a DriverCanonError so the sweep FAILS exactly where the driver would.
     """
+    import numpy as np
+
     cols = sorted(df.columns)
+    for c in cols:
+        s = df[c]
+        if s.dtype == object and len(s):
+            nn = s.dropna()
+            if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
+                raise DriverCanonError(
+                    f"array-typed result column {c!r}: the driver's pandas "
+                    "sort_values canonicalizer cannot hash array cells — "
+                    "serialize to a joined string (array_join / "
+                    "array_to_string) on both engines"
+                )
+    try:
+        df.sort_values(by=cols)
+    except Exception as ex:  # noqa: BLE001 — mirror ANY driver-side error
+        raise DriverCanonError(
+            f"driver canonicalizer (pandas sort_values) would fail: "
+            f"{type(ex).__name__}: {ex}"
+        ) from ex
     series = [df[c] for c in cols]
     cells = []
     for i in range(len(df)):
@@ -127,8 +159,13 @@ def main(names: list[str]) -> int:
             print(f"{name}: ORACLE ERROR {ex}")
             failures += 1
             continue
-        sh, scols = _canon(sdf)
-        oh, ocols = _canon(odf)
+        try:
+            sh, scols = _canon(sdf)
+            oh, ocols = _canon(odf)
+        except DriverCanonError as ex:
+            print(f"{name}: DRIVER-CANON FAIL {ex}")
+            failures += 1
+            continue
         ok = sh == oh and scols == ocols and len(sdf) == len(odf)
         status = ("PASS*" if name in shadow else "PASS") if ok else "FAIL"
         detail = ""
