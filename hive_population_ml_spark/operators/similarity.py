@@ -69,8 +69,10 @@ def _collect_query_vectors(
                 f"{caller}: query side has {n_q} rows > max_query_rows="
                 f"{max_query_rows}; the ADC lookup tables are built on the "
                 "driver, so a corpus-sized query set would serialize "
-                "through it. Batch the queries, raise max_query_rows "
-                "deliberately, or use a distributed scorer "
+                "through it. Use pq_topk_distributed (LUTs built as a "
+                "DataFrame of packed query blocks — no driver collect, "
+                "exact result parity), raise max_query_rows deliberately, "
+                "or use another distributed scorer "
                 "(cosine_topk/lsh_topk/ivf_topk) for corpus-vs-corpus work."
             )
     rows = queries.select(
@@ -686,6 +688,61 @@ def pq_encode(
     return src.mapInPandas(run, schema=f"{id_col} long, codes array<int>")
 
 
+def _finalize_topk(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank: int,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Shared ADC tail: global rank (cosine desc, neighbor id tie-break)
+    + optional exact re-rank of the ``rerank*k`` shortlist. The query
+    side is broadcast into the re-rank join only when the caller
+    KNOWS it is small (the driver-LUT paths); the distributed
+    corpus-vs-corpus path passes False and lets AQE pick."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.select(
+                "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    if broadcast_queries:
+        qdf = F.broadcast(qdf)
+    cdf = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    exact = (
+        short.join(cdf, "neighbor_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -759,7 +816,11 @@ def pq_topk(
                 d2 = luts[qi, np.arange(m), c].sum(1)  # (rows,)
                 keep = ids != q_ids[qi]
                 d2k, idk = d2[keep], ids[keep]
-                top = np.argsort(d2k, kind="stable")[:shortlist]
+                # neighbor-id tie-break: quantized codes collide, so equal
+                # ADC distances are common — lexsort keeps the shortlist
+                # cut deterministic across batch compositions (and exactly
+                # matches pq_topk_distributed's block partitioning).
+                top = np.lexsort((idk, d2k))[:shortlist]
                 outs.append(
                     pd.DataFrame(
                         {
@@ -775,43 +836,160 @@ def pq_topk(
     scored = codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    return _finalize_topk(
+        scored, corpus, queries, id_col, vec_col, k, rerank
     )
-    if not rerank:
-        # round to 9 like the rerank path and cosine_topk — the docstring
-        # promises a cosine_topk-shaped schema on BOTH paths.
-        return (
-            scored.select(
-                "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+
+
+def pq_topk_distributed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    seed: int = 7,
+    rerank: int = 4,
+    codebooks=None,
+    queries_per_block: int = 512,
+    codes_per_block: int = 65536,
+) -> DataFrame:
+    """Corpus-vs-corpus ADC: the distributed fallback past ``pq_topk``'s
+    driver-collect guard (VERDICT r5 #4). No driver-side query collect
+    anywhere — the per-query lookup tables are built as a DATAFRAME of
+    packed query-blocks and scoring is a block x block join:
+
+      1. queries -> ``n_qblocks`` rows, each one packed float64 LUT for
+         ~``queries_per_block`` queries (built per-block in Arrow, the
+         same ``(q_sub - centroid)^2`` expression as the driver path, so
+         distances are bit-identical);
+      2. corpus PQ codes -> ``n_cblocks`` packed rows of ~``codes_per_block``
+         codes each (at 100 TB this table is written once at index-build
+         time, 8 bytes/vector);
+      3. every (code-block, query-block) pair is scored in one
+         vectorized fancy-index pass; only each query's local
+         ``rerank*k`` shortlist leaves the task — the shuffle carries
+         O(n_qblocks * n_cblocks * queries_per_block * rerank * k)
+         candidate rows, never the n x nq score matrix.
+
+    Why not the literal per-(subspace, code) equi-join: that key space
+    has only m*k (~2k) distinct values — a maximally skewed shuffle —
+    and the per-(query, neighbor) partial sums land in m different
+    partitions, so no map-side combine is possible and n*nq*m rows
+    would cross the exchange. Block-packing keeps the same "LUTs as a
+    DataFrame, score via join" shape with a sane plan: the join is a
+    declared cartesian of n_cblocks x n_qblocks PACK rows (the
+    parallelism grid, exactly `cosine_dup_pairs_blocked`'s shape), and
+    the total work is the same Theta(nq * n) any corpus-vs-corpus ADC
+    pays.
+
+    Output and semantics match ``pq_topk`` exactly (parity-tested on
+    both rerank paths at the guard boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    books = (
+        np.asarray(codebooks)
+        if codebooks is not None
+        else train_pq_codebooks(
+            corpus, id_col, vec_col, n_subspaces, n_centroids, seed=seed
         )
-    short = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= shortlist)
-        .select("query_id", "neighbor_id")
     )
-    qdf = queries.select(
+    m, kc, sub = books.shape
+    nq = queries.count()
+    n = corpus.count()
+    n_qblocks = max(1, -(-nq // queries_per_block))
+    n_cblocks = max(1, -(-n // codes_per_block))
+    shortlist = max(1, rerank) * k
+
+    q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "qblock",
+        F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_qblocks)).cast("int"),
     )
-    cdf = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    )
-    exact = (
-        short.join(cdf, "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine"),
+
+    def build_lut(pdf: pd.DataFrame) -> pd.DataFrame:
+        qx = np.array(list(pdf["qv"]), dtype=np.float64)
+        qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+        luts = np.empty((len(pdf), m, kc), dtype=np.float64)
+        for s in range(m):
+            xs = qx[:, s * sub : (s + 1) * sub]
+            # same expression as pq_topk's driver-side LUT build —
+            # bit-identical distances, so parity is exact, not approximate
+            luts[:, s, :] = ((xs[:, None, :] - books[s][None]) ** 2).sum(-1)
+        return pd.DataFrame(
+            {
+                "qblock": [int(pdf["qblock"].iloc[0])],
+                "q_ids": [pdf["query_id"].to_numpy(np.int64).tobytes()],
+                "lut": [luts.tobytes()],
+            }
         )
+
+    luts_df = q.groupBy("qblock").applyInPandas(
+        build_lut, schema="qblock int, q_ids binary, lut binary"
     )
-    return exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+
+    codes = pq_encode(corpus, books, id_col, vec_col).withColumn(
+        "cblock",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cblocks)).cast("int"),
+    )
+
+    def pack_codes(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = np.array(list(pdf["codes"]), dtype=np.int32)
+        return pd.DataFrame(
+            {
+                "cblock": [int(pdf["cblock"].iloc[0])],
+                "nbr_ids": [pdf[id_col].to_numpy(np.int64).tobytes()],
+                "packed": [c.tobytes()],
+            }
+        )
+
+    codes_packed = codes.groupBy("cblock").applyInPandas(
+        pack_codes, schema="cblock int, nbr_ids binary, packed binary"
+    )
+
+    pairs = codes_packed.crossJoin(luts_df)
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                ids = np.frombuffer(pdf["nbr_ids"].iloc[i], dtype=np.int64)
+                c = (
+                    np.frombuffer(pdf["packed"].iloc[i], dtype=np.int32)
+                    .reshape(-1, m)
+                    .astype(np.int64)
+                )
+                qids = np.frombuffer(pdf["q_ids"].iloc[i], dtype=np.int64)
+                lut = np.frombuffer(
+                    pdf["lut"].iloc[i], dtype=np.float64
+                ).reshape(-1, m, kc)
+                for qi in range(len(qids)):
+                    d2 = lut[qi, np.arange(m), c].sum(1)
+                    keep = ids != qids[qi]
+                    d2k, idk = d2[keep], ids[keep]
+                    top = np.lexsort((idk, d2k))[:shortlist]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "neighbor_id": idk[top],
+                                "cosine": 1.0 - d2k[top] / 2.0,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    scored = pairs.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    return _finalize_topk(
+        scored, corpus, queries, id_col, vec_col, k, rerank,
+        broadcast_queries=False,
     )
 
 
@@ -1005,7 +1183,9 @@ def ivfpq_topk(
                     continue
                 d2 = np.concatenate(d2s)
                 idk = np.concatenate(idss)
-                top = np.argsort(d2, kind="stable")[:shortlist]
+                # neighbor-id tie-break (see pq_topk): deterministic
+                # shortlist cut under code collisions.
+                top = np.lexsort((idk, d2))[:shortlist]
                 outs.append(
                     pd.DataFrame(
                         {
@@ -1021,43 +1201,8 @@ def ivfpq_topk(
     scored = codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    if not rerank:
-        # ADC-only: rank by the lookup-table distance, no exact-rerank
-        # joins — mirrors pq_topk's rerank=0 semantics.
-        return (
-            scored.select(
-                "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine")
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-    short = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    qdf = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    )
-    cdf = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    )
-    exact = (
-        short.join(cdf, "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine"),
-        )
-    )
-    return exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _finalize_topk(
+        scored, corpus, queries, id_col, vec_col, k, rerank
     )
 
 

@@ -193,6 +193,36 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_distributed")  # rows-only: approximate; exact parity
+# vs the driver-LUT path pinned in tests/test_operators.py
+def ann_pq_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus PQ ANN (VERDICT r5 #4): EVERY vector is a query
+    — the shape pq_topk's driver-collect guard refuses. LUTs are built
+    as a DataFrame of packed query blocks and scored block x block; no
+    driver collect anywhere (the only driver-bounded step is the same
+    offline codebook training every PQ variant shares). Result parity
+    with pq_topk is exact (same LUT expression, same tie-breaks) —
+    parity-tested at the guard boundary."""
+    from ..operators.similarity import pq_topk_distributed, train_pq_codebooks
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    key = _corpus_key(emb, sf_dir)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = train_pq_codebooks(
+            emb, "vec_id", "embedding", n_subspaces=8, k=256
+        )
+    return pq_topk_distributed(
+        emb,
+        emb,  # corpus-sized query set: all vectors
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        rerank=4,
+        codebooks=_PQ_BOOKS[key],
+    )
+
+
 # IVF-PQ index memo (offline build, same pattern as _PQ_BOOKS).
 _IVFPQ_INDEX: dict[tuple, object] = {}
 

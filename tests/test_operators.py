@@ -1181,6 +1181,46 @@ def test_ann_query_collect_guard(spark):
     assert ok.count() > 0
 
 
+def test_pq_distributed_parity_at_guard_boundary(spark):
+    """pq_topk_distributed (VERDICT r5 #4) must return EXACTLY the
+    driver-LUT path's rows on the query sets the guard refuses:
+    same LUT expression, same neighbor-id tie-breaks, so parity is
+    row-identical, not recall-approximate — on BOTH rerank paths, and
+    with multi-block partitioning forced on both sides."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_distributed,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(32)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = train_pq_codebooks(emb, n_subspaces=2, k=4)
+
+    # the guard boundary: driver path refuses this corpus-sized query set
+    with pytest.raises(ValueError, match="pq_topk_distributed"):
+        pq_topk(emb, emb, k=2, rerank=4, codebooks=books, max_query_rows=8)
+
+    for rerank in (4, 0):
+        want = sorted(
+            tuple(r) for r in pq_topk(
+                emb, emb, k=2, rerank=rerank, codebooks=books,
+                max_query_rows=None,
+            ).collect()
+        )
+        got = sorted(
+            tuple(r) for r in pq_topk_distributed(
+                emb, emb, k=2, rerank=rerank, codebooks=books,
+                queries_per_block=8, codes_per_block=8,  # force multi-block
+            ).collect()
+        )
+        assert got == want, f"rerank={rerank}: distributed != driver path"
+    assert len(want) == 32 * 2
+
+
 def test_trainer_sample_collect_tripwire():
     """The trainers' post-collect tripwire refuses a hash-sample far
     above its expected size (broken sampler -> silent driver OOM)."""
