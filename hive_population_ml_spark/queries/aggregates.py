@@ -437,6 +437,31 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a_percentiles_approx")  # rows-only: sketch output;
+# rank-error bound vs the exact form pinned in tests/test_scale_toolkit.py
+def a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB form of a_percentiles (VERDICT r5 #5):
+    identical query shape with percentile -> percentile_approx
+    (Greenwald-Khanna sketch). The exact form buffers every group value
+    for the interpolated quantile; this one carries a fixed mergeable
+    summary through the partial agg, with rank error <= group_n/accuracy
+    (accuracy=10000 -> <=0.01% of the group). Output columns match the
+    exact query so the two are drop-in swappable."""
+    t = Tables(spark, sf_dir)
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return t.lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile_approx(
+                    "l_extendedprice", F.lit(q), F.lit(10000)
+                ),
+                6,
+            ).alias(name)
+            for name, q in qs.items()
+        ]
+    )
+
+
 @register(
     "a_key_skew",
     shadow_oracle="""
@@ -710,6 +735,50 @@ def a_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a_outlier_iqr_approx")  # rows-only: sketch quartiles;
+# fence-drift bound vs the exact form pinned in tests/test_scale_toolkit.py
+def a_outlier_iqr_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB form of a_outlier_iqr (VERDICT r5 #5):
+    quartiles via the percentile_approx sketch (fixed mergeable agg
+    state — the quantile pass becomes one bounded-memory scan), fences
+    and map-side flag counting unchanged. Rank error <= n/accuracy on
+    each quartile bounds the fence drift; the flagged-fraction delta vs
+    the exact form is pinned in tests."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.25), F.lit(10000)).alias("q1"),
+        F.percentile_approx("value", F.lit(0.75), F.lit(10000)).alias("q3"),
+    )
+    fenced = s.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("__lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("__hi"),
+    )
+    out_flag = (
+        (F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi"))
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(fenced), "event_type")
+        .groupBy("event_type", "__lo", "__hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_flag).alias("n_outliers"),
+            F.round(F.sum(out_flag) / F.count(F.lit(1)), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            "outlier_frac",
+            F.round("__lo", 6).alias("lo"),
+            F.round("__hi", 6).alias("hi"),
+        )
+    )
+
+
 @register(
     "a_profile_table",
     oracle="""
@@ -754,6 +823,41 @@ def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
             F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.round(F.min(c), 6).alias(f"min_{c}"),
+            F.round(F.max(c), 6).alias(f"max_{c}"),
+            F.round(F.avg(c), 6).alias(f"avg_{c}"),
+        ]
+    m = t.lineitem.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}, avg_{c}" for c in cols
+    )
+    return m.selectExpr(
+        "n",
+        f"stack({len(cols)}, {stack_expr}) as "
+        "(column_name, n_null, n_distinct, min_value, max_value, avg_value)",
+    ).select(
+        "column_name", "n", "n_null", "n_distinct",
+        "min_value", "max_value", "avg_value",
+    )
+
+
+@register("a_profile_table_approx")  # rows-only: HLL distinct counts;
+# relative-error bound vs the exact form pinned in tests/test_scale_toolkit.py
+def a_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB form of a_profile_table (VERDICT r5 #5):
+    count_distinct -> approx_count_distinct (HyperLogLog++, rsd=0.01).
+    The exact form's distinct-count state grows with column cardinality
+    and forces a per-column distinct expansion in the partial agg; the
+    HLL registers are fixed-size and mergeable, so the whole profile
+    stays ONE bounded-memory scan at any scale. All other metrics
+    (count/null/min/max/mean) are identical."""
+    t = Tables(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.approx_count_distinct(F.col(c), rsd=0.01).alias(f"dist_{c}"),
             F.round(F.min(c), 6).alias(f"min_{c}"),
             F.round(F.max(c), 6).alias(f"max_{c}"),
             F.round(F.avg(c), 6).alias(f"avg_{c}"),

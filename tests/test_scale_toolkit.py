@@ -251,3 +251,84 @@ def test_compact_parquet_with_sort_tightens_envelopes(spark, tmp_path):
         spans.append((max(ks) - min(ks)) / 96.0)
     # range-partitioned + sorted: each file covers a slice, not the domain
     assert sum(spans) / len(spans) < 0.7
+
+
+# -- Registered 100 TB sketch variants (VERDICT r5 #5): error bounds vs
+# the exact forms, reusing the GK rank-error pattern from
+# tests/test_operators.py::test_quantile_sketch_rank_error_bound. -----------
+
+
+def test_a_percentiles_approx_rank_error_bound(spark, sf_oracle_dir):
+    """Every sketched quantile's RANK in the sorted group must sit
+    within n/accuracy of the target rank (GK guarantee), and the
+    variant's output schema must match the exact form (drop-in swap)."""
+    import bisect
+
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["a_percentiles"](spark, sf_oracle_dir)
+    approx = QUERIES["a_percentiles_approx"](spark, sf_oracle_dir)
+    assert approx.columns == exact.columns
+    got = {r["l_returnflag"]: r for r in approx.collect()}
+    vals = {}
+    for r in (
+        Tables(spark, sf_oracle_dir)
+        .lineitem.select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    acc = 10000
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for col, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+            rank = bisect.bisect_left(xs, got[g][col])
+            # +2: one for the discrete-rank ceiling, one because the
+            # query rounds its output to 6 decimals (can shift bisect
+            # by a rank among near-equal values)
+            assert abs(rank - p * n) <= n / acc + 2, (g, col, rank, p * n)
+
+
+def test_a_outlier_iqr_approx_close_to_exact(spark, sf_oracle_dir):
+    """Sketch-quartile fences drift by at most the GK rank error, so the
+    flagged fraction must stay within a tight band of the exact form's
+    (same groups, same schema)."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["event_type"]: r for r in QUERIES["a_outlier_iqr"](spark, sf_oracle_dir).collect()
+    }
+    approx_df = QUERIES["a_outlier_iqr_approx"](spark, sf_oracle_dir)
+    approx = {r["event_type"]: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for g, e in exact.items():
+        a = approx[g]
+        assert a["n"] == e["n"]
+        assert abs(a["outlier_frac"] - e["outlier_frac"]) <= 0.002, (g, a, e)
+
+
+def test_a_profile_table_approx_hll_error_bound(spark, sf_oracle_dir):
+    """HLL++ at rsd=0.01: distinct counts within ~3*rsd of exact; every
+    non-sketched metric bit-identical to the exact profile."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["column_name"]: r
+        for r in QUERIES["a_profile_table"](spark, sf_oracle_dir).collect()
+    }
+    approx_df = QUERIES["a_profile_table_approx"](spark, sf_oracle_dir)
+    approx = {r["column_name"]: r for r in approx_df.collect()}
+    assert approx_df.columns == QUERIES["a_profile_table"](
+        spark, sf_oracle_dir
+    ).columns
+    assert set(approx) == set(exact)
+    for c, e in exact.items():
+        a = approx[c]
+        for col in ("n", "n_null", "min_value", "max_value", "avg_value"):
+            assert a[col] == e[col], (c, col)
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            3, 0.03 * e["n_distinct"]
+        ), (c, a["n_distinct"], e["n_distinct"])
