@@ -527,9 +527,8 @@ def levenshtein_pairs(
     verify with exact ``levenshtein <= max_dist``. Blocking recall is
     APPROXIMATE by design — an edit inside the prefix escapes the block
     (the same honesty contract as the LSH emitters; measured against
-    brute force in tests). Multi-pass blocking (prefix + suffix +
-    length-band union) is the standard recall upgrade and composes as a
-    union of this operator with different key exprs.
+    brute force in tests). :func:`levenshtein_pairs_multipass` is the
+    recall upgrade (prefix + suffix + length-band union).
 
     Scale shape: one equi-join on the block key (both sides shuffle on
     a short string); the quadratic levenshtein verify runs only within
@@ -548,10 +547,77 @@ def levenshtein_pairs(
     Output: (d1, d2, dist), d1 < d2, deterministic.
     """
     norm = F.lower(F.substring(F.col(text_col), 1, head))
+    return _levenshtein_blocked(
+        df, id_col, max_dist, norm,
+        F.substring(norm, 1, block_prefix), max_block_frac,
+    )
+
+
+def levenshtein_pairs_multipass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 5,
+    head: int = 40,
+    block_prefix: int = 6,
+    max_block_frac: float | None = None,
+    length_band: int = 8,
+) -> DataFrame:
+    """Multi-pass blocked edit-distance pairs (VERDICT r5 #6) — the
+    standard recall upgrade over single-pass prefix blocking: three
+    blocking passes unioned, deduped on (d1, d2):
+
+      1. prefix block  — first ``block_prefix`` chars (the single-pass
+         key; misses edits INSIDE the prefix);
+      2. suffix block  — last ``block_prefix`` chars (catches
+         prefix-edited pairs whose tails agree);
+      3. length band x 2-char prefix — ``floor(len/length_band)``
+         concatenated with the first 2 chars (catches pairs edited in
+         BOTH affix zones but still near-identical in bulk; the short
+         prefix conjunct keeps raw length bands from going hot).
+
+    A pair escapes only if every pass misses it — for max_dist=5 over
+    40-char keys that requires edits spread across both affixes AND a
+    band boundary straddle, which is why the union's measured recall
+    strictly dominates the single pass (honesty test vs brute force).
+    Each pass is the same equi-join shape with the same fractional
+    skew guard; cost is ~3x the single-pass join, still nowhere near
+    quadratic. Distances are exact on every surviving pair, so the
+    whole union stays DuckDB-differential (q:`dedup_levenshtein_multipass`).
+
+    Output: (d1, d2, dist), d1 < d2, deterministic.
+    """
+    norm = F.lower(F.substring(F.col(text_col), 1, head))
+    passes = [
+        F.substring(norm, 1, block_prefix),
+        F.substring(norm, -block_prefix, block_prefix),
+        F.concat_ws(
+            "#",
+            F.floor(F.length(norm) / F.lit(length_band)).cast("string"),
+            F.substring(norm, 1, 2),
+        ),
+    ]
+    out = None
+    for key in passes:
+        p = _levenshtein_blocked(df, id_col, max_dist, norm, key, max_block_frac)
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["d1", "d2"])
+
+
+def _levenshtein_blocked(
+    df: DataFrame,
+    id_col: str,
+    max_dist: int,
+    norm,
+    block_key,
+    max_block_frac: float | None,
+) -> DataFrame:
+    """One blocking pass: equi-join on ``block_key``, thresholded
+    banded-DP verify. Shared by the single-pass and multi-pass forms."""
     keyed = df.select(
         F.col(id_col).alias("__id"),
         norm.alias("__k"),
-        F.substring(norm, 1, block_prefix).alias("__b"),
+        block_key.alias("__b"),
     )
     if max_block_frac is not None:
         from pyspark.sql import Window
@@ -580,7 +646,7 @@ def levenshtein_pairs(
             # instead of O(n^2), returning -1 above the threshold —
             # exact distances for every surviving pair, so the DuckDB
             # oracle's plain `levenshtein(a,b) <= d` states identical
-            # results (measured 6.4 s -> ~2 s at sf0.1)
+            # results (measured 6.4 s -> ~2 s at sf0.1).
             F.levenshtein(
                 F.col("a.__k"), F.col("b.__k"), max_dist
             ).alias("dist"),

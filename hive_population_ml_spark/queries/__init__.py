@@ -65,6 +65,7 @@ ROTATE_TO_SHADOW = [
     # r6 wave: multi-round-green queries ceding slots to
     # text_chunk_tokens and the round-6 additions.
     "text_pii_mask",
+    "text_unigram_logprob",
     "p_null_guard_cast",
     "asof_nearest_ship",
     "w5_sequence_digest",

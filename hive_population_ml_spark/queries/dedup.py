@@ -372,3 +372,38 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return levenshtein_pairs(t.documents, "doc_id", "text")
+
+
+@register(
+    "dedup_levenshtein_multipass",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id AS id,
+           lower(substr(text, 1, 40)) AS k
+    FROM documents
+), passes AS (
+    SELECT id, k, substr(k, 1, 6) AS b FROM keyed
+    UNION ALL
+    SELECT id, k, substr(k, -6, 6) AS b FROM keyed
+    UNION ALL
+    SELECT id, k,
+           concat(CAST(floor(length(k) / 8) AS VARCHAR), '#', substr(k, 1, 2))
+               AS b
+    FROM keyed
+)
+SELECT DISTINCT a.id AS d1, b.id AS d2, levenshtein(a.k, b.k) AS dist
+FROM passes a JOIN passes b ON a.b = b.b AND a.id < b.id
+WHERE levenshtein(a.k, b.k) <= 5
+""",
+)
+def dedup_levenshtein_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocked edit distance (VERDICT r5 #6): prefix +
+    suffix + length-band blockings unioned, deduped on the pair —
+    recall strictly dominates the single prefix pass (measured vs
+    brute force in the honesty test) at ~3x the join cost. Every pass
+    is mirrored in the DuckDB oracle, so blocking AND verify stay
+    fully differential."""
+    from ..operators.dedup import levenshtein_pairs_multipass
+
+    t = Tables(spark, sf_dir)
+    return levenshtein_pairs_multipass(t.documents, "doc_id", "text")

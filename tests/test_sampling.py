@@ -53,6 +53,7 @@ SHADOW_NAMES = [
     # window; these multi-round-green queries ceded slots to it and the
     # round-6 additions.
     "text_pii_mask",
+    "text_unigram_logprob",
     # second round-5 rotation wave: ceded slots to the new operators
     # (text_chunk_chars, text_tfidf_keywords, cdc_latest_state,
     # stream_session_window, text_inverted_index, a_outlier_iqr,
