@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,6 +108,48 @@ def merge_upsert(
         n_versions_col=None,
     )
     return merged.filter(~F.col("__del")).select(*keys, *payload)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    track: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: one validity interval per run of unchanged ``track`` values per
+    key — the dimension-versioning primitive (what was this document's
+    quality label BETWEEN March and May?).
+
+    Change points are rows whose tracked values differ (null-safe) from
+    the key's previous row in (``ts_col``, ``tiebreak``) order;
+    consecutive rows restating the same values collapse into the open
+    interval. ``valid_to`` is the next change point's ``ts_col`` (NULL =
+    still current, flagged in ``current_col``).
+
+    Scale shape: one hash exchange on ``keys`` + one sort serves BOTH
+    windows — the lag-based change-point filter and the lead-based
+    interval close share the (partition, order) spec, so Catalyst reuses
+    the exchange and the sort (the filter between them preserves both).
+    State per key is one row (lag/lead), never the full history.
+    """
+    order = [F.col(ts_col), *_cols(tiebreak)]
+    w = Window.partitionBy(*_cols(keys)).orderBy(*order)
+    changed = F.lag(F.col(ts_col)).over(w).isNull()
+    for c in track:
+        changed = changed | ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    pts = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    return pts.select(
+        *keys,
+        *track,
+        F.col(ts_col).alias(valid_from),
+        F.lead(F.col(ts_col)).over(w).alias(valid_to),
+        F.lead(F.col(ts_col)).over(w).isNull().cast("int").alias(current_col),
+    )
 
 
 def snapshot_diff(

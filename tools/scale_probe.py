@@ -105,16 +105,30 @@ def replicate_dir(spark, src: str, mult: int) -> str:
     rep(
         read("embeddings"),
         {"vec_id": "key"},
-        # rotate dimensions per replica: genuinely different directions
-        # (a small additive nudge would leave replicas near-identical
-        # vectors and turn LSH buckets into duplicate clusters)
+        # rotate + per-replica seeded sign flips: genuinely different
+        # directions for EVERY replica index (a small additive nudge
+        # would leave replicas near-identical vectors and turn LSH
+        # buckets into duplicate clusters; rotation ALONE degenerates to
+        # identity once i reaches the 64-dim — the 100x-probe trap:
+        # replicas 64..99 would be exact duplicate vectors and the probe
+        # would measure output amplification, not throughput).
         extra=lambda p, i: p
         if i == 0
         else p.withColumn(
             "embedding",
-            F.concat(
-                F.slice(F.col("embedding"), i + 1, 100000),
-                F.slice(F.col("embedding"), 1, i),
+            F.transform(
+                F.concat(
+                    F.slice(F.col("embedding"), (i % 63) + 2, 100000),
+                    F.slice(F.col("embedding"), 1, (i % 63) + 1),
+                ),
+                lambda x, j: x
+                * (
+                    1
+                    - 2
+                    * F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)).cast(
+                        "double"
+                    )
+                ),
             ),
         ),
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
