@@ -91,7 +91,77 @@ HEADLINE = [
     "a_profile_table",
     "a_retention_cohorts",
     "w_resample_ffill",
+    # round-7 closure of VERDICT r6 #3: the five round-6 registrations
+    # that had neither a timed row nor an exchange budget, plus the
+    # round-7 additions.
+    "a_percentiles_approx",
+    "a_outlier_iqr_approx",
+    "a_profile_table_approx",
+    "ann_pq_distributed",
+    "dedup_levenshtein_multipass",
+    "cdc_scd2_history",
 ]
+
+# Registered queries intentionally NOT timed by the headline bench, with
+# the reason. tests/test_plan_budgets.py asserts HEADLINE + DECLARED_UNTIMED
+# covers the ENTIRE registry, so a new registration cannot silently skip
+# both the bench and the budget pin (VERDICT r6 wrong-#2).
+DECLARED_UNTIMED = {
+    # tiny reference-parity micro-queries: dominated by fixed Spark
+    # job-submission overhead at sf0.1, so their timings measure the
+    # scheduler, not the operator; correctness-gated every round.
+    "p_filter_project": "micro (projection/filter parity query)",
+    "p_null_guard_cast": "micro",
+    "s2_union_provenance": "micro",
+    "j2_key_normalize": "micro",
+    "j5_semi_split": "micro",
+    "j_outer_anti": "micro",
+    "a2_higher_moments": "micro",
+    "a7_half_contrast": "micro",
+    "a8_season_scoped": "micro",
+    "a9_distinct_counts": "micro",
+    "a11_class_weights": "micro",
+    "a12_rowwise_mean": "micro",
+    "a13_global_stats": "micro",
+    "a14_weighted_mean": "micro",
+    "a_rollup_revenue": "micro",
+    "a_percentiles": "micro",
+    "a_unpivot_user_stats": "micro",
+    "a_funnel_conversion": "timed via a_retention_cohorts (same scan/agg shape)",
+    "w1_ordered_head": "micro",
+    "w3_stride_subsample": "micro",
+    "w4_tail_k": "micro",
+    "o4_top1_per_group": "micro",
+    "w_session_window": "timed via w_sessionize (same operator)",
+    "f_datetime_parts": "scalar-function sweep (no data plane)",
+    "f_scalar_funcs": "scalar-function sweep",
+    "f_array_funcs": "scalar-function sweep",
+    "f_json_funcs": "scalar-function sweep",
+    "f_lambda_funcs": "scalar-function sweep",
+    "asof_forward_ship": "timed via asof_nearest_ship (same operator, reversed)",
+    "m1_standard_scale": "ML fit path, timed by tests/test_ml.py",
+    "m13_oof_folds": "ML fit path",
+    "m14_ensemble_blend": "ML fit path",
+    "m15_auc_roc": "metric micro",
+    "m15_classification_metrics": "metric micro",
+    "corpus_clean_pipeline": "composition of timed stages (pii+quality+dedup)",
+    "dedup_incremental_ngram": "timed via dedup_ngram_jaccard (same join core)",
+    "dedup_cluster_embedding": "exactness twin of dedup_semantic (declared quadratic)",
+    "dedup_canonical_simhash": "timed via dedup_simhash (adds canonical-first filter)",
+    "text_stats": "micro",
+    "text_token_counts": "micro",
+    "text_lang_id": "map-only micro",
+    "text_fingerprint_groups": "micro",
+    "text_heavy_hitters_lang": "timed via text_heavy_hitters",
+    "text_chunk_tokens": "timed via text_chunk_chars (same posexplode plan)",
+    "stream_windowed_agg": "streaming (availableNow run; wall time is trigger-bound)",
+    "stream_attribution_join": "streaming",
+    "stream_session_window": "streaming",
+    "mix_temperature_weights": "driver-side weight table (no data plane)",
+    "multimodal_bytes": "binary plumbing micro",
+    "multimodal_wav_features": "codec-bound (decode dominates, measured in tests)",
+    "multimodal_wav_spectral": "codec-bound",
+}
 
 
 def main() -> None:

@@ -139,7 +139,11 @@ def scd2_history(
     """
     order = [F.col(ts_col), *_cols(tiebreak)]
     w = Window.partitionBy(*_cols(keys)).orderBy(*order)
-    changed = F.lag(F.col(ts_col)).over(w).isNull()
+    # First-row test must be unambiguous: lag(ts_col).isNull() would
+    # conflate "no previous row" with "previous row has NULL ts" (a
+    # NULL-ts row sorts first and would force a spurious change point
+    # on the next row even with unchanged tracked values — ADVICE r6).
+    changed = F.lag(F.lit(1)).over(w).isNull()
     for c in track:
         changed = changed | ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
     pts = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")

@@ -62,6 +62,10 @@ ROTATE_TO_ORACLE = [
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    # r7 wave: longest-green incumbents cede slots to the round-7
+    # additions (cdc_scd2_history, ...); every ceded query keeps the
+    # identical hash-equal contract as a pytest shadow check.
+    "w_session_window",
     # r6 wave: multi-round-green queries ceding slots to
     # text_chunk_tokens and the round-6 additions.
     "text_pii_mask",

@@ -646,3 +646,56 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["event_id"], compare=["value"])
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+WITH log AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(abs(floor(value)) AS BIGINT) % 3 AS band
+    FROM events
+), flagged AS (
+    SELECT user_id, ts_us, event_id, band,
+           (row_number() OVER w = 1
+            OR band IS DISTINCT FROM lag(band) OVER w) AS chg
+    FROM log
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), pts AS (
+    SELECT user_id, ts_us, event_id, band FROM flagged WHERE chg
+)
+SELECT user_id, band,
+       ts_us AS valid_from,
+       lead(ts_us) OVER w2 AS valid_to,
+       CAST(lead(ts_us) OVER w2 IS NULL AS INT) AS is_current
+FROM pts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (VERDICT r6 #1): events as a per-user
+    change log whose tracked attribute is a derived value band
+    (abs(floor(value)) % 3 — coarse enough that consecutive rows
+    genuinely restate values, so interval collapse has real work);
+    one validity interval per run of unchanged band. The oracle is the
+    independent row_number/lag/lead SQL formulation; timestamps travel
+    as epoch micros so the hash is engine-stable. The Spark plan is one
+    hash exchange + one sort serving BOTH windows (lag change-point
+    filter and lead interval close share the partition/order spec —
+    plan-asserted in tests/test_plan_budgets.py)."""
+    from ..operators.cdc import scd2_history
+
+    t = Tables(spark, sf_dir)
+    log = t.events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        (F.abs(F.floor("value")) % 3).cast("bigint").alias("band"),
+    )
+    return scd2_history(
+        log,
+        keys=["user_id"],
+        ts_col="ts_us",
+        track=["band"],
+        tiebreak=["event_id"],
+    )

@@ -367,11 +367,15 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance near-dup pairs over the lowercased 40-char
     document head (record-linkage tier). Spark `levenshtein` and DuckDB
     `levenshtein` implement the same unit-cost edit distance, so the
-    whole blocked pipeline is differential — blocking INCLUDED."""
+    whole blocked pipeline is differential — blocking INCLUDED.
+    ``max_block_frac=0.1`` activates the fractional hot-block guard so
+    the Spark side matches the oracle's ``bc <= ceil(0.1*n)`` filter
+    exactly (with the default ``None`` the guard was oracle-only — a
+    latent divergence on any corpus with a >10% shared prefix)."""
     from ..operators.dedup import levenshtein_pairs
 
     t = Tables(spark, sf_dir)
-    return levenshtein_pairs(t.documents, "doc_id", "text")
+    return levenshtein_pairs(t.documents, "doc_id", "text", max_block_frac=0.1)
 
 
 @register(
@@ -382,12 +386,19 @@ WITH keyed AS (
            lower(substr(text, 1, 40)) AS k
     FROM documents
 ), passes AS (
-    SELECT id, k, substr(k, 1, 6) AS b FROM keyed
+    -- Keys are NAMESPACED per pass ('P:'/'S:'/'L:') because the Spark
+    -- operator joins each blocking pass only with itself; an untagged
+    -- union would admit cross-pass collisions (one doc's prefix block
+    -- equal to another doc's suffix block) the operator can never
+    -- produce (ADVICE r6 high — counterexample pinned in
+    -- tests/test_operators.py::test_levenshtein_multipass_oracle_no_cross_pass).
+    SELECT id, k, 'P:' || substr(k, 1, 6) AS b FROM keyed
     UNION ALL
-    SELECT id, k, substr(k, -6, 6) AS b FROM keyed
+    SELECT id, k, 'S:' || substr(k, -6, 6) AS b FROM keyed
     UNION ALL
     SELECT id, k,
-           concat(CAST(floor(length(k) / 8) AS VARCHAR), '#', substr(k, 1, 2))
+           'L:' || concat(CAST(floor(length(k) / 8) AS VARCHAR), '#',
+                          substr(k, 1, 2))
                AS b
     FROM keyed
 )

@@ -1970,6 +1970,62 @@ def test_levenshtein_multipass_catches_prefix_edits(spark):
     assert set(multi) == {(1, 2)} and multi[(1, 2)] <= 4
 
 
+def test_levenshtein_multipass_oracle_no_cross_pass(spark, tmp_path):
+    """ADVICE r6 (high): the registered multipass oracle must NOT admit
+    cross-pass key collisions. Counterexample: 'cc'+'a'*38 and
+    'a'*38+'cc' have lev=4 and doc1's suffix-6 block equals doc2's
+    prefix-6 block ('aaaaaa'), so an untagged UNION ALL oracle joins
+    them across passes — but the Spark operator joins each pass only
+    with itself and can never produce the pair. With namespaced pass
+    keys the two engines agree on this corpus."""
+    import duckdb
+
+    from hive_population_ml_spark.operators.dedup import (
+        levenshtein_pairs_multipass,
+    )
+    from hive_population_ml_spark.queries import ORACLE, load_all
+
+    load_all()
+    d1 = "cc" + "a" * 38
+    d2 = "a" * 38 + "cc"
+    d3 = "prefix matched body one two three four!"
+    d4 = "prefix matched body one two three five!"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+        # the trap is armed: cross-pass block keys collide, lev within
+        # threshold — an untagged oracle emits (1, 2)
+        armed = con.execute(
+            "SELECT substr(lower(substr(text, 1, 40)), -6, 6) FROM documents "
+            "WHERE doc_id = 1"
+        ).fetchone()[0]
+        assert armed == "aaaaaa"
+        assert con.execute(
+            "SELECT levenshtein(?, ?)", [d1, d2]
+        ).fetchone()[0] == 4
+        oracle_pairs = {
+            (r[0], r[1])
+            for r in con.execute(
+                ORACLE["dedup_levenshtein_multipass"]
+            ).fetchall()
+        }
+    finally:
+        con.close()
+
+    spark_pairs = {
+        (r["d1"], r["d2"])
+        for r in levenshtein_pairs_multipass(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) not in oracle_pairs, "oracle admits a cross-pass collision"
+    assert oracle_pairs == spark_pairs == {(3, 4)}
+
+
 def test_weighted_sample_by_semantics(spark):
     from hive_population_ml_spark.operators.sampling import weighted_sample_by
 
@@ -2165,3 +2221,97 @@ def test_snapshot_diff_classifies(spark):
     assert rows[3]["status"] == "changed"      # null -> value, null-safe
     assert rows[4]["status"] == "removed" and rows[4]["v_new"] is None
     assert rows[5]["status"] == "added" and rows[5]["v_old"] is None
+
+
+def _scd2(spark, rows, **kw):
+    from hive_population_ml_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(rows, "k string, ts long, v string, eid long")
+    kw.setdefault("keys", ["k"])
+    kw.setdefault("ts_col", "ts")
+    kw.setdefault("track", ["v"])
+    kw.setdefault("tiebreak", ["eid"])
+    out = scd2_history(df, **kw).collect()
+    return sorted(
+        (
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out
+        ),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_scd2_history_collapses_restated_values(spark):
+    """Consecutive rows restating the same tracked value collapse into
+    one interval; a value that RETURNS later opens a new interval."""
+    rows = [
+        ("a", 1, "x", 1), ("a", 2, "x", 2), ("a", 3, "y", 3),
+        ("a", 4, "y", 4), ("a", 5, "x", 5),
+    ]
+    assert _scd2(spark, rows) == [
+        ("a", "x", 1, 3, 0),
+        ("a", "x", 5, None, 1),
+        ("a", "y", 3, 5, 0),
+    ]
+
+
+def test_scd2_history_null_safe_track_and_single_row(spark):
+    """NULL tracked values compare null-safely (a null->null restatement
+    is NOT a change point); single-row keys yield one open interval."""
+    rows = [
+        ("a", 1, "x", 1), ("a", 2, None, 2), ("a", 3, None, 3),
+        ("a", 4, "x", 4),
+        ("b", 7, "z", 5),
+    ]
+    assert _scd2(spark, rows) == [
+        ("a", "x", 1, 2, 0),
+        ("a", "x", 4, None, 1),
+        ("a", None, 2, 4, 0),
+        ("b", "z", 7, None, 1),
+    ]
+
+
+def test_scd2_history_tiebreak_orders_equal_timestamps(spark):
+    """Equal timestamps resolve by the tiebreak column: (v at eid 1,
+    w at eid 2) on the same ts must read x-then-w, not w-then-x."""
+    rows = [("a", 1, "x", 1), ("a", 1, "w", 2), ("a", 2, "w", 3)]
+    assert _scd2(spark, rows) == [
+        ("a", "w", 1, None, 1),
+        ("a", "x", 1, 1, 0),
+    ]
+
+
+def test_scd2_history_null_ts_first_row_not_spurious_change(spark):
+    """ADVICE r6: a NULL-ts row sorts first; the next row restating the
+    same tracked value must NOT become a change point (the old
+    lag(ts).isNull() first-row test conflated the two)."""
+    rows = [("a", None, "x", 1), ("a", 5, "x", 2), ("a", 9, "y", 3)]
+    assert _scd2(spark, rows) == [
+        ("a", "x", None, 9, 0),
+        ("a", "y", 9, None, 1),
+    ]
+
+
+def test_scd2_history_one_exchange_one_sort(spark):
+    """The lag change-point window and the lead interval-close window
+    share (partition, order), and the filter between them preserves
+    both — so ONE hash exchange and ONE sort serve the whole history
+    build, as the docstring claims."""
+    from hive_population_ml_spark.operators.cdc import scd2_history
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        scd2_history(
+            ev,
+            keys=["user_id"],
+            ts_col="event_id",
+            track=["event_type"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("+- Sort ") == 1, plan[:3000]
+    # both window operators sit above the single sort
+    assert plan.count("Window ") == 2, plan[:3000]

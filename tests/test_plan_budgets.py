@@ -129,6 +129,23 @@ EXCHANGE_BUDGETS = {
     # pair agg shuffles live in the checkpoint job; was 6
     "text_bigram_logprob": 4,
     "sample_stratified": 0,
+    # round-7 additions (VERDICT r6 #3): the five r6 registrations plus
+    # cdc_scd2_history get budgets the same commit they join HEADLINE.
+    # one group agg (approx_percentile partial+final)
+    "a_percentiles_approx": 1,
+    # sketch quartile agg + flag agg + fence BroadcastExchange (one
+    # fewer than the exact form's 4: no exact-percentile sort agg)
+    "a_outlier_iqr_approx": 3,
+    # ONE scan aggregation (HLL approx_count_distinct keeps it single)
+    "a_profile_table_approx": 1,
+    # packed code-block agg + packed query-block agg + block-grid join
+    # sides + shortlist window + rerank join (AQE-broadcast)
+    "ann_pq_distributed": 6,
+    # 3 block-key equi-join passes sharing the keyed scan (AQE reuse:
+    # 4 total, not 6) incl. the dropDuplicates agg
+    "dedup_levenshtein_multipass": 4,
+    # ONE hash exchange + one sort serves both SCD2 windows
+    "cdc_scd2_history": 1,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,
@@ -146,6 +163,29 @@ def test_headline_set_is_budgeted():
 
     missing = set(bench.HEADLINE) - set(EXCHANGE_BUDGETS)
     assert not missing, f"headline queries without a shuffle budget: {missing}"
+
+
+def test_every_registered_query_is_timed_or_declared_untimed():
+    """VERDICT r6 #3: iterate the REGISTRY, not the headline list — a
+    new registration must either join the bench (and therefore, via
+    test_headline_set_is_budgeted, carry an exchange budget) or appear
+    in bench.DECLARED_UNTIMED with a stated reason. No third bucket."""
+    import bench
+
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    headline = set(bench.HEADLINE)
+    untimed = set(bench.DECLARED_UNTIMED)
+    both = headline & untimed
+    assert not both, f"queries both timed and declared-untimed: {both}"
+    uncovered = set(QUERIES) - headline - untimed
+    assert not uncovered, (
+        f"registered queries with neither a bench row nor a declared "
+        f"untimed reason: {sorted(uncovered)}"
+    )
+    stale = untimed - set(QUERIES)
+    assert not stale, f"DECLARED_UNTIMED entries not in the registry: {stale}"
 
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))

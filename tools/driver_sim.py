@@ -84,11 +84,22 @@ def _canon(df: pd.DataFrame) -> tuple[str, list[str]]:
         if s.dtype == object and len(s):
             nn = s.dropna()
             if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
+                # INTENTIONALLY STRICTER than the driver (ADVICE r6 low):
+                # the real driver's sort_values only raises on MULTI-column
+                # frames (factorize path); a single-column frame of list
+                # cells sorts via direct comparison and would hash. This
+                # sim still rejects ANY array-typed column because the
+                # repo convention is scalar result columns everywhere —
+                # list-vs-ndarray stringification differs between the
+                # Spark (toPandas → ndarray) and DuckDB (list) sides, so
+                # an array column that happens to sort is still a hash
+                # hazard. Serialize to a joined string on both engines.
                 raise DriverCanonError(
-                    f"array-typed result column {c!r}: the driver's pandas "
-                    "sort_values canonicalizer cannot hash array cells — "
-                    "serialize to a joined string (array_join / "
-                    "array_to_string) on both engines"
+                    f"array-typed result column {c!r}: repo convention is "
+                    "scalar result columns (stricter than the driver on "
+                    "single-column frames, by design) — serialize to a "
+                    "joined string (array_join / array_to_string) on both "
+                    "engines"
                 )
     try:
         df.sort_values(by=cols)
