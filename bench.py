@@ -100,6 +100,7 @@ HEADLINE = [
     "ann_pq_distributed",
     "dedup_levenshtein_multipass",
     "cdc_scd2_history",
+    "ann_ivfpq_distributed",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -1206,6 +1206,202 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_distributed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    seed: int = 7,
+    rerank: int = 4,
+    index=None,
+    queries_per_block: int = 512,
+    codes_per_block: int = 65536,
+) -> DataFrame:
+    """Corpus-vs-corpus IVFADC (VERDICT r6 #4): the IVF-cell composition
+    of ``pq_topk_distributed``. The pure-PQ distributed scorer pays the
+    full n_cblocks x n_qblocks grid — Θ(nq·n) ADC work, intrinsic to
+    all-pairs ADC — so at corpus-vs-corpus scale the coarse quantizer is
+    the sub-quadratic swap: code blocks are partitioned BY COARSE CELL
+    and each query block joins ONLY its cell's code blocks, bounding
+    per-query work to its ``n_probe`` probed cells exactly as
+    single-query IVFADC does (Jégou et al. 2011 §IV).
+
+    No driver-side query collect anywhere:
+
+      1. queries -> map-side probe assignment (centroids ride the task
+         closure, KBs): each query replicates to ``n_probe``
+         (query, cell) rows with its unit-normalized vector;
+      2. per (cell, qblock) group, one packed residual-LUT row for
+         ~``queries_per_block`` queries — the SAME residual/LUT
+         expressions as ``ivfpq_topk``'s driver build, so distances are
+         bit-identical and parity with the driver path is exact;
+      3. corpus residual-PQ codes pack per (cell, cblock) — at 100 TB
+         this table is written once at index-build time, PARTITIONED BY
+         cell, so the join reads only probed cells' code blocks;
+      4. (code-block ⋈ lut-block ON cell) — an EQUI-join on the cell
+         id, never a cross grid (plan-asserted: no CartesianProduct /
+         BroadcastNestedLoop); scoring is the same vectorized
+         fancy-index pass, and only each query's local ``rerank*k``
+         shortlist leaves a task.
+
+    Total ADC work is Σ_probed-cells |cell| per query instead of n —
+    the n_probe/n_cells fraction of the pure-PQ grid. Cell-size skew
+    bounds a task at ``codes_per_block`` codes x ``queries_per_block``
+    LUTs; a hot cell makes more block-pairs, not bigger tasks.
+
+    Output and semantics match ``ivfpq_topk`` exactly (parity-tested on
+    both rerank paths at the guard boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    cents, books = (
+        index
+        if index is not None
+        else train_ivfpq_index(
+            corpus, id_col, vec_col, n_cells, n_subspaces, n_centroids,
+            seed=seed,
+        )
+    )
+    cents = np.asarray(cents)
+    books = np.asarray(books)
+    m, kc, sub = books.shape
+    n_cells_eff = cents.shape[0]
+
+    nq = queries.count()
+    n = corpus.count()
+    shortlist = max(1, rerank) * k
+    qblocks_per_cell = max(
+        1, -(-(nq * n_probe) // (n_cells_eff * queries_per_block))
+    )
+    cblocks_per_cell = max(1, -(-n // (n_cells_eff * codes_per_block)))
+
+    src = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+
+    def assign_probes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qx = np.array(list(pdf["qv"]), dtype=np.float64)
+            qx = qx / np.maximum(
+                np.linalg.norm(qx, axis=1, keepdims=True), 1e-12
+            )
+            # identical probe selection to ivfpq_topk (incl. the stable
+            # argsort tie-break on equal cell distances)
+            cell_d2 = -2.0 * (qx @ cents.T) + (cents**2).sum(1)
+            probe = np.argsort(cell_d2, axis=1, kind="stable")[:, :n_probe]
+            reps = np.repeat(np.arange(len(pdf)), n_probe)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[reps],
+                    "qv": [qx[i] for i in reps],
+                    "cell": probe.reshape(-1).astype(np.int32),
+                }
+            )
+
+    probes = src.mapInPandas(
+        assign_probes, schema="query_id long, qv array<double>, cell int"
+    ).withColumn(
+        "qblock",
+        F.pmod(F.xxhash64(F.col("query_id")), F.lit(qblocks_per_cell)).cast(
+            "int"
+        ),
+    )
+
+    def build_lut(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        qx = np.array(list(pdf["qv"]), dtype=np.float64)  # already unit
+        resid = qx - cents[cell]
+        luts = np.empty((len(pdf), m, kc), dtype=np.float64)
+        for s in range(m):
+            rs = resid[:, s * sub : (s + 1) * sub]
+            # same expression as ivfpq_topk's driver-side LUT build —
+            # bit-identical distances, so parity is exact
+            luts[:, s, :] = ((books[s][None] - rs[:, None, :]) ** 2).sum(-1)
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "q_ids": [pdf["query_id"].to_numpy(np.int64).tobytes()],
+                "lut": [luts.tobytes()],
+            }
+        )
+
+    luts_df = probes.groupBy("cell", "qblock").applyInPandas(
+        build_lut, schema="cell int, q_ids binary, lut binary"
+    )
+
+    codes = ivfpq_encode(corpus, cents, books, id_col, vec_col).withColumn(
+        "cblock",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(cblocks_per_cell)).cast(
+            "int"
+        ),
+    )
+
+    def pack_codes(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = np.array(list(pdf["codes"]), dtype=np.int32)
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "nbr_ids": [pdf[id_col].to_numpy(np.int64).tobytes()],
+                "packed": [c.tobytes()],
+            }
+        )
+
+    codes_packed = codes.groupBy("cid", "cblock").applyInPandas(
+        pack_codes, schema="cid int, nbr_ids binary, packed binary"
+    )
+
+    pairs = codes_packed.join(
+        luts_df, codes_packed["cid"] == luts_df["cell"]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                ids = np.frombuffer(pdf["nbr_ids"].iloc[i], dtype=np.int64)
+                c = (
+                    np.frombuffer(pdf["packed"].iloc[i], dtype=np.int32)
+                    .reshape(-1, m)
+                    .astype(np.int64)
+                )
+                qids = np.frombuffer(pdf["q_ids"].iloc[i], dtype=np.int64)
+                lut = np.frombuffer(
+                    pdf["lut"].iloc[i], dtype=np.float64
+                ).reshape(-1, m, kc)
+                for qi in range(len(qids)):
+                    d2 = lut[qi, np.arange(m), c].sum(1)
+                    keep = ids != qids[qi]
+                    d2k, idk = d2[keep], ids[keep]
+                    top = np.lexsort((idk, d2k))[:shortlist]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "neighbor_id": idk[top],
+                                "cosine": 1.0 - d2k[top] / 2.0,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    scored = pairs.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    return _finalize_topk(
+        scored, corpus, queries, id_col, vec_col, k, rerank,
+        broadcast_queries=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
 # space with the IVF coarse quantizer, find cosine near-dups WITHIN each

@@ -254,6 +254,41 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivfpq_distributed")  # rows-only: approximate; exact
+# parity vs the driver-LUT IVFADC path pinned in tests/test_operators.py
+def ann_ivfpq_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus IVFADC (VERDICT r6 #4): every vector is a query
+    AND the per-query work is bounded by its n_probe coarse cells —
+    the sub-quadratic composition that replaces ann_pq_distributed's
+    full n_cblocks x n_qblocks ADC grid at 100 TB. Residual LUTs are
+    built as packed per-(cell, block) DataFrame rows and joined to
+    cell-partitioned code blocks by an EQUI-join on the cell id (no
+    cartesian — plan-asserted); no driver collect anywhere. Result
+    parity with ivfpq_topk is exact (same probe selection, residual-LUT
+    expression, and tie-breaks) — parity-tested at the guard
+    boundary."""
+    from ..operators.similarity import (
+        ivfpq_topk_distributed,
+        train_ivfpq_index,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    key = _corpus_key(emb, sf_dir)
+    if key not in _IVFPQ_INDEX:
+        _IVFPQ_INDEX[key] = train_ivfpq_index(emb, "vec_id", "embedding")
+    return ivfpq_topk_distributed(
+        emb,
+        emb,  # corpus-sized query set: all vectors
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=8,
+        rerank=4,
+        index=_IVFPQ_INDEX[key],
+    )
+
+
 @register("dedup_semantic")  # rows-only: KMeans cells aren't SQL;
 # cluster-quality + within-cell-exactness property tests in
 # tests/test_operators.py pin the semantics

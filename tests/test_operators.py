@@ -1221,6 +1221,55 @@ def test_pq_distributed_parity_at_guard_boundary(spark):
     assert len(want) == 32 * 2
 
 
+def test_ivfpq_distributed_parity_at_guard_boundary(spark):
+    """ivfpq_topk_distributed (VERDICT r6 #4) must return EXACTLY the
+    driver-LUT IVFADC path's rows on the query sets the guard refuses:
+    same probe selection (stable argsort), same residual-LUT expression,
+    same tie-breaks — row-identical parity on BOTH rerank paths, with
+    multi-block partitioning forced on both sides. The equi-join on the
+    cell id must also keep the plan grid-free (no cartesian)."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_distributed,
+        train_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(48)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    index = train_ivfpq_index(
+        emb, n_cells=4, n_subspaces=2, n_centroids=8, sample_n=0
+    )
+
+    # the guard boundary: driver path refuses this corpus-sized query set
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivfpq_topk(
+            emb, emb, k=2, n_probe=2, rerank=4, index=index,
+            max_query_rows=8,
+        )
+
+    for rerank in (4, 0):
+        want = sorted(
+            tuple(r) for r in ivfpq_topk(
+                emb, emb, k=2, n_cells=4, n_probe=2, rerank=rerank,
+                index=index, max_query_rows=None,
+            ).collect()
+        )
+        dist = ivfpq_topk_distributed(
+            emb, emb, k=2, n_cells=4, n_probe=2, rerank=rerank,
+            index=index, queries_per_block=8, codes_per_block=8,
+        )
+        got = sorted(tuple(r) for r in dist.collect())
+        assert got == want, f"rerank={rerank}: distributed != driver path"
+    # the cell equi-join bounds per-query work to its probed cells —
+    # never the pure-PQ full block grid (a cartesian in the plan)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_trainer_sample_collect_tripwire():
     """The trainers' post-collect tripwire refuses a hash-sample far
     above its expected size (broken sampler -> silent driver OOM)."""

@@ -146,6 +146,10 @@ EXCHANGE_BUDGETS = {
     "dedup_levenshtein_multipass": 4,
     # ONE hash exchange + one sort serves both SCD2 windows
     "cdc_scd2_history": 1,
+    # probe-LUT block agg + cell-partitioned code-block agg + the cell
+    # EQUI-join sides (never a cross grid) + shortlist window + rerank
+    # join (AQE-broadcast)
+    "ann_ivfpq_distributed": 6,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,
