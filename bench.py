@@ -101,6 +101,9 @@ HEADLINE = [
     "dedup_levenshtein_multipass",
     "cdc_scd2_history",
     "ann_ivfpq_distributed",
+    "dedup_source_overlap",
+    "split_cluster_safe",
+    "text_dsir_weights",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -66,3 +66,47 @@ def split_by_hash(
         tagged.filter(F.col("split") == name).drop("split")
         for name in ("train", "val", "test")
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+    train_frac: float = 0.8,
+    mode: str = "minstd",
+) -> DataFrame:
+    """Near-dup-aware train/holdout split: documents split by their
+    DUPLICATE CLUSTER, never individually — the corpus-level analogue
+    of the reference's leakage-safe group split (M4). A near-duplicate
+    of a held-out document leaking into train is exactly the
+    contamination eval decks guard against; hashing the CLUSTER id
+    (transitive closure over ``pairs``; singletons are their own
+    cluster) guarantees no dup pair — even one connected only
+    transitively — ever straddles the split.
+
+    Scale shape: the closure is the alternating-star components pass
+    (operators/components.py — O(log² n) rounds over a shrinking edge
+    list); the split itself adds ZERO shuffles on top of the cluster
+    assignment — ``uniform_hash`` is a map-side projection of the
+    cluster id (the portable minstd form, so a DuckDB oracle recomputes
+    the whole query including the closure; ``xxhash64`` mode for
+    production mixing).
+
+    Output: (id_col, cluster_id, split ∈ {train, holdout}).
+    """
+    from ..operators.components import dedup_cluster_assignment
+    from ..operators.sampling import uniform_hash
+
+    assign = dedup_cluster_assignment(
+        docs, pairs, id_col=id_col, src=src, dst=dst
+    )
+    u = uniform_hash(F.col("cluster_id"), mode)
+    return assign.select(
+        id_col,
+        "cluster_id",
+        F.when(u < F.lit(train_frac), F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )

@@ -653,3 +653,68 @@ def _levenshtein_blocked(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between corpus groups (sources,
+    crawls, snapshots): for every group pair, distinct-shingle set
+    sizes, intersection, Jaccard, and containment
+    ``inter / min(n1, n2)`` — the corpus-curation diagnostic that says
+    WHICH feeds duplicate each other before any doc-level dedup runs
+    (high containment = one source is largely a subset of another; the
+    standard signal for dropping a feed or ordering dedup passes).
+
+    Scale shape: one distinct-aggregation on (group, shingle) — the
+    explode is map-side and the distinct partial-aggregates before its
+    exchange — then a self-equi-join on the shingle. A shingle shared
+    by g groups expands to C(g, 2) pair rows, and g is bounded by the
+    NUMBER OF GROUPS (tens), not corpus size, so the expansion is flat;
+    per-group set sizes broadcast back onto the tiny pair table.
+    Output is C(n_groups, 2) rows — driver-safe by construction.
+
+    Output: (g1, g2, n1, n2, inter, jaccard, containment), g1 < g2.
+    """
+    # (group, shingle) distinct feeds THREE consumers (sizes + both join
+    # sides); without materialization each recomputes the corpus-wide
+    # tokenize+explode+distinct chain. The table is vocab-scale x
+    # n_groups (Heaps-bounded), the same pin policy as the LM vocab
+    # tables in textops.
+    gs = (
+        df.select(F.col(group_col).alias("g"), tokens(text_col).alias("t"))
+        .select("g", shingles_of_tokens(F.col("t"), k).alias("sh"))
+        .select("g", F.explode("sh").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a, b = gs.alias("a"), gs.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.g") < F.col("b.g"))
+        )
+        .groupBy(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("g").alias("g1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("g").alias("g2"), F.col("n").alias("n2"))
+    denom_j = F.col("n1") + F.col("n2") - F.col("inter")
+    return (
+        inter.join(F.broadcast(s1), "g1")
+        .join(F.broadcast(s2), "g2")
+        .select(
+            "g1",
+            "g2",
+            "n1",
+            "n2",
+            "inter",
+            F.round(F.col("inter") / denom_j, 6).alias("jaccard"),
+            F.round(
+                F.col("inter") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+        )
+    )

@@ -925,3 +925,76 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(top_n)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smooth: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a TARGET-domain unigram LM
+    vs the raw-corpus unigram LM,
+
+        log_ratio(d) = sum_t [ log p_tgt(t) - log p_raw(t) ]
+
+    with add-``smooth`` smoothing over the raw corpus vocabulary (so
+    target-OOV tokens get finite mass). ``target`` is a boolean Column
+    selecting the target-domain rows of ``df`` itself (the paper's
+    setup: target = a small trusted slice, raw = the crawl). Downstream:
+    importance-resample with ``sampling.weighted_sample_by`` on
+    ``exp(log_ratio)`` or take the top fraction — the weights table is
+    the reusable artifact.
+
+    Scale shape: one token explode feeds (a) the raw-vocab count agg
+    and (b) the scoring join; the target-vocab agg scans only target
+    rows. Both vocab tables are Heaps-bounded (≪ corpus) and
+    localCheckpoint'd because each feeds two consumers; scalar totals
+    (N_raw, N_tgt, V) ride 1-row broadcasts. The scoring join is
+    vocab-keyed — AQE broadcasts the vocab side at real scale — and one
+    final per-doc aggregation emits the weights. No windows, no Python.
+
+    Output: (id_col, n_tokens, log_ratio) — log-space only; ``exp``
+    overflows float64 for long documents, so consumers exponentiate
+    after their own normalization.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    )
+    raw = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_raw")).localCheckpoint()
+    )
+    tgt = (
+        df.filter(target)
+        .select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .localCheckpoint()
+    )
+    totals = F.broadcast(
+        raw.agg(
+            F.sum("c_raw").cast("double").alias("n_raw"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        ).crossJoin(tgt.agg(F.sum("c_tgt").cast("double").alias("n_tgt")))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(smooth))
+        / (F.col("n_tgt") + F.lit(smooth) * F.col("v"))
+    ) - F.log(
+        (F.col("c_raw") + F.lit(smooth))
+        / (F.col("n_raw") + F.lit(smooth) * F.col("v"))
+    )
+    return (
+        tok.join(raw, "t")
+        .join(tgt, "t", "left")
+        .crossJoin(totals)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lr), 6).alias("log_ratio"),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "log_ratio")
+    )

@@ -63,9 +63,13 @@ ROTATE_TO_ORACLE = [
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
     # r7 wave: longest-green incumbents cede slots to the round-7
-    # additions (cdc_scd2_history, ...); every ceded query keeps the
-    # identical hash-equal contract as a pytest shadow check.
+    # additions (cdc_scd2_history, dedup_source_overlap,
+    # split_cluster_safe, text_dsir_weights); every ceded query keeps
+    # the identical hash-equal contract as a pytest shadow check.
     "w_session_window",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
+    "dedup_embedding_cosine",
     # r6 wave: multi-round-green queries ceding slots to
     # text_chunk_tokens and the round-6 additions.
     "text_pii_mask",

@@ -418,3 +418,113 @@ def dedup_levenshtein_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return levenshtein_pairs_multipass(t.documents, "doc_id", "text")
+
+
+@register(
+    "dedup_source_overlap",
+    oracle="""
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+gs AS (
+    SELECT DISTINCT g, s FROM (
+        SELECT source AS g,
+               unnest(list_transform(range(len(t) - 2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        FROM toks
+    )
+),
+sizes AS (SELECT g, count(*) AS n FROM gs GROUP BY g),
+inter AS (
+    SELECT a.g AS g1, b.g AS g2, count(*) AS inter
+    FROM gs a JOIN gs b ON a.s = b.s AND a.g < b.g
+    GROUP BY 1, 2
+)
+SELECT g1, g2, s1.n AS n1, s2.n AS n2, inter,
+       round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard,
+       round(inter * 1.0 / least(s1.n, s2.n), 6) AS containment
+FROM inter
+JOIN sizes s1 ON inter.g1 = s1.g
+JOIN sizes s2 ON inter.g2 = s2.g
+""",
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level shingle-overlap matrix (round-7 addition): which
+    feeds duplicate each other, BEFORE any doc-level dedup — per source
+    pair: distinct-shingle sizes, intersection, Jaccard, containment.
+    The corpus-curation step that decides dedup-pass ordering and feed
+    drops. Fully differential: the oracle mirrors the shared shingle
+    CTE (same k=3 token shingles as dedup_ngram_jaccard's green
+    oracle)."""
+    from ..operators.dedup import source_overlap
+
+    t = Tables(spark, sf_dir)
+    return source_overlap(t.documents, group_col="source", text_col="text")
+
+
+@register(
+    "split_cluster_safe",
+    oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT s FROM sh GROUP BY s
+    HAVING count(*) <= ceil(0.1 * (SELECT count(*) FROM documents))
+),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d1, d2
+    FROM inter
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
+),
+verts AS (SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+          UNION SELECT d2 AS u, d1 AS v FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.v AS id, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+assign AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN (((((abs(cluster_id) + 999983) % 2147483647)
+                     * 48271 % 2147483647) * 48271) % 2147483647)
+                 / 2147483647.0 < 0.8
+            THEN 'train' ELSE 'holdout' END AS split
+FROM assign
+""",
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware leakage-safe corpus split (round-7 addition):
+    documents split train/holdout by DUPLICATE CLUSTER (transitive
+    closure over the exact n-gram-Jaccard pair graph), so no near-dup
+    pair — even transitively connected — straddles the split. Fully
+    differential end to end: pair CTEs shared with dedup_cluster_ngram's
+    green oracle, closure via the recursive min-label CTE, and the
+    portable minstd hash split mirrored exactly (sample_stratified's
+    oracle contract)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..ml.splits import cluster_safe_split
+
+    t = Tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    )
+    return cluster_safe_split(
+        t.documents, pairs, id_col="doc_id", train_frac=0.8, mode="minstd"
+    )

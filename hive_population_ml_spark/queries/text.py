@@ -757,3 +757,46 @@ def text_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             weak_quality_labels(docs), n_features=4096
         )
     return score_quality(_QUALITY_CLF[key], docs)
+
+
+@register(
+    "text_dsir_weights",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents
+),
+raw AS (SELECT t, count(*) AS c_raw FROM tok GROUP BY t),
+tgt AS (
+    SELECT t, count(*) AS c_tgt FROM (
+        SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE lang = 'en'
+    ) GROUP BY t
+),
+tot AS (
+    SELECT (SELECT sum(c_raw) * 1.0 FROM raw) AS n_raw,
+           (SELECT count(*) * 1.0 FROM raw) AS v,
+           (SELECT sum(c_tgt) * 1.0 FROM tgt) AS n_tgt
+)
+SELECT doc AS doc_id, count(*) AS n_tokens,
+       round(sum(
+           ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 1.0 * v))
+           - ln((c_raw + 1.0) / (n_raw + 1.0 * v))
+       ), 6) AS log_ratio
+FROM tok
+JOIN raw USING (t)
+LEFT JOIN tgt USING (t)
+CROSS JOIN tot
+GROUP BY doc
+""",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023; round-7 addition):
+    per-document log-likelihood ratio of the English-slice unigram LM
+    vs the raw-corpus unigram LM with add-1 smoothing over the raw
+    vocabulary — the data-selection score whose exp() drives importance
+    resampling toward a target domain. Fully differential (counts,
+    smoothing, and ln mirrored in SQL; sums rounded to 6)."""
+    t = Tables(spark, sf_dir)
+    return textops.dsir_weights(
+        t.documents, target=F.col("lang") == "en", smooth=1.0
+    )

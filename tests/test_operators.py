@@ -2364,3 +2364,92 @@ def test_scd2_history_one_exchange_one_sort(spark):
     assert plan.count("+- Sort ") == 1, plan[:3000]
     # both window operators sit above the single sort
     assert plan.count("Window ") == 2, plan[:3000]
+
+
+def test_source_overlap_crafted(spark):
+    """Closed-form 3-source corpus: A and B share exactly one of their
+    k=3 shingles; C is disjoint (so the (A,C)/(B,C) pairs must not
+    appear at all)."""
+    from hive_population_ml_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # A: shingles {w1 w2 w3, w2 w3 w4}
+            (1, "srcA", "w1 w2 w3 w4"),
+            # B: shingles {w2 w3 w4, x1 x2 x3} (via two docs)
+            (2, "srcB", "w2 w3 w4"),
+            (3, "srcB", "x1 x2 x3"),
+            # C: fully disjoint
+            (4, "srcC", "z1 z2 z3"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["g1"], r["g2"]): r
+        for r in source_overlap(docs, "source", "text", k=3).collect()
+    }
+    assert set(rows) == {("srcA", "srcB")}
+    r = rows[("srcA", "srcB")]
+    assert (r["n1"], r["n2"], r["inter"]) == (2, 2, 1)
+    assert r["jaccard"] == round(1 / 3, 6)
+    assert r["containment"] == 0.5
+
+
+def test_dsir_weights_ranks_target_domain(spark):
+    """A document written in the target slice's vocabulary must score a
+    strictly higher log-ratio than an off-domain document, and a
+    target-member document scores highest; smoothing keeps fully-OOV
+    docs finite."""
+    from pyspark.sql import functions as F2
+
+    from hive_population_ml_spark.operators.textops import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tgt", "alpha beta alpha beta gamma"),
+            (2, "raw", "alpha beta gamma alpha beta"),   # on-domain raw
+            (3, "raw", "delta epsilon zeta delta zeta"),  # off-domain
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_weights(docs, F2.col("lang") == "tgt").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert all(v is not None for v in got.values())  # smoothing: finite
+    assert got[2] > got[3]  # on-domain beats off-domain
+    assert got[1] > got[3]
+
+
+def test_cluster_safe_split_no_pair_straddles(spark, sf_dir):
+    """The leakage guarantee on the real corpus pair graph: every
+    near-dup pair — including transitively connected ones — lands whole
+    on one side of the split, and the split is deterministic."""
+    from hive_population_ml_spark.ml.splits import cluster_safe_split
+    from hive_population_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    )
+    out = cluster_safe_split(docs, pairs, id_col="doc_id", train_frac=0.8)
+    rows = out.collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == docs.count()  # every doc labeled exactly once
+    p = pairs.collect()
+    assert p, "vacuous: corpus has no near-dup pairs"
+    for r in p:
+        assert split_of[r["d1"]] == split_of[r["d2"]], (r["d1"], r["d2"])
+        assert cluster_of[r["d1"]] == cluster_of[r["d2"]]
+    # both sides populated at the default fraction on this corpus
+    assert {"train", "holdout"} == set(split_of.values())
+    # deterministic: identical labeling on a rebuild
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(
+            docs, pairs, id_col="doc_id", train_frac=0.8
+        ).collect()
+    }
+    assert again == split_of

@@ -150,6 +150,15 @@ EXCHANGE_BUDGETS = {
     # EQUI-join sides (never a cross grid) + shortlist window + rerank
     # join (AQE-broadcast)
     "ann_ivfpq_distributed": 6,
+    # (group, shingle) distinct localCheckpoint'd (3 consumers); then
+    # shingle self-join sides + (g1,g2) agg + 2 size BroadcastExchange
+    "dedup_source_overlap": 6,
+    # closure behind the components localCheckpoint; final plan is the
+    # assignment join + the map-side minstd split projection
+    "split_cluster_safe": 2,
+    # raw/target vocab aggs localCheckpoint'd; token-join sides + the
+    # 1-row totals broadcast + final per-doc agg
+    "text_dsir_weights": 7,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,
