@@ -162,6 +162,7 @@ DECLARED_UNTIMED = {
     "stream_attribution_join": "streaming",
     "stream_session_window": "streaming",
     "mix_temperature_weights": "driver-side weight table (no data plane)",
+    "mix_unimax_weights": "one token-count agg + L-row waterfill (micro)",
     "multimodal_bytes": "binary plumbing micro",
     "multimodal_wav_features": "codec-bound (decode dominates, measured in tests)",
     "multimodal_wav_spectral": "codec-bound",

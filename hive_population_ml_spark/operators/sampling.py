@@ -271,3 +271,75 @@ def weighted_sample_by(
         .drop("__rn")
         .withColumnRenamed("__wkey", "sample_key")
     )
+
+
+def unimax_weights(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    budget_frac: float = 0.5,
+    epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): spread a
+    token budget ``B = budget_frac * total_tokens`` as UNIFORMLY as
+    possible across strata, capping each stratum at ``epochs`` passes
+    over its own data (cap_l = epochs * n_tokens_l) — the repetition-
+    bounded alternative to temperature mixing (``mixture_weights``)
+    that stops low-resource languages from being epoch-ed into
+    memorization.
+
+    The exact waterfilling has a closed window-function form: sort
+    strata by cap ascending; a stratum SATURATES (gets its full cap)
+    iff ``cap_i * (L - i + 1) <= B - cumsum(cap)_{<i}`` (with caps
+    ascending, the saturated set is always a prefix, so the per-step
+    "remaining / strata left" share test needs no recursion); everyone
+    else gets the final water level ``(B - sum saturated caps) /
+    (#unsaturated)``. Fully SQL-expressible — the DuckDB oracle
+    recomputes allocation INCLUDING the waterfill.
+
+    Scale shape: ONE distributed token-count aggregation; every window
+    runs over the L-row stratum table (L = #languages, tens). Output:
+    (stratum, n_tokens, cap, alloc, weight), weight = alloc / B.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    everything = Window.partitionBy()
+    asc = Window.orderBy(F.col("cap").asc(), F.col("stratum").asc())
+    cum_before = asc.rowsBetween(Window.unboundedPreceding, -1)
+    cap = F.col("n_tokens").cast("double") * F.lit(float(epochs))
+    staged = (
+        counts.withColumn("cap", cap)
+        .withColumn(
+            "B",
+            F.lit(float(budget_frac))
+            * F.sum(F.col("n_tokens").cast("double")).over(everything),
+        )
+        .withColumn("L", F.count(F.lit(1)).over(everything))
+        .withColumn("i", F.row_number().over(asc))
+        .withColumn(
+            "s_before", F.coalesce(F.sum("cap").over(cum_before), F.lit(0.0))
+        )
+        .withColumn(
+            "saturated",
+            (
+                F.col("cap") * (F.col("L") - F.col("i") + 1)
+                <= F.col("B") - F.col("s_before")
+            ).cast("int"),
+        )
+    )
+    k = F.sum("saturated").over(everything)
+    s_k = F.sum(F.col("cap") * F.col("saturated")).over(everything)
+    level = F.when(
+        F.col("L") > k, (F.col("B") - s_k) / (F.col("L") - k)
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("saturated") == 1, F.col("cap")).otherwise(level)
+    return staged.select(
+        F.col("stratum").alias(stratum_col),
+        "n_tokens",
+        F.round("cap", 6).alias("cap"),
+        F.round(alloc, 6).alias("alloc"),
+        F.round(alloc / F.col("B"), 9).alias("weight"),
+    )

@@ -289,3 +289,65 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketches(
         t.events, "value", ["event_type"], probs=[0.25, 0.5, 0.75, 0.95]
     )
+
+
+@register(
+    "mix_unimax_weights",
+    shadow_oracle="""
+WITH c AS (
+    SELECT lang AS stratum,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+staged AS (
+    SELECT stratum, n_tokens,
+           n_tokens * 1.0 AS cap,
+           0.9 * sum(n_tokens * 1.0) OVER () AS B,
+           count(*) OVER () AS L,
+           row_number() OVER (ORDER BY n_tokens * 1.0 ASC, stratum ASC) AS i,
+           coalesce(sum(n_tokens * 1.0) OVER (
+               ORDER BY n_tokens * 1.0 ASC, stratum ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_before
+    FROM c
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN cap * (L - i + 1) <= B - s_before THEN 1 ELSE 0 END
+               AS saturated
+    FROM staged
+),
+lvl AS (
+    SELECT *,
+           sum(saturated) OVER () AS k,
+           sum(cap * saturated) OVER () AS s_k
+    FROM flagged
+),
+alloc AS (
+    SELECT *,
+           CASE WHEN saturated = 1 THEN cap
+                WHEN L > k THEN (B - s_k) / (L - k)
+                ELSE 0 END AS a
+    FROM lvl
+)
+SELECT stratum AS lang, n_tokens,
+       round(cap, 6) AS cap,
+       round(a, 6) AS alloc,
+       round(a / B, 9) AS weight
+FROM alloc
+""",
+)
+def mix_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023; round-7
+    addition): uniform-as-possible token budget across languages with a
+    per-language epoch cap — the repetition-bounded alternative to
+    mix_temperature_weights. budget_frac=0.9, epochs=1.0 makes the
+    waterfill non-trivial on this corpus (the four smaller languages
+    saturate at one epoch; English gets the residual water level). The
+    shadow oracle recomputes the allocation INCLUDING the window-form
+    waterfill."""
+    from ..operators.sampling import unimax_weights
+
+    t = Tables(spark, sf_dir)
+    return unimax_weights(
+        t.documents, "lang", "text", budget_frac=0.9, epochs=1.0
+    )

@@ -80,6 +80,15 @@ SHADOW_NAMES = [
     "m16_regression_metrics",
     "dedup_exact",
     "m_calibration",
+    # round-7 rotation: longest-green incumbents ceded slots to
+    # cdc_scd2_history, dedup_source_overlap, split_cluster_safe,
+    # text_dsir_weights
+    "w_session_window",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
+    "dedup_embedding_cosine",
+    # round-7 addition registered shadow-first (window full)
+    "mix_unimax_weights",
 ]
 
 
@@ -416,3 +425,39 @@ def test_bigram_logprob_ranks_transition_rarity(spark):
     assert 4 not in out  # excluded, mirrored by the oracle
     assert out[3]["avg_nll"] > out[1]["avg_nll"]
     assert out[1]["n_bigrams"] == 7
+
+
+def test_unimax_waterfill_closed_form(spark):
+    """Crafted corpus with known waterfill: caps [10, 10, 80] (1 epoch),
+    budget 50 -> the two small strata saturate at 10, the big one gets
+    the 30-token water level. With budget == total caps everyone
+    saturates and weights sum to 1."""
+    from hive_population_ml_spark.operators.sampling import unimax_weights
+
+    def corpus(counts):
+        rows = []
+        for i, (lang, n) in enumerate(counts.items()):
+            rows.append((i, lang, " ".join(["w"] * n)))
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    docs = corpus({"a": 10, "b": 10, "c": 80})
+    got = {
+        r["lang"]: r
+        for r in unimax_weights(
+            docs, "lang", "text", budget_frac=0.5, epochs=1.0
+        ).collect()
+    }
+    assert got["a"]["alloc"] == 10.0 and got["b"]["alloc"] == 10.0
+    assert got["c"]["alloc"] == 30.0  # water level, below its cap of 80
+    assert got["c"]["weight"] == 0.6
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-9
+
+    full = {
+        r["lang"]: r
+        for r in unimax_weights(
+            docs, "lang", "text", budget_frac=1.0, epochs=1.0
+        ).collect()
+    }
+    # budget == sum of caps: every stratum saturates at its own cap
+    assert all(full[s]["alloc"] == full[s]["cap"] for s in full)
+    assert abs(sum(r["weight"] for r in full.values()) - 1.0) < 1e-9
