@@ -562,6 +562,7 @@ def levenshtein_pairs_multipass(
     block_prefix: int = 6,
     max_block_frac: float | None = None,
     length_band: int = 8,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Multi-pass blocked edit-distance pairs (VERDICT r5 #6) — the
     standard recall upgrade over single-pass prefix blocking: three
@@ -580,10 +581,17 @@ def levenshtein_pairs_multipass(
     40-char keys that requires edits spread across both affixes AND a
     band boundary straddle, which is why the union's measured recall
     strictly dominates the single pass (honesty test vs brute force).
-    Each pass is the same equi-join shape with the same fractional
-    skew guard; cost is ~3x the single-pass join, still nowhere near
-    quadratic. Distances are exact on every surviving pair, so the
-    whole union stays DuckDB-differential (q:`dedup_levenshtein_multipass`).
+    Each pass is the same equi-join shape with the same block guards.
+    Distances are exact on every surviving pair, so the whole union
+    stays DuckDB-differential (q:`dedup_levenshtein_multipass`).
+
+    SCALE WARNING (round-7 100x probe): the length-band key is
+    CONSTANT-CARDINALITY (≤ ~6 bands x alphabet² prefixes), so its
+    blocks grow linearly with the corpus and the uncapped pass is
+    Θ(n²/|keys|) — measured 1047x wall-clock at 100x data. Always set
+    ``max_block_rows`` at scale (the registered query uses 1000); a
+    capped block is dropped from that pass only — the other two passes,
+    whose keys grow with content diversity, still see its docs.
 
     Output: (d1, d2, dist), d1 < d2, deterministic.
     """
@@ -599,7 +607,9 @@ def levenshtein_pairs_multipass(
     ]
     out = None
     for key in passes:
-        p = _levenshtein_blocked(df, id_col, max_dist, norm, key, max_block_frac)
+        p = _levenshtein_blocked(
+            df, id_col, max_dist, norm, key, max_block_frac, max_block_rows
+        )
         out = p if out is None else out.unionByName(p)
     return out.dropDuplicates(["d1", "d2"])
 
@@ -611,27 +621,48 @@ def _levenshtein_blocked(
     norm,
     block_key,
     max_block_frac: float | None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """One blocking pass: equi-join on ``block_key``, thresholded
-    banded-DP verify. Shared by the single-pass and multi-pass forms."""
+    banded-DP verify. Shared by the single-pass and multi-pass forms.
+
+    Two independent block guards, because they bound different failure
+    modes:
+
+    - ``max_block_frac`` (fractional) kills SKEW — a block holding more
+      than that fraction of the corpus (Zipf head, empty-string keys).
+      It cannot bound quadratic growth when the KEY SPACE saturates: if
+      the key has ~constant cardinality, every block grows linearly
+      with the corpus while staying far under any fraction, and pair
+      expansion is Θ(n²/|keys|).
+    - ``max_block_rows`` (absolute) bounds worst-case expansion when
+      the key saturates — the standard record-linkage block-size cap.
+      The round-7 100x probe caught exactly this: the multipass
+      length-band key (6 bands x ~alphabet² two-char prefixes) is
+      constant-cardinality, and the uncapped pass went 1047x wall-clock
+      at 100x data. Capped blocks are DROPPED (recall, not
+      correctness — the emitter contract is already approximate-recall,
+      exact-verify); the cap is mirrored in the DuckDB oracle so the
+      whole guarded pipeline stays differential.
+    """
     keyed = df.select(
         F.col(id_col).alias("__id"),
         norm.alias("__k"),
         block_key.alias("__b"),
     )
-    if max_block_frac is not None:
+    if max_block_frac is not None or max_block_rows is not None:
         from pyspark.sql import Window
 
-        n = df.agg(F.count(F.lit(1)).alias("__n"))
         bc = F.count(F.lit(1)).over(Window.partitionBy("__b"))
-        keyed = (
-            keyed.withColumn("__bc", bc)
-            .join(F.broadcast(n))
-            .filter(
+        keyed = keyed.withColumn("__bc", bc)
+        if max_block_frac is not None:
+            n = df.agg(F.count(F.lit(1)).alias("__n"))
+            keyed = keyed.join(F.broadcast(n)).filter(
                 F.col("__bc") <= F.ceil(F.lit(max_block_frac) * F.col("__n"))
-            )
-            .drop("__bc", "__n")
-        )
+            ).drop("__n")
+        if max_block_rows is not None:
+            keyed = keyed.filter(F.col("__bc") <= F.lit(int(max_block_rows)))
+        keyed = keyed.drop("__bc")
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

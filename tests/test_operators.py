@@ -2019,6 +2019,45 @@ def test_levenshtein_multipass_catches_prefix_edits(spark):
     assert set(multi) == {(1, 2)} and multi[(1, 2)] <= 4
 
 
+def test_levenshtein_multipass_block_rows_cap(spark):
+    """The absolute block-size cap (round-7 100x probe fix): a pair
+    findable ONLY by the constant-cardinality length-band pass is
+    found with a generous cap and dropped when that pass's block
+    exceeds the cap — while the other passes are unaffected."""
+    from hive_population_ml_spark.operators.dedup import (
+        levenshtein_pairs_multipass,
+    )
+
+    mid = "m" * 28
+    rows = [
+        (1, "aa" + "wxyz" + mid + "pqr" + "stu"),  # 40 chars
+        (2, "aa" + "1234" + mid + "pqr" + "vtu"),  # prefix+suffix edited
+    ]
+    # pad the (band, 'aa') length-band block past the cap with docs that
+    # pair with nothing (distinct everywhere, same length + 'aa' head)
+    rows += [
+        (10 + i, "aa" + f"{i:02d}" + "".join(chr(97 + (i * 7 + j) % 26) for j in range(36)))
+        for i in range(12)
+    ]
+    assert all(len(t) == 40 for _, t in rows)  # one shared length band
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    found = {
+        (r["d1"], r["d2"])
+        for r in levenshtein_pairs_multipass(
+            docs, "doc_id", "text", max_block_rows=100
+        ).collect()
+    }
+    assert (1, 2) in found  # only the length-band pass can see it
+    capped = {
+        (r["d1"], r["d2"])
+        for r in levenshtein_pairs_multipass(
+            docs, "doc_id", "text", max_block_rows=10
+        ).collect()
+    }
+    assert (1, 2) not in capped  # the saturated band block was dropped
+
+
 def test_levenshtein_multipass_oracle_no_cross_pass(spark, tmp_path):
     """ADVICE r6 (high): the registered multipass oracle must NOT admit
     cross-pass key collisions. Counterexample: 'cc'+'a'*38 and

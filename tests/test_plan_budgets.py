@@ -141,9 +141,12 @@ EXCHANGE_BUDGETS = {
     # packed code-block agg + packed query-block agg + block-grid join
     # sides + shortlist window + rerank join (AQE-broadcast)
     "ann_pq_distributed": 6,
-    # 3 block-key equi-join passes sharing the keyed scan (AQE reuse:
-    # 4 total, not 6) incl. the dropDuplicates agg
-    "dedup_levenshtein_multipass": 4,
+    # 3 block-key equi-join passes + per-pass block-count window for the
+    # absolute max_block_rows cap (the round-7 100x-probe fix: uncapped,
+    # the constant-cardinality length-band key went 1047x at 100x data;
+    # capped, 3.9x) + the dropDuplicates agg. The 6 extra exchanges buy
+    # the Θ(n²/|keys|) -> linear bound; AQE re-plans to 7 at scale.
+    "dedup_levenshtein_multipass": 10,
     # ONE hash exchange + one sort serves both SCD2 windows
     "cdc_scd2_history": 1,
     # probe-LUT block agg + cell-partitioned code-block agg + the cell
