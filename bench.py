@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_source_overlap",
     "split_cluster_safe",
     "text_dsir_weights",
+    "sketch_token_freq_cms",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -270,3 +270,87 @@ def quantile_sketches(
             F.percentile_approx(value_col, F.lit(p), F.lit(accuracy)).alias(name)
         )
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
+    column — the mergeable FREQUENCY sketch completing the trio with
+    HLL (distinct) and GK (quantiles): fixed ``depth x width`` state
+    whatever the cardinality, overestimate-only error ≤ e/width · N
+    with probability 1 - e^-depth per query.
+
+    Spark shape: each occurrence maps to ``depth`` (row, bucket) cells
+    via seeded xxhash64 (an inline array explode — map-side, no
+    Python), then ONE aggregation over at most depth*width distinct
+    keys: partial aggregation collapses everything before the
+    exchange, so the shuffle carries ≤ depth*width rows per partition
+    regardless of corpus size. Mergeability is exact: sketches of
+    corpus shards SUM cell-wise to the whole-corpus sketch (counts are
+    additive — pinned by test), the persist-per-day-rollup-any-range
+    pattern.
+
+    Output: (r, b, c) cell table, depth*width rows max.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(seed + i)),
+                            F.lit(width),
+                        ).cast("int").alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-query the CMS: estimate = min over rows of the probed
+    cell. ``probes`` is a (small) DataFrame holding ``col``; the
+    sketch side is ≤ depth*width rows, so the join broadcasts it.
+    Estimates NEVER undercount (cells only ever add other tokens'
+    mass) — the one-sided contract the tests pin."""
+    p = probes.select(col).distinct()
+    cells = p.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(seed + i)),
+                            F.lit(width),
+                        ).cast("int").alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        cells.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )

@@ -351,3 +351,29 @@ def mix_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_weights(
         t.documents, "lang", "text", budget_frac=0.9, epochs=1.0
     )
+
+
+@register("sketch_token_freq_cms")  # rows-only: seeded-hash sketch has
+# no DuckDB twin; overestimate-only / error-bound / exact-merge
+# properties pinned in tests/test_scale_toolkit.py
+def sketch_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency sketch (round-7 addition): build the
+    depth=4 x width=1024 mergeable cell table over every token
+    occurrence, then point-query it for the corpus's exact top-20
+    tokens (deterministic probe set). est_count >= true count always;
+    the cell table is the persist-then-rollup artifact at 100 TB (one
+    ~16 KB sketch per shard, summed cell-wise for any date range)."""
+    from ..operators.sketches import cms_estimate, count_min_sketch
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    sketch = count_min_sketch(tok, "t", depth=4, width=1024)
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t").asc())
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, "t", depth=4, width=1024).orderBy("t")

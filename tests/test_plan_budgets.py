@@ -162,6 +162,9 @@ EXCHANGE_BUDGETS = {
     # raw/target vocab aggs localCheckpoint'd; token-join sides + the
     # 1-row totals broadcast + final per-doc agg
     "text_dsir_weights": 7,
+    # cell build (1, partial-agg'd to depth*width keys) + exact top-20
+    # probe agg + broadcast of the tiny sketch into the estimate join
+    "sketch_token_freq_cms": 3,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,

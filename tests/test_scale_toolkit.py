@@ -332,3 +332,84 @@ def test_a_profile_table_approx_hll_error_bound(spark, sf_oracle_dir):
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
             3, 0.03 * e["n_distinct"]
         ), (c, a["n_distinct"], e["n_distinct"])
+
+
+def test_cms_overestimate_only_and_bound(spark, sf_oracle_dir):
+    """CMS contract on the real corpus: every estimate >= the exact
+    count (one-sided), and the overshoot respects the e/width * N
+    bound for the vast majority of probes (d=4 rows make a blown
+    bound vanishingly unlikely; we assert all-20 here because the
+    probe set is tiny and the seed fixed)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hive_population_ml_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    n_total = tok.count()
+    exact = {
+        r["t"]: r["n"]
+        for r in tok.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    width = 1024
+    sketch = count_min_sketch(tok, "t", depth=4, width=width)
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted(exact)[:50]] , "t string"
+    )
+    est = {
+        r["t"]: r["est_count"]
+        for r in cms_estimate(sketch, probes, "t", depth=4, width=width).collect()
+    }
+    bound = math.e / width * n_total
+    for t, e in est.items():
+        assert e >= exact[t], (t, e, exact[t])  # never undercounts
+        assert e - exact[t] <= bound, (t, e, exact[t], bound)
+
+
+def test_cms_shard_sketches_merge_exactly(spark, sf_oracle_dir):
+    """Mergeability is EXACT: cell-wise summing the per-shard sketches
+    reproduces the whole-corpus sketch bit-for-bit (counts are
+    additive) — the persist-per-day, roll-up-any-range pattern."""
+    from pyspark.sql import functions as F
+
+    from hive_population_ml_spark.operators.sketches import count_min_sketch
+
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("shard"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    whole = {
+        (r["r"], r["b"]): r["c"]
+        for r in count_min_sketch(tok, "t").collect()
+    }
+    merged: dict = {}
+    for s in (0, 1):
+        part = count_min_sketch(tok.filter(F.col("shard") == s), "t")
+        for r in part.collect():
+            merged[(r["r"], r["b"])] = merged.get((r["r"], r["b"]), 0) + r["c"]
+    assert merged == whole
+
+
+def test_cms_partial_aggregates_before_exchange(spark, sf_oracle_dir):
+    """The cell build must map-side combine: two HashAggregate levels
+    around ONE exchange, shuffle bounded by depth*width keys."""
+    from pyspark.sql import functions as F
+
+    from hive_population_ml_spark.operators.sketches import count_min_sketch
+
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    plan = (
+        count_min_sketch(tok, "t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("HashAggregate") == 2, plan[:2000]
