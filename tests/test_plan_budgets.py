@@ -32,8 +32,11 @@ EXCHANGE_BUDGETS = {
     "text_inverted_index": 1,
     # quartile agg + flag agg + fence BroadcastExchange
     "a_outlier_iqr": 4,
-    # block-key equi-join: one shuffle per side
-    "dedup_levenshtein": 2,
+    # block-key equi-join (one shuffle per side) + the now-ACTIVE
+    # fractional hot-block guard's count window and 1-row n broadcast
+    # (r7: the registered query passes max_block_frac=0.1 so the Spark
+    # guard matches the oracle's bc filter instead of being oracle-only)
+    "dedup_levenshtein": 7,
     # map-side keys + one rank window
     "sample_weighted": 1,
     # (doc,token) partial agg + doc agg
