@@ -139,6 +139,46 @@ def _parser() -> argparse.ArgumentParser:
         help="vectors with vec_id %% MOD == 0 are the query set",
     )
     ann.add_argument("--cpus", type=int, default=8)
+    spl = sub.add_parser(
+        "split",
+        help="near-dup-aware train/holdout corpus split: pair emitter "
+        "-> transitive closure -> hash the CLUSTER id, so no dup pair "
+        "(even transitively connected) straddles the split; writes "
+        "(doc_id, cluster_id, split) parquet + summary JSON",
+    )
+    spl.add_argument("--data-dir", required=True)
+    spl.add_argument("--output-dir", required=True)
+    spl.add_argument(
+        "--method", choices=["ngram", "minhash"], default="ngram"
+    )
+    spl.add_argument("--train-frac", type=float, default=0.8)
+    spl.add_argument("--threshold", type=float, default=0.3)
+    spl.add_argument(
+        "--hash-mode",
+        choices=["minstd", "xxhash64"],
+        default="xxhash64",
+        help="minstd = portable/oracle-differential; xxhash64 = "
+        "production mixing",
+    )
+    spl.add_argument("--cpus", type=int, default=8)
+    mix = sub.add_parser(
+        "mix",
+        help="language/source mixture weights for training-data "
+        "assembly: temperature (p ~ n^alpha, mT5) or unimax "
+        "(uniform-as-possible token budget with per-stratum epoch "
+        "caps); writes the weight table parquet + JSON",
+    )
+    mix.add_argument("--data-dir", required=True)
+    mix.add_argument("--output-dir", required=True)
+    mix.add_argument(
+        "--policy", choices=["temperature", "unimax"], default="unimax"
+    )
+    mix.add_argument("--stratum", default="lang")
+    mix.add_argument("--alpha", type=float, default=0.3)
+    mix.add_argument("--target-total", type=int, default=100_000)
+    mix.add_argument("--budget-frac", type=float, default=0.9)
+    mix.add_argument("--epochs", type=float, default=1.0)
+    mix.add_argument("--cpus", type=int, default=8)
     tok = sub.add_parser(
         "tokenize",
         help="train a BPE tokenizer on the corpus (one word-count pass "
@@ -542,6 +582,76 @@ def cmd_tokenize(args) -> dict:
     return out
 
 
+def cmd_split(args) -> dict:
+    """Cluster-safe corpus split: near-dup pairs -> closure -> hash of
+    the cluster id; summary reports per-split doc counts and verifies
+    zero pair-straddles by construction (split is a pure function of
+    cluster_id)."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .ml.splits import cluster_safe_split
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from .session import get_spark
+
+    spark = get_spark("hpml-split", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = Tables(spark, args.data_dir).documents
+    if args.method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=args.threshold,
+            max_shingle_frac=0.1,
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, n_hashes=32, bands=8,
+            threshold=args.threshold,
+        )
+    out = cluster_safe_split(
+        docs, pairs, id_col="doc_id", train_frac=args.train_frac,
+        mode=args.hash_mode,
+    )
+    out_path = os.path.join(args.output_dir, "split")
+    out.write.mode("overwrite").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    summary = back.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    res = {r["split"]: r["n_docs"] for r in summary.collect()}
+    res["split_path"] = out_path
+    return res
+
+
+def cmd_mix(args) -> dict:
+    """Mixture weights table (temperature or UniMax) written as parquet
+    + JSON — the input manifest for weighted corpus assembly."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators.sampling import mixture_weights, unimax_weights
+    from .session import get_spark
+
+    spark = get_spark("hpml-mix", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = Tables(spark, args.data_dir).documents
+    if args.policy == "temperature":
+        w = mixture_weights(docs, args.stratum, args.alpha, args.target_total)
+    else:
+        w = unimax_weights(
+            docs, args.stratum, "text", budget_frac=args.budget_frac,
+            epochs=args.epochs,
+        )
+    out_path = os.path.join(args.output_dir, "weights")
+    w.write.mode("overwrite").parquet(out_path)
+    write_metrics_json(
+        spark.read.parquet(out_path), os.path.join(args.output_dir, "summary")
+    )
+    rows = w.collect()
+    return {
+        "policy": args.policy,
+        "n_strata": len(rows),
+        "weights_path": out_path,
+    }
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = _parser().parse_args(argv)
     if args.command == "prep":
@@ -552,6 +662,10 @@ def main(argv: list[str] | None = None) -> dict:
         return cmd_ann(args)
     if args.command == "tokenize":
         return cmd_tokenize(args)
+    if args.command == "split":
+        return cmd_split(args)
+    if args.command == "mix":
+        return cmd_mix(args)
     return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
 
 

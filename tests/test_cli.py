@@ -231,3 +231,72 @@ def test_cli_dedup_levenshtein(spark, sf_dir, tmp_path):
     assert out["n_docs"] == out["n_kept"] + out["n_dropped"]
     back = spark.read.parquet(out["clusters"])
     assert back.count() == out["n_docs"]
+
+
+def test_cli_split_cluster_safe(spark, sf_dir, tmp_path):
+    """`split` labels every doc exactly once, keeps each cluster whole
+    on one side, and lands near the requested fraction."""
+    from hive_population_ml_spark.cli import main
+    from hive_population_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = main(
+        [
+            "split",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "sp"),
+            "--method", "ngram",
+            "--train-frac", "0.8",
+            "--cpus", "4",
+        ]
+    )
+    back = spark.read.parquet(out["split_path"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert back.count() == docs.count()
+    assert out["train"] + out["holdout"] == docs.count()
+    assert 0.6 <= out["train"] / docs.count() <= 0.95
+    # each cluster entirely on one side
+    sides = back.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert all(r["k"] == 1 for r in sides.collect())
+    # and therefore no near-dup pair straddles
+    split_of = {r["doc_id"]: r["split"] for r in back.collect()}
+    for r in ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    ).collect():
+        assert split_of[r["d1"]] == split_of[r["d2"]]
+
+
+def test_cli_mix_policies(spark, sf_dir, tmp_path):
+    """`mix` writes a weight table for both policies; unimax allocs
+    respect caps and sum to the budget, temperature probs sum to 1."""
+    from hive_population_ml_spark.cli import main
+
+    out_u = main(
+        [
+            "mix",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "mu"),
+            "--policy", "unimax",
+            "--cpus", "4",
+        ]
+    )
+    wu = spark.read.parquet(out_u["weights_path"]).collect()
+    assert out_u["n_strata"] == len(wu) > 1
+    assert all(r["alloc"] <= r["cap"] + 1e-6 for r in wu)
+    assert abs(sum(r["weight"] for r in wu) - 1.0) < 1e-6
+
+    out_t = main(
+        [
+            "mix",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "mt"),
+            "--policy", "temperature",
+            "--alpha", "0.3",
+            "--cpus", "4",
+        ]
+    )
+    wt = spark.read.parquet(out_t["weights_path"]).collect()
+    # each p is rounded to 9 decimals, so the sum carries up to
+    # n_strata * 5e-10 of rounding slack
+    assert abs(sum(r["p"] for r in wt) - 1.0) < 1e-7
