@@ -137,3 +137,45 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_events_session_stream(
         spark, sf_dir, query_name=f"q_sessions_{abs(hash(sf_dir)) % 10**6}"
     )
+
+
+@register(
+    "stream_cdc_state",
+    shadow_oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+    FROM events
+)
+SELECT user_id, event_type, event_id, ts_us, value, n_versions
+FROM ranked WHERE rn = 1
+""",
+)
+def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction (round-7 addition): the events change
+    log replays through a REAL Structured Streaming query into the
+    exactly-once batch_id-partitioned compacted log (per-batch
+    latest-wins, foreachBatch overwrite idempotence), then the current
+    state is read back with one more latest-wins aggregation. The
+    replayed state must equal the batch compaction of the full history
+    — exactly what the shadow oracle (cdc_latest_state's independent
+    row_number formulation) states, hash-checking the stateful
+    streaming write path itself."""
+    import tempfile
+
+    from ..streaming.pipeline import (
+        cdc_stream_state,
+        cdc_upsert_stream,
+        events_raw_stream,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="cdc_stream_")
+    log = cdc_upsert_stream(
+        events_raw_stream(spark, sf_dir),
+        out_path=f"{scratch}/log",
+        checkpoint_dir=f"{scratch}/ckpt",
+    )
+    return cdc_stream_state(spark, log)

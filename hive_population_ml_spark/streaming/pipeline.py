@@ -543,3 +543,81 @@ def run_events_session_stream(
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC: the §2.10 latest-wins compaction (operators/cdc.py)
+# running INSIDE the §2.9 exactly-once sink — a compacting change log.
+# Each micro-batch is compacted map-side (one candidate per key per
+# batch) and written to its own batch_id directory; the CURRENT state
+# is one more latest-wins pass over the compacted log. Write cost is
+# O(batch keys) per trigger, never O(state); replay of a failed batch
+# overwrites its own directory (same idempotence argument as
+# foreach_batch_idempotent_sink). On a transactional table format the
+# per-batch compaction feeds MERGE directly; the log form here needs
+# only plain parquet.
+# ---------------------------------------------------------------------------
+
+CDC_KEYS = ("user_id", "event_type")
+CDC_PAYLOAD = ("event_id", "ts_us", "value")
+
+
+def cdc_upsert_stream(
+    src: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+) -> str:
+    """Run the change stream through per-batch latest-wins compaction
+    into the exactly-once batch_id-partitioned log. ``src`` is a
+    streaming DataFrame with the events schema (ts normalized); returns
+    ``out_path`` once the availableNow replay completes."""
+    from ..operators.cdc import latest_by_key
+
+    with_us = src.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        compacted = latest_by_key(
+            batch_df,
+            keys=list(CDC_KEYS),
+            order_by=["ts", "event_id"],
+            payload=list(CDC_PAYLOAD),
+            n_versions_col="n_versions",
+        )
+        compacted.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    q = (
+        with_us.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return out_path
+
+
+def cdc_stream_state(spark: SparkSession, log_path: str) -> DataFrame:
+    """Current state from the compacted log: one more latest-wins agg
+    (ts_us/event_id order is isomorphic to the in-batch ts/event_id
+    order, so cross-batch winners match a single batch compaction of
+    the full history), with n_versions SUMMED across batches so the
+    total equals the batch form's per-key version count. One
+    partial-aggregated exchange."""
+    log = spark.read.parquet(log_path)
+    version = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        log.groupBy(*[F.col(k) for k in CDC_KEYS])
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(p) for p in CDC_PAYLOAD]), version
+            ).alias("__w"),
+            F.sum("n_versions").cast("long").alias("n_versions"),
+        )
+        .select(
+            *CDC_KEYS, *(f"__w.{p}" for p in CDC_PAYLOAD), "n_versions"
+        )
+    )

@@ -87,8 +87,9 @@ SHADOW_NAMES = [
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "dedup_embedding_cosine",
-    # round-7 addition registered shadow-first (window full)
+    # round-7 additions registered shadow-first (window full)
     "mix_unimax_weights",
+    "stream_cdc_state",
 ]
 
 

@@ -766,3 +766,74 @@ def test_prep_learned_quality_batch_stream_parity(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(rs["corpus"]).select("doc_id").collect()
     }
     assert got_b == got_s
+
+
+def test_cdc_upsert_stream_multibatch_parity_and_replay(spark, sf_dir, tmp_path):
+    """Streaming CDC compaction over a FORCED multi-batch replay (one
+    file per trigger) must reproduce the batch latest-wins state
+    exactly — winners AND total version counts — and re-running with
+    the same checkpoint must be a no-op (exactly-once replay)."""
+    from pyspark.sql import functions as F
+
+    from hive_population_ml_spark.operators.cdc import latest_by_key
+    from hive_population_ml_spark.streaming.pipeline import (
+        cdc_stream_state,
+        cdc_upsert_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    src_dir = tmp_path / "ev_src"
+    # 4 files -> 4 micro-batches; splitting by event_id ranges means a
+    # key's versions genuinely straddle batches
+    ev.withColumn("part", (F.col("event_id") % 4).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir) + "/part=*")
+    )
+    log = cdc_upsert_stream(
+        stream,
+        out_path=str(tmp_path / "log"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    import os
+
+    n_batches = len(
+        [d for d in os.listdir(log) if d.startswith("batch_id=")]
+    )
+    assert n_batches >= 2, "replay did not exercise multiple batches"
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(cdc_stream_state(spark, log))
+    want = canon(
+        latest_by_key(
+            ev.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ),
+            keys=["user_id", "event_type"],
+            order_by=["ts", "event_id"],
+            payload=["event_id", "ts_us", "value"],
+        )
+    )
+    assert got == want
+
+    # replay with the same checkpoint: no new batches, identical state
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir) + "/part=*")
+    )
+    cdc_upsert_stream(
+        stream2,
+        out_path=str(tmp_path / "log"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert canon(cdc_stream_state(spark, log)) == want
