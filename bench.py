@@ -105,6 +105,7 @@ HEADLINE = [
     "split_cluster_safe",
     "text_dsir_weights",
     "sketch_token_freq_cms",
+    "dedup_paragraph_exact",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -543,3 +543,55 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_safe_split(
         t.documents, pairs, id_col="doc_id", train_frac=0.8, mode="minstd"
     )
+
+
+@register(
+    "dedup_paragraph_exact",
+    shadow_oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+), starts AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text), 1) + 1, 120)) AS start
+    FROM corpus
+), chunks AS (
+    SELECT doc_id, substr(text, start, 120) AS chunk_text FROM starts
+)
+SELECT md5(chunk_text) AS chunk_hash,
+       min(length(chunk_text)) AS chunk_chars,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM chunks
+GROUP BY md5(chunk_text)
+HAVING count(*) >= 2
+""",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup (round-7 addition): documents
+    cut into NON-overlapping 120-char windows (the no-newline corpus's
+    paragraph stand-in; chunk_documents with overlap=0), each window
+    hashed, windows occurring 2+ times reported with occurrence/doc
+    counts and a canonical owner — the exact-substring-dedup signal of
+    Lee et al. 2022 at chunk granularity (text_dup_spans is the
+    token-span miner; this is the removal-unit view). The deterministic
+    re-crawl makes it non-vacuous (same device as dedup_exact). Scale
+    shape: map-side posexplode + ONE hash-grouped aggregation —
+    partial-aggregated, shuffle carries (hash, partial counts) only."""
+    from ..operators import textops
+
+    t = Tables(spark, sf_dir)
+    corpus = _recrawl(t.documents)
+    ch = textops.chunk_documents(corpus, size=120, overlap=0, by="chars")
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.min("chunk_chars").alias("chunk_chars"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )

@@ -168,6 +168,9 @@ EXCHANGE_BUDGETS = {
     # cell build (1, partial-agg'd to depth*width keys) + exact top-20
     # probe agg + broadcast of the tiny sketch into the estimate join
     "sketch_token_freq_cms": 3,
+    # map-side chunk posexplode + ONE hash-grouped agg (count_distinct
+    # splits it into two phases)
+    "dedup_paragraph_exact": 2,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,

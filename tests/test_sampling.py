@@ -90,6 +90,7 @@ SHADOW_NAMES = [
     # round-7 additions registered shadow-first (window full)
     "mix_unimax_weights",
     "stream_cdc_state",
+    "dedup_paragraph_exact",
 ]
 
 
