@@ -106,6 +106,7 @@ HEADLINE = [
     "text_dsir_weights",
     "sketch_token_freq_cms",
     "dedup_paragraph_exact",
+    "sample_quality_stratified",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -377,3 +377,69 @@ def sketch_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(sketch, top, "t", depth=4, width=1024).orderBy("t")
+
+
+@register(
+    "sample_quality_stratified",
+    shadow_oracle="""
+WITH scored AS (
+    SELECT doc_id, lang, source,
+           round(least(len(string_split(text, ' ')) / 50.0, 1.0)
+                 * (1.0 - least((length(text)
+                                 - length(regexp_replace(text, '[0-9]', '', 'g')))
+                                * 1.0 / NULLIF(length(text), 0) * 5.0, 1.0)),
+                 6) AS quality,
+           (((((abs(doc_id) + 999983) % 2147483647) * 48271 % 2147483647)
+               * 48271) % 2147483647) / 2147483647.0 AS u
+    FROM documents
+), banded AS (
+    SELECT *, CASE WHEN quality >= 0.75 THEN 'hi'
+                   WHEN quality >= 0.4 THEN 'mid'
+                   ELSE 'lo' END AS band
+    FROM scored
+)
+SELECT doc_id, lang, source, quality, band, round(u, 9) AS u
+FROM banded
+WHERE u < CASE band WHEN 'hi' THEN 1.0 WHEN 'mid' THEN 0.5 ELSE 0.1 END
+""",
+)
+def sample_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus sampling (round-7 addition): the
+    curation recipe that keeps high-quality documents whole and
+    aggressively downsamples the tail — heuristic quality score
+    (Catalyst-only, 6-decimal-rounded on both engines so band edges
+    cannot straddle) -> FIXED score thresholds into hi/mid/lo bands
+    (thresholds, not ntile: a global ntile needs a corpus sort; fixed
+    cutoffs are map-only and stable as the corpus grows) -> per-band
+    deterministic minstd hash-keep {1.0, 0.5, 0.1}. Zero shuffles;
+    fully differential end to end."""
+    t = Tables(spark, sf_dir)
+    quality = textops.quality_score("text")
+    band = (
+        F.when(quality >= 0.75, F.lit("hi"))
+        .when(quality >= 0.4, F.lit("mid"))
+        .otherwise(F.lit("lo"))
+    )
+    from ..operators.sampling import uniform_hash
+
+    u = uniform_hash("doc_id", "minstd")
+    rate = (
+        F.when(F.col("band") == "hi", F.lit(1.0))
+        .when(F.col("band") == "mid", F.lit(0.5))
+        .otherwise(F.lit(0.1))
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            quality.alias("quality"),
+            band.alias("band"),
+            u.alias("__u"),
+        )
+        .filter(F.col("__u") < rate)
+        .select(
+            "doc_id", "lang", "source", "quality", "band",
+            F.round("__u", 9).alias("u"),
+        )
+    )

@@ -171,6 +171,9 @@ EXCHANGE_BUDGETS = {
     # map-side chunk posexplode + ONE hash-grouped agg (count_distinct
     # splits it into two phases)
     "dedup_paragraph_exact": 2,
+    # score + band + hash-keep are all map-side — any Exchange is a
+    # regression (same contract as sample_stratified)
+    "sample_quality_stratified": 0,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,

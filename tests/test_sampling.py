@@ -91,6 +91,7 @@ SHADOW_NAMES = [
     "mix_unimax_weights",
     "stream_cdc_state",
     "dedup_paragraph_exact",
+    "sample_quality_stratified",
 ]
 
 
