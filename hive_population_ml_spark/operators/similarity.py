@@ -1206,6 +1206,29 @@ def ivfpq_topk(
     )
 
 
+def _cell_blocks(df: DataFrame, cell_col: str, hash_col: str, per_block: int):
+    """Per-cell block id for packed scoring groups: modulus =
+    ``ceil(|cell| / per_block)`` from a broadcast per-cell histogram —
+    group sizes stay bounded by ~``per_block`` rows under ANY cell-size
+    skew (a hot cell gets proportionally MORE blocks, never bigger
+    ones). Returns ``df`` + ``__blk``."""
+    counts = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__cn"))
+    return (
+        df.join(F.broadcast(counts), cell_col)
+        .withColumn(
+            "__blk",
+            F.pmod(
+                F.xxhash64(F.col(hash_col)),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__cn") / F.lit(per_block)).cast("long"),
+                ),
+            ).cast("int"),
+        )
+        .drop("__cn")
+    )
+
+
 def ivfpq_topk_distributed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1250,12 +1273,18 @@ def ivfpq_topk_distributed(
          shortlist leaves a task.
 
     Total ADC work is Σ_probed-cells |cell| per query instead of n —
-    the n_probe/n_cells fraction of the pure-PQ grid. Cell-size skew
-    bounds a task at ``codes_per_block`` codes x ``queries_per_block``
-    LUTs; a hot cell makes more block-pairs, not bigger tasks.
+    the n_probe/n_cells fraction of the pure-PQ grid. Cell-size skew:
+    block counts are derived PER CELL from measured cell sizes
+    (``ceil(|cell| / codes_per_block)``), so a hot cell makes MORE
+    bounded-size block-pairs, never bigger tasks — the per-cell
+    histograms cost one tiny aggregation per side (n_cells rows,
+    broadcast back; at deployment the codes table and its cell
+    histogram are write-time artifacts, so only the query side pays).
 
     Output and semantics match ``ivfpq_topk`` exactly (parity-tested on
-    both rerank paths at the guard boundary)."""
+    both rerank paths at the guard boundary; block partitioning cannot
+    change results — every surviving candidate is scored identically
+    and local shortlists are supersets of the global cut)."""
     import numpy as np
     import pandas as pd
 
@@ -1270,15 +1299,8 @@ def ivfpq_topk_distributed(
     cents = np.asarray(cents)
     books = np.asarray(books)
     m, kc, sub = books.shape
-    n_cells_eff = cents.shape[0]
 
-    nq = queries.count()
-    n = corpus.count()
     shortlist = max(1, rerank) * k
-    qblocks_per_cell = max(
-        1, -(-(nq * n_probe) // (n_cells_eff * queries_per_block))
-    )
-    cblocks_per_cell = max(1, -(-n // (n_cells_eff * codes_per_block)))
 
     src = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
@@ -1306,14 +1328,12 @@ def ivfpq_topk_distributed(
                 }
             )
 
-    probes = src.mapInPandas(
+    probes_raw = src.mapInPandas(
         assign_probes, schema="query_id long, qv array<double>, cell int"
-    ).withColumn(
-        "qblock",
-        F.pmod(F.xxhash64(F.col("query_id")), F.lit(qblocks_per_cell)).cast(
-            "int"
-        ),
     )
+    probes = _cell_blocks(
+        probes_raw, "cell", "query_id", queries_per_block
+    ).withColumnRenamed("__blk", "qblock")
 
     def build_lut(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["cell"].iloc[0])
@@ -1337,12 +1357,12 @@ def ivfpq_topk_distributed(
         build_lut, schema="cell int, q_ids binary, lut binary"
     )
 
-    codes = ivfpq_encode(corpus, cents, books, id_col, vec_col).withColumn(
-        "cblock",
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(cblocks_per_cell)).cast(
-            "int"
-        ),
-    )
+    codes = _cell_blocks(
+        ivfpq_encode(corpus, cents, books, id_col, vec_col),
+        "cid",
+        id_col,
+        codes_per_block,
+    ).withColumnRenamed("__blk", "cblock")
 
     def pack_codes(pdf: pd.DataFrame) -> pd.DataFrame:
         c = np.array(list(pdf["codes"]), dtype=np.int32)

@@ -1270,6 +1270,32 @@ def test_ivfpq_distributed_parity_at_guard_boundary(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_ivfpq_distributed_cell_blocks_bound_skew(spark):
+    """Block counts derive from MEASURED per-cell sizes: a hot cell
+    splits into proportionally more blocks with every block bounded by
+    ~per_block rows (never one giant packed task), while a tiny cell
+    keeps a single block."""
+    from pyspark.sql import functions as F2
+
+    from hive_population_ml_spark.operators.similarity import _cell_blocks
+
+    rows = [(i, 0) for i in range(80)] + [(1000 + i, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, cid int")
+    blocked = _cell_blocks(df, "cid", "vec_id", per_block=8)
+    sizes = {
+        (r["cid"], r["__blk"]): r["n"]
+        for r in blocked.groupBy("cid", "__blk")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    hot_blocks = [n for (c, _), n in sizes.items() if c == 0]
+    cold_blocks = [n for (c, _), n in sizes.items() if c == 1]
+    assert len(hot_blocks) >= 5  # 80 rows / 8 per block -> 10 moduli
+    # xxhash64 spreads ids well; no block should balloon past ~3x target
+    assert max(hot_blocks) <= 24, sizes
+    assert cold_blocks == [5]  # tiny cell: one block, all rows
+
+
 def test_trainer_sample_collect_tripwire():
     """The trainers' post-collect tripwire refuses a hash-sample far
     above its expected size (broken sampler -> silent driver OOM)."""

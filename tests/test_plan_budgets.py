@@ -154,8 +154,10 @@ EXCHANGE_BUDGETS = {
     "cdc_scd2_history": 1,
     # probe-LUT block agg + cell-partitioned code-block agg + the cell
     # EQUI-join sides (never a cross grid) + shortlist window + rerank
-    # join (AQE-broadcast)
-    "ann_ivfpq_distributed": 6,
+    # join (AQE-broadcast) + the two per-cell histogram aggs/broadcasts
+    # that derive block counts from MEASURED cell sizes (r7 skew fix:
+    # a hot cell gets more bounded blocks, never one giant packed task)
+    "ann_ivfpq_distributed": 10,
     # (group, shingle) distinct localCheckpoint'd (3 consumers); then
     # shingle self-join sides + (g1,g2) agg + 2 size BroadcastExchange
     "dedup_source_overlap": 6,
