@@ -107,6 +107,7 @@ HEADLINE = [
     "sketch_token_freq_cms",
     "dedup_paragraph_exact",
     "sample_quality_stratified",
+    "text_source_kl",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -998,3 +998,71 @@ def dsir_weights(
         )
         .select(F.col("doc").alias(id_col), "n_tokens", "log_ratio")
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Distribution-drift diagnostic: per-group unigram KL divergence
+    against the whole-corpus distribution, both directions, with
+    add-``smooth`` smoothing over the corpus vocabulary — the monitor
+    that flags a feed whose language suddenly shifts (CCNet-style
+    per-shard LM drift, the corpus-level sibling of
+    :func:`dsir_weights`' per-document ratio).
+
+    The sum runs over the FULL vocabulary for every group (tokens a
+    group never emits still carry smoothed mass), built as vocab x
+    groups explicitly: the group list is tens of rows, so the expansion
+    is |V| * |groups| — one broadcast of the group totals onto the
+    vocab table, one left join of observed (group, token) counts, one
+    final per-group aggregation. All counts are exact; no sampling.
+
+    Output: (group_col, n_tokens, kl_group_corpus, kl_corpus_group),
+    divergences in nats, rounded to 6.
+    """
+    tok = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("t")
+    )
+    corpus = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all")).localCheckpoint()
+    )
+    per_group = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c_g"))
+    totals = F.broadcast(
+        tok.groupBy("g")
+        .agg(F.sum(F.lit(1)).cast("double").alias("n_g"))
+        .crossJoin(
+            corpus.agg(
+                F.sum("c_all").cast("double").alias("n_all"),
+                F.count(F.lit(1)).cast("double").alias("v"),
+            )
+        )
+    )
+    p_g = (F.coalesce(F.col("c_g"), F.lit(0)) + F.lit(smooth)) / (
+        F.col("n_g") + F.lit(smooth) * F.col("v")
+    )
+    p_c = (F.col("c_all") + F.lit(smooth)) / (
+        F.col("n_all") + F.lit(smooth) * F.col("v")
+    )
+    return (
+        corpus.crossJoin(totals)
+        .join(per_group, ["g", "t"], "left")
+        .groupBy("g")
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_g * F.log(p_g / p_c)), 6).alias(
+                "kl_group_corpus"
+            ),
+            F.round(F.sum(p_c * F.log(p_c / p_g)), 6).alias(
+                "kl_corpus_group"
+            ),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "kl_group_corpus",
+            "kl_corpus_group",
+        )
+    )

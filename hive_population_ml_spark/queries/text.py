@@ -800,3 +800,45 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dsir_weights(
         t.documents, target=F.col("lang") == "en", smooth=1.0
     )
+
+
+@register(
+    "text_source_kl",
+    shadow_oracle="""
+WITH tok AS (
+    SELECT source AS g, unnest(string_split(text, ' ')) AS t FROM documents
+),
+corpus AS (SELECT t, count(*) AS c_all FROM tok GROUP BY t),
+per_group AS (SELECT g, t, count(*) AS c_g FROM tok GROUP BY g, t),
+totals AS (
+    SELECT g, n_g, n_all, v FROM
+        (SELECT g, count(*) * 1.0 AS n_g FROM tok GROUP BY g),
+        (SELECT sum(c_all) * 1.0 AS n_all, count(*) * 1.0 AS v FROM corpus)
+),
+expanded AS (
+    SELECT totals.g, corpus.t, corpus.c_all,
+           totals.n_g, totals.n_all, totals.v, per_group.c_g
+    FROM corpus CROSS JOIN totals
+    LEFT JOIN per_group ON per_group.g = totals.g AND per_group.t = corpus.t
+)
+SELECT g AS source,
+       CAST(max(n_g) AS BIGINT) AS n_tokens,
+       round(sum(((coalesce(c_g, 0) + 1.0) / (n_g + v))
+                 * ln(((coalesce(c_g, 0) + 1.0) / (n_g + v))
+                      / ((c_all + 1.0) / (n_all + v)))), 6) AS kl_group_corpus,
+       round(sum(((c_all + 1.0) / (n_all + v))
+                 * ln(((c_all + 1.0) / (n_all + v))
+                      / ((coalesce(c_g, 0) + 1.0) / (n_g + v)))), 6)
+           AS kl_corpus_group
+FROM expanded
+GROUP BY g
+""",
+)
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus
+    (round-7 addition): smoothed KL in both directions over the FULL
+    vocabulary — the feed monitor that catches a source whose language
+    shifts between crawls. Fully differential (counts, smoothing, the
+    vocab x sources expansion, and ln mirrored in SQL)."""
+    t = Tables(spark, sf_dir)
+    return textops.source_kl_divergence(t.documents, "source", "text")

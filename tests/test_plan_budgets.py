@@ -176,6 +176,9 @@ EXCHANGE_BUDGETS = {
     # score + band + hash-keep are all map-side — any Exchange is a
     # regression (same contract as sample_stratified)
     "sample_quality_stratified": 0,
+    # vocab agg (checkpointed) + (g,t) agg + totals broadcast + the
+    # vocab x groups expansion join + final per-group agg
+    "text_source_kl": 7,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,

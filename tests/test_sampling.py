@@ -92,6 +92,7 @@ SHADOW_NAMES = [
     "stream_cdc_state",
     "dedup_paragraph_exact",
     "sample_quality_stratified",
+    "text_source_kl",
 ]
 
 
