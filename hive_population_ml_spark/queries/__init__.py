@@ -38,6 +38,14 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r7: the five round-7 queries registered shadow-first (window was
+    # full at registration time) rotate in to earn their first driver
+    # hash rows this round; five multi-round-green incumbents cede.
+    "mix_unimax_weights",
+    "stream_cdc_state",
+    "dedup_paragraph_exact",
+    "sample_quality_stratified",
+    "text_source_kl",
     # r6 (VERDICT r5 #3): the one remaining never-driver-checked
     # SQL-expressible query rotates in; text_pii_mask (green r4+r5)
     # cedes its slot.
@@ -70,6 +78,14 @@ ROTATE_TO_SHADOW = [
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "dedup_embedding_cosine",
+    # second r7 wave: ceding to the five rotated-in round-7 queries
+    # (streaming stays 3-deep in the window: attribution + session +
+    # the new cdc_state).
+    "text_decontaminate",
+    "stream_windowed_agg",
+    "corpus_clean_pipeline",
+    "sample_stratified",
+    "pack_token_shards",
     # r6 wave: multi-round-green queries ceding slots to
     # text_chunk_tokens and the round-6 additions.
     "text_pii_mask",

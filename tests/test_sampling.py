@@ -87,12 +87,14 @@ SHADOW_NAMES = [
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "dedup_embedding_cosine",
-    # round-7 additions registered shadow-first (window full)
-    "mix_unimax_weights",
-    "stream_cdc_state",
-    "dedup_paragraph_exact",
-    "sample_quality_stratified",
-    "text_source_kl",
+    # second r7 rotation wave: multi-round-green incumbents ceding
+    # slots to the five round-7 shadow-first queries (which rotated
+    # INTO the window to earn their first driver hash rows)
+    "text_decontaminate",
+    "stream_windowed_agg",
+    "corpus_clean_pipeline",
+    "sample_stratified",
+    "pack_token_shards",
 ]
 
 
