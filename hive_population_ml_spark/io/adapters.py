@@ -143,3 +143,59 @@ def lookup_map_df(
     return spark.createDataFrame(
         [(k, v) for k, v in pairs], schema=f"{key_name} string, {value_name} string"
     )
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def jsonl_corpus_scan(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_JSONL_SCHEMA,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Distributed JSONL corpus scan — the standard LLM training-data
+    interchange format (one JSON document per line, optionally
+    ``.gz``/``.zst``-sharded; Spark decompresses supported codecs per
+    file transparently).
+
+    Two 100 TB rules enforced here:
+
+    - EXPLICIT schema, never inference: schema inference is a full
+      extra pass over the corpus before the first real job. Same
+      policy as ``csv_scan``.
+    - PERMISSIVE parsing with a corrupt-record column: real crawl
+      shards contain malformed lines, and failing the whole job on one
+      is not an option. Bad lines land whole in ``corrupt_col`` (other
+      fields null) so a downstream filter can count/quarantine them;
+      drop the column after triage. Spark caveat: a query referencing
+      ONLY the corrupt column is rejected
+      (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — select
+      at least one data column alongside it (or cache the scan) when
+      counting bad lines.
+    """
+    tune(spark)
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl_corpus(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+) -> None:
+    """Write a corpus as (optionally compressed) JSONL shards — one
+    file per partition, so shard count/size is controlled upstream by
+    ``repartition``/``coalesce`` (or ``skew.compact_parquet``'s sizing
+    policy applied before the write)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

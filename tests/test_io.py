@@ -165,3 +165,56 @@ def test_class_weighted_classifier_and_auc(spark, sf_dir):
     scored = model.transform(data)
     auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(scored)
     assert 0.5 <= auc <= 1.0
+
+
+def test_jsonl_corpus_roundtrip_and_corrupt_capture(spark, sf_dir, tmp_path):
+    """JSONL is the LLM-corpus interchange format: gzip roundtrip
+    preserves every row; malformed lines land in the corrupt column
+    (job never fails) with parsed fields null; schema is explicit so
+    no inference pass runs."""
+    from hive_population_ml_spark.io.adapters import (
+        jsonl_corpus_scan,
+        write_jsonl_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl_corpus(docs.coalesce(2), out, compression="gzip")
+    import glob
+
+    assert glob.glob(f"{out}/*.json.gz"), "expected gzip shards"
+    back = jsonl_corpus_scan(spark, out)
+    back_rows = back.collect()
+    # Catalyst prunes a count() down to the corrupt column alone, which
+    # Spark rejects on raw JSON (see the adapter docstring) — assert
+    # over the collected rows instead
+    assert all(r["_corrupt_record"] is None for r in back_rows)
+    a = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in back_rows
+    )
+    b = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in docs.collect()
+    )
+    assert a == b
+
+    # corrupt lines: quarantine, don't fail
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "shard0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok doc", "lang": "en", '
+        '"source": "s", "n_chars": 6}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "another", "lang": "en", '
+        '"source": "s", "n_chars": 7}\n'
+    )
+    scanned = jsonl_corpus_scan(spark, str(bad))
+    rows = scanned.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1
+    assert corrupt[0]["doc_id"] is None  # parsed fields null on bad lines
+    assert "not json" in corrupt[0]["_corrupt_record"]
+    good_ids = {r["doc_id"] for r in rows if r["_corrupt_record"] is None}
+    assert good_ids == {1, 2}
