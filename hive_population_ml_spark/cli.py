@@ -93,6 +93,15 @@ def _parser() -> argparse.ArgumentParser:
         "cross-batch exact dedup via the content-hash history",
     )
     prep.add_argument(
+        "--input-jsonl",
+        metavar="PATH",
+        default=None,
+        help="read the corpus from JSONL(.gz) shards at PATH instead of "
+        "the data-dir documents table (schema-pinned permissive scan; "
+        "malformed lines are quarantined and counted in the summary as "
+        "n_corrupt_lines). Batch mode only.",
+    )
+    prep.add_argument(
         "--decontaminate",
         metavar="PARQUET",
         default=None,
@@ -367,7 +376,26 @@ def cmd_prep(args) -> dict:
     from .streaming.pipeline import prep_stream, prep_transform
 
     spark = get_spark("hpml-prep", cpus=args.cpus, shuffle_partitions=args.cpus)
-    docs = Tables(spark, args.data_dir).documents
+    jsonl = getattr(args, "input_jsonl", None)
+    n_corrupt = 0
+    if jsonl:
+        if getattr(args, "stream", False):
+            raise ValueError(
+                "--input-jsonl is batch-only; stream mode replays the "
+                "data-dir documents table"
+            )
+        from .io.adapters import jsonl_corpus_scan
+
+        # cache: Spark rejects corrupt-column-only queries on raw JSON
+        raw = jsonl_corpus_scan(spark, jsonl).cache()
+        n_corrupt = raw.filter(
+            F.col("_corrupt_record").isNotNull()
+        ).count()
+        docs = raw.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        )
+    else:
+        docs = Tables(spark, args.data_dir).documents
     n_raw = docs.count()
 
     bench_path = getattr(args, "decontaminate", None)
@@ -423,6 +451,7 @@ def cmd_prep(args) -> dict:
 
     summary = spark.read.parquet(manifest_path).agg(
         F.lit(n_raw).alias("n_raw_docs"),
+        F.lit(n_corrupt).alias("n_corrupt_lines"),
         F.sum("n_docs").cast("long").alias("n_kept_docs"),
         F.sum("total_tokens").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_shards"),

@@ -300,3 +300,34 @@ def test_cli_mix_policies(spark, sf_dir, tmp_path):
     # each p is rounded to 9 decimals, so the sum carries up to
     # n_strata * 5e-10 of rounding slack
     assert abs(sum(r["p"] for r in wt) - 1.0) < 1e-7
+
+
+def test_cli_prep_from_jsonl(spark, sf_dir, tmp_path):
+    """`prep --input-jsonl` ingests a JSONL(.gz) corpus (with a corrupt
+    line quarantined + counted) and produces the same artifact set as
+    the parquet path."""
+    from hive_population_ml_spark.cli import main
+    from hive_population_ml_spark.io.adapters import write_jsonl_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "jl")
+    write_jsonl_corpus(docs.coalesce(1), src, compression=None)
+    # inject a malformed line as its own shard (appending to a Spark-
+    # written file would invalidate its Hadoop .crc sidecar)
+    with open(f"{src}/extra-shard.json", "w") as f:
+        f.write("{broken json line\n")
+
+    out = main(
+        [
+            "prep",
+            "--data-dir", sf_dir,
+            "--input-jsonl", src,
+            "--output-dir", str(tmp_path / "out"),
+            "--min-tokens", "5",
+            "--cpus", "4",
+        ]
+    )
+    assert out["n_corrupt_lines"] == 1
+    assert out["n_raw_docs"] == docs.count()
+    assert 0 < out["n_kept_docs"] <= out["n_raw_docs"]
+    assert spark.read.parquet(out["corpus"]).count() == out["n_kept_docs"]
