@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_paragraph_exact",
     "sample_quality_stratified",
     "text_source_kl",
+    "a_outlier_mad",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

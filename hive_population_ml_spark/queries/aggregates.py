@@ -977,3 +977,70 @@ def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active",
     )
+
+
+@register(
+    "a_outlier_mad",
+    shadow_oracle="""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type, med,
+           quantile_cont(abs(e.value - med), 0.5) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type, med
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(med, 6) AS med,
+       round(mad, 6) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - med) > 3 * 1.4826 * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN abs(e.value - med) > 3 * 1.4826 * mad
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_frac
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type, med, mad
+""",
+)
+def a_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event_type (round-7
+    addition) — the heavy-tail-safe sibling of a_outlier_iqr: flag
+    |x - median| > 3 * 1.4826 * MAD (the Gaussian-consistent MAD
+    scale). Three passes by construction (median, then the deviation
+    median, then flags), each a group agg with the tiny per-group
+    table broadcast back; exact percentile == quantile_cont parity on
+    both hops (the a_percentiles contract). approx_percentile is the
+    documented one-pass-per-hop 100 TB swap."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flag = (
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(flag).alias("n_outliers"),
+            F.round(F.sum(flag) / F.count(F.lit(1)), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "outlier_frac",
+        )
+    )

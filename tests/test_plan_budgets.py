@@ -179,6 +179,9 @@ EXCHANGE_BUDGETS = {
     # vocab agg (checkpointed) + (g,t) agg + totals broadcast + the
     # vocab x groups expansion join + final per-group agg
     "text_source_kl": 7,
+    # median agg + deviation-median agg + flag agg + the two per-group
+    # table broadcasts
+    "a_outlier_mad": 5,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,

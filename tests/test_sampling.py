@@ -95,6 +95,8 @@ SHADOW_NAMES = [
     "corpus_clean_pipeline",
     "sample_stratified",
     "pack_token_shards",
+    # round-7 late addition, shadow-first (window full)
+    "a_outlier_mad",
 ]
 
 
