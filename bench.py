@@ -109,6 +109,8 @@ HEADLINE = [
     "sample_quality_stratified",
     "text_source_kl",
     "a_outlier_mad",
+    "a_histogram_value",
+    "a_corr_matrix",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

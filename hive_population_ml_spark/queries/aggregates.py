@@ -1044,3 +1044,105 @@ def a_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_frac",
         )
     )
+
+
+@register(
+    "a_histogram_value",
+    shadow_oracle="""
+WITH b AS (
+    SELECT event_type, min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(CASE WHEN mx = mn THEN 0
+                 ELSE least(CAST(floor((e.value - mn) / ((mx - mn) / 10))
+                                 AS BIGINT), 9) END AS INT) AS bucket,
+       count(*) AS n,
+       round(mn + CASE WHEN mx = mn THEN 0
+                       ELSE least(CAST(floor((e.value - mn) / ((mx - mn) / 10))
+                                       AS BIGINT), 9) END
+                  * ((mx - mn) / 10), 6) AS bucket_lo
+FROM events e JOIN b USING (event_type)
+GROUP BY 1, 2, 4
+""",
+)
+def a_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event_type (round-7 profiling
+    addition): 10 buckets between the group min/max, the max clamped
+    into the last bucket, constant columns collapsing to bucket 0 —
+    the distribution-shape profile a_profile_table's scalar stats
+    can't show. Two passes (bounds, then counts) with the tiny bounds
+    table broadcast back; identical bucket arithmetic on both engines
+    so boundary values cannot straddle."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    w = (F.col("mx") - F.col("mn")) / 10
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / w).cast("long"),
+            F.lit(9),
+        )
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy(
+            "event_type",
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * w, 6).alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "bucket", "n", "bucket_lo")
+    )
+
+
+@register(
+    "a_corr_matrix",
+    shadow_oracle="""
+WITH c AS (
+    SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+           corr(l_quantity, l_discount) AS qty_disc,
+           corr(l_quantity, l_tax) AS qty_tax,
+           corr(l_extendedprice, l_discount) AS price_disc,
+           corr(l_extendedprice, l_tax) AS price_tax,
+           corr(l_discount, l_tax) AS disc_tax
+    FROM lineitem
+)
+SELECT p.pair, round(CASE p.pair
+         WHEN 'qty_price' THEN qty_price
+         WHEN 'qty_disc' THEN qty_disc
+         WHEN 'qty_tax' THEN qty_tax
+         WHEN 'price_disc' THEN price_disc
+         WHEN 'price_tax' THEN price_tax
+         WHEN 'disc_tax' THEN disc_tax END, 6) AS corr
+FROM c CROSS JOIN (VALUES ('qty_price'), ('qty_disc'), ('qty_tax'),
+                          ('price_disc'), ('price_tax'), ('disc_tax'))
+     AS p(pair)
+""",
+)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric measures
+    in ONE scan aggregation (round-7 profiling addition) — the feature-
+    redundancy screen before model training. All six pairs come out of
+    a single distributed agg (each corr is a mergeable moment bundle);
+    the 1-row result unpivots to (pair, corr) long form map-side.
+    Spark `corr` == DuckDB `corr` (sample correlation)."""
+    t = Tables(spark, sf_dir)
+    pairs = [
+        ("qty_price", "l_quantity", "l_extendedprice"),
+        ("qty_disc", "l_quantity", "l_discount"),
+        ("qty_tax", "l_quantity", "l_tax"),
+        ("price_disc", "l_extendedprice", "l_discount"),
+        ("price_tax", "l_extendedprice", "l_tax"),
+        ("disc_tax", "l_discount", "l_tax"),
+    ]
+    agg = t.lineitem.agg(
+        *[F.corr(a, b).alias(name) for name, a, b in pairs]
+    )
+    stack = ", ".join(f"'{name}', {name}" for name, _, _ in pairs)
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (pair, corr)"
+    ).select("pair", F.round("corr", 6).alias("corr"))

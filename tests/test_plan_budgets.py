@@ -182,6 +182,11 @@ EXCHANGE_BUDGETS = {
     # median agg + deviation-median agg + flag agg + the two per-group
     # table broadcasts
     "a_outlier_mad": 5,
+    # bounds agg + bounds broadcast + bucket-count agg
+    "a_histogram_value": 3,
+    # ONE scan aggregation (all six corr moment bundles); the unpivot
+    # is map-side
+    "a_corr_matrix": 1,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,

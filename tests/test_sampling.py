@@ -95,8 +95,10 @@ SHADOW_NAMES = [
     "corpus_clean_pipeline",
     "sample_stratified",
     "pack_token_shards",
-    # round-7 late addition, shadow-first (window full)
+    # round-7 late additions, shadow-first (window full)
     "a_outlier_mad",
+    "a_histogram_value",
+    "a_corr_matrix",
 ]
 
 
