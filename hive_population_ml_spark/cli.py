@@ -147,6 +147,22 @@ def _parser() -> argparse.ArgumentParser:
         default=100,
         help="vectors with vec_id %% MOD == 0 are the query set",
     )
+    ann.add_argument(
+        "--save-index",
+        metavar="DIR",
+        default=None,
+        help="(ivfpq) persist the trained index (centroid + codebook "
+        "parquet) for later --load-index runs — the offline "
+        "index-build artifact",
+    )
+    ann.add_argument(
+        "--load-index",
+        metavar="DIR",
+        default=None,
+        help="(ivfpq) serve from a previously saved index instead of "
+        "training; doubles round-trip parquet exactly, so results are "
+        "bit-identical to the training run",
+    )
     ann.add_argument("--cpus", type=int, default=8)
     spl = sub.add_parser(
         "split",
@@ -555,7 +571,24 @@ def cmd_ann(args) -> dict:
     elif args.method == "pq":
         topk = pq_topk(emb, queries, k=args.k, rerank=4)
     else:
-        topk = ivfpq_topk(emb, queries, k=args.k, n_probe=8, rerank=4)
+        from .operators.similarity import (
+            load_ivfpq_index,
+            save_ivfpq_index,
+            train_ivfpq_index,
+        )
+
+        load_dir = getattr(args, "load_index", None)
+        index = (
+            load_ivfpq_index(spark, load_dir)
+            if load_dir
+            else train_ivfpq_index(emb)
+        )
+        save_dir = getattr(args, "save_index", None)
+        if save_dir:
+            save_ivfpq_index(spark, index, save_dir)
+        topk = ivfpq_topk(
+            emb, queries, k=args.k, n_probe=8, rerank=4, index=index
+        )
     out_path = os.path.join(args.output_dir, "neighbors")
     topk.write.mode("overwrite").parquet(out_path)
     back = spark.read.parquet(out_path)

@@ -1643,3 +1643,48 @@ def pca_project(
         id_col, vector_to_array(F.col("__p")).alias(vec_col)
     )
     return projected, model
+
+
+def save_ivfpq_index(spark, index, path: str) -> None:
+    """Persist a trained IVF-PQ index as ordinary parquet — the offline
+    index-build artifact (train once at write time, serve many runs):
+    a centroid table (cell, vector) and a codebook table (subspace,
+    code, vector). Doubles round-trip parquet exactly, so a reloaded
+    index reproduces bit-identical assignments and ADC tables."""
+    import numpy as np
+
+    cents, books = index
+    cents = np.asarray(cents)
+    books = np.asarray(books)
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(cents.shape[0])],
+        "cell int, v array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "s int, c int, v array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivfpq_index(spark, path: str):
+    """Reload a persisted IVF-PQ index into the (centroids, books)
+    numpy pair every ``ivfpq_*`` entry point accepts."""
+    import numpy as np
+
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.array(
+        [r["v"] for r in sorted(crows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["s"] for r in brows)
+    kc = 1 + max(r["c"] for r in brows)
+    sub = len(brows[0]["v"])
+    books = np.empty((m, kc, sub), dtype=np.float64)
+    for r in brows:
+        books[r["s"], r["c"]] = r["v"]
+    return cents, books

@@ -331,3 +331,50 @@ def test_cli_prep_from_jsonl(spark, sf_dir, tmp_path):
     assert out["n_raw_docs"] == docs.count()
     assert 0 < out["n_kept_docs"] <= out["n_raw_docs"]
     assert spark.read.parquet(out["corpus"]).count() == out["n_kept_docs"]
+
+
+def test_cli_ann_index_save_load_bit_identical(spark, sf_dir, tmp_path):
+    """The offline index-build artifact: a trained IVF-PQ index saved
+    to parquet and reloaded must reproduce the training run's neighbor
+    table BIT-IDENTICALLY (doubles round-trip parquet exactly)."""
+    import numpy as np
+
+    from hive_population_ml_spark.cli import main
+    from hive_population_ml_spark.operators.similarity import (
+        load_ivfpq_index,
+        save_ivfpq_index,
+        train_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = train_ivfpq_index(emb)
+    save_ivfpq_index(spark, index, str(tmp_path / "idx0"))
+    cents2, books2 = load_ivfpq_index(spark, str(tmp_path / "idx0"))
+    assert np.array_equal(np.asarray(index[0]), cents2)
+    assert np.array_equal(np.asarray(index[1]), books2)
+
+    out1 = main(
+        [
+            "ann",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "a1"),
+            "--method", "ivfpq",
+            "--k", "3",
+            "--save-index", str(tmp_path / "idx"),
+            "--cpus", "4",
+        ]
+    )
+    out2 = main(
+        [
+            "ann",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "a2"),
+            "--method", "ivfpq",
+            "--k", "3",
+            "--load-index", str(tmp_path / "idx"),
+            "--cpus", "4",
+        ]
+    )
+    r1 = sorted(tuple(r) for r in spark.read.parquet(out1["neighbors"]).collect())
+    r2 = sorted(tuple(r) for r in spark.read.parquet(out2["neighbors"]).collect())
+    assert r1 == r2 and len(r1) == out1["n_results"]
