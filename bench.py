@@ -111,6 +111,7 @@ HEADLINE = [
     "a_outlier_mad",
     "a_histogram_value",
     "a_corr_matrix",
+    "dedup_incremental_minhash",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

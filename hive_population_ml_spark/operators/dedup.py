@@ -749,3 +749,122 @@ def source_overlap(
             ).alias("containment"),
         )
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistable MinHash dedup index: per-doc signature columns
+    plus exploded LSH band keys — (doc, band, bh, h0..h{n-1}). At 100 TB
+    this table (a few hundred bytes per document, written PARTITIONED BY
+    band) IS the dedup history; raw text and shingle sets are never
+    stored or re-read by later ingests."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bh)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    hs = [f"h{i}" for i in range(n_hashes)]
+    return sig.selectExpr(
+        "doc", f"explode(array({structs})) as bk", *hs
+    ).selectExpr("doc", "bk.band as band", "bk.bh as bh", *hs)
+
+
+def incremental_minhash_dups(
+    history_index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental near-dup against a SIGNATURE history — the
+    production write-path shape (incremental_ngram_dups' scale
+    upgrade): the history is :func:`minhash_band_index` output (a few
+    hundred bytes/doc), never raw text, so each ingest batch touches
+    O(|batch| * bands) index rows via equi-join on (band, bh) plus the
+    matched candidates.
+
+    Verification is SIGNATURE-estimated Jaccard — the fraction of
+    agreeing minhash components, an unbiased estimator with std
+    ~ sqrt(j(1-j)/n_hashes) (~0.08 at n=32 near the 0.3 threshold) —
+    because exact verification would require the history's shingle
+    sets, exactly the state this tier exists to avoid. Callers wanting
+    exact confirmation re-read ONLY the flagged docs' text (a tiny
+    targeted fetch, not a corpus scan).
+
+    Output: one row per new doc — (id_col, best_match_id,
+    est_jaccard, is_dup); best match = highest estimate, doc-id
+    tiebreak, est 0 / match NULL when no band collides.
+    """
+    n_idx = len([c for c in history_index.columns if c.startswith("h")])
+    if n_idx != n_hashes:
+        raise ValueError(
+            f"history index carries {n_idx} hashes, caller expects "
+            f"{n_hashes} — refuse to mix signature families"
+        )
+    new_idx = minhash_band_index(
+        new_docs, id_col, text_col, k, n_hashes, bands
+    )
+    hist = history_index.select(
+        F.col("doc").alias("hdoc"),
+        "band",
+        "bh",
+        *[F.col(f"h{i}").alias(f"g{i}") for i in range(n_hashes)],
+    )
+    cand = (
+        new_idx.join(hist, ["band", "bh"])
+        .select(
+            "doc",
+            "hdoc",
+            *[F.col(f"h{i}") for i in range(n_hashes)],
+            *[F.col(f"g{i}") for i in range(n_hashes)],
+        )
+        .distinct()
+    )
+    matches = F.expr(
+        " + ".join(
+            f"cast(h{i} = g{i} as int)" for i in range(n_hashes)
+        )
+    )
+    est = (matches / F.lit(float(n_hashes))).alias("est")
+    best = (
+        cand.select("doc", "hdoc", est)
+        .groupBy("doc")
+        .agg(
+            F.max_by(
+                F.struct(F.col("est"), F.col("hdoc")),
+                F.struct(F.col("est"), (-F.col("hdoc")).alias("nh")),
+            ).alias("__b")
+        )
+        .select(
+            "doc",
+            F.col("__b.hdoc").alias("best_match_id"),
+            F.round("__b.est", 6).alias("est_jaccard"),
+        )
+    )
+    ids = new_docs.select(F.col(id_col).cast("long").alias("doc"))
+    return (
+        ids.join(best, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "best_match_id",
+            F.coalesce("est_jaccard", F.lit(0.0)).alias("est_jaccard"),
+            (
+                F.coalesce("est_jaccard", F.lit(0.0)) >= F.lit(threshold)
+            ).cast("int").alias("is_dup"),
+        )
+    )

@@ -595,3 +595,25 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+@register("dedup_incremental_minhash")  # rows-only: seeded-hash
+# signatures have no DuckDB twin; agreement with the exact
+# incremental-ngram labels + estimator semantics pinned in
+# tests/test_operators.py
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a SIGNATURE history (round-7
+    addition; the scale upgrade of dedup_incremental_ngram): history =
+    the minhash_band_index of docs with doc_id % 5 != 0 (a few hundred
+    bytes/doc — at 100 TB this index IS the stored dedup state; raw
+    text is never re-read), batch = the remaining docs. Verification is
+    signature-estimated Jaccard (unbiased, std ~ sqrt(j(1-j)/32));
+    exact confirmation re-reads only flagged docs."""
+    from ..operators.dedup import incremental_minhash_dups, minhash_band_index
+
+    t = Tables(spark, sf_dir)
+    hist = minhash_band_index(
+        t.documents.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+    )
+    newb = t.documents.filter(F.col("doc_id") % 5 == 0)
+    return incremental_minhash_dups(hist, newb, "doc_id", "text")

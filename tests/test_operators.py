@@ -2518,3 +2518,82 @@ def test_cluster_safe_split_no_pair_straddles(spark, sf_dir):
         ).collect()
     }
     assert again == split_of
+
+
+def test_incremental_minhash_semantics(spark):
+    """Signature-history incremental dedup: an exact re-ingest
+    estimates Jaccard 1.0 against its history copy; a disjoint doc
+    matches nothing; mixed signature families are refused."""
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators.dedup import (
+        incremental_minhash_dups,
+        minhash_band_index,
+    )
+
+    hist_docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    hist = minhash_band_index(hist_docs, "doc_id", "text")
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+            (11, "qq ww ee rr tt yy uu ii oo pp aa ss"),            # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dups(hist, new, "doc_id", "text").collect()
+    }
+    assert got[10]["best_match_id"] == 1
+    assert got[10]["est_jaccard"] == 1.0 and got[10]["is_dup"] == 1
+    assert got[11]["best_match_id"] is None
+    assert got[11]["est_jaccard"] == 0.0 and got[11]["is_dup"] == 0
+    with _pytest.raises(ValueError, match="signature families"):
+        incremental_minhash_dups(hist, new, "doc_id", "text", n_hashes=16)
+
+
+def test_incremental_minhash_agrees_with_exact_ngram(spark, sf_oracle_dir):
+    """On the real corpus split, the signature-estimated flags must
+    recover most of the exact incremental-ngram dups (LSH recall) and
+    never hallucinate matches for docs whose exact best-Jaccard is ~0."""
+    from pyspark.sql import functions as F2
+
+    from hive_population_ml_spark.operators.dedup import (
+        incremental_minhash_dups,
+        incremental_ngram_dups,
+        minhash_band_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    hist_docs = docs.filter(F2.col("doc_id") % 5 != 0)
+    newb = docs.filter(F2.col("doc_id") % 5 == 0)
+    exact = {
+        r["doc_id"]: r
+        for r in incremental_ngram_dups(
+            newb, hist_docs, "doc_id", "text"
+        ).collect()
+    }
+    est = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dups(
+            minhash_band_index(hist_docs, "doc_id", "text"),
+            newb,
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert set(est) == set(exact)  # one row per new doc, both paths
+    exact_dups = {d for d, r in exact.items() if r["is_dup"] == 1}
+    assert exact_dups, "vacuous: split produced no exact dups"
+    found = {d for d in exact_dups if est[d]["is_dup"] == 1}
+    assert len(found) / len(exact_dups) >= 0.6, (len(found), len(exact_dups))
+    # no hallucinated strong matches on exact-near-zero docs
+    for d, r in est.items():
+        if r["est_jaccard"] >= 0.5:
+            assert exact[d]["best_jaccard"] >= 0.2, (d, r, exact[d])

@@ -187,6 +187,9 @@ EXCHANGE_BUDGETS = {
     # ONE scan aggregation (all six corr moment bundles); the unpivot
     # is map-side
     "a_corr_matrix": 1,
+    # history + batch signature aggs feed the (band, bh) equi-join;
+    # candidate distinct + best-match max_by agg
+    "dedup_incremental_minhash": 4,
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,
