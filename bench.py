@@ -112,6 +112,8 @@ HEADLINE = [
     "a_histogram_value",
     "a_corr_matrix",
     "dedup_incremental_minhash",
+    "text_token_contamination",
+    "text_remove_dup_spans",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -501,6 +501,168 @@ def bloom_decontaminate(
     )
 
 
+def _positional_shingles(
+    toks: DataFrame, id_col: str, tok_col: str, k: int
+) -> DataFrame:
+    """(id, __p, __h): every k-token window occurrence with its 0-based
+    start position and 64-bit span hash. NOT distinct — position-level
+    operators (token_contamination, remove_repeated_spans) need every
+    occurrence, unlike the set-based shingle dedup tier."""
+    idx = F.sequence(F.lit(0), F.size(tok_col) - F.lit(k))
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(k)],
+        ),
+    )
+    return toks.filter(F.size(tok_col) >= F.lit(k)).select(
+        id_col, F.posexplode(mk).alias("__p", "__s")
+    ).select(id_col, "__p", F.xxhash64("__s").alias("__h"))
+
+
+def token_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    dirty_frac: float = 0.8,
+    max_benchmark_shingles: int | None = 10_000_000,
+) -> DataFrame:
+    """Token-POSITION-level contamination fraction (the Llama-2
+    appendix-A.6 contract, in contrast to ``decontaminate``'s doc-level
+    overlap count): a token is contaminated when ANY k-token window
+    covering it appears in the benchmark; a document is ``dirty`` when
+    >= ``dirty_frac`` of its tokens are contaminated. Reports
+    (id, n_tokens, n_contaminated, contaminated_frac, dirty) for every
+    training document, so callers can pick their own cut OR keep the
+    fraction as a quality feature.
+
+    Scale shape (same posture as ``decontaminate``, one extra shuffle
+    nowhere): benchmark distinct shingle hashes BROADCAST (guarded by
+    ``max_benchmark_shingles`` — same rationale/raise); the corpus side
+    posexplodes windows map-side, the broadcast join keeps only HITS,
+    and each hit fans out to its k covered positions map-side. The ONE
+    corpus shuffle is the (id -> count_distinct(position)) aggregation,
+    carrying matched (id, position) pairs only — proportional to the
+    contamination actually found, not the corpus. The join back to the
+    per-doc token counts is id-keyed on two already-aggregated sides.
+    """
+    d = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    base = d.select(id_col, F.size("__t").alias("n_tokens"))
+    win = _positional_shingles(d, id_col, "__t", k)
+    b_sh = (
+        benchmark.select(F.split(F.col(text_col), " ").alias("__t"))
+        .select(F.explode(shingles_of_tokens(F.col("__t"), k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    if max_benchmark_shingles is not None:
+        n_b = b_sh.count()
+        if n_b > max_benchmark_shingles:
+            raise ValueError(
+                f"token_contamination: benchmark side has {n_b} distinct "
+                f"shingles > max_benchmark_shingles={max_benchmark_shingles}; "
+                "see decontaminate's guard docstring for the alternatives "
+                "(bloom prefilter, explicit shuffle join)."
+            )
+    cont = (
+        win.join(F.broadcast(b_sh), "__h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
+            ).alias("__cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("__cp").alias("n_contaminated"))
+    )
+    frac = F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_tokens")
+    return base.join(cont, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.round(frac, 6).alias("contaminated_frac"),
+        (frac >= F.lit(dirty_frac)).cast("int").alias("dirty"),
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the acting half of Lee et al.
+    2022's ExactSubstr, where ``dup_spans`` is the mining half): every
+    corpus-wide occurrence of a k-token span seen >= ``min_occurrences``
+    times is excised EXCEPT the canonical first occurrence (min by
+    (id, position) — lexicographic struct min, deterministic), and each
+    document's text is rebuilt from its surviving tokens. A token
+    survives unless some removed window covers it; overlapping removed
+    windows union their positions. Self-repetition inside one document
+    is removed the same way (the second copy of a span loses even when
+    both copies share a doc_id) — also ExactSubstr behavior.
+
+    Output: (id, n_tokens, n_removed, clean_text). Fixed-k windows are
+    the one-scan distributed approximation of the suffix-array maximal-
+    repeat pass — exact for repeats of length >= k, with overlap-union
+    extending removals beyond k when repeats chain.
+
+    Scale shape: window occurrences explode map-side; shuffle #1 groups
+    by the 64-bit span hash carrying (count, min-struct keeper) with
+    partial aggregation — one row per distinct span per partition. The
+    occurrence->dup-span join re-keys on the same hash (AQE reuses the
+    partitioning), survivors fan to covered positions map-side, and
+    shuffle #2 collects each doc's removed-position SET — proportional
+    to text actually removed. Reconstruction is a pure MAP: a lambda
+    ``filter`` over the already-held token array against the position
+    set (no re-sort, no per-token shuffle) — the doc-keyed join of
+    tokens vs removal sets is the only other exchange.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    occ = _positional_shingles(toks, id_col, "__t", k)
+    dup = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("__p"))).alias("__keep"),
+        )
+        .filter(F.col("__c") >= F.lit(min_occurrences))
+        .select("__h", "__keep")
+    )
+    rm_occ = occ.join(dup, "__h").filter(
+        ~(
+            (F.col(id_col) == F.col("__keep")[id_col])
+            & (F.col("__p") == F.col("__keep.__p"))
+        )
+    )
+    rm_pos = (
+        rm_occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
+            ).alias("__rp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__rp").alias("__rm"))
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda tok, i: F.coalesce(
+            ~F.array_contains(F.col("__rm"), i), F.lit(True)
+        ),
+    )
+    return toks.join(rm_pos, id_col, "left").select(
+        id_col,
+        F.size("__t").alias("n_tokens"),
+        F.coalesce(F.size("__rm"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 def token_frequencies(
     docs: DataFrame,
     text_col: str = "text",

@@ -419,6 +419,113 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_token_contamination",
+    shadow_oracle="""
+WITH bench AS (
+    SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 17 = 0
+),
+bs AS (
+    SELECT DISTINCT unnest(list_transform(range(len(t) - 2),
+        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+    FROM bench
+),
+train AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 17 <> 0
+),
+wins AS (
+    SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        i -> {'p': i, 's': t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]})) AS w
+    FROM train
+),
+hit AS (
+    SELECT doc_id, unnest(range(w.p, w.p + 3)) AS cp
+    FROM wins JOIN bs ON w.s = bs.s
+),
+cont AS (SELECT doc_id, count(DISTINCT cp) AS nc FROM hit GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.t) AS n_tokens,
+       coalesce(c.nc, 0) AS n_contaminated,
+       round(coalesce(c.nc, 0) * 1.0 / len(t.t), 6) AS contaminated_frac,
+       CAST(coalesce(c.nc, 0) * 1.0 / len(t.t) >= 0.2 AS INT) AS dirty
+FROM train t LEFT JOIN cont c USING (doc_id)
+""",
+)
+def text_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-POSITION-level contamination fraction (textops.
+    token_contamination — the Llama-2 appendix-A.6 contract, vs
+    text_decontaminate's doc-level overlap count): a token is dirty if
+    any 3-gram window covering it appears in the benchmark (doc_id%17
+    holdout, as in text_decontaminate); the fraction feeds a keep/drop
+    cut or a quality feature. dirty_frac=0.2 flags ~24% of sf0.01 train
+    docs — a real decision boundary, not a degenerate all-zeros column.
+    Benchmark hashes broadcast; the one corpus shuffle carries matched
+    (doc, position) pairs only."""
+    t = Tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") % 17 == 0)
+    train = t.documents.filter(F.col("doc_id") % 17 != 0)
+    return textops.token_contamination(
+        train, bench, "doc_id", "text", k=3, dirty_frac=0.2
+    )
+
+
+@register(
+    "text_remove_dup_spans",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+    SELECT doc_id, u.p AS p, u.s AS s
+    FROM (SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+              i -> {'p': i, 's': t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                          || ' ' || t[i+4] || ' ' || t[i+5]})) AS u
+          FROM toks WHERE len(t) >= 5)
+),
+ranked AS (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY s) AS c,
+           row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+    FROM occ
+),
+rm AS (
+    SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS rp
+    FROM ranked WHERE c >= 2 AND rn > 1
+),
+tokpos AS (
+    SELECT doc_id, u.p AS p, u.tok AS tok
+    FROM (SELECT doc_id, unnest(list_transform(range(len(t)),
+              i -> {'p': i, 'tok': t[i+1]})) AS u FROM toks)
+),
+kept AS (
+    SELECT tp.doc_id, tp.p, tp.tok
+    FROM tokpos tp LEFT JOIN rm ON rm.doc_id = tp.doc_id AND rm.rp = tp.p
+    WHERE rm.doc_id IS NULL
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+rmc AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       coalesce(rmc.n_removed, 0) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rmc USING (doc_id) LEFT JOIN agg USING (doc_id)
+""",
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (textops.remove_repeated_spans —
+    the acting half of Lee et al. 2022 ExactSubstr; text_dup_spans is
+    the mining half): every corpus-wide occurrence of a repeated
+    5-token span is excised except the canonical first (min (doc_id,
+    pos)), texts rebuilt from surviving tokens. Fully differential
+    INCLUDING the rebuilt clean_text strings — the oracle recomputes
+    keeper choice, overlap-union and reconstruction from scratch via
+    window functions. ~1.5k tokens excised at sf0.001, so the diff
+    exercises real removals, keeper retention, and self-repetition."""
+    t = Tables(spark, sf_dir)
+    return textops.remove_repeated_spans(
+        t.documents, "doc_id", "text", k=5, min_occurrences=2
+    )
+
+
 # Trained-merge memo, keyed (sf_dir, corpus fingerprint) like the ANN
 # index and quality-model memos: training is the offline step; both BPE
 # queries replay the same table.

@@ -2597,3 +2597,103 @@ def test_incremental_minhash_agrees_with_exact_ngram(spark, sf_oracle_dir):
     for d, r in est.items():
         if r["est_jaccard"] >= 0.5:
             assert exact[d]["best_jaccard"] >= 0.2, (d, r, exact[d])
+
+
+def test_token_contamination_positions_and_threshold(spark):
+    """Llama-2-style token-position contract: overlapping matched
+    windows union their covered positions (each token counted ONCE);
+    the dirty flag sits exactly on the fraction threshold; clean docs
+    report 0/0.0/0; sub-k docs can't match anything."""
+    from hive_population_ml_spark.operators.textops import token_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d"), (1, "q r s")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # windows "a b c" (pos 0) and "b c d" (pos 1) both hit ->
+            # union {0,1,2,3} = 4 of 4 tokens, frac exactly 1.0
+            (10, "a b c d"),
+            # one hit at pos 1 -> positions {1,2,3} = 3 of 5, frac 0.6
+            (11, "x a b c y"),
+            (12, "nothing shared with the benchmark here"),
+            (13, "a b"),  # shorter than k: no windows, never dirty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in token_contamination(
+            train, bench, k=3, dirty_frac=0.6
+        ).collect()
+    }
+    assert (got[10]["n_contaminated"], got[10]["contaminated_frac"]) == (4, 1.0)
+    assert got[10]["dirty"] == 1
+    # boundary: frac 0.6 >= dirty_frac 0.6 -> dirty
+    assert (got[11]["n_contaminated"], got[11]["contaminated_frac"]) == (3, 0.6)
+    assert got[11]["dirty"] == 1
+    assert (got[12]["n_contaminated"], got[12]["dirty"]) == (0, 0)
+    assert got[12]["contaminated_frac"] == 0.0
+    assert (got[13]["n_contaminated"], got[13]["dirty"]) == (0, 0)
+
+
+def test_token_contamination_benchmark_size_guard(spark):
+    """Same broadcast contract as decontaminate: a benchmark past the
+    shingle cap raises loudly instead of silently replicating."""
+    from hive_population_ml_spark.operators.textops import token_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_benchmark_shingles"):
+        token_contamination(train, bench, k=3, max_benchmark_shingles=2)
+
+
+def test_remove_repeated_spans_keeper_and_union(spark):
+    """ExactSubstr removal semantics: the globally-first occurrence
+    (min (doc_id, pos)) KEEPS its text; later occurrences lose theirs;
+    two overlapping removed spans union their positions; untouched and
+    sub-k docs round-trip verbatim with n_removed = 0."""
+    from hive_population_ml_spark.operators.textops import remove_repeated_spans
+
+    rows = [
+        # keeper of both "p q r s t" (pos 1) and "q r s t u" (pos 2)
+        (1, "z p q r s t u z2"),
+        # loses "p q r s t" at pos 0 -> positions 0-4 removed
+        (2, "p q r s t xx"),
+        # loses BOTH spans (pos 1 and 2) -> union positions 1-6 removed
+        (3, "y p q r s t u"),
+        (4, "totally unrelated words that repeat nothing at all"),
+        (5, "tiny doc"),  # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(
+            docs, k=5, min_occurrences=2
+        ).collect()
+    }
+    assert got[1]["clean_text"] == "z p q r s t u z2"  # keeper intact
+    assert got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "xx"
+    assert got[2]["n_removed"] == 5
+    assert got[3]["clean_text"] == "y"  # union of 1-5 and 2-6
+    assert got[3]["n_removed"] == 6
+    assert got[4]["clean_text"] == rows[3][1] and got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == "tiny doc" and got[5]["n_removed"] == 0
+    assert all(r["n_tokens"] == len(rows[i][1].split(" ")) for i, r in
+               enumerate(got[d] for d in sorted(got)))
+
+
+def test_remove_repeated_spans_self_repetition(spark):
+    """A span repeated INSIDE one document loses its second copy to the
+    first — the keeper tiebreak is (doc_id, pos), not doc-level."""
+    from hive_population_ml_spark.operators.textops import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(7, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    r = remove_repeated_spans(docs, k=5, min_occurrences=2).collect()[0]
+    assert r["clean_text"] == "a b c d e"
+    assert (r["n_tokens"], r["n_removed"]) == (10, 5)

@@ -106,6 +106,13 @@ EXCHANGE_BUDGETS = {
     "text_quality_profile": 0,
     "text_repetition_filter": 0,
     "text_decontaminate": 4,
+    # benchmark-side distinct (tiny side) + count_distinct's two-phase
+    # (doc,pos) agg + the id-keyed SMJ back to per-doc token counts
+    "text_token_contamination": 5,
+    # span-hash agg, occurrence<->dup-span rejoin on the same hash,
+    # removed-position set agg, id-keyed join to the token arrays;
+    # reconstruction itself is a pure map (lambda filter, no sort)
+    "text_remove_dup_spans": 4,
     # probe is a pure map against the plan-literal bitset; the build's
     # 2 bounded shuffles run in the bloom_bits_literal collect job
     "text_decontaminate_bloom": 0,

@@ -99,6 +99,11 @@ SHADOW_NAMES = [
     "a_outlier_mad",
     "a_histogram_value",
     "a_corr_matrix",
+    # round-7 third wave: token-position contamination (Llama-2
+    # contract) and ExactSubstr span removal — both fully differential
+    # including, for the latter, the rebuilt clean_text strings
+    "text_token_contamination",
+    "text_remove_dup_spans",
 ]
 
 
