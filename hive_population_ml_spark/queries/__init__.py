@@ -38,6 +38,17 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r8 (VERDICT r7 #2): the five late-round-7 registrations that have
+    # never earned a driver hash row rotate in; five 3-round-green r5
+    # incumbents cede (removed from this list — their register() sites
+    # are shadow-first, so delisting returns them to SHADOW_ORACLE):
+    # o_set_operations, asof_forward_ship, a_unpivot_user_stats,
+    # dedup_incremental_ngram, text_heavy_hitters_lang.
+    "a_outlier_mad",
+    "a_histogram_value",
+    "a_corr_matrix",
+    "text_token_contamination",
+    "text_remove_dup_spans",
     # r7: the five round-7 queries registered shadow-first (window was
     # full at registration time) rotate in to earn their first driver
     # hash rows this round; five multi-round-green incumbents cede.
@@ -57,15 +68,10 @@ ROTATE_TO_ORACLE = [
     "a_cube_revenue",
     "a_key_skew",
     "a_pivot_event_counts",
-    "a_unpivot_user_stats",
-    "asof_forward_ship",
-    "dedup_incremental_ngram",
     "f_array_funcs",
     "f_json_funcs",
     "f_lambda_funcs",
-    "o_set_operations",
     "text_heavy_hitters",
-    "text_heavy_hitters_lang",
     "w_rank_functions",
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.

@@ -204,31 +204,41 @@ def test_sequence_dataset_mirrors_population_alignment(sensor, annotations):
     assert {r["label"] for r in rows} <= {0.0, 1.0}
 
 
-def test_bench_summary_line_stays_compact():
-    """BENCH_r04 was unparseable because the summary line outgrew the
-    driver's tail-capture buffer (VERDICT r4 #1). Pin the structure:
-    the final stdout line carries ONLY metric/value/unit/queries/sf —
-    simulated at worst-case widths it must stay well under ~4 KB, and
-    the spread map must NOT be part of it."""
+def test_bench_final_line_stays_compact_at_live_registry_size():
+    """BENCH_r04 AND BENCH_r07 came back "parsed": null because the
+    driver captures only a ~2,000-char stdout tail and parses the LAST
+    line: r4 folded the spread map in; r7's 82-query median map alone
+    outgrew the buffer (VERDICT r7 #1). Pin the fix: render the actual
+    final line via bench.final_line() with worst-case-width timings for
+    EVERY live headline query and assert it stays under 1,800 bytes —
+    O(1)-sized because it carries only the fixed 15-entry r01 map."""
     import inspect
     import json
 
     import bench
 
-    simulated = json.dumps(
-        {
-            "metric": "headline_queries_total_time",
-            "value": 99999.999,
-            "unit": "sec",
-            "queries": {name: 99999.999 for name in bench.HEADLINE},
-            "sf": 0.1,
-        }
+    timings = {name: 99999.999 for name in bench.HEADLINE}
+    line = bench.final_line(timings, 0.1)
+    assert len(line) < 1800, (
+        f"bench final line would be {len(line)} bytes at the current "
+        f"registry size ({len(bench.HEADLINE)} headline queries); it must "
+        "stay under the driver's 2,000-char tail buffer — keep "
+        "registry-sized maps on earlier stdout lines"
     )
-    assert len(simulated) < 3500, (
-        f"bench summary line would be {len(simulated)} bytes; keep it "
-        "under the driver's tail buffer (split more onto earlier lines)"
+    parsed = json.loads(line)
+    # the computed r01-vs-BASELINE gate number (VERDICT r7 #6) and the
+    # bounded per-query map: exactly the baseline set, nothing that
+    # grows with the registry.
+    assert parsed["r01_comparable_total"] == round(
+        sum(timings[q] for q in bench.R01_BASELINE_QUERIES), 3
     )
+    assert set(parsed["queries"]) == set(bench.R01_BASELINE_QUERIES)
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    # every baseline query must still be timed, else the gate number
+    # silently under-counts.
+    missing = set(bench.R01_BASELINE_QUERIES) - set(bench.HEADLINE)
+    assert not missing, f"r01 baseline queries missing from HEADLINE: {missing}"
     src = inspect.getsource(bench.main)
-    # spread prints on its own EARLIER line; the final print is compact
+    # spread and the full median map print on their own EARLIER lines
     final_print = src[src.rfind("print(") :]
-    assert "spread" not in final_print
+    assert "spread" not in final_print and "queries_full" not in final_print

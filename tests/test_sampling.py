@@ -95,15 +95,17 @@ SHADOW_NAMES = [
     "corpus_clean_pipeline",
     "sample_stratified",
     "pack_token_shards",
-    # round-7 late additions, shadow-first (window full)
-    "a_outlier_mad",
-    "a_histogram_value",
-    "a_corr_matrix",
-    # round-7 third wave: token-position contamination (Llama-2
-    # contract) and ExactSubstr span removal — both fully differential
-    # including, for the latter, the rebuilt clean_text strings
-    "text_token_contamination",
-    "text_remove_dup_spans",
+    # round-8 rotation (VERDICT r7 #2): the five late-r7 shadow-first
+    # queries (a_outlier_mad, a_histogram_value, a_corr_matrix,
+    # text_token_contamination, text_remove_dup_spans) rotated INTO the
+    # driver window for their first hash rows; these five 3-round-green
+    # r5 incumbents ceded their slots and keep the identical hash-equal
+    # contract here.
+    "o_set_operations",
+    "asof_forward_ship",
+    "a_unpivot_user_stats",
+    "dedup_incremental_ngram",
+    "text_heavy_hitters_lang",
 ]
 
 
