@@ -763,7 +763,17 @@ def minhash_band_index(
     plus exploded LSH band keys — (doc, band, bh, h0..h{n-1}). At 100 TB
     this table (a few hundred bytes per document, written PARTITIONED BY
     band) IS the dedup history; raw text and shingle sets are never
-    stored or re-read by later ingests."""
+    stored or re-read by later ingests. Persist with
+    :func:`save_minhash_index` / reload with :func:`load_minhash_index`
+    so the (k, n_hashes, bands) signature family travels with the data
+    and a mismatched caller fails loudly instead of silently finding
+    zero band collisions."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by bands={bands} — "
+            f"{n_hashes % bands} trailing hash columns would be "
+            "silently excluded from every band key"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     structs = ", ".join(
@@ -779,6 +789,41 @@ def minhash_band_index(
     return sig.selectExpr(
         "doc", f"explode(array({structs})) as bk", *hs
     ).selectExpr("doc", "bk.band as band", "bk.bh as bh", *hs)
+
+
+def save_minhash_index(index: DataFrame, path: str, k: int, bands: int) -> None:
+    """Persist a :func:`minhash_band_index` as parquet PARTITIONED BY
+    band, alongside a one-row ``_meta`` table recording the signature
+    family (k, n_hashes, bands). n_hashes is recoverable from the
+    column count, but k and bands are not — a history built with
+    different shingle width or banding than the querying caller would
+    otherwise yield zero band collisions with no error."""
+    n_hashes = len([c for c in index.columns if c.startswith("h")])
+    index.write.mode("overwrite").partitionBy("band").parquet(f"{path}/index")
+    index.sparkSession.createDataFrame(
+        [(int(k), int(n_hashes), int(bands))],
+        "k int, n_hashes int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def load_minhash_index(
+    spark, path: str, k: int = 3, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Reload a persisted MinHash band index, validating the stored
+    (k, n_hashes, bands) against the caller's expected signature family
+    — the load-time mirror of incremental_minhash_dups' n_hashes guard."""
+    meta = spark.read.parquet(f"{path}/_meta").collect()
+    if len(meta) != 1:
+        raise ValueError(f"corrupt minhash index at {path}: {len(meta)} meta rows")
+    got = (meta[0]["k"], meta[0]["n_hashes"], meta[0]["bands"])
+    want = (k, n_hashes, bands)
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path} was built with (k, n_hashes, bands)"
+            f"={got}, caller expects {want} — refuse to mix signature "
+            "families"
+        )
+    return spark.read.parquet(f"{path}/index")
 
 
 def incremental_minhash_dups(
@@ -825,8 +870,12 @@ def incremental_minhash_dups(
         "bh",
         *[F.col(f"h{i}").alias(f"g{i}") for i in range(n_hashes)],
     )
+    # hdoc != doc: a batch doc whose id already exists in the history
+    # (re-ingest / overlapping partitions) must not become its own best
+    # match at est 1.0 — an unchanged doc is not a duplicate of itself.
     cand = (
         new_idx.join(hist, ["band", "bh"])
+        .filter(F.col("hdoc") != F.col("doc"))
         .select(
             "doc",
             "hdoc",

@@ -1672,10 +1672,22 @@ def save_ivfpq_index(spark, index, path: str) -> None:
 
 def load_ivfpq_index(spark, path: str):
     """Reload a persisted IVF-PQ index into the (centroids, books)
-    numpy pair every ``ivfpq_*`` entry point accepts."""
+    numpy pair every ``ivfpq_*`` entry point accepts.
+
+    A truncated or partially-written artifact raises here rather than
+    silently yielding np.empty garbage in unfilled codebook cells (and
+    therefore wrong ADC distances): the centroid cells must be exactly
+    0..n-1 and the codebook must cover every (subspace, code) cell
+    exactly once."""
     import numpy as np
 
     crows = spark.read.parquet(f"{path}/centroids").collect()
+    cells = sorted(r["cell"] for r in crows)
+    if cells != list(range(len(cells))):
+        raise ValueError(
+            f"corrupt IVF-PQ index at {path}: centroid cells are not "
+            f"contiguous 0..{len(cells) - 1} (got {cells[:5]}...)"
+        )
     cents = np.array(
         [r["v"] for r in sorted(crows, key=lambda r: r["cell"])],
         dtype=np.float64,
@@ -1683,6 +1695,13 @@ def load_ivfpq_index(spark, path: str):
     brows = spark.read.parquet(f"{path}/codebooks").collect()
     m = 1 + max(r["s"] for r in brows)
     kc = 1 + max(r["c"] for r in brows)
+    seen = {(r["s"], r["c"]) for r in brows}
+    if len(brows) != m * kc or len(seen) != m * kc:
+        raise ValueError(
+            f"corrupt IVF-PQ index at {path}: codebook covers "
+            f"{len(seen)}/{m * kc} (subspace, code) cells "
+            f"({len(brows)} rows) — refuse a partial artifact"
+        )
     sub = len(brows[0]["v"])
     books = np.empty((m, kc, sub), dtype=np.float64)
     for r in brows:

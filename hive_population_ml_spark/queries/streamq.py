@@ -164,6 +164,8 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     — exactly what the shadow oracle (cdc_latest_state's independent
     row_number formulation) states, hash-checking the stateful
     streaming write path itself."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming.pipeline import (
@@ -172,7 +174,11 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_raw_stream,
     )
 
+    # Scratch (compacted log + streaming checkpoint) is read LAZILY by
+    # the returned DataFrame, so it can't be removed here; reclaim it at
+    # process exit instead of accumulating across driver/bench rounds.
     scratch = tempfile.mkdtemp(prefix="cdc_stream_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     log = cdc_upsert_stream(
         events_raw_stream(spark, sf_dir),
         out_path=f"{scratch}/log",

@@ -21,7 +21,9 @@ partial aggregates per (key, window) — no raw rows in state.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +40,7 @@ def _as_stream_dir(path: str) -> str:
     if os.path.isdir(path):
         return path
     d = tempfile.mkdtemp(prefix="stream_src_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     os.symlink(path, os.path.join(d, os.path.basename(path)))
     return d
 

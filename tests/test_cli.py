@@ -353,6 +353,20 @@ def test_cli_ann_index_save_load_bit_identical(spark, sf_dir, tmp_path):
     assert np.array_equal(np.asarray(index[0]), cents2)
     assert np.array_equal(np.asarray(index[1]), books2)
 
+    # a truncated codebook artifact must raise, never np.empty garbage
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    books_df = spark.read.parquet(str(tmp_path / "idx0" / "codebooks"))
+    books_df.filter(~((F2.col("s") == 0) & (F2.col("c") == 0))).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "idx_bad" / "codebooks"))
+    spark.read.parquet(str(tmp_path / "idx0" / "centroids")).write.parquet(
+        str(tmp_path / "idx_bad" / "centroids")
+    )
+    with _pytest.raises(ValueError, match="corrupt IVF-PQ"):
+        load_ivfpq_index(spark, str(tmp_path / "idx_bad"))
+
     out1 = main(
         [
             "ann",

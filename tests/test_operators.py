@@ -2558,6 +2558,81 @@ def test_incremental_minhash_semantics(spark):
         incremental_minhash_dups(hist, new, "doc_id", "text", n_hashes=16)
 
 
+def test_incremental_minhash_excludes_self_matches(spark):
+    """A batch doc whose id ALREADY sits in the history (re-ingest /
+    overlapping partitions) must not become its own best match at
+    est 1.0 — but a genuine other-doc duplicate is still found."""
+    from hive_population_ml_spark.operators.dedup import (
+        incremental_minhash_dups,
+        minhash_band_index,
+    )
+
+    hist_docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    hist = minhash_band_index(hist_docs, "doc_id", "text")
+    # re-ingest doc 2 unchanged, and doc 1 unchanged under a doc that
+    # duplicates it (id 1 re-ingested AND id 7 duplicating doc 1)
+    new = spark.createDataFrame(
+        [
+            (2, "one two three four five six seven eight nine"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (7, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dups(hist, new, "doc_id", "text").collect()
+    }
+    # unchanged re-ingests: no OTHER doc matches them -> not dups
+    assert got[2]["best_match_id"] is None and got[2]["is_dup"] == 0
+    # doc 1's re-ingest still matches nothing but itself... except doc 1
+    # also has zero other history matches here, so it must be clean too
+    assert got[1]["best_match_id"] is None and got[1]["is_dup"] == 0
+    # while a genuinely new duplicate of doc 1 is still flagged
+    assert got[7]["best_match_id"] == 1 and got[7]["is_dup"] == 1
+
+
+def test_minhash_index_family_metadata(spark, tmp_path):
+    """Index persistence carries the (k, n_hashes, bands) signature
+    family: a round-trip load reproduces the rows, a mismatched caller
+    raises, and an indivisible banding is refused at build time."""
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators.dedup import (
+        load_minhash_index,
+        minhash_band_index,
+        save_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        minhash_band_index(docs, "doc_id", "text", n_hashes=32, bands=5)
+
+    idx = minhash_band_index(docs, "doc_id", "text", k=3, n_hashes=32, bands=8)
+    path = str(tmp_path / "mh_index")
+    save_minhash_index(idx, path, k=3, bands=8)
+    back = load_minhash_index(spark, path, k=3, n_hashes=32, bands=8)
+    want = {tuple(r) for r in idx.select("doc", "band", "bh").collect()}
+    got = {tuple(r) for r in back.select("doc", "band", "bh").collect()}
+    assert got == want
+    for bad in (
+        dict(k=5, n_hashes=32, bands=8),
+        dict(k=3, n_hashes=64, bands=8),
+        dict(k=3, n_hashes=32, bands=4),
+    ):
+        with _pytest.raises(ValueError, match="signature famil"):
+            load_minhash_index(spark, path, **bad)
+
+
 def test_incremental_minhash_agrees_with_exact_ngram(spark, sf_oracle_dir):
     """On the real corpus split, the signature-estimated flags must
     recover most of the exact incremental-ngram dups (LSH recall) and
