@@ -617,10 +617,14 @@ def remove_repeated_spans(
     occurrence->dup-span join re-keys on the same hash (AQE reuses the
     partitioning), survivors fan to covered positions map-side, and
     shuffle #2 collects each doc's removed-position SET — proportional
-    to text actually removed. Reconstruction is a pure MAP: a lambda
-    ``filter`` over the already-held token array against the position
-    set (no re-sort, no per-token shuffle) — the doc-keyed join of
-    tokens vs removal sets is the only other exchange.
+    to text actually removed. Reconstruction is a pure MAP, linear per
+    document: ``array_except(sequence(0, n-1), removed)`` hashes the
+    removed set ONCE and scans the position range (O(n_tokens +
+    |removed|)), then a ``transform`` gathers the surviving tokens —
+    NOT a per-token ``array_contains`` probe, which is
+    O(n_tokens x |removed|) and quadratic in doc length for a fully
+    duplicated document (VERDICT r7 #5). The doc-keyed join of tokens
+    vs removal sets is the only other exchange.
     """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
     occ = _positional_shingles(toks, id_col, "__t", k)
@@ -649,11 +653,11 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_set("__rp").alias("__rm"))
     )
-    kept = F.filter(
-        F.col("__t"),
-        lambda tok, i: F.coalesce(
-            ~F.array_contains(F.col("__rm"), i), F.lit(True)
-        ),
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__t") - F.lit(1)), F.col("__rm")
+    )
+    kept = F.when(F.col("__rm").isNull(), F.col("__t")).otherwise(
+        F.transform(kept_pos, lambda p: F.element_at(F.col("__t"), p + F.lit(1)))
     )
     return toks.join(rm_pos, id_col, "left").select(
         id_col,

@@ -1430,6 +1430,33 @@ def test_dup_spans_finds_crafted_boilerplate(spark):
     assert all(n_docs >= 3 for n_docs, _ in got.values())
 
 
+def test_semantic_dedup_auto_cell_count(spark, sf_dir):
+    """VERDICT r7 #4: the default cell count derives from the corpus
+    row count (k ~ sqrt(n), capped) so within-cell GEMM cost stays
+    ~n^1.5 as the corpus grows — a fixed k silently degrades to
+    n^2/const. Closed-form points, the trained-quantizer size, and the
+    assignment invariant on the auto path."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        auto_n_cells,
+        semantic_dedup,
+    )
+    from hive_population_ml_spark.queries.similarity import _trained_centroids
+
+    assert auto_n_cells(0) == 4
+    assert auto_n_cells(500) == 23          # ceil(sqrt(500))
+    assert auto_n_cells(5000) == 71         # ceil(sqrt(5000))
+    assert auto_n_cells(10**12) == 65536    # cap: assignment is O(k*d)/row
+
+    emb = Tables(spark, sf_dir).embeddings
+    n = emb.count()
+    cents = _trained_centroids(spark, emb, str(sf_dir), k=None)
+    assert cents.count() == auto_n_cells(n)
+    # end-to-end on the auto path: every vector labeled exactly once
+    rows = semantic_dedup(emb, threshold=0.35, centroids=cents).collect()
+    assert len(rows) == n and len({r["vec_id"] for r in rows}) == n
+
+
 def test_semantic_dedup_centroid_far_keeper(spark, sf_dir):
     """The SemDeDup-paper keeper policy: one canonical per cluster, and
     it is the member with the LOWEST cosine to its cell centroid
