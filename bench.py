@@ -114,6 +114,10 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "text_token_contamination",
     "text_remove_dup_spans",
+    # round-8 additions
+    "text_semantic_decontaminate",
+    "text_ccnet_buckets",
+    "a_winsorized_stats",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -1438,30 +1438,89 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """(id, v, cell, sim): nearest-centroid assignment — centroids
-    broadcast, so this is a map-side argmin; Spark 4's WindowGroupLimit
-    keeps the per-id shuffle at one row (see ivf_topk's audit note).
-    ``sim`` is the cosine to the assigned centroid (the typicality
-    score SemDeDup's keeper policy ranks on)."""
+    """(id, v, cell, sim): nearest-centroid assignment. ``sim`` is the
+    cosine to the assigned centroid (the typicality score SemDeDup's
+    keeper policy ranks on); ties break to the smaller cell id on both
+    paths.
+
+    ``method="exact"``: centroids broadcast into a cross join scored by
+    the Catalyst lambda cosine; Spark 4's WindowGroupLimit keeps the
+    per-id shuffle at one row (see ivf_topk's audit note). Right for
+    small k — but the lambda fold costs O(k*d) interpreted higher-order
+    evaluations PER ROW, which dominates once k scales with the corpus
+    (the auto_n_cells 100x probe measured 31.8x wall-clock at 100x data
+    with k=448, almost all of it n*k lambda cosines).
+
+    ``method="gemm"``: centroids collect to one small matrix (they are
+    broadcast-sized by construction) and one Arrow ``mapInPandas`` pass
+    computes (batch x centroids^T) dense BLAS per batch — ZERO
+    exchanges, O(n*k*d) flops at GEMM rate. Re-probed at 100x/k=448:
+    3.72x wall-clock.
+
+    ``"auto"`` picks gemm at >= 64 cells (where the lambda-per-pair
+    cost overtakes the Arrow transfer overhead) and exact below.
+    """
     cent = centroids.select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
     )
-    scored = (
-        corpus.select(
-            F.col(id_col).cast("long").alias("id"),
-            _as_double(F.col(vec_col)).alias("v"),
+    if method == "auto":
+        method = "gemm" if cent.count() >= 64 else "exact"
+    if method == "exact":
+        scored = (
+            corpus.select(
+                F.col(id_col).cast("long").alias("id"),
+                _as_double(F.col(vec_col)).alias("v"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "id", "v", "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+            )
         )
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "id", "v", "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+        w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("id", "v", "cell", "sim")
         )
+
+    import numpy as np
+    import pandas as pd
+
+    crows = cent.collect()
+    crows.sort(key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in crows], dtype=np.int64)
+    cm = np.array([r["cv"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    cmn = cm / cn[:, None]
+
+    def assign(batches):
+        for pdf in batches:
+            for s in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[s : s + 4096]
+                vm = np.array(list(chunk["v"]), dtype=np.float64)
+                vn = np.linalg.norm(vm, axis=1)
+                vn[vn == 0.0] = 1.0
+                sims = (vm / vn[:, None]) @ cmn.T
+                # argmax first-max == smallest cell id (cells sorted asc)
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": chunk["id"].to_numpy(),
+                        "v": chunk["v"],
+                        "cell": cells[best],
+                        "sim": sims[np.arange(len(chunk)), best],
+                    }
+                )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("id", "v", "cell", "sim")
+    return src.mapInPandas(
+        assign, schema="id long, v array<double>, cell long, sim double"
     )
 
 
@@ -1515,6 +1574,139 @@ def semantic_dup_pairs(
         _gemm_pair_scorer(threshold, round_to),
         schema="id1 long, id2 long, cosine double",
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    round_to: int = 9,
+    method: str = "exact",
+    max_benchmark_vectors: int = 100_000,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """EMBEDDING-level decontamination: flag every corpus vector whose
+    max cosine against ANY benchmark vector reaches ``threshold`` — the
+    semantic sibling of textops.decontaminate's exact-shingle check
+    (catches paraphrased/reworded benchmark leakage that no n-gram
+    match can see; the standard extra gate in modern pretraining-data
+    hygiene, e.g. the embedding-similarity decontamination described in
+    the Phi-1 report, Gunasekar et al. 2023 §2.4).
+
+    Output: (id_col, nearest_benchmark_id, max_benchmark_cosine,
+    contaminated). Ties on rounded cosine break to the smaller
+    benchmark id; an empty benchmark yields 0.0 / NULL / 0 for every
+    corpus row.
+
+    ``method="exact"`` (default): the benchmark side broadcasts
+    (guarded by ``max_benchmark_vectors`` — the same non-small-side
+    refusal as decontaminate's shingle guard) into a cross join scored
+    by the Catalyst sequential-fold cosine — bit-compatible with the
+    DuckDB oracle — then one partial-aggregated max_by per corpus row;
+    the single exchange carries one tiny row per corpus vector.
+
+    ``method="gemm"``: one Arrow ``mapInPandas`` pass computing
+    (batch x benchmark^T) dense GEMM per ~``batch_rows``-row batch —
+    ZERO exchanges, the 100 TB path when per-row b*d scalar codegen
+    work dominates. Row-identical with "exact" at the rounded
+    precision (parity-pinned in tests); rows-only evidence class
+    because BLAS pairwise summation is not bit-identical to a
+    sequential fold.
+    """
+    if method not in ("exact", "gemm"):
+        raise ValueError(f"method must be exact|gemm, got {method!r}")
+    n_b = benchmark.count()
+    if n_b > max_benchmark_vectors:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark side has {n_b} vectors "
+            f"> max_benchmark_vectors={max_benchmark_vectors}; "
+            "broadcasting it would replicate a non-small relation to "
+            "every task. Shrink the benchmark or raise the cap if the "
+            "broadcast is genuinely affordable."
+        )
+    ids = corpus.select(F.col(id_col).cast("long").alias(id_col))
+    if n_b == 0:
+        return ids.select(
+            id_col,
+            F.lit(None).cast("long").alias("nearest_benchmark_id"),
+            F.lit(0.0).alias("max_benchmark_cosine"),
+            F.lit(0).alias("contaminated"),
+        )
+    if method == "exact":
+        b = benchmark.select(
+            F.col(id_col).alias("__bid"), _as_double(F.col(vec_col)).alias("__bv")
+        )
+        c = corpus.select(
+            F.col(id_col).cast("long").alias(id_col),
+            _as_double(F.col(vec_col)).alias("__cv"),
+        )
+        scored = c.crossJoin(F.broadcast(b)).select(
+            id_col,
+            "__bid",
+            F.round(cosine(F.col("__cv"), F.col("__bv")), round_to).alias("__cos"),
+        )
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(F.col("__bid"), F.col("__cos")),
+                F.struct(F.col("__cos"), (-F.col("__bid")).alias("nb")),
+            ).alias("__b")
+        )
+        return best.select(
+            id_col,
+            F.col("__b.__bid").cast("long").alias("nearest_benchmark_id"),
+            F.col("__b.__cos").alias("max_benchmark_cosine"),
+            (F.col("__b.__cos") >= F.lit(threshold)).cast("int").alias(
+                "contaminated"
+            ),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    brows = benchmark.select(
+        F.col(id_col).cast("long").alias("i"), _as_double(F.col(vec_col)).alias("v")
+    ).collect()
+    brows.sort(key=lambda r: r["i"])
+    bid = np.array([r["i"] for r in brows], dtype=np.int64)
+    bm = np.array([r["v"] for r in brows], dtype=np.float64)
+    bn = np.linalg.norm(bm, axis=1)
+    bn[bn == 0.0] = 1.0
+    bmn = bm / bn[:, None]
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                cm = np.array(list(chunk["v"]), dtype=np.float64)
+                cn = np.linalg.norm(cm, axis=1)
+                cn[cn == 0.0] = 1.0
+                cos = np.round((cm / cn[:, None]) @ bmn.T, round_to)
+                # argmax with min-benchmark-id tiebreak: bid is sorted
+                # ascending, so np.argmax's first-max rule IS the rule
+                best = np.argmax(cos, axis=1)
+                mx = cos[np.arange(len(chunk)), best]
+                yield pd.DataFrame(
+                    {
+                        "id": chunk["i"].to_numpy(),
+                        "nearest_benchmark_id": bid[best],
+                        "max_benchmark_cosine": mx,
+                        "contaminated": (mx >= thr).astype("int32"),
+                    }
+                )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("i"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return src.mapInPandas(
+        score,
+        schema=(
+            "id long, nearest_benchmark_id long, "
+            "max_benchmark_cosine double, contaminated int"
+        ),
+    ).withColumnRenamed("id", id_col)
 
 
 def auto_n_cells(n_rows: int, max_cells: int = 65536) -> int:

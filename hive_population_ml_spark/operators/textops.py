@@ -221,6 +221,48 @@ def unigram_logprob_score(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    split the corpus into head / middle / tail THIRDS by LM score —
+    head = best (lowest avg NLL under the corpus unigram LM, the same
+    proxy unigram_logprob_score registers) — the standard coarse
+    quality gate before sampling (keep head+middle, drop or
+    down-weight tail).
+
+    Assignment is THRESHOLD-based, exactly as CCNet computes it: the
+    two tercile cutpoints come from one tiny percentile aggregation
+    (a 1-row table, broadcast), and every document labels itself
+    map-side by comparison — NOT a global ntile window, which would
+    funnel the whole corpus through a single-partition sort at 100 TB.
+    Boundary docs (avg_nll == cut) go to the better bucket in both
+    engines, so the label is exact and hash-checkable.
+
+    Output: (id_col, n_tokens, avg_nll, bucket in head|middle|tail).
+    """
+    # scored feeds BOTH the cutpoint agg and the final label pass;
+    # without materialization each consumer re-runs the tokenize +
+    # vocab-join chain (the tfidf_keywords lesson: pruned subtrees
+    # defeat exchange reuse). Three narrow columns per doc.
+    scored = unigram_logprob_score(docs, id_col, text_col).localCheckpoint()
+    cuts = scored.agg(
+        F.percentile(F.col("avg_nll"), F.lit(1.0 / 3)).alias("c1"),
+        F.percentile(F.col("avg_nll"), F.lit(2.0 / 3)).alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tokens",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def bigram_logprob_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1146,3 +1146,47 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (pair, corr)"
     ).select("pair", F.round("corr", 6).alias("corr"))
+
+
+@register(
+    "a_winsorized_stats",
+    shadow_oracle="""
+WITH s AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(least(greatest(e.value, lo), hi)), 4) AS w_mean,
+       round(stddev_samp(least(greatest(e.value, lo), hi)), 4) AS w_std,
+       round(min(lo), 6) AS lo,
+       round(min(hi), 6) AS hi
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group stats (round-8 addition): clamp values to
+    the [p05, p95] band before mean/std — the outlier-robust companion
+    to a_outlier_iqr (which only counts the tails). One exact-percentile
+    agg builds the L-row band table (L = event types, broadcast); the
+    clamp is map-side; one partial-aggregated pass computes the stats —
+    two tiny exchanges regardless of corpus size."""
+    t = Tables(spark, sf_dir)
+    bands = t.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        t.events.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(w), 4).alias("w_mean"),
+            F.round(F.stddev_samp(w), 4).alias("w_std"),
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.round(F.min("hi"), 6).alias("hi"),
+        )
+    )

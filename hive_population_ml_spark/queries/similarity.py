@@ -354,3 +354,47 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PCA_MODELS[key] = model
     return projected
+
+
+@register(
+    "text_semantic_decontaminate",
+    shadow_oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 17 = 0),
+c AS (SELECT vec_id, v FROM e WHERE vec_id % 17 <> 0),
+scored AS (
+    SELECT c.vec_id, b.bid,
+           round(list_inner_product(c.v, b.bv)
+                 / NULLIF(sqrt(list_inner_product(c.v, c.v))
+                          * sqrt(list_inner_product(b.bv, b.bv)), 0), 9) AS cos
+    FROM c, b),
+best AS (
+    SELECT vec_id, bid, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, bid ASC) AS rn
+    FROM scored)
+SELECT vec_id,
+       CAST(bid AS BIGINT) AS nearest_benchmark_id,
+       cos AS max_benchmark_cosine,
+       CAST(cos >= 0.30 AS INT) AS contaminated
+FROM best WHERE rn = 1
+""",
+)
+def text_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-level decontamination (round-8 addition): flag every
+    training vector whose max cosine against the benchmark holdout
+    (vec_id % 17, the split every decontamination query shares)
+    reaches 0.30 — catches paraphrased benchmark leakage that the
+    exact-shingle and token-position checks cannot see (the
+    embedding-similarity gate of Phi-1, Gunasekar et al. 2023 §2.4).
+    Exact Catalyst path here (hash-checkable vs DuckDB); the GEMM
+    mapInPandas scale path is parity-pinned in tests."""
+    from ..operators.similarity import semantic_decontaminate
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    return semantic_decontaminate(
+        corpus, bench, "vec_id", "embedding", threshold=0.30
+    )

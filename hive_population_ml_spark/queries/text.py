@@ -949,3 +949,39 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab x sources expansion, and ln mirrored in SQL)."""
     t = Tables(spark, sf_dir)
     return textops.source_kl_divergence(t.documents, "source", "text")
+
+
+@register(
+    "text_ccnet_buckets",
+    shadow_oracle="""
+WITH tok AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t
+    FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq),
+scored AS (
+    SELECT doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c / n_total)), 6) AS avg_nll
+    FROM tok JOIN freq USING (t), tot
+    GROUP BY doc),
+cuts AS (
+    SELECT quantile_cont(avg_nll, 1.0/3) AS c1,
+           quantile_cont(avg_nll, 2.0/3) AS c2
+    FROM scored)
+SELECT doc_id, n_tokens, avg_nll,
+       CASE WHEN avg_nll <= c1 THEN 'head'
+            WHEN avg_nll <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts
+""",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (round-8 addition;
+    Wenzek et al. 2020 §4.3) under the corpus unigram LM — the coarse
+    quality gate before sampling. Tercile CUTPOINTS come from one 1-row
+    percentile agg (broadcast); each doc labels itself map-side — never
+    a global ntile window, which would single-partition-sort the corpus
+    at 100 TB. Fully differential incl. the interpolated cuts."""
+    t = Tables(spark, sf_dir)
+    return textops.ccnet_buckets(t.documents)

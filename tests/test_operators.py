@@ -2799,3 +2799,131 @@ def test_remove_repeated_spans_self_repetition(spark):
     r = remove_repeated_spans(docs, k=5, min_occurrences=2).collect()[0]
     assert r["clean_text"] == "a b c d e"
     assert (r["n_tokens"], r["n_removed"]) == (10, 5)
+
+
+def test_semantic_decontaminate_paths_and_guards(spark, sf_oracle_dir):
+    """Round-8 embedding-level decontamination: the GEMM mapInPandas
+    scale path is row-identical with the exact Catalyst path at the
+    rounded precision; empty benchmark yields clean rows; an oversized
+    benchmark and an unknown method raise."""
+    from pyspark.sql import functions as F2
+
+    from hive_population_ml_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle_dir}/embeddings.parquet")
+    bench = emb.filter(F2.col("vec_id") % 17 == 0)
+    corp = emb.filter(F2.col("vec_id") % 17 != 0)
+    exact = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_decontaminate(
+            corp, bench, threshold=0.30, round_to=6
+        ).collect()
+    }
+    gemm = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_decontaminate(
+            corp, bench, threshold=0.30, round_to=6, method="gemm"
+        ).collect()
+    }
+    assert exact == gemm
+    flags = {t[3] for t in exact.values()}
+    assert flags == {0, 1}, "degenerate contaminated column"
+
+    clean = semantic_decontaminate(
+        corp, bench.filter(F2.lit(False)), threshold=0.30
+    ).collect()
+    assert len(clean) == corp.count()
+    assert all(
+        r["nearest_benchmark_id"] is None
+        and r["max_benchmark_cosine"] == 0.0
+        and r["contaminated"] == 0
+        for r in clean
+    )
+    with pytest.raises(ValueError, match="max_benchmark_vectors"):
+        semantic_decontaminate(corp, bench, max_benchmark_vectors=5)
+    with pytest.raises(ValueError, match="method"):
+        semantic_decontaminate(corp, bench, method="nope")
+
+
+def test_ccnet_buckets_semantics(spark):
+    """Tercile thresholds split 9 distinct-NLL docs exactly 3/3/3, the
+    all-common-token docs land in head, and bucket NLL ranges are
+    ordered head < middle < tail."""
+    from hive_population_ml_spark.operators.textops import ccnet_buckets
+
+    rows = []
+    # 3 docs of only very common tokens, 3 mixed, 3 of rare tokens;
+    # fillers make frequencies distinct so avg_nll is distinct per doc
+    for i in range(3):
+        rows.append((i, "the the the the the " + "the " * i))
+    for i in range(3, 6):
+        rows.append((i, "the quick brown fox " + f"mid{i} " * (i - 2)))
+    for i in range(6, 9):
+        rows.append((i, f"zz{i}a zz{i}b zz{i}c zz{i}d zz{i}e"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert len(out) == 9
+    counts = {"head": 0, "middle": 0, "tail": 0}
+    for r in out.values():
+        counts[r["bucket"]] += 1
+    assert counts == {"head": 3, "middle": 3, "tail": 3}
+    assert {out[i]["bucket"] for i in range(3)} == {"head"}
+    assert {out[i]["bucket"] for i in range(6, 9)} == {"tail"}
+    hi_head = max(out[i]["avg_nll"] for i in range(9) if out[i]["bucket"] == "head")
+    lo_tail = min(out[i]["avg_nll"] for i in range(9) if out[i]["bucket"] == "tail")
+    mids = [out[i]["avg_nll"] for i in range(9) if out[i]["bucket"] == "middle"]
+    assert all(hi_head < m < lo_tail for m in mids)
+
+
+def test_winsorized_stats_robustness(spark, sf_oracle_dir):
+    """Winsorized std never exceeds the raw std (clamping is a
+    contraction), the mean stays inside the band, and every group
+    keeps its full row count."""
+    from pyspark.sql import functions as F2
+
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["a_winsorized_stats"](spark, sf_oracle_dir).collect()
+    }
+    raw = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{sf_oracle_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F2.count("*").alias("n"), F2.stddev_samp("value").alias("s"))
+        .collect()
+    }
+    assert set(out) == set(raw) and len(out) > 0
+    for et, r in out.items():
+        assert r["n"] == raw[et]["n"]
+        assert r["w_std"] <= raw[et]["s"] + 1e-9
+        assert r["lo"] - 1e-9 <= r["w_mean"] <= r["hi"] + 1e-9
+
+
+def test_assign_cells_gemm_parity(spark, sf_oracle_dir):
+    """The BLAS assignment path (auto-selected at >= 64 cells, where
+    per-pair lambda cosines dominate) must assign every vector to the
+    SAME cell as the exact Catalyst path, with sims equal to float
+    noise."""
+    from hive_population_ml_spark.operators.similarity import (
+        assign_cells,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, k=23, max_iter=5)
+    exact = {
+        r["id"]: r for r in assign_cells(emb, cents, method="exact").collect()
+    }
+    gemm = {
+        r["id"]: r for r in assign_cells(emb, cents, method="gemm").collect()
+    }
+    assert set(exact) == set(gemm)
+    for i, e in exact.items():
+        assert gemm[i]["cell"] == e["cell"], i
+        assert abs(gemm[i]["sim"] - e["sim"]) < 1e-9, i
+        assert list(gemm[i]["v"]) == list(e["v"])

@@ -206,6 +206,13 @@ EXCHANGE_BUDGETS = {
     "m_calibration": 4,
     "w5_sequence_digest": 1,
     "w_sessionize": 1,
+    # round-8 additions: semantic decontaminate = broadcast cross join
+    # + one partial-aggregated max_by exchange (+1 AQE read); ccnet =
+    # checkpointed score table -> cut agg + broadcast label pass;
+    # winsorize = band agg + broadcast join + stats agg
+    "text_semantic_decontaminate": 2,
+    "text_ccnet_buckets": 2,
+    "a_winsorized_stats": 3,
 }
 
 

@@ -106,6 +106,10 @@ SHADOW_NAMES = [
     "a_unpivot_user_stats",
     "dedup_incremental_ngram",
     "text_heavy_hitters_lang",
+    # round-8 additions, shadow-first (window full)
+    "text_semantic_decontaminate",
+    "text_ccnet_buckets",
+    "a_winsorized_stats",
 ]
 
 

@@ -47,10 +47,16 @@ TABLES = [
 KEY_SHIFT = 100_000_000
 
 
-def replicate_dir(spark, src: str, mult: int) -> str:
+def replicate_dir(spark, src: str, mult: int, only: set[str] | None = None) -> str:
     """Materialize a mult-x distinct-content copy of the tables the
-    probed queries read; symlink everything else."""
+    probed queries read; symlink everything else. ``only`` restricts
+    replication to the named tables (the rest symlink at 1x) — at
+    mult=100 replicating events/lineitem for a documents-only probe
+    costs minutes of write time and GBs of scratch for nothing."""
     out = tempfile.mkdtemp(prefix=f"scale{mult}_")
+
+    def wanted(t: str) -> bool:
+        return only is None or t in only
 
     def rep(df, shifts: dict[str, object], extra=None):
         parts = []
@@ -71,16 +77,20 @@ def replicate_dir(spark, src: str, mult: int) -> str:
 
     # orders+lineitem+customer shift together so per-key cardinality and
     # join fan-out stay distribution-identical at every scale.
-    rep(read("customer"), {"c_custkey": "key"}).write.mode("overwrite").parquet(
-        f"{out}/customer.parquet"
-    )
-    rep(
-        read("orders"), {"o_orderkey": "key", "o_custkey": "key"}
-    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
-    rep(read("lineitem"), {"l_orderkey": "key"}).write.mode("overwrite").parquet(
-        f"{out}/lineitem.parquet"
-    )
-    rep(
+    done = set()
+    if wanted("customer") or wanted("orders") or wanted("lineitem"):
+        rep(read("customer"), {"c_custkey": "key"}).write.mode("overwrite").parquet(
+            f"{out}/customer.parquet"
+        )
+        rep(
+            read("orders"), {"o_orderkey": "key", "o_custkey": "key"}
+        ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+        rep(read("lineitem"), {"l_orderkey": "key"}).write.mode("overwrite").parquet(
+            f"{out}/lineitem.parquet"
+        )
+        done |= {"customer", "orders", "lineitem"}
+    if wanted("documents"):
+      rep(
         read("documents"),
         {"doc_id": "key"},
         # distinct content per replica: suffixing EVERY token makes the
@@ -101,8 +111,10 @@ def replicate_dir(spark, src: str, mult: int) -> str:
                 " ",
             ),
         ),
-    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    rep(
+      ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+      done.add("documents")
+    if wanted("embeddings"):
+      rep(
         read("embeddings"),
         {"vec_id": "key"},
         # rotate + per-replica seeded sign flips: genuinely different
@@ -131,16 +143,18 @@ def replicate_dir(spark, src: str, mult: int) -> str:
                 ),
             ),
         ),
-    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+      ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+      done.add("embeddings")
 
     # events: shift BOTH ids so per-user cardinality stays
     # distribution-identical (10x users, same events/user); timestamps
     # stay in range so windows/sessions/watermarks see the same shape.
-    rep(
-        read("events"), {"event_id": "key", "user_id": "key"}
-    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    if wanted("events"):
+        rep(
+            read("events"), {"event_id": "key", "user_id": "key"}
+        ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+        done.add("events")
 
-    done = {"customer", "orders", "lineitem", "documents", "embeddings", "events"}
     for t in TABLES:
         if t not in done:
             os.symlink(
@@ -180,8 +194,14 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list: replicate only these tables (rest symlink at 1x)",
+    )
     args = ap.parse_args()
     names = args.queries.split(",")
+    only = set(args.tables.split(",")) if args.tables else None
 
     from hive_population_ml_spark.queries import QUERIES, load_all
     from hive_population_ml_spark.session import get_spark
@@ -191,7 +211,7 @@ def main() -> None:
     spark = get_spark("hpml-scale-probe", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    big_dir = replicate_dir(spark, args.sf_dir, args.mult)
+    big_dir = replicate_dir(spark, args.sf_dir, args.mult, only=only)
     try:
         # warmup at sf0.001 (codegen/Arrow init)
         for n in names:
