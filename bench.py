@@ -118,6 +118,7 @@ HEADLINE = [
     "text_semantic_decontaminate",
     "text_ccnet_buckets",
     "a_winsorized_stats",
+    "dedup_cluster_keeper_quality",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -187,3 +187,39 @@ def dedup_cluster_assignment(
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+def keeper_by_score(
+    assign: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Score-ranked dedup keeper (the FineWeb/RefinedWeb policy): per
+    cluster keep the member with the HIGHEST score (ties -> min id) —
+    dedup should discard the WORSE copy, which the arbitrary min-id
+    canonical cannot promise. ``assign`` is a
+    :func:`dedup_cluster_assignment` labeling; ``scores`` is
+    (id, score).
+
+    Output: (id_col, cluster_col, score_col, is_kept). Exactly ONE
+    cluster-keyed exchange beyond the inputs: an unordered window max
+    of the (score, -id, id) struct — no agg-plus-join-back, which
+    would cost two more exchanges and consume the closure twice.
+    """
+    from pyspark.sql import Window
+
+    scored = assign.join(scores, id_col).select(
+        id_col, cluster_col, score_col
+    )
+    best = F.max(
+        F.struct(
+            F.col(score_col),
+            (-F.col(id_col)).alias("nd"),
+            F.col(id_col).alias("d"),
+        )
+    ).over(Window.partitionBy(cluster_col))
+    return scored.withColumn(
+        "is_kept", (F.col(id_col) == best["d"]).cast("int")
+    )

@@ -617,3 +617,86 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     newb = t.documents.filter(F.col("doc_id") % 5 == 0)
     return incremental_minhash_dups(hist, newb, "doc_id", "text")
+
+
+@register(
+    "dedup_cluster_keeper_quality",
+    shadow_oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT s FROM sh GROUP BY s
+    HAVING count(*) <= ceil(0.1 * (SELECT count(*) FROM documents))
+),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d1, d2
+    FROM inter
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
+),
+verts AS (SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+          UNION SELECT d2 AS u, d1 AS v FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.v AS id, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+lab AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+q AS (
+    SELECT doc_id,
+           round(least(len(t) / 50.0, 1.0)
+                 * (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                                * 1.0 / NULLIF(length(text), 0) * 5.0, 1.0)), 6) AS quality
+    FROM toks
+),
+ranked AS (
+    SELECT l.doc_id, l.cluster_id, q.quality,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+    FROM lab l JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality, CAST(rn = 1 AS INT) AS is_kept
+FROM ranked
+""",
+)
+def dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup keeper (round-8 addition): the production
+    policy — per near-dup cluster keep the HIGHEST-quality member
+    (heuristic quality score; ties -> min doc id), not the arbitrary
+    min-id canonical (the FineWeb/RefinedWeb recipe: dedup should
+    discard the worse copy, e.g. the one truncated or boilerplate-
+    padded). Same exact n-gram-Jaccard pair graph and alternating-star
+    closure as dedup_cluster_ngram — fully differential incl. the
+    recursive-CTE closure, the quality formula, and the keeper rank.
+    Scale shape: closure as audited; keeper_by_score adds exactly ONE
+    cluster-keyed window-max exchange (see its docstring)."""
+    from ..operators.components import dedup_cluster_assignment, keeper_by_score
+    from ..operators.textops import quality_score
+
+    t = Tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    )
+    assign = dedup_cluster_assignment(
+        t.documents, pairs, id_col="doc_id", src="d1", dst="d2"
+    )
+    q = t.documents.select("doc_id", quality_score("text").alias("quality"))
+    return keeper_by_score(assign, q, "doc_id", "quality")

@@ -2927,3 +2927,32 @@ def test_assign_cells_gemm_parity(spark, sf_oracle_dir):
         assert gemm[i]["cell"] == e["cell"], i
         assert abs(gemm[i]["sim"] - e["sim"]) < 1e-9, i
         assert list(gemm[i]["v"]) == list(e["v"])
+
+
+def test_keeper_by_score_policy(spark):
+    """The quality keeper keeps the HIGHEST-score member per cluster
+    (ties -> min id), never blindly the min-id canonical; singletons
+    keep themselves."""
+    from hive_population_ml_spark.operators.components import keeper_by_score
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: min-id doc 1 is LOW quality; doc 2 wins
+        # cluster 8: tie between 8 and 9 -> min id 8 wins
+        [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.1), (8, 0.4), (9, 0.4)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["doc_id"]: r for r in keeper_by_score(assign, scores).collect()
+    }
+    assert len(got) == 6
+    kept = {d for d, r in got.items() if r["is_kept"] == 1}
+    assert kept == {2, 7, 8}
+    # exactly one keeper per cluster
+    by_cluster: dict = {}
+    for r in got.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r["is_kept"])
+    assert all(sum(v) == 1 for v in by_cluster.values())

@@ -213,6 +213,8 @@ EXCHANGE_BUDGETS = {
     "text_semantic_decontaminate": 2,
     "text_ccnet_buckets": 2,
     "a_winsorized_stats": 3,
+    # closure's 2 + the quality equi-join + ONE window-max exchange
+    "dedup_cluster_keeper_quality": 4,
 }
 
 

@@ -110,6 +110,7 @@ SHADOW_NAMES = [
     "text_semantic_decontaminate",
     "text_ccnet_buckets",
     "a_winsorized_stats",
+    "dedup_cluster_keeper_quality",
 ]
 
 
