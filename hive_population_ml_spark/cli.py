@@ -129,6 +129,21 @@ def _parser() -> argparse.ArgumentParser:
     )
     dedup.add_argument("--threshold", type=float, default=0.3)
     dedup.add_argument("--cpus", type=int, default=8)
+    ing = sub.add_parser(
+        "ingest",
+        help="incremental corpus ingest against a persisted MinHash "
+        "signature index (the 100 TB write path: state is a few "
+        "hundred bytes/doc of signatures, raw text is never re-read): "
+        "flag the batch's near-dups of history, then merge the batch's "
+        "signatures into the index",
+    )
+    ing.add_argument("--data-dir", required=True,
+                     help="the NEW batch (documents table)")
+    ing.add_argument("--index", required=True,
+                     help="signature index dir; created on first run")
+    ing.add_argument("--output-dir", required=True)
+    ing.add_argument("--threshold", type=float, default=0.3)
+    ing.add_argument("--cpus", type=int, default=8)
     ann = sub.add_parser(
         "ann",
         help="similarity search over embeddings: build the chosen index "
@@ -542,6 +557,69 @@ def _write_dedup_outputs(spark, assign, output_dir: str) -> dict:
     return out
 
 
+def cmd_ingest(args) -> dict:
+    """Incremental ingest: first run builds + persists the signature
+    index of the batch; later runs flag the batch's near-dups against
+    the loaded history (signature-estimated Jaccard, no raw-text
+    re-read) and merge the batch's signatures in. The merged index is
+    staged beside the live one and swapped in atomically-enough for a
+    single-writer pipeline (write staging -> replace), because parquet
+    cannot overwrite its own input in place."""
+    import shutil
+
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators.dedup import (
+        incremental_minhash_dups,
+        load_minhash_index,
+        minhash_band_index,
+        save_minhash_index,
+    )
+    from .session import get_spark
+
+    spark = get_spark("hpml-ingest", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = Tables(spark, args.data_dir).documents
+    batch_idx = minhash_band_index(docs, "doc_id", "text")
+    if not os.path.exists(os.path.join(args.index, "_meta")):
+        save_minhash_index(batch_idx, args.index, k=3, bands=8)
+        n = spark.read.parquet(os.path.join(args.index, "index")).select(
+            "doc"
+        ).distinct().count()
+        summary = spark.createDataFrame(
+            [(int(n), 0, int(n))],
+            "n_batch_docs long, n_flagged long, n_indexed_docs long",
+        )
+        write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+        out = summary.collect()[0].asDict()
+        out["index"] = args.index
+        return out
+    hist = load_minhash_index(spark, args.index, k=3, n_hashes=32, bands=8)
+    flags = incremental_minhash_dups(
+        hist, docs, "doc_id", "text", threshold=args.threshold
+    )
+    flags_path = os.path.join(args.output_dir, "flags")
+    flags.write.mode("overwrite").parquet(flags_path)
+    # merge: identical seeds make a re-ingested doc's rows byte-equal,
+    # so the distinct on (doc, band, bh) is an idempotent upsert
+    staging = args.index.rstrip("/") + "_staging"
+    merged = hist.unionByName(batch_idx).dropDuplicates(["doc", "band", "bh"])
+    save_minhash_index(merged, staging, k=3, bands=8)
+    live = spark.read.parquet(os.path.join(staging, "index"))
+    n_indexed = live.select("doc").distinct().count()
+    shutil.rmtree(args.index)
+    shutil.move(staging, args.index)
+    back = spark.read.parquet(flags_path)
+    summary = back.agg(
+        F.count("*").cast("long").alias("n_batch_docs"),
+        F.sum("is_dup").cast("long").alias("n_flagged"),
+    ).withColumn("n_indexed_docs", F.lit(int(n_indexed)).cast("long"))
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    out = summary.collect()[0].asDict()
+    out["flags"] = flags_path
+    out["index"] = args.index
+    return out
+
+
 def cmd_ann(args) -> dict:
     """Similarity search: build the chosen index over ``embeddings`` and
     write per-query top-k neighbors. Trained structures (KMeans
@@ -720,6 +798,8 @@ def main(argv: list[str] | None = None) -> dict:
         return cmd_prep(args)
     if args.command == "dedup":
         return cmd_dedup(args)
+    if args.command == "ingest":
+        return cmd_ingest(args)
     if args.command == "ann":
         return cmd_ann(args)
     if args.command == "tokenize":

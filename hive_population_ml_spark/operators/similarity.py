@@ -1459,14 +1459,15 @@ def assign_cells(
     exchanges, O(n*k*d) flops at GEMM rate. Re-probed at 100x/k=448:
     3.72x wall-clock.
 
-    ``"auto"`` picks gemm at >= 64 cells (where the lambda-per-pair
-    cost overtakes the Arrow transfer overhead) and exact below.
+    ``"auto"`` picks gemm at >= 32 cells (measured crossover: at k=45
+    on 2k vectors the lambda path costs 1.96 s vs 0.53 s GEMM; below
+    ~32 cells the Arrow transfer overhead wins) and exact below.
     """
     cent = centroids.select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
     )
     if method == "auto":
-        method = "gemm" if cent.count() >= 64 else "exact"
+        method = "gemm" if cent.count() >= 32 else "exact"
     if method == "exact":
         scored = (
             corpus.select(

@@ -392,3 +392,51 @@ def test_cli_ann_index_save_load_bit_identical(spark, sf_dir, tmp_path):
     r1 = sorted(tuple(r) for r in spark.read.parquet(out1["neighbors"]).collect())
     r2 = sorted(tuple(r) for r in spark.read.parquet(out2["neighbors"]).collect())
     assert r1 == r2 and len(r1) == out1["n_results"]
+
+
+def test_cli_ingest_incremental_index_lifecycle(spark, sf_dir, tmp_path):
+    """The production write path e2e: first ingest builds + persists
+    the signature index; the second flags near-dups of history and
+    merges its signatures in; re-ingesting the same batch is an
+    idempotent upsert (identical seeds -> byte-equal rows) and never
+    self-flags."""
+    from hive_population_ml_spark.cli import main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    docs.filter("doc_id % 5 != 0").write.parquet(f"{b1}/documents.parquet")
+    docs.filter("doc_id % 5 = 0").write.parquet(f"{b2}/documents.parquet")
+    idx = str(tmp_path / "sig_index")
+
+    out1 = main(
+        ["ingest", "--data-dir", b1, "--index", idx,
+         "--output-dir", str(tmp_path / "o1"), "--cpus", "4"]
+    )
+    n1 = docs.filter("doc_id % 5 != 0").count()
+    assert out1["n_indexed_docs"] == n1 and out1["n_flagged"] == 0
+
+    out2 = main(
+        ["ingest", "--data-dir", b2, "--index", idx,
+         "--output-dir", str(tmp_path / "o2"), "--cpus", "4"]
+    )
+    n2 = docs.filter("doc_id % 5 = 0").count()
+    assert out2["n_batch_docs"] == n2
+    assert out2["n_indexed_docs"] == n1 + n2
+    flags = spark.read.parquet(out2["flags"])
+    assert flags.count() == n2
+    # history ids only — a flag can never point at the batch itself
+    assert flags.filter("best_match_id % 5 = 0").count() == 0
+
+    out3 = main(
+        ["ingest", "--data-dir", b2, "--index", idx,
+         "--output-dir", str(tmp_path / "o3"), "--cpus", "4"]
+    )
+    # idempotent merge: same doc set, same distinct signature rows
+    assert out3["n_indexed_docs"] == n1 + n2
+    flags3 = {
+        r["doc_id"]: r for r in spark.read.parquet(out3["flags"]).collect()
+    }
+    # re-ingested docs never match THEMSELVES (est 1.0 self-loop)
+    for d, r in flags3.items():
+        assert r["best_match_id"] != d
