@@ -1636,17 +1636,26 @@ def semantic_decontaminate(
             F.lit(0).alias("contaminated"),
         )
     if method == "exact":
+        # norms hoisted OUT of the pair loop (PERFORMANCE.md fix #6):
+        # each side's norm computes once per ROW, not once per pair —
+        # the product of the same two doubles is bit-identical to the
+        # inline form, so oracle parity is unaffected
         b = benchmark.select(
-            F.col(id_col).alias("__bid"), _as_double(F.col(vec_col)).alias("__bv")
-        )
+            F.col(id_col).alias("__bid"),
+            _as_double(F.col(vec_col)).alias("__bv"),
+        ).withColumn("__bn", norm(F.col("__bv")))
         c = corpus.select(
             F.col(id_col).cast("long").alias(id_col),
             _as_double(F.col(vec_col)).alias("__cv"),
-        )
+        ).withColumn("__cn", norm(F.col("__cv")))
         scored = c.crossJoin(F.broadcast(b)).select(
             id_col,
             "__bid",
-            F.round(cosine(F.col("__cv"), F.col("__bv")), round_to).alias("__cos"),
+            F.round(
+                dot(F.col("__cv"), F.col("__bv"))
+                / F.nullif(F.col("__cn") * F.col("__bn"), F.lit(0.0)),
+                round_to,
+            ).alias("__cos"),
         )
         best = scored.groupBy(id_col).agg(
             F.max_by(
