@@ -112,19 +112,26 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank). Ties broken by
     neighbor id for cross-engine determinism; self-matches excluded.
     """
+    # norms hoisted out of the pair loop (once per row, not per pair);
+    # the product of the same two doubles is bit-identical to the
+    # inline cosine(), so the DuckDB-oracle hash contract is unchanged
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+                round_to,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -375,19 +382,26 @@ def ivf_topk(
     assignment is write-time partitioning in a real deployment: lookups
     touch n_probe cells instead of the full corpus.
     """
+    # centroid norms precomputed once (broadcast side); row norms once
+    # per row instead of once per (row, centroid) pair
     cent = centroids.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__kn", norm(F.col("cv")))
 
     def assign(df: DataFrame, idc: str, vec: str, keep_n: int) -> DataFrame:
         scored = (
             df.select(F.col(idc).alias("_id"), _as_double(F.col(vec)).alias("_v"))
+            .withColumn("__vn", norm(F.col("_v")))
             .crossJoin(F.broadcast(cent))
             .select(
                 "_id",
                 "_v",
                 "cid",
-                F.round(cosine(F.col("_v"), F.col("cv")), 9).alias("sim"),
+                F.round(
+                    dot(F.col("_v"), F.col("cv"))
+                    / F.nullif(F.col("__vn") * F.col("__kn"), F.lit(0.0)),
+                    9,
+                ).alias("sim"),
             )
         )
         # Audited alternative: a max_by hash-agg argmax for keep_n=1.
@@ -405,18 +419,24 @@ def ivf_topk(
         )
 
     cells = assign(corpus, id_col, vec_col, 1).select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv2"), "cid"
-    )
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("cv2"),
+        "cid",
+    ).withColumn("__nn", norm(F.col("cv2")))
     probes = assign(queries, id_col, vec_col, n_probe).select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "cid"
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
     scored = (
         cells.join(probes, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv2")), 9).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv2"))
+                / F.nullif(F.col("__qn") * F.col("__nn"), F.lit(0.0)),
+                9,
+            ).alias("cosine"),
         )
         .distinct()
     )
