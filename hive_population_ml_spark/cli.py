@@ -606,8 +606,14 @@ def cmd_ingest(args) -> dict:
     save_minhash_index(merged, staging, k=3, bands=8)
     live = spark.read.parquet(os.path.join(staging, "index"))
     n_indexed = live.select("doc").distinct().count()
-    shutil.rmtree(args.index)
+    # rename-aside swap: the live index is never in a deleted state —
+    # a crash between the two renames leaves BOTH versions on disk
+    # (recover by moving one back), never neither
+    old = args.index.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(args.index, old)
     shutil.move(staging, args.index)
+    shutil.rmtree(old)
     back = spark.read.parquet(flags_path)
     summary = back.agg(
         F.count("*").cast("long").alias("n_batch_docs"),
