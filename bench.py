@@ -119,6 +119,7 @@ HEADLINE = [
     "text_ccnet_buckets",
     "a_winsorized_stats",
     "dedup_cluster_keeper_quality",
+    "sample_training_order",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -343,3 +343,45 @@ def unimax_weights(
         F.round(alloc, 6).alias("alloc"),
         F.round(alloc / F.col("B"), 9).alias("weight"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic training-order assignment: every row gets a
+    (shard, pos) so a dataloader can stream shard files in pos order
+    and see a seeded pseudo-random global permutation — WITHOUT a
+    global sort (the classic pre-training shuffle step; c.f. the
+    shuffled shard layout of GPT/T5 data pipelines).
+
+    Shard = the two-step Lehmer hash of (id + seed) mod n_shards (pure
+    integer arithmetic — no float boundary to disagree across engines);
+    pos = rank of a THIRD Lehmer step within the shard (ties -> id).
+    Each Lehmer step is a bijection mod M, so distinct ids keep
+    distinct order keys and the permutation has LCG equidistribution.
+
+    Scale shape: shard assignment is a map-side expression; the only
+    exchange is the shard-keyed window — each shard ranks LOCALLY in
+    parallel, bounded by corpus/n_shards, never a single global sort.
+    Deterministic under retries and independent of input partitioning.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    x0 = (
+        F.abs(F.col(id_col) + F.lit(seed) * F.lit(1_000_003)) + _MINSTD_OFFSET
+    ) % _MINSTD_M
+    x1 = x0 * _MINSTD_A % _MINSTD_M
+    x2 = x1 * _MINSTD_A % _MINSTD_M
+    x3 = x2 * _MINSTD_A % _MINSTD_M
+    out = df.select(
+        F.col(id_col),
+        F.pmod(x2, F.lit(n_shards)).cast("int").alias("shard"),
+        x3.alias("__ord"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("__ord")

@@ -443,3 +443,32 @@ def sample_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__u", 9).alias("u"),
         )
     )
+
+
+@register(
+    "sample_training_order",
+    shadow_oracle="""
+WITH h AS (
+    SELECT doc_id,
+           (abs(doc_id + 7 * 1000003) + 999983) % 2147483647 AS x0
+    FROM documents),
+s1 AS (SELECT doc_id, x0 * 48271 % 2147483647 AS x1 FROM h),
+s2 AS (SELECT doc_id, x1 * 48271 % 2147483647 AS x2 FROM s1),
+s3 AS (SELECT doc_id, x2, x2 * 48271 % 2147483647 AS x3 FROM s2)
+SELECT doc_id,
+       CAST(x2 % 8 AS INT) AS shard,
+       row_number() OVER (PARTITION BY x2 % 8 ORDER BY x3, doc_id) AS pos
+FROM s3
+""",
+)
+def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order assignment (round-8 addition): a
+    seeded pseudo-random global permutation as (shard, pos) labels —
+    the pre-training shuffle step — with NO global sort: shard is pure
+    map-side integer Lehmer arithmetic, and each shard ranks locally in
+    parallel. Fully differential: the same 64-bit modular arithmetic
+    runs in DuckDB, so shard, order, and rank all hash-compare."""
+    from ..operators.sampling import training_order
+
+    t = Tables(spark, sf_dir)
+    return training_order(t.documents, "doc_id", n_shards=8, seed=7)

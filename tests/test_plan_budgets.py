@@ -215,6 +215,8 @@ EXCHANGE_BUDGETS = {
     "a_winsorized_stats": 3,
     # closure's 2 + the quality equi-join + ONE window-max exchange
     "dedup_cluster_keeper_quality": 4,
+    # map-side Lehmer shard key + ONE shard-keyed rank window
+    "sample_training_order": 1,
 }
 
 

@@ -111,6 +111,7 @@ SHADOW_NAMES = [
     "text_ccnet_buckets",
     "a_winsorized_stats",
     "dedup_cluster_keeper_quality",
+    "sample_training_order",
 ]
 
 
@@ -483,3 +484,39 @@ def test_unimax_waterfill_closed_form(spark):
     # budget == sum of caps: every stratum saturates at its own cap
     assert all(full[s]["alloc"] == full[s]["cap"] for s in full)
     assert abs(sum(r["weight"] for r in full.values()) - 1.0) < 1e-9
+
+
+def test_training_order_permutation_properties(spark, sf_oracle_dir):
+    """(shard, pos) is a bijection onto the corpus: every doc exactly
+    one slot, positions contiguous 1..|shard| per shard, shards roughly
+    balanced, the whole labeling deterministic, and a different seed
+    yields a genuinely different order."""
+    from hive_population_ml_spark.operators.sampling import training_order
+
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    n = docs.count()
+    out = training_order(docs, "doc_id", n_shards=8, seed=7).collect()
+    assert len(out) == n
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 0.5 * n / 8  # no starved shard
+    again = training_order(docs, "doc_id", n_shards=8, seed=7).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    other = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in training_order(docs, "doc_id", n_shards=8, seed=8).collect()
+    }
+    base = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    moved = sum(1 for d in base if base[d] != other[d])
+    assert moved > 0.5 * n  # the seed really permutes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        training_order(docs, n_shards=0)
