@@ -120,6 +120,7 @@ HEADLINE = [
     "a_winsorized_stats",
     "dedup_cluster_keeper_quality",
     "sample_training_order",
+    "text_duplication_score",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -709,6 +709,60 @@ def remove_repeated_spans(
     )
 
 
+def duplication_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplication fraction: the share of a doc's k-token
+    windows whose span appears >= ``min_occurrences`` times CORPUS-wide
+    (counting all occurrences, including the doc's own repeats) — the
+    doc-level scalar behind "drop documents that are mostly
+    boilerplate" filters (the per-doc companion of ``dup_spans``, which
+    mines the offending spans, and ``remove_repeated_spans``, which
+    excises them; c.f. the duplicate-fraction signals in Gopher's
+    repetition suite and Lee et al. 2022 §5).
+
+    Output: (id, n_windows, n_dup_windows, dup_frac). Docs shorter than
+    k tokens report 0 windows and dup_frac 0.0.
+
+    Scale shape: windows explode map-side; span counts partial-agg to
+    one row per distinct span (Heaps-bounded); the windows re-key on
+    the same hash to join the counts; one per-doc agg. No per-doc
+    state beyond two longs.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    occ = _positional_shingles(toks, id_col, "__t", k)
+    counts = (
+        occ.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= F.lit(min_occurrences))
+        .select("__h")
+    )
+    per_doc = (
+        occ.join(counts, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    base = toks.select(
+        id_col,
+        F.greatest(
+            F.size("__t") - F.lit(k - 1), F.lit(0)
+        ).alias("n_windows"),
+    )
+    nd = F.coalesce(F.col("n_dup_windows"), F.lit(0))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_windows").cast("long").alias("n_windows"),
+        nd.cast("long").alias("n_dup_windows"),
+        F.when(F.col("n_windows") > 0, F.round(nd / F.col("n_windows"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
 def token_frequencies(
     docs: DataFrame,
     text_col: str = "text",

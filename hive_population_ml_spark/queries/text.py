@@ -985,3 +985,39 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB. Fully differential incl. the interpolated cuts."""
     t = Tables(spark, sf_dir)
     return textops.ccnet_buckets(t.documents)
+
+
+@register(
+    "text_duplication_score",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 4),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] || ' ' || t[i+5])) AS s
+    FROM toks WHERE len(t) >= 5
+),
+dup AS (SELECT s FROM wins GROUP BY s HAVING count(*) >= 2),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_dup_windows
+    FROM wins WHERE s IN (SELECT s FROM dup)
+    GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.t) - 4, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN len(t.t) - 4 > 0
+            THEN round(coalesce(p.n_dup_windows, 0) * 1.0 / (len(t.t) - 4), 6)
+            ELSE 0.0 END AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def text_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication fraction (round-8 addition): the share
+    of each doc's 5-token windows repeated corpus-wide — the doc-level
+    "mostly boilerplate?" filter scalar (dup_spans mines WHICH spans;
+    this scores each DOC). Fully differential: windows, the >=2 span
+    count gate, and the fraction all mirrored in SQL."""
+    t = Tables(spark, sf_dir)
+    return textops.duplication_score(t.documents)

@@ -2956,3 +2956,30 @@ def test_keeper_by_score_policy(spark):
     for r in got.values():
         by_cluster.setdefault(r["cluster_id"], []).append(r["is_kept"])
     assert all(sum(v) == 1 for v in by_cluster.values())
+
+
+def test_duplication_score_closed_form(spark):
+    """A doc that is one 5-gram repeated scores dup_frac 1.0 (self-
+    repetition counts, as in ExactSubstr); a fully unique doc scores 0;
+    a doc sharing its span with another counts only matching windows;
+    sub-k docs report 0 windows."""
+    from hive_population_ml_spark.operators.textops import duplication_score
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{shared} {shared}"),                  # self-repeated
+        (2, f"{shared} zz1 zz2 zz3 zz4 zz5"),       # shares one span
+        (3, "u1 u2 u3 u4 u5 u6 u7"),                # unique
+        (4, "tiny doc"),                            # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplication_score(docs).collect()}
+    assert len(got) == 4
+    # doc 1: 10 tokens -> 6 windows; windows at offsets 0 and 5 equal
+    # `shared`, which also appears in doc 2 -> those 2 are dup; the 4
+    # straddling windows are unique
+    assert got[1]["n_windows"] == 6 and got[1]["n_dup_windows"] == 2
+    assert got[2]["n_dup_windows"] == 1  # only its leading window
+    assert got[3]["n_dup_windows"] == 0 and got[3]["dup_frac"] == 0.0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
+    assert got[1]["dup_frac"] == round(2 / 6, 6)

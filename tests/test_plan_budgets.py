@@ -217,6 +217,9 @@ EXCHANGE_BUDGETS = {
     "dedup_cluster_keeper_quality": 4,
     # map-side Lehmer shard key + ONE shard-keyed rank window
     "sample_training_order": 1,
+    # span-hash count agg + windows re-keyed semi-join on the same hash
+    # + per-doc agg + id-keyed join to window counts
+    "text_duplication_score": 4,
 }
 
 

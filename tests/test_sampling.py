@@ -112,6 +112,7 @@ SHADOW_NAMES = [
     "a_winsorized_stats",
     "dedup_cluster_keeper_quality",
     "sample_training_order",
+    "text_duplication_score",
 ]
 
 
