@@ -2983,3 +2983,45 @@ def test_duplication_score_closed_form(spark):
     assert got[3]["n_dup_windows"] == 0 and got[3]["dup_frac"] == 0.0
     assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
     assert got[1]["dup_frac"] == round(2 / 6, 6)
+
+
+def test_interval_join_bucketed_parity_and_plan(spark, sf_dir):
+    """The large-x-large day-bucketing rewrite (the §4.3 fallback when
+    the dim side outgrows broadcast) must return EXACTLY the broadcast
+    form's rows on the flagship shape, and its plan must be an
+    equi-join on the bucket (no BroadcastNestedLoopJoin — the
+    degenerate plan a pure range condition would force)."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.interval_join import interval_join
+
+    t = Tables(spark, sf_dir)
+    fact = t.events.select("user_id", "ts", "value")
+    dim = (
+        t.events.groupBy("user_id")
+        .agg(F.date_trunc("DAY", F.min("ts")).alias("date"))
+    )
+    kw = dict(
+        on=[("user_id", "user_id")], fact_ts="ts", dim_ts="date",
+        before=3, after=3, unit="day",
+    )
+    base = interval_join(fact, dim, **kw)
+    buck = interval_join(fact, dim, bucketed=True, broadcast_dim=False, **kw)
+    cols = ["ts", "value", "date"]
+    b1 = sorted(map(tuple, base.select(*cols).collect()))
+    b2 = sorted(map(tuple, buck.select(*cols).collect()))
+    assert len(b1) > 0 and b1 == b2
+
+    # no equi-key at all: bucketing must still produce an equi-join
+    nk = interval_join(
+        fact.limit(2000), dim, on=[], fact_ts="ts", dim_ts="date",
+        before=1, after=1, unit="day", bucketed=True, broadcast_dim=False,
+    )
+    plan = nk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    nb = interval_join(
+        fact.limit(2000), dim, on=[], fact_ts="ts", dim_ts="date",
+        before=1, after=1, unit="day", broadcast_dim=True,
+    )
+    c1 = sorted(map(tuple, nk.select(*cols).collect()))
+    c2 = sorted(map(tuple, nb.select(*cols).collect()))
+    assert len(c1) > 0 and c1 == c2
