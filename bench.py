@@ -121,6 +121,9 @@ HEADLINE = [
     "dedup_cluster_keeper_quality",
     "sample_training_order",
     "text_duplication_score",
+    "j_bloom_pruned",
+    "j_correlated_subquery",
+    "incr_stats_merge",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

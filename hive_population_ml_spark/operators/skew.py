@@ -206,3 +206,43 @@ def compact_parquet(
         df = df.repartition(n_files)
     df.write.mode(mode).parquet(dst_path)
     return n_files
+
+
+def bloom_pruned_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join with a Bloom pre-filter on the big probe side.
+
+    The mid-size-dim regime: too many rows to broadcast the TABLE, but
+    its KEY SET fits a fixed-size bitset (m/8 bytes regardless of row
+    count — 128 KiB at the default 2^20 bits). Build a Bloom over
+    ``dim[dim_key]`` (the build's shuffle carries at most m/64 words,
+    see ``sketches.bloom_build``), ship it to every task as a plan
+    literal, and drop non-matching probe rows MAP-SIDE so only
+    plausible matches enter the join's shuffle. False positives are
+    culled by the exact join that follows, so the result is IDENTICAL
+    to ``probe.join(dim, ...)`` — which is the oracle contract — while
+    the shuffle writes shrink by the probe's non-match fraction (at
+    100 TB, the probe shuffle IS the job; a 95%-selective prune is a
+    ~20x shuffle-write cut). Spark's own runtime bloom pushdown
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) makes the
+    same move when it can see the stats; the explicit form is sizeable
+    (m_bits by expected key count) and works where the optimizer is
+    blind — a dim produced by a non-SQL stage, or a persisted key set
+    loaded from another pipeline.
+    """
+    from .sketches import bloom_bits_literal, bloom_probe_member
+
+    bits = bloom_bits_literal(dim, dim_key, m_bits=m_bits, k_hashes=k_hashes)
+    pruned = (
+        probe.withColumn("__bloom_bits", bits)
+        .filter(bloom_probe_member(probe_key, "__bloom_bits", m_bits, k_hashes))
+        .drop("__bloom_bits")
+    )
+    return pruned.join(dim, F.col(probe_key) == F.col(dim_key), how)

@@ -113,3 +113,74 @@ def delta_stats(
                     e = F.round(e, round_to)
                 aggs.append(e.alias(f"{m}_{d}_{s}"))
     return step2.groupBy(*keys).agg(*aggs)
+
+
+def moment_state(
+    df: DataFrame, keys: Sequence[str], value: str
+) -> DataFrame:
+    """Per-key MERGEABLE moment state: (n, mean, m2, vmin, vmax).
+
+    The persisted half of incremental statistics maintenance: m2 is the
+    sum of squared deviations from the mean (Welford's accumulator), so
+    two states merge EXACTLY (``merge_moment_states``) — the property a
+    100 TB pipeline needs to keep corpus/feature statistics current by
+    aggregating ONLY each day's new partition and merging it into a
+    |keys|-row state table, never rescanning history. One 2-phase hash
+    aggregation; the shuffle carries one fixed-size state row per key
+    per map partition. m2 is derived as var_pop*n from Spark's own
+    (Welford-based) variance aggregate rather than sum(x^2)-n*mean^2,
+    which cancels catastrophically at large |x|.
+    """
+    n = F.count(F.col(value))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        n.alias("n"),
+        F.avg(value).alias("mean"),
+        # var_pop of a single value is 0.0, so m2 stays exact at n=1;
+        # coalesce covers n=0 groups (all-null value column).
+        F.coalesce(F.var_pop(value) * n, F.lit(0.0)).alias("m2"),
+        F.min(value).alias("vmin"),
+        F.max(value).alias("vmax"),
+    )
+
+
+def merge_moment_states(
+    state: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Chan's parallel merge of two ``moment_state`` tables.
+
+    n = n1+n2; mean = weighted mean; m2 = m2_1 + m2_2 + d^2*n1*n2/n
+    (d = mean2-mean1) — algebraically exact, no rescan of either
+    side's rows. Keys present on only one side pass through unchanged
+    (full outer join + null-neutral identities: n=0, m2=0). At scale
+    the state table is |keys| rows and bucketable by key, so the merge
+    is a map-side join against each (much smaller) per-batch delta.
+    """
+    s = state.select(
+        *keys,
+        *[F.col(c).alias(f"__s_{c}") for c in ("n", "mean", "m2", "vmin", "vmax")],
+    )
+    d = delta.select(
+        *keys,
+        *[F.col(c).alias(f"__d_{c}") for c in ("n", "mean", "m2", "vmin", "vmax")],
+    )
+    j = s.join(d, on=list(keys), how="full_outer")
+    n1 = F.coalesce(F.col("__s_n"), F.lit(0)).cast("long")
+    n2 = F.coalesce(F.col("__d_n"), F.lit(0)).cast("long")
+    m1 = F.coalesce(F.col("__s_mean"), F.lit(0.0))
+    m2v = F.coalesce(F.col("__d_mean"), F.lit(0.0))
+    n = n1 + n2
+    mean = F.when(n > 0, (n1 * m1 + n2 * m2v) / n)
+    dd = m2v - m1
+    m2 = (
+        F.coalesce(F.col("__s_m2"), F.lit(0.0))
+        + F.coalesce(F.col("__d_m2"), F.lit(0.0))
+        + F.when(n > 0, dd * dd * n1 * n2 / n).otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *keys,
+        n.alias("n"),
+        mean.alias("mean"),
+        m2.alias("m2"),
+        F.least(F.col("__s_vmin"), F.col("__d_vmin")).alias("vmin"),
+        F.greatest(F.col("__s_vmax"), F.col("__d_vmax")).alias("vmax"),
+    )

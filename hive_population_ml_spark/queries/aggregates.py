@@ -1190,3 +1190,70 @@ def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("hi"), 6).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental statistics maintenance: per-key moment state merged with a
+# new batch's delta state — no history rescan (operators/stats_bundle.py::
+# moment_state / merge_moment_states).
+# ---------------------------------------------------------------------------
+
+@register(
+    "incr_stats_merge",
+    shadow_oracle="""
+SELECT user_id,
+       count(value) AS n,
+       round(sum(value), 4) AS vsum,
+       round(stddev_samp(value), 4) AS std,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events
+GROUP BY user_id
+""",
+)
+def incr_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-user statistics: an 80% "history" slice is
+    aggregated into a mergeable moment-state table (n, mean, m2, min,
+    max), the remaining 20% "new batch" into its own delta state, and
+    the two merge with Chan's parallel-variance formula — EXACTLY
+    reproducing the full-rescan statistics, which is what the oracle
+    computes over the whole table. The deterministic event_id%10 split
+    stands in for a date partition boundary. This is the 100 TB
+    maintenance pattern: the state table is |keys| rows (bucketable by
+    key), each day aggregates only its own partition (one 2-phase agg
+    over the new data), and the merge is a |keys|-row join — history
+    is never rescanned, and no sketch approximation is involved (the
+    moment state is algebraically exact, unlike the HLL/GK/CMS tier
+    which trades exactness for fixed size on UNBOUNDED key domains).
+
+    The oracle recomputes from scratch over the whole table — the
+    no-rescan-equals-rescan claim IS the differential check. Output
+    carries vsum (=mean*n, a multiple of the value quantum, so its
+    round(4) has ~0.005 absolute margin) rather than the mean itself:
+    the 2-decimal values and round group sizes make many true means
+    EXACT half-way cases at any rounding precision, where cross-engine
+    float noise (~1e-10) flips the last digit — measured, not
+    hypothetical. std's true values are sqrt-irrational, never on a
+    boundary (min distance 9e-5 across sf0.001-0.1, 6 orders above the
+    noise). tests/test_operators.py pins merged-vs-direct equality of
+    the un-rounded mean/m2 to 1e-9 relative."""
+    from ..operators.stats_bundle import merge_moment_states, moment_state
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "value")
+    hist = ev.filter(F.col("event_id") % 10 < 8)
+    batch = ev.filter(F.col("event_id") % 10 >= 8)
+    state = moment_state(hist, ["user_id"], "value")
+    delta = moment_state(batch, ["user_id"], "value")
+    merged = merge_moment_states(state, delta, ["user_id"])
+    n = F.col("n")
+    return merged.select(
+        "user_id",
+        n.alias("n"),
+        F.round(F.col("mean") * n, 4).alias("vsum"),
+        F.round(
+            F.when(n > 1, F.sqrt(F.col("m2") / (n - 1))), 4
+        ).alias("std"),
+        "vmin",
+        "vmax",
+    )

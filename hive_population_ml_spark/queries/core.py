@@ -699,3 +699,96 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         track=["band"],
         tiebreak=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned shuffle join — the explicit skew/scale-toolkit primitive
+# for the dim-too-big-to-broadcast, key-set-fits-a-bitset regime.
+# ---------------------------------------------------------------------------
+
+@register(
+    "j_bloom_pruned",
+    shadow_oracle="""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY l_returnflag
+""",
+)
+def j_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim join (``operators/skew.py::
+    bloom_pruned_join``): the filtered orders key set rides to every
+    lineitem task as a 128 KiB bitset literal, non-matching lineitem
+    rows die MAP-SIDE, and only plausible matches enter the join's
+    shuffle; the exact join then culls the bloom's false positives, so
+    the result — and the oracle — is the plain inner join. At 100 TB
+    the probe-side shuffle write is the job cost; the prune converts
+    dim selectivity into shuffle-volume savings without relying on the
+    optimizer's runtime bloom pushdown seeing through the dim's
+    lineage."""
+    from ..operators.skew import bloom_pruned_join
+
+    t = Tables(spark, sf_dir)
+    dim = t.orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    joined = bloom_pruned_join(
+        t.lineitem, dim, "l_orderkey", "o_orderkey", m_bits=1 << 20
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(rev), 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape) — the decorrelation
+# surface: Catalyst rewrites the per-row subquery into an aggregate +
+# join; DuckDB runs the same SQL with its own decorrelator.
+# ---------------------------------------------------------------------------
+
+@register(
+    "j_correlated_subquery",
+    shadow_oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+)
+def j_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-order-quantity revenue (TPC-H Q17 shape): line items below
+    20% of their part's average quantity. Declared as a CORRELATED
+    scalar subquery — the point is that Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery) turns the per-row subquery into
+    one partial-aggregated per-partkey average joined back to the
+    filtered fact rows, i.e. exactly the plan one would hand-write,
+    with no per-row re-scan anywhere. At 100 TB both sides of that
+    join partition on partkey; the brand filter prunes the probe side
+    before the shuffle. Passed as DataFrame args to spark.sql — no
+    temp-view registration, lineage stays visible to the optimizer."""
+    t = Tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM {lineitem} l2
+      WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+        lineitem=t.lineitem,
+        part=t.part,
+    )

@@ -3025,3 +3025,80 @@ def test_interval_join_bucketed_parity_and_plan(spark, sf_dir):
     c1 = sorted(map(tuple, nk.select(*cols).collect()))
     c2 = sorted(map(tuple, nb.select(*cols).collect()))
     assert len(c1) > 0 and c1 == c2
+
+
+def test_bloom_pruned_join_parity_and_prune(spark, sf_dir):
+    """bloom_pruned_join must return EXACTLY the plain join's rows
+    (false positives culled by the exact join), and the bloom filter
+    must actually prune: the surviving probe side is a superset of the
+    true matches but a strict subset of the full probe table."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.skew import bloom_pruned_join
+    from hive_population_ml_spark.operators.sketches import (
+        bloom_bits_literal,
+        bloom_probe_member,
+    )
+
+    t = Tables(spark, sf_dir)
+    dim = t.orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    got = bloom_pruned_join(
+        t.lineitem, dim, "l_orderkey", "o_orderkey", m_bits=1 << 16
+    )
+    want = t.lineitem.join(
+        dim, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    cols = ["l_orderkey", "l_linenumber"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert len(g) > 0 and g == w
+
+    # the prune itself: no false negatives, real selectivity
+    bits = bloom_bits_literal(dim, "o_orderkey", m_bits=1 << 16)
+    pruned = (
+        t.lineitem.withColumn("__b", bits)
+        .filter(bloom_probe_member("l_orderkey", "__b", 1 << 16))
+    )
+    n_all = t.lineitem.count()
+    n_pruned = pruned.count()
+    n_match = len(w)
+    assert n_match <= n_pruned < n_all
+
+
+def test_moment_state_merge_equals_rescan(spark):
+    """Chan-merged moment states must reproduce the full-rescan
+    statistics: n/min/max exactly, mean/m2 to 1e-9 relative — the
+    no-rescan-equals-rescan claim behind incr_stats_merge, checked on
+    a split where some keys live on only ONE side."""
+    from hive_population_ml_spark.operators.stats_bundle import (
+        merge_moment_states,
+        moment_state,
+    )
+
+    rows = [
+        # key 'a': both sides; 'b': history only; 'c': batch only;
+        # 'd': single row (n=1 -> m2 must stay exactly 0.0)
+        ("a", 1.5), ("a", 2.5), ("a", -3.0), ("a", 7.25),
+        ("b", 10.0), ("b", 12.0),
+        ("c", 0.125),
+        ("d", 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    hist = df.filter(F.col("v") >= 1.0)
+    batch = df.filter(F.col("v") < 1.0)
+    merged = {
+        r["k"]: r
+        for r in merge_moment_states(
+            moment_state(hist, ["k"], "v"),
+            moment_state(batch, ["k"], "v"),
+            ["k"],
+        ).collect()
+    }
+    direct = {r["k"]: r for r in moment_state(df, ["k"], "v").collect()}
+    assert set(merged) == set(direct) == {"a", "b", "c", "d"}
+    for k in direct:
+        m, d = merged[k], direct[k]
+        assert m["n"] == d["n"]
+        assert m["vmin"] == d["vmin"] and m["vmax"] == d["vmax"]
+        assert abs(m["mean"] - d["mean"]) <= 1e-9 * max(1.0, abs(d["mean"]))
+        assert abs(m["m2"] - d["m2"]) <= 1e-9 * max(1.0, abs(d["m2"]))
+    assert merged["c"]["m2"] == 0.0 and merged["d"]["m2"] == 0.0

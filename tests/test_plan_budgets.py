@@ -220,6 +220,15 @@ EXCHANGE_BUDGETS = {
     # span-hash count agg + windows re-keyed semi-join on the same hash
     # + per-doc agg + id-keyed join to window counts
     "text_duplication_score": 4,
+    # bloom-pruned probe (map-side filter, NO exchange) + dim broadcast
+    # + ONE returnflag agg; at sf0.01 AQE broadcasts the dim rows too
+    "j_bloom_pruned": 2,
+    # decorrelated per-partkey avg agg + its broadcast back to the
+    # brand-filtered probe + part dim broadcast + 1-row final agg
+    "j_correlated_subquery": 4,
+    # one user_id agg per slice; the full-outer merge join REUSES that
+    # hash partitioning (plan-proved — zero join exchanges)
+    "incr_stats_merge": 2,
 }
 
 

@@ -113,6 +113,9 @@ SHADOW_NAMES = [
     "dedup_cluster_keeper_quality",
     "sample_training_order",
     "text_duplication_score",
+    "j_bloom_pruned",
+    "j_correlated_subquery",
+    "incr_stats_merge",
 ]
 
 
