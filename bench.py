@@ -124,6 +124,7 @@ HEADLINE = [
     "j_bloom_pruned",
     "j_correlated_subquery",
     "incr_stats_merge",
+    "gdpr_delete_cascade",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

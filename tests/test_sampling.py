@@ -116,6 +116,7 @@ SHADOW_NAMES = [
     "j_bloom_pruned",
     "j_correlated_subquery",
     "incr_stats_merge",
+    "gdpr_delete_cascade",
 ]
 
 
