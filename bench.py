@@ -125,6 +125,7 @@ HEADLINE = [
     "j_correlated_subquery",
     "incr_stats_merge",
     "gdpr_delete_cascade",
+    "dedup_jaccard_prefix",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -195,6 +195,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT thresholded Jaccard join via prefix filtering (AllPairs:
+    Bayardo et al., WWW 2007; PPJoin: Xiao et al., WWW 2008) — the
+    candidate generator that needs NO df cap and loses NO pairs.
+
+    Shingles get a canonical global order: ascending document
+    frequency, ties by hash (rarest first). For Jaccard >= t, a doc
+    with set size n only needs its first p = n - ceil(t*n) + 1
+    shingles in that order indexed: J(A,B) >= t forces an overlap of
+    at least ceil(t*max(|A|,|B|)), which cannot fit entirely outside
+    both prefixes (PPJoin Lemma 1 with the symmetric prefix length).
+    Candidates therefore co-bucket only on PREFIX tokens —
+    predominantly rare ones — so bucket sizes collapse WITHOUT
+    dropping any true pair: the exactness that the banded (recall<1)
+    and df-capped (recall<1 on boilerplate-heavy pairs) paths trade
+    away. The price over ``ngram_jaccard_pairs`` is one df-count agg
+    and one per-doc rank window; the win is pair-expansion volume,
+    which is what actually explodes at 100 TB. Verification joins the
+    candidate pairs back to BOTH docs' shingle rows directly — never
+    through the all-bucket expansion (the semi-join form in
+    ``_jaccard_verify`` would re-expand every bucket first, paying
+    exactly the cost the prefix filter exists to avoid).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_sets(df, id_col, text_col, k)  # (doc, s, n)
+    hashed = sh.withColumn("sh64", F.xxhash64("s"))
+    freq = hashed.groupBy("sh64").agg(F.count("*").alias("df_s"))
+    ranked = hashed.join(freq, "sh64").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc").orderBy("df_s", "sh64")),
+    )
+    p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("pos") <= p).select("sh64", "doc", "n")
+    groups = (
+        prefix.groupBy("sh64")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    # same two-stage explode as _jaccard_verify: bounded per-row memory
+    e1 = groups.select("docs", F.posexplode("docs").alias("i", "x"))
+    cands = (
+        e1.select(
+            F.col("x.doc").alias("d1"),
+            F.explode(
+                F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+            ).alias("y"),
+        )
+        .select("d1", F.col("y.doc").alias("d2"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc").alias("d1"), "s", F.col("n").alias("n1"))
+    b = sh.select(F.col("doc").alias("d2"), "s", F.col("n").alias("n2"))
+    inter = (
+        cands.join(a, "d1")
+        .join(b, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return inter.select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32
 ) -> DataFrame:

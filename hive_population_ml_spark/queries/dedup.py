@@ -17,6 +17,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash_pairs,
 )
 from .registry import register
@@ -700,3 +701,44 @@ def dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = t.documents.select("doc_id", quality_score("text").alias("quality"))
     return keeper_by_score(assign, q, "doc_id", "quality")
+
+
+@register(
+    "dedup_jaccard_prefix",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON inter.d1 = s1.doc_id
+JOIN sizes s2 ON inter.d2 = s2.doc_id
+WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
+""",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (AllPairs/PPJoin): identical
+    result set to a full brute-force thresholded Jaccard — the oracle
+    is the UNCAPPED all-pairs SQL, no df-cap mirror needed, because
+    prefix filtering is lossless by construction. Candidates co-bucket
+    only on each doc's p = n - ceil(t*n) + 1 globally-rarest shingles;
+    verification touches candidate pairs only. The exactness
+    alternative to banding (recall<1) and df-capping (drops
+    boilerplate-heavy true pairs) when the dedup report must be
+    complete — e.g. the legal/compliance pass, or building ground
+    truth to measure the approximate tiers' recall against."""
+    t = Tables(spark, sf_dir)
+    return prefix_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3
+    )

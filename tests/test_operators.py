@@ -3102,3 +3102,52 @@ def test_moment_state_merge_equals_rescan(spark):
         assert abs(m["mean"] - d["mean"]) <= 1e-9 * max(1.0, abs(d["mean"]))
         assert abs(m["m2"] - d["m2"]) <= 1e-9 * max(1.0, abs(d["m2"]))
     assert merged["c"]["m2"] == 0.0 and merged["d"]["m2"] == 0.0
+
+
+def test_prefix_jaccard_exact_and_prunes_candidates(spark, sf_dir):
+    """Prefix filtering (AllPairs/PPJoin) must be LOSSLESS: same pairs
+    as the uncapped all-shingle expansion. And it must actually prune:
+    the candidate-pair count generated from prefix buckets is strictly
+    below the all-shingle co-bucket pair count on real documents."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+        shingle_sets,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    got = sorted(
+        map(tuple, prefix_jaccard_pairs(docs, "doc_id", "text").collect())
+    )
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text").collect())
+    )  # uncapped: max_shingle_df=None -> full expansion
+    assert len(got) > 0 and got == want
+
+    # candidate-volume win: sum over buckets of C(c,2), prefix vs full
+    sh = shingle_sets(docs, "doc_id", "text").withColumn(
+        "sh64", F.xxhash64("s")
+    )
+    full = (
+        sh.groupBy("sh64")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")))
+        .collect()[0][0]
+    )
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("sh64").agg(F.count("*").alias("df_s"))
+    ranked = sh.join(freq, "sh64").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc").orderBy("df_s", "sh64")),
+    )
+    p = F.col("n") - F.ceil(F.lit(0.3) * F.col("n")) + 1
+    pref = (
+        ranked.filter(F.col("pos") <= p)
+        .groupBy("sh64")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")))
+        .collect()[0][0]
+    )
+    assert pref < full, (pref, full)

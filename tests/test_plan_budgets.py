@@ -232,6 +232,9 @@ EXCHANGE_BUDGETS = {
     # 4 one-row artifact aggs (docs x2 scalars share a pass) + the
     # broadcast del-key anti-join legs + 1-row cross-join assembly
     "gdpr_delete_cascade": 9,
+    # df-count agg + per-doc rank window + prefix bucket agg +
+    # candidate distinct + the two verify joins keyed (d1)/(d2,s)
+    "dedup_jaccard_prefix": 8,
 }
 
 

@@ -117,6 +117,7 @@ SHADOW_NAMES = [
     "j_correlated_subquery",
     "incr_stats_merge",
     "gdpr_delete_cascade",
+    "dedup_jaccard_prefix",
 ]
 
 
