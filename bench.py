@@ -126,6 +126,8 @@ HEADLINE = [
     "incr_stats_merge",
     "gdpr_delete_cascade",
     "dedup_jaccard_prefix",
+    "a_trend_fit",
+    "w_ewma",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -1257,3 +1257,53 @@ def incr_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key OLS trend fit via the closed-form regression AGGREGATES —
+# trend features for training without any per-group model-fit loop.
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_trend_fit",
+    shadow_oracle="""
+SELECT user_id,
+       regr_count(value, (epoch_us(ts) - 1704067200000000) / 86400000000.0)
+           AS n,
+       round(regr_slope(value,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6)
+           AS slope_per_day,
+       round(regr_intercept(value,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6)
+           AS intercept,
+       round(regr_r2(value,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6) AS r2
+FROM events
+GROUP BY user_id
+""",
+)
+def a_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of value over time (slope/day, intercept,
+    r2) via the CLOSED-FORM regression aggregates ``regr_*`` — per-key
+    linear-model fitting as ONE 2-phase hash aggregation, no per-group
+    loop, no MLlib fit, full partial aggregation through the shuffle.
+    This is how per-entity trend features are extracted at 100 TB: the
+    shuffle carries one fixed-size regression state per (key,
+    partition), never the observations. x is recentered to days since
+    2024-01-01 BEFORE aggregation: epoch-microsecond x values put
+    x^2 sums at ~1e30 where the engines' different regr formulations
+    diverge past the rounding tolerance (catastrophic cancellation);
+    day-scale x keeps both engines' sums in a safe range — the same
+    numerical posture as moments.py's shifted raw moments."""
+    t = Tables(spark, sf_dir)
+    x = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - 1704067200000000)
+        / 86400000000.0
+    )
+    ev = t.events.select("user_id", x.alias("x"), "value")
+    return ev.groupBy("user_id").agg(
+        F.regr_count("value", "x").alias("n"),
+        F.round(F.regr_slope("value", "x"), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+    )

@@ -408,3 +408,65 @@ def w_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- Ordered recursive fold: per-user EWMA (exponential smoothing) ----------
+
+@register(
+    "w_ewma",
+    shadow_oracle="""
+WITH s AS (
+    SELECT user_id,
+           list(value ORDER BY epoch_us(ts), event_id) AS vals
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(vals) AS n,
+       round(list_reduce(vals, (acc, v) -> acc * 0.8 + v * 0.2), 6)
+           AS ewma,
+       round(vals[-1], 6) AS last_value
+FROM s
+""",
+)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha=0.2,
+    seeded with the first observation) — the ORDER-DEPENDENT recursive
+    fold no plain aggregate can express: s_i = 0.8*s_{i-1} + 0.2*v_i
+    is a sequential recurrence, so it runs as one sorted collect per
+    key + a Catalyst ``aggregate`` lambda over the array (JVM-side,
+    zero Python). Both engines fold the IDENTICAL value order (epoch
+    micros, event_id tiebreak) with the identical seed convention
+    (DuckDB's list_reduce seeds acc with the first element; the Spark
+    side mirrors it as aggregate(slice(vals,2,..), vals[0], ..)), so
+    the float sequence is bit-identical — same IEEE ops in the same
+    order — not merely close. At 100 TB this is one hash exchange per
+    key (the same shuffle a groupBy needs) with per-key state bounded
+    by the sequence length, the W5 sequence-materialization posture;
+    unbounded streams hand the same recurrence to the streaming tier's
+    applyInPandasWithState instead."""
+    t = Tables(spark, sf_dir)
+    seq = (
+        t.events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("value"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .withColumn("vals", F.expr("transform(es, x -> x.value)"))
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").alias("n"),
+        F.round(
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), "
+                "vals[0], (acc, v) -> acc * 0.8d + v * 0.2d)"
+            ),
+            6,
+        ).alias("ewma"),
+        F.round(F.element_at("vals", -1), 6).alias("last_value"),
+    )

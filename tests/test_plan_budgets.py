@@ -235,6 +235,11 @@ EXCHANGE_BUDGETS = {
     # df-count agg + per-doc rank window + prefix bucket agg +
     # candidate distinct + the two verify joins keyed (d1)/(d2,s)
     "dedup_jaccard_prefix": 8,
+    # ONE 2-phase hash agg: regr_* states are fixed-size and partially
+    # aggregated — per-key OLS with no per-group loop
+    "a_trend_fit": 1,
+    # ONE hash exchange: sorted collect_list + Catalyst aggregate fold
+    "w_ewma": 1,
 }
 
 

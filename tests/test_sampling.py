@@ -118,6 +118,8 @@ SHADOW_NAMES = [
     "incr_stats_merge",
     "gdpr_delete_cascade",
     "dedup_jaccard_prefix",
+    "a_trend_fit",
+    "w_ewma",
 ]
 
 
