@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "a_trend_fit",
     "w_ewma",
+    "w_sliding_distinct",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with
@@ -191,6 +192,8 @@ DECLARED_UNTIMED = {
     "multimodal_bytes": "binary plumbing micro",
     "multimodal_wav_features": "codec-bound (decode dominates, measured in tests)",
     "multimodal_wav_spectral": "codec-bound",
+    "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
+    "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
 }
 
 

@@ -470,3 +470,86 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma"),
         F.round(F.element_at("vals", -1), 6).alias("last_value"),
     )
+
+
+# -- Sliding-window distinct counts: exact + sketch-merge scale path --------
+
+@register(
+    "w_sliding_distinct",
+    shadow_oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+    SELECT CAST(day + i.i * INTERVAL 1 DAY AS DATE) AS win_day, user_id
+    FROM du CROSS JOIN (SELECT unnest(range(7)) AS i) i
+)
+SELECT strftime(c.win_day, '%Y-%m-%d') AS win_day,
+       count(DISTINCT c.user_id) AS n_users_7d
+FROM contrib c JOIN days d ON c.win_day = d.day
+GROUP BY 1
+""",
+)
+def w_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, EXACT, via the
+    explode-to-covering-windows rewrite: distinct counts do NOT
+    decompose over sliding windows (yesterday's window shares users
+    with today's), so the naive form re-scans 7 days of raw events per
+    output day. Instead each DAY-GRAIN distinct (day, user) pair is
+    exploded to the <=7 window-end days it contributes to and one
+    count_distinct per window finishes — the amplification is a
+    bounded 7x of the day-grain pair table (already tiny vs raw
+    events), never 7x the raw scan. Window-end days outside the
+    observed day set are dropped by a broadcast semi-join (the day
+    dimension is O(calendar), always broadcastable). Dates travel as
+    yyyy-MM-dd strings for an engine-stable hash (w_resample_ffill
+    convention)."""
+    t = Tables(spark, sf_dir)
+    du = t.events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "win_day")
+    contrib = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("win_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+            "n_users_7d",
+        )
+    )
+
+
+@register("w_sliding_distinct_hll")  # rows-only: HLL estimate, not SQL-exact
+def w_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of w_sliding_distinct: ONE 4-KiB HLL sketch per
+    day, exploded to its <=7 covering windows and hll_union_agg-merged
+    per window — the shuffle carries O(days x 7) sketches regardless
+    of user cardinality, where the exact form's (win_day, user) pair
+    shuffle grows with distinct users. Same two-exchange plan shape;
+    estimate error bounded by lg_k=12 (~1.6% relative), pinned against
+    the exact twin in tests/test_operators.py."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(F.to_date("ts").alias("day"), "user_id")
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    days = daily.select("day").withColumnRenamed("day", "win_day")
+    contrib = daily.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("win_day"),
+        "sketch",
+    )
+    return (
+        contrib.join(F.broadcast(days), "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.hll_union_agg("sketch").alias("sk"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+            F.hll_sketch_estimate("sk").cast("long").alias("est_users_7d"),
+        )
+    )

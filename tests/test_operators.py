@@ -3151,3 +3151,23 @@ def test_prefix_jaccard_exact_and_prunes_candidates(spark, sf_dir):
         .collect()[0][0]
     )
     assert pref < full, (pref, full)
+
+
+def test_sliding_distinct_hll_tracks_exact(spark, sf_dir):
+    """The sketch-merge sliding distinct must track the exact rewrite
+    within HLL's lg_k=12 error envelope on every window (generous 5%
+    bound; typical error ~1.6%), over the same window-day set."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["win_day"]: r["n_users_7d"]
+        for r in QUERIES["w_sliding_distinct"](spark, sf_dir).collect()
+    }
+    est = {
+        r["win_day"]: r["est_users_7d"]
+        for r in QUERIES["w_sliding_distinct_hll"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est) and len(exact) >= 25
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, n, est[day])

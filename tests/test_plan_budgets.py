@@ -240,6 +240,9 @@ EXCHANGE_BUDGETS = {
     "a_trend_fit": 1,
     # ONE hash exchange: sorted collect_list + Catalyst aggregate fold
     "w_ewma": 1,
+    # day-grain distinct agg + explode + window count_distinct (2-phase
+    # expands it) + broadcast day-dim semi-join
+    "w_sliding_distinct": 5,
 }
 
 

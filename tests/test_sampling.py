@@ -120,6 +120,7 @@ SHADOW_NAMES = [
     "dedup_jaccard_prefix",
     "a_trend_fit",
     "w_ewma",
+    "w_sliding_distinct",
 ]
 
 
