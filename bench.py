@@ -129,6 +129,7 @@ HEADLINE = [
     "a_trend_fit",
     "w_ewma",
     "w_sliding_distinct",
+    "w_pattern_match",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

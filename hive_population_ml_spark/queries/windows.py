@@ -553,3 +553,131 @@ def w_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk").cast("long").alias("est_users_7d"),
         )
     )
+
+
+# -- Session-scoped ordered pattern match (MATCH_RECOGNIZE-lite) ------------
+
+@register(
+    "w_pattern_match",
+    shadow_oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 2 DAY
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+tagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM ordered
+),
+seq AS (
+    SELECT user_id, session_id,
+           list(event_type ORDER BY epoch_us(ts), event_id) AS types
+    FROM tagged GROUP BY user_id, session_id
+),
+m AS (
+    SELECT user_id,
+           list_position(types, 'view') AS p1,
+           CASE WHEN p1 = 0 THEN 0
+                ELSE list_position(types[p1+1:], 'click') END AS p2,
+           CASE WHEN p2 = 0 THEN 0
+                ELSE list_position(types[p1+p2+1:], 'purchase') END AS p3,
+           CASE WHEN p3 > 0 THEN 1 ELSE 0 END AS matched
+    FROM seq
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(matched) AS BIGINT) AS n_matched,
+       round(sum(matched) * 1.0 / count(*), 6) AS match_rate
+FROM m GROUP BY user_id
+""",
+)
+def w_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-subsequence pattern detection per session
+    (MATCH_RECOGNIZE-lite): does a session contain view -> click ->
+    purchase IN ORDER (other events may interleave)? The match runs as
+    a greedy finite-state fold over each session's time-ordered event
+    types — a Catalyst ``aggregate`` lambda stepping '' -> 'v' -> 'vc'
+    -> 'vcp' — which is the textbook subsequence automaton: greedy
+    stage advance is exact for subsequence containment. Sessions are
+    the same 2-day-gap construction as w_sessionize (lag + running
+    sum, one sort shuffle); the session agg and the per-user rollup
+    reuse that partitioning. The 100 TB posture is W5's: per-session
+    arrays are bounded by session length, state per row is one enum
+    string, and nothing re-scans — contrast with a per-pattern-stage
+    self-join (funnel a_funnel_conversion's global form), which pays
+    one join per stage. The DuckDB oracle is an INDEPENDENT
+    formulation — the greedy first-occurrence position chain
+    (list_position on successive suffixes, chained through lateral
+    aliases), equivalent to the automaton by the greedy-subsequence
+    argument — deliberately NOT list_reduce: DuckDB 1.0's list_reduce
+    returned run-to-run varying states on this workload's agg-produced
+    string lists (observed; lists themselves stable, fold unstable),
+    so the oracle sticks to pure deterministic list functions."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # running sum MUST order by the full (ts, event_id) key: with ts
+    # alone, tied timestamps at a session boundary get nondeterministic
+    # membership — n_sessions stays stable but WHICH events fall in
+    # which session flips between engines/runs, and a subsequence
+    # match is sensitive to exactly that (observed: user 9's boundary
+    # purchase flipping sessions flipped the match).
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() | (secs(F.col("ts")) - secs(prev) > 2 * 86400)
+    ).cast("int")
+    tagged = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        new_s.alias("new_session"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(wrun).cast("long").alias("session_id"),
+    )
+    seq = (
+        tagged.select(
+            "user_id",
+            "session_id",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            ).alias("e"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .withColumn("types", F.expr("transform(es, x -> x.event_type)"))
+    )
+    matched = (
+        F.expr(
+            "aggregate(types, '', (acc, v) -> CASE "
+            "WHEN acc = ''   AND v = 'view'     THEN 'v' "
+            "WHEN acc = 'v'  AND v = 'click'    THEN 'vc' "
+            "WHEN acc = 'vc' AND v = 'purchase' THEN 'vcp' "
+            "ELSE acc END)"
+        )
+        == "vcp"
+    ).cast("long")
+    m = seq.select("user_id", matched.alias("matched"))
+    return m.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("matched").alias("n_matched"),
+        F.round(F.sum("matched") / F.count("*"), 6).alias("match_rate"),
+    )

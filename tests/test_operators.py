@@ -3171,3 +3171,54 @@ def test_sliding_distinct_hll_tracks_exact(spark, sf_dir):
     assert set(exact) == set(est) and len(exact) >= 25
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(2, 0.05 * n), (day, n, est[day])
+
+
+def test_pattern_match_automaton_semantics(spark):
+    """Closed-form check of the session subsequence automaton: ordered
+    view->click->purchase matches with interleaving; order violations
+    and missing stages don't; stages never chain ACROSS sessions (a
+    view in session 1 cannot combine with a click in session 2)."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os, datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+
+    def ev(i, u, off_days, et):
+        return (i, base + off_days * day, u, et, 1.0, "{}")
+
+    rows = [
+        # user 1, one session: view .. error .. click .. purchase -> match
+        ev(1, 1, 0.0, "view"), ev(2, 1, 0.1, "error"),
+        ev(3, 1, 0.2, "click"), ev(4, 1, 0.3, "purchase"),
+        # user 2, one session: purchase click view (wrong order) -> no
+        ev(5, 2, 0.0, "purchase"), ev(6, 2, 0.1, "click"),
+        ev(7, 2, 0.2, "view"),
+        # user 3: view+click in session 1; purchase 10 days later is a
+        # NEW session -> neither session matches
+        ev(8, 3, 0.0, "view"), ev(9, 3, 0.1, "click"),
+        ev(10, 3, 10.0, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["w_pattern_match"](spark, d).collect()
+        }
+    assert out[1]["n_sessions"] == 1 and out[1]["n_matched"] == 1
+    assert out[2]["n_sessions"] == 1 and out[2]["n_matched"] == 0
+    assert out[3]["n_sessions"] == 2 and out[3]["n_matched"] == 0

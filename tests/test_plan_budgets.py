@@ -243,6 +243,9 @@ EXCHANGE_BUDGETS = {
     # day-grain distinct agg + explode + window count_distinct (2-phase
     # expands it) + broadcast day-dim semi-join
     "w_sliding_distinct": 5,
+    # ONE (user) sort shuffle serves lag + running sum; session collect
+    # and the per-user rollup reuse the user partitioning
+    "w_pattern_match": 1,
 }
 
 

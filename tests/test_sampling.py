@@ -121,6 +121,7 @@ SHADOW_NAMES = [
     "a_trend_fit",
     "w_ewma",
     "w_sliding_distinct",
+    "w_pattern_match",
 ]
 
 
