@@ -240,14 +240,23 @@ def prefix_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    # same two-stage explode as _jaccard_verify: bounded per-row memory
+    # same two-stage explode as _jaccard_verify: bounded per-row memory.
+    # PPJoin's LENGTH filter applies during expansion: J >= t forces
+    # |A cap B| >= t*|A u B| >= t*max(n1,n2), and |A cap B| <= min(n1,
+    # n2), so min >= t*max — size-mismatched co-bucketed pairs die here,
+    # before the distinct and the verify joins, at zero extra shuffles.
     e1 = groups.select("docs", F.posexplode("docs").alias("i", "x"))
     cands = (
         e1.select(
             F.col("x.doc").alias("d1"),
+            F.col("x.n").alias("n1"),
             F.explode(
                 F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
             ).alias("y"),
+        )
+        .filter(
+            F.least(F.col("n1"), F.col("y.n"))
+            >= threshold * F.greatest(F.col("n1"), F.col("y.n"))
         )
         .select("d1", F.col("y.doc").alias("d2"))
         .distinct()
