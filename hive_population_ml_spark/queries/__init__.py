@@ -38,6 +38,32 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r8 second wave: the fifteen round-8 registrations (shadow-first —
+    # the window was full at registration time) rotate in to earn their
+    # first driver hash rows THIS round instead of aging into the exact
+    # ledger gap VERDICT r7 #2 flagged; the fifteen longest-green
+    # incumbents cede (4-green: j_multiway_revenue,
+    # quality_constraint_report, dedup_cluster_ngram, text_bigram_logprob,
+    # mix_temperature_weights, sample_group_bottomk; 3-green:
+    # cdc_latest_state, cdc_snapshot_diff, a_cube_revenue, a_outlier_iqr,
+    # a_profile_table, a_funnel_conversion, w_rank_functions,
+    # text_heavy_hitters, text_chunk_chars). flagship never cedes;
+    # streaming stays 3-deep (attribution + session + cdc_state).
+    "j_bloom_pruned",
+    "j_correlated_subquery",
+    "incr_stats_merge",
+    "gdpr_delete_cascade",
+    "dedup_jaccard_prefix",
+    "dedup_cluster_keeper_quality",
+    "text_semantic_decontaminate",
+    "text_ccnet_buckets",
+    "text_duplication_score",
+    "a_winsorized_stats",
+    "a_trend_fit",
+    "w_ewma",
+    "w_sliding_distinct",
+    "w_pattern_match",
+    "sample_training_order",
     # r8 (VERDICT r7 #2): the five late-round-7 registrations that have
     # never earned a driver hash row rotate in; five 3-round-green r5
     # incumbents cede (removed from this list — their register() sites
@@ -76,6 +102,22 @@ ROTATE_TO_ORACLE = [
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    # r8 second wave (see ROTATE_TO_ORACLE note above).
+    "j_multiway_revenue",
+    "quality_constraint_report",
+    "dedup_cluster_ngram",
+    "text_bigram_logprob",
+    "mix_temperature_weights",
+    "sample_group_bottomk",
+    "cdc_latest_state",
+    "cdc_snapshot_diff",
+    "a_cube_revenue",
+    "a_outlier_iqr",
+    "a_profile_table",
+    "a_funnel_conversion",
+    "w_rank_functions",
+    "text_heavy_hitters",
+    "text_chunk_chars",
     # r7 wave: longest-green incumbents cede slots to the round-7
     # additions (cdc_scd2_history, dedup_source_overlap,
     # split_cluster_safe, text_dsir_weights); every ceded query keeps
