@@ -218,11 +218,14 @@ def prefix_jaccard_pairs(
     and df-capped (recall<1 on boilerplate-heavy pairs) paths trade
     away. The price over ``ngram_jaccard_pairs`` is one df-count agg
     and one per-doc rank window; the win is pair-expansion volume,
-    which is what actually explodes at 100 TB. Verification joins the
-    candidate pairs back to BOTH docs' shingle rows directly — never
-    through the all-bucket expansion (the semi-join form in
-    ``_jaccard_verify`` would re-expand every bucket first, paying
-    exactly the cost the prefix filter exists to avoid).
+    which is what actually explodes at 100 TB. Candidates that survive
+    the length filter are pruned again by PPJoin's positional filter
+    (computed in the same shuffle that dedups pairs — see inline
+    proof), and verification joins the surviving pairs to per-doc
+    sorted shingle-hash arrays (`array_intersect` per pair, no
+    post-join shuffle) — never through the all-bucket expansion (the
+    semi-join form in ``_jaccard_verify`` would re-expand every bucket
+    first, paying exactly the cost the prefix filter exists to avoid).
     """
     from pyspark.sql import Window
 
@@ -234,44 +237,97 @@ def prefix_jaccard_pairs(
         F.row_number().over(Window.partitionBy("doc").orderBy("df_s", "sh64")),
     )
     p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("pos") <= p).select("sh64", "doc", "n")
+    prefix = ranked.filter(F.col("pos") <= p).select("sh64", "doc", "n", "pos")
     groups = (
         prefix.groupBy("sh64")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n", "pos"))).alias("docs"))
         .filter(F.size("docs") > 1)
     )
     # same two-stage explode as _jaccard_verify: bounded per-row memory.
     # PPJoin's LENGTH filter applies during expansion: J >= t forces
     # |A cap B| >= t*|A u B| >= t*max(n1,n2), and |A cap B| <= min(n1,
     # n2), so min >= t*max — size-mismatched co-bucketed pairs die here,
-    # before the distinct and the verify joins, at zero extra shuffles.
+    # before the pair agg and the verify joins, at zero extra shuffles.
     e1 = groups.select("docs", F.posexplode("docs").alias("i", "x"))
+    expanded = e1.select(
+        F.col("x.doc").alias("d1"),
+        F.col("x.n").alias("n1"),
+        F.col("x.pos").alias("pos1"),
+        F.explode(
+            F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+        ).alias("y"),
+    ).filter(
+        F.least(F.col("n1"), F.col("y.n"))
+        >= threshold * F.greatest(F.col("n1"), F.col("y.n"))
+    )
+    # PPJoin's POSITIONAL filter replaces the bare distinct: the same
+    # shuffle that would dedup candidate pairs instead aggregates the
+    # co-bucketed evidence — c shared prefix tokens and the global-order
+    # positions of the LAST one. Every shared token outside that set
+    # sorts strictly after it (else it would sit inside both prefixes
+    # and be co-bucketed itself), so
+    #   |A cap B| <= c + min(n1 - maxpos1, n2 - maxpos2),
+    # while J >= t needs |A cap B| >= ceil(t/(1+t) * (n1+n2)). Pairs
+    # whose upper bound cannot reach that overlap die HERE, before the
+    # two verify joins re-shuffle full shingle sets — the candidate
+    # count, not the verify arithmetic, is what explodes at 100 TB.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n1") + F.col("n2"))
+    )
     cands = (
-        e1.select(
-            F.col("x.doc").alias("d1"),
-            F.col("x.n").alias("n1"),
-            F.explode(
-                F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
-            ).alias("y"),
+        expanded.groupBy("d1", F.col("y.doc").alias("d2"))
+        .agg(
+            F.count("*").alias("c"),
+            F.first("n1").alias("n1"),
+            F.first("y.n").alias("n2"),
+            F.max("pos1").alias("maxpos1"),
+            F.max("y.pos").alias("maxpos2"),
         )
         .filter(
-            F.least(F.col("n1"), F.col("y.n"))
-            >= threshold * F.greatest(F.col("n1"), F.col("y.n"))
+            F.col("c")
+            + F.least(
+                F.col("n1") - F.col("maxpos1"), F.col("n2") - F.col("maxpos2")
+            )
+            >= alpha
         )
-        .select("d1", F.col("y.doc").alias("d2"))
-        .distinct()
+        .select("d1", "d2")
     )
-    a = sh.select(F.col("doc").alias("d1"), "s", F.col("n").alias("n1"))
-    b = sh.select(F.col("doc").alias("d2"), "s", F.col("n").alias("n2"))
-    inter = (
-        cands.join(a, "d1")
-        .join(b, ["d2", "s"])
-        .groupBy("d1", "d2")
+    # Verify surviving pairs against per-doc sorted shingle-hash ARRAYS,
+    # not a re-join of every (doc, shingle) row: the row form shuffles
+    # |pairs| x avg-set-size rows through a (d2, s) join plus a final
+    # (d1, d2) hash-agg (~16M rows at sf0.1), while the array form
+    # joins |pairs| rows to a |docs|-row array table twice (tiny side
+    # auto-broadcast locally; plain doc-keyed shuffle join at cluster
+    # scale) and computes the intersection size JVM-side per pair with
+    # NO post-join shuffle at all. Hash-level equality (xxhash64) is the
+    # same intersection definition the co-bucket counting in
+    # _jaccard_verify has used since round 3 — oracle-hash-green at
+    # every SF, with 64-bit collision odds ~1e-15 at these set sizes.
+    arrs = (
+        sh.withColumn("sh64", F.xxhash64("s"))
+        .groupBy("doc")
         .agg(
-            F.count("*").alias("inter"),
-            F.first("n1").alias("n1"),
-            F.first("n2").alias("n2"),
+            F.sort_array(F.collect_list("sh64")).alias("arr"),
+            F.first("n").alias("n"),
         )
+    )
+    paired = cands.join(
+        arrs.select(
+            F.col("doc").alias("d1"),
+            F.col("arr").alias("arr1"),
+            F.col("n").alias("n1"),
+        ),
+        "d1",
+    ).join(
+        arrs.select(
+            F.col("doc").alias("d2"),
+            F.col("arr").alias("arr2"),
+            F.col("n").alias("n2"),
+        ),
+        "d2",
+    )
+    inter = paired.withColumn(
+        "inter", F.size(F.array_intersect("arr1", "arr2"))
     )
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return inter.select(

@@ -232,9 +232,12 @@ EXCHANGE_BUDGETS = {
     # 4 one-row artifact aggs (docs x2 scalars share a pass) + the
     # broadcast del-key anti-join legs + 1-row cross-join assembly
     "gdpr_delete_cascade": 9,
-    # df-count agg + per-doc rank window + prefix bucket agg +
-    # candidate distinct + the two verify joins keyed (d1)/(d2,s)
-    "dedup_jaccard_prefix": 8,
+    # df-count agg + per-doc rank window + prefix bucket agg + the
+    # positional-filter pair agg + per-doc array agg + the two verify
+    # joins keyed d1/d2. One MORE exchange than the r8 row-form (the
+    # per-doc shingle-array agg) buys away the post-join 16M-row
+    # (d1,d2) hash agg entirely: 8.59s -> 1.84s at sf0.1.
+    "dedup_jaccard_prefix": 9,
     # ONE 2-phase hash agg: regr_* states are fixed-size and partially
     # aggregated — per-key OLS with no per-group loop
     "a_trend_fit": 1,

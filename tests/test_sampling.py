@@ -106,22 +106,25 @@ SHADOW_NAMES = [
     "a_unpivot_user_stats",
     "dedup_incremental_ngram",
     "text_heavy_hitters_lang",
-    # round-8 additions, shadow-first (window full)
-    "text_semantic_decontaminate",
-    "text_ccnet_buckets",
-    "a_winsorized_stats",
-    "dedup_cluster_keeper_quality",
-    "sample_training_order",
-    "text_duplication_score",
-    "j_bloom_pruned",
-    "j_correlated_subquery",
-    "incr_stats_merge",
-    "gdpr_delete_cascade",
-    "dedup_jaccard_prefix",
-    "a_trend_fit",
-    "w_ewma",
-    "w_sliding_distinct",
-    "w_pattern_match",
+    # r8 second wave: the fifteen round-8 additions rotated INTO the
+    # driver window (earning hash rows the round they were built); the
+    # fifteen longest-green incumbents ceded and keep the identical
+    # hash-equal contract here.
+    "j_multiway_revenue",
+    "quality_constraint_report",
+    "dedup_cluster_ngram",
+    "text_bigram_logprob",
+    "mix_temperature_weights",
+    "sample_group_bottomk",
+    "cdc_latest_state",
+    "cdc_snapshot_diff",
+    "a_cube_revenue",
+    "a_outlier_iqr",
+    "a_profile_table",
+    "a_funnel_conversion",
+    "w_rank_functions",
+    "text_heavy_hitters",
+    "text_chunk_chars",
 ]
 
 
