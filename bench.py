@@ -130,6 +130,8 @@ HEADLINE = [
     "w_ewma",
     "w_sliding_distinct",
     "w_pattern_match",
+    "w_interval_merge",
+    "dedup_containment",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -1057,3 +1057,78 @@ def incremental_minhash_dups(
             ).cast("int").alias("is_dup"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    max_shingle_frac: float | None = None,
+) -> DataFrame:
+    """Directed set-CONTAINMENT join: (src, dst) where
+    |src ∩ dst| / |src| >= threshold over k-shingle sets — the
+    asymmetric companion to the Jaccard tiers. Jaccard misses the
+    quote/subset relationships that matter for training-data curation
+    (a tweet embedded in a news article, a doc wholesale-included in a
+    crawl aggregate, benchmark text quoted inside a longer page):
+    J(A,B) ~ |A|/|B| is tiny when |B| >> |A| even at full containment,
+    while C(A,B)=1. Same co-bucket machinery as ``_jaccard_verify``
+    (one bucket agg, two-stage pair explode, one pair agg — the
+    intersection is counted once per UNDIRECTED pair and projected to
+    both directions afterward, pure arithmetic on the aggregated row).
+    The fractional df guard (see ``ngram_jaccard_pairs``) bounds hot
+    buckets identically; its oracle mirror drops the same shingles, so
+    exactness-under-cap is hash-checkable.
+    """
+    if max_shingle_frac is not None:
+        import math
+
+        scaled = math.ceil(max_shingle_frac * df.count())
+        max_shingle_df = max(max_shingle_df or 0, scaled)
+    sh = shingle_sets(df, id_col, text_col, k)
+    bucket_ok = F.size("docs") > 1
+    if max_shingle_df is not None:
+        bucket_ok = bucket_ok & (F.size("docs") <= max_shingle_df)
+    groups = (
+        sh.withColumn("sh64", F.xxhash64("s"))
+        .groupBy("sh64")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
+        .filter(bucket_ok)
+    )
+    e1 = groups.select("docs", F.posexplode("docs").alias("i", "x"))
+    expanded = e1.select(
+        F.col("x.doc").alias("d1"),
+        F.col("x.n").alias("n1"),
+        F.explode(
+            F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+        ).alias("y"),
+    )
+    inter = expanded.groupBy(
+        "d1", F.col("y.doc").alias("d2")
+    ).agg(
+        F.count("*").alias("inter"),
+        F.first("n1").alias("n1"),
+        F.first("y.n").alias("n2"),
+    )
+    # project the undirected intersection to its two directed readings;
+    # explode of a 2-element struct array keeps this a pure map stage.
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("src"),
+                    F.col("d2").alias("dst"),
+                    (F.col("inter") / F.col("n1")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("d2").alias("src"),
+                    F.col("d1").alias("dst"),
+                    (F.col("inter") / F.col("n2")).alias("containment"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", F.round("e.containment", 6).alias("containment"))
+    return directed.filter(F.col("containment") >= threshold)

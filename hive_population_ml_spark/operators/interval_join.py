@@ -139,3 +139,56 @@ def as_of_join(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_intervals(
+    iv: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Merge overlapping/touching [start, end] intervals per key into
+    maximal ISLANDS (interval union) — the coverage primitive behind
+    uptime/SLA math, sensor-gap analysis, and span-overlap accounting
+    that plain GROUP BY cannot express. The reference's eager stack
+    would sort each key's intervals in pandas; here one partitioned
+    sort serves both window passes and the plan stays distributed.
+
+    Classic gaps-and-islands rewrite: per key, order by start; an
+    interval OPENS a new island iff its start exceeds the running max
+    of all PRECEDING ends (strictly — touching intervals merge); the
+    running sum of those open-flags numbers the islands, and a grouped
+    agg yields per-island bounds and membership counts. Island
+    boundaries depend only on the sorted starts vs the preceding-end
+    running max, so equal-start tie order cannot change the result
+    (s2 == s1 is never > a preceding end >= s1); ``tiebreak`` just
+    pins a deterministic physical order for reproducible explains.
+
+    Scale: ONE (key)-hash sort shuffle feeds both windows; the
+    per-island agg's map-side partial combine collapses each island to
+    a single row before its exchange. Skewed keys (one key = millions
+    of intervals) serialize inside that key's partition — the same
+    bound every per-key ordered operator in this engine carries.
+    """
+    from pyspark.sql import Window
+
+    order = [start_col, end_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum("__opens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        iv.withColumn("__opens", opens)
+        .withColumn("island_id", island)
+        .groupBy(key_col, "island_id")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count("*").alias("n_members"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..operators.dedup import (
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -741,4 +742,54 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return prefix_jaccard_pairs(
         t.documents, "doc_id", "text", k=3, threshold=0.3
+    )
+
+
+@register(
+    "dedup_containment",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT s FROM sh GROUP BY s
+    HAVING count(*) <= ceil(0.1 * (SELECT count(*) FROM documents))
+),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+directed AS (
+    SELECT inter.d1 AS src, inter.d2 AS dst,
+           round(inter * 1.0 / s1.n, 6) AS containment
+    FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+    UNION ALL
+    SELECT inter.d2 AS src, inter.d1 AS dst,
+           round(inter * 1.0 / s2.n, 6) AS containment
+    FROM inter JOIN sizes s2 ON inter.d2 = s2.doc_id
+)
+SELECT src, dst, containment FROM directed WHERE containment >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-set CONTAINMENT join (|src∩dst|/|src| >= 0.5):
+    the asymmetric near-dup relation Jaccard structurally misses — a
+    short doc quoted wholesale inside a much longer one scores
+    J ~ |A|/|B| (arbitrarily small) but C(A,B) = 1. The curation uses
+    are one-directional by nature: drop the contained copy, keep the
+    container; flag benchmark text quoted inside crawl pages. Same
+    fractional df guard and oracle mirror as `dedup_ngram_jaccard`;
+    the intersection is counted once per undirected pair and projected
+    to both directions as pure arithmetic (an explode of a 2-struct
+    array — no second pair shuffle)."""
+    t = Tables(spark, sf_dir)
+    return containment_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.5, max_shingle_frac=0.1
     )

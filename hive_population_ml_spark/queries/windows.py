@@ -681,3 +681,70 @@ def w_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("matched").alias("n_matched"),
         F.round(F.sum("matched") / F.count("*"), 6).alias("match_rate"),
     )
+
+
+# -- beyond ref: interval union (gaps-and-islands coverage merge) -----------
+
+@register(
+    "w_interval_merge",
+    shadow_oracle="""
+WITH iv AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS e
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS opens
+    FROM (
+        SELECT user_id, s, e, event_id,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv
+    )
+),
+islands AS (
+    SELECT user_id, s, e,
+           CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island_id
+    FROM flagged
+)
+SELECT user_id, island_id,
+       min(s) AS island_start, max(e) AS island_end,
+       count(*) AS n_members
+FROM islands
+GROUP BY user_id, island_id
+""",
+)
+def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per user (gaps-and-islands): each event opens a
+    [ts, ts + value-minutes] activity interval; overlapping intervals
+    merge into maximal islands with per-island bounds and membership.
+    The coverage primitive (uptime/SLA accounting, A4's coverage ratio
+    generalized to overlap-aware time math) that GROUP BY alone cannot
+    express. All outputs are exact BIGINTs: duration arithmetic stays
+    integral (round(value*100)*600000 us — never a double cast, whose
+    truncate-vs-round semantics differ between engines). ONE user-hash
+    sort shuffle feeds both window passes; islands collapse map-side
+    in the final agg."""
+    from ..operators.interval_join import merge_intervals
+
+    t = Tables(spark, sf_dir)
+    iv = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.round(F.col("value") * 100).cast("long") * 600000
+        ).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e", tiebreak="event_id").select(
+        "user_id",
+        "island_id",
+        F.col("island_start").alias("island_start"),
+        F.col("island_end").alias("island_end"),
+        "n_members",
+    )

@@ -3222,3 +3222,67 @@ def test_pattern_match_automaton_semantics(spark):
     assert out[1]["n_sessions"] == 1 and out[1]["n_matched"] == 1
     assert out[2]["n_sessions"] == 1 and out[2]["n_matched"] == 0
     assert out[3]["n_sessions"] == 2 and out[3]["n_matched"] == 0
+
+
+def test_merge_intervals_islands_closed_form(spark):
+    """Gaps-and-islands on hand-computable intervals: overlap merges,
+    touching merges (start == running max end), strict gap splits, and
+    a containing interval extends the island's end for later members."""
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.interval_join import merge_intervals
+
+    rows = [
+        # key A: [0,10] + [5,20] overlap; [20,25] touches (merges);
+        # [30,35] gaps (new island)
+        Row(k="A", s=0, e=10),
+        Row(k="A", s=5, e=20),
+        Row(k="A", s=20, e=25),
+        Row(k="A", s=30, e=35),
+        # key B: [0,100] contains [10,20] and [50,60]; [90,110] overlaps
+        # the container even though it gaps vs [50,60] — running MAX end,
+        # not lag(end), is what makes this one island
+        Row(k="B", s=0, e=100),
+        Row(k="B", s=10, e=20),
+        Row(k="B", s=50, e=60),
+        Row(k="B", s=90, e=110),
+    ]
+    out = merge_intervals(
+        spark.createDataFrame(rows), "k", "s", "e"
+    ).collect()
+    got = {
+        (r["k"], r["island_id"]): (
+            r["island_start"], r["island_end"], r["n_members"]
+        )
+        for r in out
+    }
+    assert got == {
+        ("A", 1): (0, 25, 3),
+        ("A", 2): (30, 35, 1),
+        ("B", 1): (0, 110, 4),
+    }
+
+
+def test_containment_pairs_closed_form(spark):
+    """Directed containment: a doc fully quoted inside a longer one
+    scores 1.0 in the contained->container direction, while Jaccard
+    would score |A|/|B|; the reverse direction scores |A∩B|/|B| and is
+    filtered at the 0.5 default; unrelated docs produce no pairs."""
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.dedup import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon"
+    container = quoted + " zeta eta theta iota kappa lam mu nu xi omicron"
+    rows = [
+        Row(doc_id=1, text=quoted),
+        Row(doc_id=2, text=container),
+        Row(doc_id=3, text="pi rho sigma tau upsilon phi chi psi omega aa"),
+    ]
+    out = containment_pairs(
+        spark.createDataFrame(rows), "doc_id", "text", k=3, threshold=0.5
+    ).collect()
+    got = {(r["src"], r["dst"]): r["containment"] for r in out}
+    # doc1 has 3 shingles (5 tokens, k=3), all present in doc2 -> C=1.0;
+    # doc2 has 13 shingles, 3 shared -> C=3/13=0.23 < 0.5 (dropped).
+    assert got == {(1, 2): 1.0}

@@ -249,6 +249,12 @@ EXCHANGE_BUDGETS = {
     # ONE (user) sort shuffle serves lag + running sum; session collect
     # and the per-user rollup reuse the user partitioning
     "w_pattern_match": 1,
+    # ONE user-hash sort shuffle feeds both gaps-and-islands windows;
+    # the (user, island) agg REUSES that partitioning (plan-proved)
+    "w_interval_merge": 1,
+    # bucket agg + pair agg; the directed projection is a pure map
+    # (2-struct explode), no third shuffle
+    "dedup_containment": 2,
 }
 
 

@@ -125,6 +125,9 @@ SHADOW_NAMES = [
     "w_rank_functions",
     "text_heavy_hitters",
     "text_chunk_chars",
+    # registered after the r8 second-wave rotation (window full again)
+    "w_interval_merge",
+    "dedup_containment",
 ]
 
 
