@@ -132,6 +132,7 @@ HEADLINE = [
     "w_pattern_match",
     "w_interval_merge",
     "dedup_containment",
+    "text_ngram_novelty",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

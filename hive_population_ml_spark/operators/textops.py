@@ -763,6 +763,64 @@ def duplication_score(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty in ingestion order: the share of a
+    doc's DISTINCT k-token windows whose corpus-wide FIRST occurrence
+    (min id) is this doc — the diminishing-returns curve dedup papers
+    plot to show how much genuinely new text each successive document
+    contributes (Lee et al. 2022 §4 measure this to size the win of
+    dedup before training; a crawl whose tail novelty approaches zero
+    is pure re-crawl). ``duplication_score`` asks "is this doc mostly
+    repeated text?"; this asks "was this doc the ORIGIN of its text?".
+
+    Output: (id, n_windows, n_novel, novelty_frac) where n_windows is
+    the DISTINCT window count (set semantics, unlike
+    duplication_score's occurrence count). Docs shorter than k tokens
+    report 0 windows and novelty 0.0.
+
+    Scale shape: per-doc window sets dedup map-side (array_distinct
+    before the explode, so the shuffle never carries a doc's internal
+    repeats); ONE span-keyed partial agg computes each span's min
+    owner (Heaps-bounded rows); novel counts re-agg that one-row-per-
+    span table by owner; the per-doc base (id, n_windows) is computed
+    map-side from the same array. No join touches the exploded table.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    idx = F.sequence(F.lit(0), F.size("__t") - F.lit(k))
+    mk = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)],
+                )
+            ),
+        )
+    )
+    wins = toks.withColumn(
+        "__w", F.when(F.size("__t") >= F.lit(k), mk).otherwise(F.array())
+    )
+    sh = wins.select(id_col, F.explode("__w").alias("__h"))
+    first = sh.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    novel = first.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_novel"))
+    base = wins.select(id_col, F.size("__w").cast("long").alias("n_windows"))
+    nn = F.coalesce(F.col("n_novel"), F.lit(0))
+    return base.join(novel, id_col, "left").select(
+        id_col,
+        "n_windows",
+        nn.cast("long").alias("n_novel"),
+        F.when(F.col("n_windows") > 0, F.round(nn / F.col("n_windows"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("novelty_frac"),
+    )
+
+
 def token_frequencies(
     docs: DataFrame,
     text_col: str = "text",

@@ -1024,6 +1024,45 @@ def text_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ngram_novelty",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 4),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] || ' ' || t[i+5]))) AS s
+    FROM toks WHERE len(t) >= 5
+),
+firsts AS (SELECT s, min(doc_id) AS doc_id FROM wins GROUP BY s),
+novel AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id),
+nw AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(nw.n_windows, 0) > 0
+            THEN round(coalesce(novel.n_novel, 0) * 1.0 / nw.n_windows, 6)
+            ELSE 0.0 END AS novelty_frac
+FROM toks t
+LEFT JOIN nw ON t.doc_id = nw.doc_id
+LEFT JOIN novel ON t.doc_id = novel.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty curve (round-8 addition): the share
+    of each doc's DISTINCT 5-token windows first seen (min doc_id) in
+    that doc — the diminishing-returns measure dedup papers plot
+    before training (a crawl tail with novelty ~0 is pure re-crawl;
+    reference corpus-health analog: src/data/population_dataset.py's
+    coverage diagnostics). Complements text_duplication_score: that
+    scores "mostly repeated?", this scores "was this the origin?".
+    Fully differential: set-distinct windows, min-owner, and the
+    fraction all mirrored in SQL."""
+    t = Tables(spark, sf_dir)
+    return textops.ngram_novelty(t.documents)
+
+
+@register(
     "gdpr_delete_cascade",
     shadow_oracle="""
 WITH del AS (

@@ -2985,6 +2985,35 @@ def test_duplication_score_closed_form(spark):
     assert got[1]["dup_frac"] == round(2 / 6, 6)
 
 
+def test_ngram_novelty_closed_form(spark):
+    """First occurrence owns the span: doc 1 originates `shared`, so
+    doc 2's copy is not novel; windows are DISTINCT per doc (doc 1's
+    self-repeat counts once); unique docs score 1.0; sub-k docs report
+    0 windows and novelty 0.0."""
+    from hive_population_ml_spark.operators.textops import ngram_novelty
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{shared} {shared}"),                  # origin + self-repeat
+        (2, f"{shared} zz1 zz2 zz3 zz4 zz5"),       # copies doc 1's span
+        (3, "u1 u2 u3 u4 u5 u6 u7"),                # fully novel
+        (4, "tiny doc"),                            # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert len(got) == 4
+    # doc 1: 6 window occurrences, but offsets 0 and 5 are the same
+    # span -> 5 DISTINCT windows, all first seen here
+    assert got[1]["n_windows"] == 5 and got[1]["n_novel"] == 5
+    assert got[1]["novelty_frac"] == 1.0
+    # doc 2: 6 distinct windows; the leading `shared` window belongs
+    # to doc 1 -> 5 novel
+    assert got[2]["n_windows"] == 6 and got[2]["n_novel"] == 5
+    assert got[2]["novelty_frac"] == round(5 / 6, 6)
+    assert got[3]["n_windows"] == 3 and got[3]["novelty_frac"] == 1.0
+    assert got[4]["n_windows"] == 0 and got[4]["novelty_frac"] == 0.0
+
+
 def test_interval_join_bucketed_parity_and_plan(spark, sf_dir):
     """The large-x-large day-bucketing rewrite (the §4.3 fallback when
     the dim side outgrows broadcast) must return EXACTLY the broadcast

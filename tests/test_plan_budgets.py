@@ -255,6 +255,10 @@ EXCHANGE_BUDGETS = {
     # bucket agg + pair agg; the directed projection is a pure map
     # (2-struct explode), no third shuffle
     "dedup_containment": 2,
+    # per-doc window sets dedup map-side (array_distinct pre-explode);
+    # span-hash min-owner agg + owner re-agg + the novel-count
+    # broadcast back to the map-side (id, n_windows) base
+    "text_ngram_novelty": 3,
 }
 
 

@@ -128,6 +128,7 @@ SHADOW_NAMES = [
     # registered after the r8 second-wave rotation (window full again)
     "w_interval_merge",
     "dedup_containment",
+    "text_ngram_novelty",
 ]
 
 
