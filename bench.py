@@ -133,6 +133,7 @@ HEADLINE = [
     "w_interval_merge",
     "dedup_containment",
     "text_ngram_novelty",
+    "mix_domain_clusters",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

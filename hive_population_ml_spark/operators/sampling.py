@@ -345,6 +345,83 @@ def unimax_weights(
     )
 
 
+def domain_mixture_weights(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    alpha: float = 0.3,
+    target_total: int | None = None,
+    n_cells: int | None = None,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature mixing over LEARNED domains instead of metadata
+    strata (the DoReMi/Dolma corpus-organization move: when `source`
+    labels are missing or too coarse, k-means cells over document
+    embeddings become the mixing domains): assign every embedding to
+    its nearest IVF centroid (bounded-sample k-means fit, GEMM
+    assignment — both existing scale paths), join token counts from the
+    documents table, then reweight per-cell token mass with
+    ``p_c ∝ tokens_c^alpha`` (alpha=1 proportional, 0 uniform; 0.3 the
+    mT5 temperature).
+
+    Output per cell: (cell, n_docs, n_tokens, p, rate, epochs) — rate
+    is the capped per-TOKEN keep rate hitting ``target_total`` tokens
+    in expectation, epochs the uncapped expected passes (>1 ⇒ the cell
+    must repeat). ``target_total`` defaults to half the corpus tokens.
+
+    Scale shape: centroid fit is corpus-size-constant (bounded
+    sample); assignment is a zero-exchange Arrow GEMM map; ONE
+    doc-keyed join (embeddings↔docs share the id) and ONE cell agg;
+    every window after that runs over the #cells-row table
+    (k ~ sqrt(n) via auto_n_cells, never corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import assign_cells, auto_n_cells, train_ivf_centroids
+
+    if n_cells is None:
+        n_cells = auto_n_cells(embeddings.count(), max_cells=4096)
+    cents = train_ivf_centroids(
+        embeddings, n_cells, id_col=vec_id_col, seed=seed
+    )
+    assigned = assign_cells(embeddings, cents, id_col=vec_id_col).select(
+        F.col("id").alias(id_col), "cell"
+    )
+    toks = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("__nt")
+    )
+    counts = (
+        assigned.join(toks, id_col)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    total = F.sum(F.col("n_tokens").cast("double")).over(everything)
+    tgt = (
+        F.lit(float(target_total))
+        if target_total is not None
+        else total * F.lit(0.5)
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    p = w / F.sum(w).over(everything)
+    expected = p * tgt
+    return counts.select(
+        "cell",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 9).alias("p"),
+        F.round(F.least(F.lit(1.0), expected / F.col("n_tokens")), 9).alias(
+            "rate"
+        ),
+        F.round(expected / F.col("n_tokens"), 9).alias("epochs"),
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -472,3 +472,23 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return training_order(t.documents, "doc_id", n_shards=8, seed=7)
+
+
+@register("mix_domain_clusters")  # rows-only: k-means cell assignment
+# has no DuckDB twin; partition/mass-conservation/temperature
+# properties pinned in tests/test_sampling.py
+def mix_domain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing over LEARNED domains (round-8 addition; the
+    DoReMi/Dolma move): k-means cells over document embeddings stand in
+    for missing/too-coarse source labels, then per-cell token mass is
+    temperature-reweighted (p ∝ tokens^0.3) into keep rates and epoch
+    counts. Composes the two existing scale paths end-to-end:
+    bounded-sample centroid fit + zero-exchange GEMM assignment feed
+    ONE doc-keyed join and ONE cell agg; every window after that runs
+    over the ~sqrt(n)-row cell table."""
+    from ..operators.sampling import domain_mixture_weights
+
+    t = Tables(spark, sf_dir)
+    return domain_mixture_weights(
+        t.documents, t.embeddings, alpha=0.3, n_cells=16, seed=7
+    )

@@ -259,6 +259,11 @@ EXCHANGE_BUDGETS = {
     # span-hash min-owner agg + owner re-agg + the novel-count
     # broadcast back to the map-side (id, n_windows) base
     "text_ngram_novelty": 3,
+    # centroid fit runs in its own bounded-sample jobs; assignment is a
+    # zero-exchange GEMM map; ONE doc-keyed join (2 exchanges) + ONE
+    # cell agg; the temperature windows run over the ~sqrt(n)-row cell
+    # table (their single-partition exchanges are cell-table-sized)
+    "mix_domain_clusters": 5,
 }
 
 

@@ -241,6 +241,47 @@ def test_mixture_weights_temperature(spark, sf_oracle_dir):
     assert abs(sum(ps) - 1.0) < 1e-9
 
 
+def test_domain_mixture_weights_properties(spark, sf_oracle_dir):
+    """Learned-domain temperature mixing: every embedded doc lands in
+    exactly one cell (doc/token mass conserved), p sums to 1, alpha=1
+    is proportional-to-token-mass, alpha=0 is uniform over non-empty
+    cells, and the seeded fit is run-to-run deterministic."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.sampling import domain_mixture_weights
+    from hive_population_ml_spark.operators.textops import token_count
+
+    t = Tables(spark, sf_oracle_dir)
+    out = domain_mixture_weights(
+        t.documents, t.embeddings, alpha=0.3, n_cells=8, seed=7
+    ).collect()
+    n_docs = t.documents.count()
+    total_tokens = t.documents.select(
+        F.sum(token_count("text"))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    assert abs(sum(r["p"] for r in out) - 1.0) < 1e-6
+    # temperature extremes
+    prop = domain_mixture_weights(
+        t.documents, t.embeddings, alpha=1.0, n_cells=8, seed=7
+    ).collect()
+    for r in prop:
+        assert abs(r["p"] - r["n_tokens"] / total_tokens) < 1e-6
+    flat = domain_mixture_weights(
+        t.documents, t.embeddings, alpha=0.0, n_cells=8, seed=7
+    ).collect()
+    ps = [r["p"] for r in flat]
+    assert max(ps) - min(ps) < 1e-6
+    # default target: half the corpus tokens in expectation
+    expected = sum(r["rate"] * r["n_tokens"] for r in out)
+    assert expected <= 0.5 * total_tokens + 1e-6
+    # determinism
+    again = domain_mixture_weights(
+        t.documents, t.embeddings, alpha=0.3, n_cells=8, seed=7
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_pack_shards_budget_and_coverage(spark, sf_oracle_dir):
     from hive_population_ml_spark.io import Tables
     from hive_population_ml_spark.operators import textops
