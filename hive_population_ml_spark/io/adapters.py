@@ -199,3 +199,32 @@ def write_jsonl_corpus(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def orc_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan (the Hive-ecosystem sibling of parquet; the
+    format a warehouse-resident corpus often already sits in). Spark's
+    native vectorized ORC reader gives the same predicate-pushdown /
+    column-pruning / partition-pruning behavior as the parquet path —
+    `.explain` shows PushedFilters on this scan exactly as on parquet —
+    so downstream operators are format-agnostic. Schema comes from ORC
+    file metadata (embedded, like parquet), so no inference pass."""
+    tune(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Write ORC shards (zstd default — the modern space/speed point;
+    snappy for read-heavy compatibility). Same sizing policy as the
+    parquet writers: shard count is controlled upstream by
+    repartition/coalesce, directory-partitioned by ``partition_by``
+    for downstream partition pruning."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)

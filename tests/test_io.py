@@ -218,3 +218,41 @@ def test_jsonl_corpus_roundtrip_and_corrupt_capture(spark, sf_dir, tmp_path):
     assert "not json" in corrupt[0]["_corrupt_record"]
     good_ids = {r["doc_id"] for r in rows if r["_corrupt_record"] is None}
     assert good_ids == {1, 2}
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, sf_dir, tmp_path):
+    """ORC scan/sink parity with the parquet path: zstd roundtrip
+    preserves every row; a filtered read shows PushedFilters on the
+    ORC scan (format-agnostic pushdown); partitionBy produces prunable
+    directories."""
+    from hive_population_ml_spark.io.adapters import orc_scan, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "corpus_orc")
+    write_orc(docs.coalesce(2), out)
+    import glob
+
+    assert glob.glob(f"{out}/*.orc"), "expected orc shards"
+    back = orc_scan(spark, out)
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b
+
+    filtered = back.filter(F.col("doc_id") == 7).select("doc_id", "lang")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters"
+    )[1][:120], f"no ORC filter pushdown:\n{plan[:1500]}"
+    assert filtered.count() == 1
+
+    # directory partitioning -> partition pruning on lang
+    part = str(tmp_path / "corpus_orc_part")
+    write_orc(docs, part, partition_by="lang")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert glob.glob(f"{part}/lang=*"), "expected lang= directories"
+    one = orc_scan(spark, part).filter(F.col("lang") == sorted(langs)[0])
+    pplan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in pplan
+    n_one = one.count()
+    n_all = orc_scan(spark, part).count()
+    assert 0 < n_one < n_all
