@@ -199,6 +199,8 @@ DECLARED_UNTIMED = {
     "multimodal_wav_spectral": "codec-bound",
     "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
     "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
+    "text_topics_lda": "ML fit path (online variational LDA; "
+    "iteration cost is minibatch-bounded, timed in tests/test_ml.py)",
 }
 
 

@@ -1139,3 +1139,19 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_purged", F.col("n_before") - F.col("n_after"))
     )
+
+
+@register("text_topics_lda")  # rows-only: variational LDA fit has no
+# DuckDB twin; shape/simplex/determinism properties pinned in
+# tests/test_ml.py
+def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed topic discovery (round-8 addition): online
+    variational LDA (minibatch-bounded per iteration — the 100 TB
+    optimizer) over bounded-vocab token counts; reports the top-5
+    terms per topic as a fixed k*5-row corpus-composition table. The
+    corpus-analysis companion of mix_domain_clusters (that clusters
+    embeddings; this needs only raw text)."""
+    from ..ml.topics import topic_terms
+
+    t = Tables(spark, sf_dir)
+    return topic_terms(t.documents, k=8, n_terms=5)

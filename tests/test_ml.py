@@ -350,3 +350,37 @@ def test_quality_scoring_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan  # scoring must stay a pure scan
+
+
+def test_lda_topics_shape_simplex_and_determinism(spark, sf_oracle_dir):
+    """Online-variational LDA corpus report: fixed k*n_terms shape,
+    per-topic term weights positive and sub-simplex, terms drawn from
+    the real vocabulary, dominant-topic transform covers every doc
+    with a valid (topic, weight) pair, and the seeded fit is
+    run-to-run deterministic on the same session."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.ml.topics import doc_topics, topic_terms
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    terms = topic_terms(docs, k=4, n_terms=5, max_iter=10).collect()
+    assert len(terms) == 20
+    assert {r["topic"] for r in terms} == {0, 1, 2, 3}
+    by_topic: dict = {}
+    for r in terms:
+        assert 0.0 < r["weight"] < 1.0
+        assert r["term"] and " " not in r["term"]
+        by_topic.setdefault(r["topic"], []).append(r)
+    for rows in by_topic.values():
+        ranks = sorted(r["term_rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        ws = [r["weight"] for r in sorted(rows, key=lambda x: x["term_rank"])]
+        assert ws == sorted(ws, reverse=True)  # describeTopics is ranked
+        assert sum(ws) < 1.0  # top-5 mass is a sub-simplex slice
+    again = topic_terms(docs, k=4, n_terms=5, max_iter=10).collect()
+    assert sorted(map(tuple, terms)) == sorted(map(tuple, again))
+
+    dt = doc_topics(docs, k=4, max_iter=10).collect()
+    assert len(dt) == docs.count()
+    assert all(0 <= r["topic"] <= 3 for r in dt)
+    # dominant weight >= uniform share, <= 1
+    assert all(0.25 <= r["topic_weight"] <= 1.0 for r in dt)
