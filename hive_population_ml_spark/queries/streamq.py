@@ -185,3 +185,22 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{scratch}/ckpt",
     )
     return cdc_stream_state(spark, log)
+
+
+@register("stream_heavy_hitters")  # rows-only: SpaceSaving summary
+# contents are arrival-order-dependent (the overestimate/guarantee
+# properties are order-free and pinned in tests/test_streaming.py)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-language trending tokens (round-8 addition): the
+    documents corpus replays as a token stream through a SpaceSaving
+    summary held in applyInPandasWithState — EXACTLY m=16 counter
+    triples per language regardless of stream length or vocabulary
+    (the batch text_heavy_hitters needs state ∝ vocab; this is the
+    unbounded-crawl form). Every token with true frequency > n/16 is
+    guaranteed present; est_count - err lower-bounds the truth."""
+    from ..streaming.pipeline import run_heavy_hitters_stream
+
+    return run_heavy_hitters_stream(
+        spark, sf_dir, m=16,
+        query_name=f"q_hh_{abs(hash(sf_dir)) % 10**6}",
+    )

@@ -26,7 +26,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
@@ -623,4 +623,55 @@ def cdc_stream_state(spark: SparkSession, log_path: str) -> DataFrame:
         .select(
             *CDC_KEYS, *(f"__w.{p}" for p in CDC_PAYLOAD), "n_versions"
         )
+    )
+
+
+def documents_raw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents file stream (schema from a metadata-only batch probe —
+    never streaming inference)."""
+    from ..session import tune
+
+    tune(spark)
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(path))
+    )
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 16,
+    query_name: str = "doc_heavy_hitters",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Replay the documents corpus as a token stream through the
+    SpaceSaving summary (update-mode memory sink, availableNow) and
+    return the FINAL per-language summary (the emit with the largest
+    n_seen per language — update mode re-emits the whole m-row summary
+    each micro-batch)."""
+    from .stateful import streaming_heavy_hitters
+
+    docs = documents_raw_stream(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    q = (
+        streaming_heavy_hitters(toks, m=m)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    out = spark.table(query_name)
+    w = Window.partitionBy("lang")
+    return (
+        out.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .drop("__mx")
     )

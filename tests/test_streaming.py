@@ -837,3 +837,81 @@ def test_cdc_upsert_stream_multibatch_parity_and_replay(spark, sf_dir, tmp_path)
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert canon(cdc_stream_state(spark, log)) == want
+
+
+def test_streaming_heavy_hitters_spacesaving_guarantees(spark, sf_dir, tmp_path):
+    """SpaceSaving summary properties (order-free, so they pin the
+    operator despite arrival-order-dependent contents): state is
+    exactly <= m rows per language; n_seen equals the true token
+    count; every token with true frequency > n/m is present; for
+    every summary row est_count >= true count >= est_count - err."""
+    from hive_population_ml_spark.streaming.pipeline import (
+        run_heavy_hitters_stream,
+    )
+
+    m = 16
+    out = run_heavy_hitters_stream(
+        spark, sf_dir, m=m, query_name="t_hh"
+    ).collect()
+    docs = Tables(spark, sf_dir).documents
+    exact = {
+        (r["lang"], r["token"]): r["n"]
+        for r in docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_lang: dict = {}
+    for (lang, _), n in exact.items():
+        n_lang[lang] = n_lang.get(lang, 0) + n
+
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(n_lang)
+    for lang, rows in by_lang.items():
+        assert len(rows) <= m
+        assert all(r["n_seen"] == n_lang[lang] for r in rows)
+        present = {r["token"] for r in rows}
+        # the SpaceSaving guarantee: true count > n/m => present
+        for (lg, tok), n in exact.items():
+            if lg == lang and n > n_lang[lang] / m:
+                assert tok in present, (lang, tok, n)
+        for r in rows:
+            true = exact.get((lang, r["token"]), 0)
+            assert r["est_count"] >= true >= r["est_count"] - r["err"]
+            assert r["lower_bound"] == r["est_count"] - r["err"]
+
+
+def test_streaming_heavy_hitters_skewed_stream_tight(spark, tmp_path):
+    """On a skewed stream the dominant token surfaces with a TIGHT
+    bound: vocabulary (48) far exceeds m (8), yet the heavy token's
+    lower_bound alone must already exceed every other token's truth."""
+    import pandas as pd
+
+    src = tmp_path / "skew_docs"
+    src.mkdir()
+    rows = []
+    for i in range(200):
+        filler = " ".join(f"w{(i * 7 + j) % 48}" for j in range(4))
+        rows.append((i, f"hot hot hot {filler}", "en", "s", 0))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(src / "documents.parquet")
+
+    from hive_population_ml_spark.streaming.pipeline import (
+        run_heavy_hitters_stream,
+    )
+
+    out = run_heavy_hitters_stream(
+        spark, str(src), m=8, query_name="t_hh_skew"
+    ).collect()
+    assert len(out) <= 8
+    hot = [r for r in out if r["token"] == "hot"]
+    assert hot, "dominant token evicted — SpaceSaving broken"
+    # true count 600; every filler token's truth <= 200*4/48 * safety
+    assert hot[0]["est_count"] >= 600 >= hot[0]["lower_bound"]
+    fillers_true_max = 4 * 200 / 48 * 3  # generous ceiling
+    assert hot[0]["lower_bound"] > fillers_true_max
