@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_containment",
     "text_ngram_novelty",
     "mix_domain_clusters",
+    "dedup_source_overlap_hll",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

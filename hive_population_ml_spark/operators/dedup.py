@@ -1132,3 +1132,67 @@ def containment_pairs(
         ).alias("e")
     ).select("e.src", "e.dst", F.round("e.containment", 6).alias("containment"))
     return directed.filter(F.col("containment") >= threshold)
+
+
+def source_overlap_sketch(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Sketch form of :func:`source_overlap` — the 100 TB swap. The
+    exact matrix materializes the (group, shingle) DISTINCT table
+    (vocab x groups rows through one exchange, checkpointed for three
+    consumers) and self-joins it; this one runs ONE aggregation whose
+    state is a fixed ~2^lg_k-register HLL per group — repeats die in
+    the sketch, so no distinct pass, no checkpoint, no shingle-keyed
+    join, and the shuffle carries #groups sketches of ~16 KiB
+    regardless of corpus size. Pairwise intersection comes from
+    inclusion–exclusion over the merged pair sketch
+    (|A∩B| = |A| + |B| − |A∪B|); the pair expansion is C(groups, 2)
+    driver-safe rows, same as the exact form.
+
+    Error: each estimate carries HLL relative error ~1.04/sqrt(2^lg_k)
+    (~0.8% at lg_k=14); inclusion–exclusion SUBTRACTS two near-equal
+    numbers for low-overlap pairs, so intersection error is relative
+    to the UNION size, not the intersection — the documented sketch
+    caveat (use the exact form when Jaccard << sketch error; the test
+    pins the error envelope vs the exact matrix on this corpus).
+
+    Output: (g1, g2, n1, n2, inter, jaccard, containment) — same
+    columns as the exact form; estimates are clamped non-negative.
+    """
+    gs = (
+        df.select(F.col(group_col).alias("g"), tokens(text_col).alias("t"))
+        .select("g", shingles_of_tokens(F.col("t"), k).alias("sh"))
+        .select("g", F.explode("sh").alias("s"))
+    )
+    sk = gs.groupBy("g").agg(
+        F.hll_sketch_agg("s", F.lit(lg_k)).alias("sketch")
+    )
+    a = sk.select(
+        F.col("g").alias("g1"),
+        F.col("sketch").alias("sk1"),
+        F.hll_sketch_estimate("sketch").cast("long").alias("n1"),
+    )
+    b = sk.select(
+        F.col("g").alias("g2"),
+        F.col("sketch").alias("sk2"),
+        F.hll_sketch_estimate("sketch").cast("long").alias("n2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+    union_est = F.hll_sketch_estimate(
+        F.hll_union("sk1", "sk2", True)
+    ).cast("long")
+    inter = F.greatest(F.col("n1") + F.col("n2") - union_est, F.lit(0))
+    denom_j = F.col("n1") + F.col("n2") - inter
+    return pairs.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        inter.alias("inter"),
+        F.round(inter / denom_j, 6).alias("jaccard"),
+        F.round(inter / F.least("n1", "n2"), 6).alias("containment"),
+    )

@@ -793,3 +793,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         t.documents, "doc_id", "text", k=3, threshold=0.5, max_shingle_frac=0.1
     )
+
+
+@register("dedup_source_overlap_hll")  # rows-only: HLL estimates are
+# seeded-sketch values with no DuckDB twin; the error envelope vs the
+# exact matrix is pinned in tests/test_scale_toolkit.py
+def dedup_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch form of dedup_source_overlap (round-8 addition; the
+    100 TB swap): per-source HLL sketches replace the (group, shingle)
+    DISTINCT table — ONE aggregation with ~16 KiB fixed state per
+    source, no distinct pass, no checkpoint, no shingle-keyed self-join
+    — and pairwise intersections come from inclusion–exclusion over
+    merged pair sketches. Same output columns as the exact form;
+    intersection error is relative to the UNION size (the documented
+    sketch caveat for low-overlap pairs)."""
+    from ..operators.dedup import source_overlap_sketch
+
+    t = Tables(spark, sf_dir)
+    return source_overlap_sketch(
+        t.documents, group_col="source", text_col="text"
+    )

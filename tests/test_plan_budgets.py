@@ -264,6 +264,10 @@ EXCHANGE_BUDGETS = {
     # cell agg; the temperature windows run over the ~sqrt(n)-row cell
     # table (their single-partition exchanges are cell-table-sized)
     "mix_domain_clusters": 5,
+    # ONE sketch agg on source (fixed ~16KiB state per group through
+    # the exchange) + the broadcast pair join + AQE read — vs the exact
+    # form's distinct+checkpoint+self-join
+    "dedup_source_overlap_hll": 3,
 }
 
 

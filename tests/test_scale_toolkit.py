@@ -413,3 +413,38 @@ def test_cms_partial_aggregates_before_exchange(spark, sf_oracle_dir):
     )
     assert plan.count("Exchange") == 1, plan[:2000]
     assert plan.count("HashAggregate") == 2, plan[:2000]
+
+
+def test_source_overlap_sketch_error_envelope(spark, sf_oracle_dir):
+    """HLL inclusion–exclusion overlap matrix vs the exact form: same
+    pair set; per-source set sizes within 2% (HLL relative error at
+    lg_k=14 is ~0.8%); intersections within 4 sigma of the UNION size
+    (the inclusion–exclusion error model the docstring documents);
+    jaccard/containment consistent with the estimated counts."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.dedup import (
+        source_overlap,
+        source_overlap_sketch,
+    )
+
+    docs = Tables(spark, sf_oracle_dir).documents
+    exact = {
+        (r["g1"], r["g2"]): r for r in source_overlap(docs).collect()
+    }
+    sk = {
+        (r["g1"], r["g2"]): r
+        for r in source_overlap_sketch(docs, lg_k=14).collect()
+    }
+    assert set(exact) == set(sk) and len(sk) > 0
+    rel = 1.04 / (2 ** (14 / 2))  # ~0.8% HLL standard error
+    for key, e in exact.items():
+        s = sk[key]
+        assert abs(s["n1"] - e["n1"]) <= max(3, 0.02 * e["n1"])
+        assert abs(s["n2"] - e["n2"]) <= max(3, 0.02 * e["n2"])
+        union = e["n1"] + e["n2"] - e["inter"]
+        tol = 4 * rel * union + 3
+        assert abs(s["inter"] - e["inter"]) <= tol, (key, s["inter"], e["inter"], tol)
+        assert s["inter"] >= 0
+        denom = s["n1"] + s["n2"] - s["inter"]
+        assert abs(s["jaccard"] - s["inter"] / denom) < 1e-6
+        assert abs(s["containment"] - s["inter"] / min(s["n1"], s["n2"])) < 1e-6
