@@ -135,6 +135,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "mix_domain_clusters",
     "dedup_source_overlap_hll",
+    "emb_source_drift",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

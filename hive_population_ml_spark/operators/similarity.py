@@ -1956,3 +1956,61 @@ def load_ivfpq_index(spark, path: str):
     for r in brows:
         books[r["s"], r["c"]] = r["v"]
     return cents, books
+
+
+def source_centroid_drift(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-source embedding drift report: each source's centroid norm
+    and its cosine to the GLOBAL corpus centroid — the embedding-space
+    analog of `text_source_kl` (that compares token distributions; this
+    compares semantic mass). A feed whose centroid swings away from the
+    global one between crawls is the standard drift alarm before
+    retraining mixture weights.
+
+    Scale shape: ONE (group, dim) partial-aggregated sum/count exchange
+    (the posexplode is map-side; rows into the shuffle are
+    groups x dims, corpus-size-free after partial agg); the global
+    centroid re-aggregates that tiny table by dim; the final per-source
+    dot/norm agg runs over groups x dims rows. No vector ever collects
+    to the driver.
+
+    Output: (group, n_docs, centroid_norm, cos_to_global), floats
+    rounded to 6 — fully SQL-expressible (zipped-unnest oracle).
+    """
+    e = emb.select(
+        F.col(vec_id_col).alias(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    j = docs.select(id_col, group_col).join(e, id_col)
+    dims = j.select(group_col, F.posexplode("v").alias("dim", "val"))
+    byd = dims.groupBy(group_col, "dim").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    glob = byd.groupBy("dim").agg(
+        (F.sum("s") / F.sum("c")).alias("gm")
+    )
+    per = byd.select(
+        group_col,
+        "dim",
+        (F.col("s") / F.col("c")).alias("m"),
+        F.col("c"),
+    ).join(F.broadcast(glob), "dim")
+    agg = per.groupBy(group_col).agg(
+        F.max("c").cast("long").alias("n_docs"),
+        F.sum(F.col("m") * F.col("gm")).alias("_dot"),
+        F.sum(F.col("m") * F.col("m")).alias("_nm"),
+        F.sum(F.col("gm") * F.col("gm")).alias("_ng"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        F.round(F.sqrt("_nm"), 6).alias("centroid_norm"),
+        F.round(
+            F.col("_dot") / (F.sqrt("_nm") * F.sqrt("_ng")), 6
+        ).alias("cos_to_global"),
+    )

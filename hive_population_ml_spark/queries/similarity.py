@@ -398,3 +398,44 @@ def text_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontaminate(
         corpus, bench, "vec_id", "embedding", threshold=0.30
     )
+
+
+@register(
+    "emb_source_drift",
+    shadow_oracle="""
+WITH j AS (
+    SELECT d.source, e.embedding AS v
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), dims AS (
+    SELECT source,
+           unnest(range(len(v))) AS dim,
+           unnest(list_transform(range(len(v)),
+                                 i -> CAST(v[i+1] AS DOUBLE))) AS val
+    FROM j
+), byd AS (
+    SELECT source, dim, sum(val) AS s, count(*) AS c
+    FROM dims GROUP BY source, dim
+), gctr AS (
+    SELECT dim, sum(s) / sum(c) AS gm FROM byd GROUP BY dim
+), per AS (
+    SELECT byd.source, byd.dim, byd.s / byd.c AS m, byd.c, gctr.gm
+    FROM byd JOIN gctr ON byd.dim = gctr.dim
+)
+SELECT source,
+       CAST(max(c) AS BIGINT) AS n_docs,
+       round(sqrt(sum(m * m)), 6) AS centroid_norm,
+       round(sum(m * gm) / (sqrt(sum(m * m)) * sqrt(sum(gm * gm))), 6)
+           AS cos_to_global
+FROM per GROUP BY source
+""",
+)
+def emb_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid drift (round-8 addition): centroid
+    norm + cosine-to-global-centroid per source — the embedding-space
+    sibling of text_source_kl's token-distribution drift. Fully
+    differential: per-dim partial sums, the global centroid, and the
+    cosine all mirrored in SQL over zipped unnests."""
+    from ..operators.similarity import source_centroid_drift
+
+    t = Tables(spark, sf_dir)
+    return source_centroid_drift(t.documents, t.embeddings)

@@ -268,6 +268,11 @@ EXCHANGE_BUDGETS = {
     # the exchange) + the broadcast pair join + AQE read — vs the exact
     # form's distinct+checkpoint+self-join
     "dedup_source_overlap_hll": 3,
+    # doc<->emb equi-join (one exchange per side) + the (group, dim)
+    # partial agg + dim re-agg + global-centroid broadcast + final
+    # groups-x-dims agg (+1 AQE read) — everything after the join is
+    # corpus-size-free (groups x dims rows)
+    "emb_source_drift": 7,
 }
 
 

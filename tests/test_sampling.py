@@ -129,6 +129,7 @@ SHADOW_NAMES = [
     "w_interval_merge",
     "dedup_containment",
     "text_ngram_novelty",
+    "emb_source_drift",
 ]
 
 
