@@ -136,6 +136,7 @@ HEADLINE = [
     "mix_domain_clusters",
     "dedup_source_overlap_hll",
     "emb_source_drift",
+    "j_size_estimate_cms",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -354,3 +354,32 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
+
+
+def cms_join_size(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+) -> DataFrame:
+    """Join-size estimation by CMS inner product (the AMS/CMS classic,
+    Cormode & Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_k f_A(k)·f_B(k),
+    and the inner product of two same-seeded sketch rows overestimates
+    exactly that — min over the depth rows is the estimate. The 100 TB
+    planning tool: answer "how big would this join (or self-join)
+    explode?" from two fixed depth×width cell tables WITHOUT shuffling
+    either input — the skew pre-check before committing to a plan.
+
+    Guarantees (pinned in tests): est >= true join size (cells only
+    ever add other keys' mass, and products of overestimates
+    overestimate); est <= true + (e/width)·N_A·N_B with probability
+    1 - e^-depth.
+
+    Input: two cell tables from :func:`count_min_sketch` built with the
+    SAME depth/width/seed. Output: one row (est_join_rows). The cell
+    equi-join touches <= depth*width rows per side — driver-cheap."""
+    j = (
+        sk_a.select("r", "b", F.col("c").alias("ca"))
+        .join(sk_b.select("r", "b", F.col("c").alias("cb")), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return j.agg(F.min("ip").cast("long").alias("est_join_rows"))

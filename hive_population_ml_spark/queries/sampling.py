@@ -492,3 +492,24 @@ def mix_domain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture_weights(
         t.documents, t.embeddings, alpha=0.3, n_cells=16, seed=7
     )
+
+
+@register("j_size_estimate_cms")  # rows-only: seeded-sketch estimate
+# has no DuckDB twin; overestimate-only + epsilon*Na*Nb error bound
+# pinned in tests/test_scale_toolkit.py
+def j_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation without the join (round-8 addition; the
+    AMS/CMS inner-product classic): how many rows would the events
+    user_id SELF-join produce — the pair-explosion pre-check a planner
+    wants BEFORE committing to a quadratic-risk plan (the same
+    question the dedup tier's hot-block guards answer reactively).
+    Two fixed 4x8192 cell tables; the estimate is one tiny cell
+    equi-join; neither input is ever shuffled on the join key."""
+    from ..io import Tables
+    from ..operators.sketches import cms_join_size, count_min_sketch
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(F.col("user_id").cast("string").alias("k"))
+    sk = count_min_sketch(ev, "k", depth=4, width=8192)
+    n = ev.agg(F.count(F.lit(1)).alias("n_rows"))
+    return n.crossJoin(cms_join_size(sk, sk))

@@ -273,6 +273,11 @@ EXCHANGE_BUDGETS = {
     # groups-x-dims agg (+1 AQE read) — everything after the join is
     # corpus-size-free (groups x dims rows)
     "emb_source_drift": 7,
+    # two 4x8192-cell sketch aggs (partial-aggregated; shuffle carries
+    # <= depth*width rows) + the tiny cell equi-join + 1-row aggs and
+    # their crossJoin assembly — NO shuffle of the probed input on the
+    # join key, which is the operator's point
+    "j_size_estimate_cms": 7,
 }
 
 

@@ -448,3 +448,41 @@ def test_source_overlap_sketch_error_envelope(spark, sf_oracle_dir):
         denom = s["n1"] + s["n2"] - s["inter"]
         assert abs(s["jaccard"] - s["inter"] / denom) < 1e-6
         assert abs(s["containment"] - s["inter"] / min(s["n1"], s["n2"])) < 1e-6
+
+
+def test_cms_join_size_overestimates_within_bound(spark, sf_oracle_dir):
+    """CMS inner-product join-size estimate: est >= true self-join size
+    (sum of per-key count squares) and est <= true + (e/width)*Na*Nb —
+    the Cormode-Muthukrishnan inner-product guarantee; plus a two-table
+    FK case where the true join size is known exactly."""
+    import math
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.sketches import (
+        cms_join_size,
+        count_min_sketch,
+    )
+
+    t = Tables(spark, sf_oracle_dir)
+    ev = t.events.select(F.col("user_id").cast("string").alias("k"))
+    n = ev.count()
+    true = (
+        t.events.groupBy("user_id")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("s"))
+        .collect()[0]["s"]
+    )
+    sk = count_min_sketch(ev, "k", depth=4, width=8192)
+    est = cms_join_size(sk, sk).collect()[0]["est_join_rows"]
+    assert est >= true
+    assert est <= true + math.e / 8192 * n * n
+
+    # FK join: orders ⋈ customer on custkey — true size = |orders|
+    o = t.orders.select(F.col("o_custkey").cast("string").alias("k"))
+    c = t.customer.select(F.col("c_custkey").cast("string").alias("k"))
+    sko = count_min_sketch(o, "k", depth=4, width=8192)
+    skc = count_min_sketch(c, "k", depth=4, width=8192)
+    est_fk = cms_join_size(sko, skc).collect()[0]["est_join_rows"]
+    n_orders, n_cust = o.count(), c.count()
+    assert est_fk >= n_orders
+    assert est_fk <= n_orders + math.e / 8192 * n_orders * n_cust
