@@ -67,13 +67,16 @@ def topic_terms(
     max_iter: int = 20,
     seed: int = 7,
     text_col: str = "text",
+    fitted=None,
 ) -> DataFrame:
     """Top-``n_terms`` terms per topic: (topic, term_rank, term,
     weight). Exactly ``k * n_terms`` rows — the fixed-size corpus
     report (describeTopics is a k-row driver-side matrix slice of the
-    model, never a corpus-sized collect)."""
+    model, never a corpus-sized collect). Pass ``fitted=(cv, lda)``
+    from :func:`fit_topics` to reuse one fit across this and
+    :func:`doc_topics` — the fit is the expensive distributed stage."""
     spark = docs.sparkSession
-    cv, lda = fit_topics(
+    cv, lda = fitted or fit_topics(
         docs, k=k, vocab_size=vocab_size, max_iter=max_iter, seed=seed,
         text_col=text_col,
     )
@@ -97,13 +100,15 @@ def doc_topics(
     seed: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fitted=None,
 ) -> DataFrame:
     """Per-document dominant topic: (id, topic, topic_weight). The
     transform is a map-side matvec against the broadcast topic matrix
-    — no shuffle beyond the fit itself."""
+    — no shuffle beyond the fit itself. Pass ``fitted=(cv, lda)`` to
+    reuse one fit across this and :func:`topic_terms`."""
     from pyspark.ml.functions import vector_to_array
 
-    cv, lda = fit_topics(
+    cv, lda = fitted or fit_topics(
         docs, k=k, vocab_size=vocab_size, max_iter=max_iter, seed=seed,
         text_col=text_col,
     )

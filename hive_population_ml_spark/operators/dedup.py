@@ -1151,7 +1151,11 @@ def source_overlap_sketch(
     regardless of corpus size. Pairwise intersection comes from
     inclusion–exclusion over the merged pair sketch
     (|A∩B| = |A| + |B| − |A∪B|); the pair expansion is C(groups, 2)
-    driver-safe rows, same as the exact form.
+    driver-safe rows. One deliberate semantic difference: the sketch
+    reports EVERY pair (a disjoint pair gets inter≈0), while the exact
+    form's inner shingle self-join omits pairs with no shared shingle
+    — the full matrix is the more useful report when estimates are
+    cheap.
 
     Error: each estimate carries HLL relative error ~1.04/sqrt(2^lg_k)
     (~0.8% at lg_k=14); inclusion–exclusion SUBTRACTS two near-equal
@@ -1185,7 +1189,14 @@ def source_overlap_sketch(
     union_est = F.hll_sketch_estimate(
         F.hll_union("sk1", "sk2", True)
     ).cast("long")
-    inter = F.greatest(F.col("n1") + F.col("n2") - union_est, F.lit(0))
+    # clamp to [0, min(n1, n2)]: inclusion–exclusion noise on near-
+    # subset pairs can push the raw estimate past the smaller set,
+    # which would put containment > 1.0 — a value the exact form can
+    # never produce
+    inter = F.least(
+        F.greatest(F.col("n1") + F.col("n2") - union_est, F.lit(0)),
+        F.least("n1", "n2"),
+    )
     denom_j = F.col("n1") + F.col("n2") - inter
     return pairs.select(
         "g1",

@@ -374,12 +374,29 @@ def cms_join_size(
     1 - e^-depth.
 
     Input: two cell tables from :func:`count_min_sketch` built with the
-    SAME depth/width/seed. Output: one row (est_join_rows). The cell
-    equi-join touches <= depth*width rows per side — driver-cheap."""
+    SAME depth/width/seed. Output: one row (est_join_rows, double —
+    products are summed in double so a skewed 100 TB self-join's
+    ~1e16-per-cell products cannot overflow int64's 9.2e18 and invert
+    the overestimate guarantee). The cell equi-join touches <=
+    depth*width rows per side — driver-cheap.
+
+    A depth row with NO shared cells has true inner product 0 — and a
+    shared key always shares cells (same seed), so ip=0 rows only
+    happen when the true join size is 0; they must survive into the
+    min (an inner-join-only form would drop them and report NULL or an
+    inflated estimate for disjoint inputs)."""
     j = (
-        sk_a.select("r", "b", F.col("c").alias("ca"))
-        .join(sk_b.select("r", "b", F.col("c").alias("cb")), ["r", "b"])
+        sk_a.select("r", "b", F.col("c").cast("double").alias("ca"))
+        .join(
+            sk_b.select("r", "b", F.col("c").cast("double").alias("cb")),
+            ["r", "b"],
+        )
         .groupBy("r")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
-    return j.agg(F.min("ip").cast("long").alias("est_join_rows"))
+    rows = sk_a.select("r").distinct().join(j, "r", "left")
+    return rows.agg(
+        F.coalesce(F.min(F.coalesce(F.col("ip"), F.lit(0.0))), F.lit(0.0)).alias(
+            "est_join_rows"
+        )
+    )

@@ -505,7 +505,6 @@ def j_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     question the dedup tier's hot-block guards answer reactively).
     Two fixed 4x8192 cell tables; the estimate is one tiny cell
     equi-join; neither input is ever shuffled on the join key."""
-    from ..io import Tables
     from ..operators.sketches import cms_join_size, count_min_sketch
 
     t = Tables(spark, sf_dir)

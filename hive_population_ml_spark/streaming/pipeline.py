@@ -667,7 +667,15 @@ def run_heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # reading the memory sink mid-stream would silently present a
+        # partial summary as the final one (n_seen short, guarantee
+        # void) — fail loudly and stop the leaked query instead
+        q.stop()
+        raise TimeoutError(
+            f"heavy-hitters replay exceeded {timeout_s}s; partial "
+            "summary discarded"
+        )
     out = spark.table(query_name)
     w = Window.partitionBy("lang")
     return (

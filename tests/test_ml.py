@@ -359,10 +359,15 @@ def test_lda_topics_shape_simplex_and_determinism(spark, sf_oracle_dir):
     with a valid (topic, weight) pair, and the seeded fit is
     run-to-run deterministic on the same session."""
     from hive_population_ml_spark.io import Tables
-    from hive_population_ml_spark.ml.topics import doc_topics, topic_terms
+    from hive_population_ml_spark.ml.topics import (
+        doc_topics,
+        fit_topics,
+        topic_terms,
+    )
 
     docs = Tables(spark, sf_oracle_dir).documents
-    terms = topic_terms(docs, k=4, n_terms=5, max_iter=10).collect()
+    fitted = fit_topics(docs, k=4, max_iter=10)
+    terms = topic_terms(docs, k=4, n_terms=5, max_iter=10, fitted=fitted).collect()
     assert len(terms) == 20
     assert {r["topic"] for r in terms} == {0, 1, 2, 3}
     by_topic: dict = {}
@@ -379,7 +384,7 @@ def test_lda_topics_shape_simplex_and_determinism(spark, sf_oracle_dir):
     again = topic_terms(docs, k=4, n_terms=5, max_iter=10).collect()
     assert sorted(map(tuple, terms)) == sorted(map(tuple, again))
 
-    dt = doc_topics(docs, k=4, max_iter=10).collect()
+    dt = doc_topics(docs, k=4, max_iter=10, fitted=fitted).collect()
     assert len(dt) == docs.count()
     assert all(0 <= r["topic"] <= 3 for r in dt)
     # dominant weight >= uniform share, <= 1

@@ -274,10 +274,11 @@ EXCHANGE_BUDGETS = {
     # corpus-size-free (groups x dims rows)
     "emb_source_drift": 7,
     # two 4x8192-cell sketch aggs (partial-aggregated; shuffle carries
-    # <= depth*width rows) + the tiny cell equi-join + 1-row aggs and
-    # their crossJoin assembly — NO shuffle of the probed input on the
-    # join key, which is the operator's point
-    "j_size_estimate_cms": 7,
+    # <= depth*width rows) + the tiny cell equi-join + the depth-row
+    # left join that keeps ip=0 rows in the min (disjoint-input
+    # correctness) + 1-row aggs and their crossJoin assembly — NO
+    # shuffle of the probed input on the join key, the operator's point
+    "j_size_estimate_cms": 9,
 }
 
 

@@ -435,7 +435,11 @@ def test_source_overlap_sketch_error_envelope(spark, sf_oracle_dir):
         (r["g1"], r["g2"]): r
         for r in source_overlap_sketch(docs, lg_k=14).collect()
     }
-    assert set(exact) == set(sk) and len(sk) > 0
+    # the sketch reports the FULL pair matrix (disjoint pairs included,
+    # inter ~ 0); the exact form omits pairs with no shared shingle
+    n_groups = docs.select("source").distinct().count()
+    assert len(sk) == n_groups * (n_groups - 1) // 2
+    assert set(exact) <= set(sk) and len(exact) > 0
     rel = 1.04 / (2 ** (14 / 2))  # ~0.8% HLL standard error
     for key, e in exact.items():
         s = sk[key]
@@ -444,10 +448,11 @@ def test_source_overlap_sketch_error_envelope(spark, sf_oracle_dir):
         union = e["n1"] + e["n2"] - e["inter"]
         tol = 4 * rel * union + 3
         assert abs(s["inter"] - e["inter"]) <= tol, (key, s["inter"], e["inter"], tol)
-        assert s["inter"] >= 0
+        assert 0 <= s["inter"] <= min(s["n1"], s["n2"])  # containment <= 1.0
         denom = s["n1"] + s["n2"] - s["inter"]
         assert abs(s["jaccard"] - s["inter"] / denom) < 1e-6
         assert abs(s["containment"] - s["inter"] / min(s["n1"], s["n2"])) < 1e-6
+        assert 0.0 <= s["containment"] <= 1.0
 
 
 def test_cms_join_size_overestimates_within_bound(spark, sf_oracle_dir):
@@ -486,3 +491,14 @@ def test_cms_join_size_overestimates_within_bound(spark, sf_oracle_dir):
     n_orders, n_cust = o.count(), c.count()
     assert est_fk >= n_orders
     assert est_fk <= n_orders + math.e / 8192 * n_orders * n_cust
+
+    # disjoint key sets: true join size 0 -> estimate must be 0, not
+    # NULL/inflated (a depth row with no shared cells has true inner
+    # product 0 and must survive into the min)
+    d1 = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    d2 = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    est_disjoint = cms_join_size(
+        count_min_sketch(d1, "k", depth=4, width=8192),
+        count_min_sketch(d2, "k", depth=4, width=8192),
+    ).collect()[0]["est_join_rows"]
+    assert est_disjoint == 0.0
