@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_source_overlap_hll",
     "emb_source_drift",
     "j_size_estimate_cms",
+    "sample_epoch_materialize",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

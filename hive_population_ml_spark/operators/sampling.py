@@ -462,3 +462,53 @@ def training_order(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("__ord")
+
+
+def materialize_epochs(
+    df: DataFrame,
+    stratum_col: str,
+    epochs_df: DataFrame,
+    id_col: str = "doc_id",
+    mode: str = "minstd",
+) -> DataFrame:
+    """Materialize fractional per-stratum epoch counts into the actual
+    training MULTISET: a stratum with epochs=2.3 emits every doc twice
+    (copy 0, copy 1) plus a deterministic 30%-of-docs third copy — the
+    upsampling step that turns `mixture_weights`/`unimax_weights`
+    allocations into concrete repeated rows (low-resource domains get
+    >1 pass; Hoffmann-style data budgets get an exact multiset, not an
+    expectation over a sampler's RNG).
+
+    The fractional pass keeps doc i iff ``uniform_hash(id) < frac`` —
+    the same engine-portable minstd contract every sampler here uses,
+    so the SQL oracle reproduces the multiset EXACTLY (hash-checkable),
+    re-runs are idempotent, and the same doc set is chosen at any
+    partitioning/cluster size.
+
+    Scale shape: epochs_df is stratum-count-sized (broadcast); copies
+    generate map-side via sequence+explode; NO shuffle at all — output
+    lands partitioned exactly as the input corpus.
+
+    Output: input columns + ``copy_idx`` (0-based). Expected row count
+    = Σ_s n_s * epochs_s (exact for the integer part, hash-measure for
+    the fraction).
+    """
+    eps = epochs_df.select(
+        F.col(stratum_col), F.col("epochs").cast("double").alias("__e")
+    )
+    j = df.join(F.broadcast(eps), stratum_col)
+    full = F.floor("__e").cast("int")
+    frac = F.col("__e") - F.floor("__e")
+    u = uniform_hash(id_col, mode)
+    n_copies = (full + (u < frac).cast("int")).cast("int")
+    # guard the n_copies=0 case: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], which would emit two phantom copies for a doc
+    # the fractional pass dropped
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        j.withColumn("copy_idx", F.explode(copies))
+        .withColumn("copy_idx", F.col("copy_idx") - 1)
+        .drop("__e")
+    )

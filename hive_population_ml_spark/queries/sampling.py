@@ -512,3 +512,47 @@ def j_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = count_min_sketch(ev, "k", depth=4, width=8192)
     n = ev.agg(F.count(F.lit(1)).alias("n_rows"))
     return n.crossJoin(cms_join_size(sk, sk))
+
+
+@register(
+    "sample_epoch_materialize",
+    shadow_oracle="""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+wts AS (SELECT lang, n, pow(n, 0.3) AS w FROM counts),
+eps AS (
+    SELECT lang, n,
+           round(w / (SELECT sum(w) FROM wts) * 800 / n, 9) AS e
+    FROM wts
+), h AS (
+    SELECT d.doc_id, d.lang, eps.e,
+           (abs(d.doc_id) + 999983) % 2147483647 AS x0
+    FROM documents d JOIN eps ON d.lang = eps.lang
+), s1 AS (SELECT doc_id, lang, e, x0 * 48271 % 2147483647 AS x1 FROM h),
+s2 AS (SELECT doc_id, lang, e, x1 * 48271 % 2147483647 AS x2 FROM s1),
+nc AS (
+    SELECT doc_id, lang,
+           CAST(floor(e) AS INT)
+           + CASE WHEN x2 * 1.0 / 2147483647 < e - floor(e)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM s2
+)
+SELECT doc_id, lang, CAST(t.copy_idx AS INT) AS copy_idx
+FROM nc, unnest(range(n_copies)) AS t(copy_idx)
+""",
+)
+def sample_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch materialization (round-8 addition): turn
+    mixture_weights' per-language epoch counts (alpha=0.3, 800-doc
+    target) into the concrete training MULTISET — every doc repeated
+    floor(e) times plus a deterministic (minstd-hash) fraction getting
+    one more copy. The upsampling step between a mixing plan and a
+    training run; map-side sequence+explode, ZERO shuffle after the
+    stratum-table broadcast. Fully differential: the oracle recomputes
+    the temperature weights, the epoch split, the Lehmer hash, and the
+    copy expansion."""
+    from ..operators.sampling import materialize_epochs, mixture_weights
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang")
+    eps = mixture_weights(t.documents, "lang", alpha=0.3, target_total=800)
+    return materialize_epochs(docs, "lang", eps.select("lang", "epochs"))

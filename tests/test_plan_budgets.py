@@ -279,6 +279,10 @@ EXCHANGE_BUDGETS = {
     # correctness) + 1-row aggs and their crossJoin assembly — NO
     # shuffle of the probed input on the join key, the operator's point
     "j_size_estimate_cms": 9,
+    # ONE stratum-count agg + its 5-row global window exchange + the
+    # epochs broadcast back onto the corpus; the copy expansion is a
+    # map-side sequence+explode, no shuffle of its own
+    "sample_epoch_materialize": 3,
 }
 
 

@@ -130,6 +130,7 @@ SHADOW_NAMES = [
     "dedup_containment",
     "text_ngram_novelty",
     "emb_source_drift",
+    "sample_epoch_materialize",
 ]
 
 
@@ -579,3 +580,32 @@ def test_training_order_permutation_properties(spark, sf_oracle_dir):
 
     with _pytest.raises(ValueError, match="n_shards"):
         training_order(docs, n_shards=0)
+
+
+def test_materialize_epochs_multiset_semantics(spark):
+    """Closed-form epoch materialization: epochs=2.0 -> exactly two
+    copies of every doc (copy_idx 0,1); epochs=0.5 -> a deterministic
+    strict subset with copy_idx 0 only; epochs=0 -> nothing (and no
+    phantom rows from Spark's descending sequence(1,0)); two runs are
+    identical."""
+    from hive_population_ml_spark.operators.sampling import materialize_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)],
+        "doc_id long, lang string",
+    )
+    eps = spark.createDataFrame(
+        [("a", 2.0), ("b", 0.5), ("c", 0.0)], "lang string, epochs double"
+    )
+    out = materialize_epochs(docs, "lang", eps).collect()
+    a = [r for r in out if r["lang"] == "a"]
+    b = [r for r in out if r["lang"] == "b"]
+    assert not [r for r in out if r["lang"] == "c"]
+    assert len(a) == 80 and {r["copy_idx"] for r in a} == {0, 1}
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in a)
+    assert all(v == 2 for v in per_doc.values())
+    assert 0 < len(b) < 40 and all(r["copy_idx"] == 0 for r in b)
+    again = materialize_epochs(docs, "lang", eps).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
