@@ -138,6 +138,7 @@ HEADLINE = [
     "emb_source_drift",
     "j_size_estimate_cms",
     "sample_epoch_materialize",
+    "text_mixed_lang",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

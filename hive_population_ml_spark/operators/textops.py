@@ -1386,3 +1386,51 @@ def source_kl_divergence(
             "kl_corpus_group",
         )
     )
+
+
+def mixed_lang_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 40,
+) -> DataFrame:
+    """Code-switching / mixed-language detection: language-ID each
+    non-overlapping ``chunk_size``-token window independently, then
+    profile the per-document vote — chunk count, distinct predicted
+    languages, majority language (ties: higher count, then
+    lexicographic — 'und' loses to any real language at equal votes),
+    and agreement (majority share). The doc-level lang label lies for
+    code-switched documents; corpus filters (FineWeb-style "keep docs
+    that are consistently language X") need this chunk-level variance.
+
+    Scale shape: chunking + per-chunk stopword voting are pure
+    map-side expressions (the chunk explode is the only row growth,
+    bounded by tokens/chunk_size); ONE (id, pred) count agg; the
+    majority window and final agg run per doc over <= #languages rows
+    and reuse the id partitioning.
+
+    Output: (id, n_chunks, n_langs, majority_lang, agreement).
+    """
+    from pyspark.sql import Window
+
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode(token_chunks(text_col, chunk_size, 0)).alias("__ct"),
+    )
+    scored = chunks.select(id_col, predict_lang("__ct").alias("__pred"))
+    counts = scored.groupBy(id_col, "__pred").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__c").desc(), F.col("__pred").asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    mc = F.max(F.when(F.col("__rn") == 1, F.col("__c")))
+    return ranked.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__pred"))).alias(
+            "majority_lang"
+        ),
+        F.round(mc / F.sum("__c"), 6).alias("agreement"),
+    )

@@ -1155,3 +1155,54 @@ def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return topic_terms(t.documents, k=8, n_terms=5)
+
+
+@register(
+    "text_mixed_lang",
+    shadow_oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+    SELECT doc_id,
+           unnest(range(1, greatest(len(t), 1) + 1, 40)) AS s, t
+    FROM toks
+), chunks AS (
+    SELECT doc_id, list_slice(t, s, s + 39) AS ct FROM starts
+), scored AS (
+    SELECT doc_id,
+           len(list_filter(ct, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+           len(list_filter(ct, x -> x IN ('der','die','das','und','ist','ein','zu','mit'))) AS s_de,
+           len(list_filter(ct, x -> x IN ('le','la','les','et','est','un','une','dans'))) AS s_fr,
+           len(list_filter(ct, x -> x IN ('el','la','los','y','es','un','una','en'))) AS s_es
+    FROM chunks
+), pred AS (
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS p
+    FROM scored
+), counts AS (SELECT doc_id, p, count(*) AS c FROM pred GROUP BY doc_id, p),
+ranked AS (
+    SELECT doc_id, p, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, p ASC) AS rn
+    FROM counts
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       max(CASE WHEN rn = 1 THEN p END) AS majority_lang,
+       round(max(CASE WHEN rn = 1 THEN c END) * 1.0 / sum(c), 6)
+           AS agreement
+FROM ranked GROUP BY doc_id
+""",
+)
+def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language / code-switch profile (round-8 addition): lang-ID
+    every 40-token chunk independently and report the per-doc vote —
+    the chunk-level variance a doc-level lang label hides (FineWeb-
+    style "consistently language X" filters need it). Same stopword
+    vote (and tie-break) as text_lang_id, mirrored per chunk in SQL."""
+    t = Tables(spark, sf_dir)
+    return textops.mixed_lang_profile(t.documents)

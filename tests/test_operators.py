@@ -3315,3 +3315,31 @@ def test_containment_pairs_closed_form(spark):
     # doc1 has 3 shingles (5 tokens, k=3), all present in doc2 -> C=1.0;
     # doc2 has 13 shingles, 3 shared -> C=3/13=0.23 < 0.5 (dropped).
     assert got == {(1, 2): 1.0}
+
+
+def test_mixed_lang_profile_code_switch(spark):
+    """Chunk-level lang voting: a doc half English / half German (in
+    16-token chunks) reports 2 languages with agreement 0.5 and the
+    lexicographically-smaller language as the tie-broken majority; a
+    pure-English doc reports 1 lang, agreement 1.0; a stopword-free doc
+    is 'und'."""
+    from hive_population_ml_spark.operators.textops import mixed_lang_profile
+
+    en = "the cat of a dog and it is in the box to go it is a"  # 16 toks
+    de = "der hund und die katze ist ein tier zu mit der das ist ein und zu"
+    rows = [
+        (1, f"{en} {de}"),          # one en chunk + one de chunk
+        (2, f"{en} {en}"),          # two en chunks
+        (3, "xx yy zz"),            # no stopwords at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in mixed_lang_profile(docs, chunk_size=16).collect()
+    }
+    assert got[1]["n_chunks"] == 2 and got[1]["n_langs"] == 2
+    assert got[1]["majority_lang"] == "de"  # tie on count -> lexicographic
+    assert got[1]["agreement"] == 0.5
+    assert got[2]["n_langs"] == 1 and got[2]["majority_lang"] == "en"
+    assert got[2]["agreement"] == 1.0
+    assert got[3]["majority_lang"] == "und"

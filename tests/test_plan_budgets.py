@@ -283,6 +283,10 @@ EXCHANGE_BUDGETS = {
     # epochs broadcast back onto the corpus; the copy expansion is a
     # map-side sequence+explode, no shuffle of its own
     "sample_epoch_materialize": 3,
+    # chunk explode + per-chunk vote are map-side; ONE (id, pred) count
+    # agg + the per-doc majority window re-keyed on id (final agg
+    # reuses it)
+    "text_mixed_lang": 2,
 }
 
 

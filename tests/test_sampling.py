@@ -131,6 +131,7 @@ SHADOW_NAMES = [
     "text_ngram_novelty",
     "emb_source_drift",
     "sample_epoch_materialize",
+    "text_mixed_lang",
 ]
 
 
