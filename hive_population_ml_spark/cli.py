@@ -233,7 +233,24 @@ def _parser() -> argparse.ArgumentParser:
     mix.add_argument("--target-total", type=int, default=100_000)
     mix.add_argument("--budget-frac", type=float, default=0.9)
     mix.add_argument("--epochs", type=float, default=1.0)
+    mix.add_argument(
+        "--materialize",
+        action="store_true",
+        help="also write the concrete training multiset (doc_id, "
+        "stratum, copy_idx): floor(epochs) copies per doc plus the "
+        "deterministic-hash fractional pass (temperature policy only)",
+    )
     mix.add_argument("--cpus", type=int, default=8)
+    prof = sub.add_parser(
+        "profile",
+        help="corpus-health report: per-doc novelty curve, mixed-"
+        "language profile, duplication fraction, heuristic quality "
+        "(+ per-source embedding drift when embeddings exist); writes "
+        "the per-doc table parquet + corpus-level summary JSON",
+    )
+    prof.add_argument("--data-dir", required=True)
+    prof.add_argument("--output-dir", required=True)
+    prof.add_argument("--cpus", type=int, default=8)
     tok = sub.add_parser(
         "tokenize",
         help="train a BPE tokenizer on the corpus (one word-count pass "
@@ -865,11 +882,81 @@ def cmd_mix(args) -> dict:
         spark.read.parquet(out_path), os.path.join(args.output_dir, "summary")
     )
     rows = w.collect()
-    return {
+    result = {
         "policy": args.policy,
         "n_strata": len(rows),
         "weights_path": out_path,
     }
+    if args.materialize:
+        if args.policy != "temperature":
+            raise SystemExit("--materialize requires --policy temperature "
+                             "(unimax allocates tokens, not epochs)")
+        from .operators.sampling import materialize_epochs
+
+        eps = spark.read.parquet(out_path).select(args.stratum, "epochs")
+        multiset = materialize_epochs(
+            docs.select("doc_id", args.stratum), args.stratum, eps
+        )
+        ms_path = os.path.join(args.output_dir, "multiset")
+        multiset.write.mode("overwrite").parquet(ms_path)
+        result["multiset_path"] = ms_path
+        result["multiset_rows"] = spark.read.parquet(ms_path).count()
+    return result
+
+
+def cmd_profile(args) -> dict:
+    """Corpus-health report: the per-doc signals (novelty, mixed-lang,
+    duplication, heuristic quality) joined into one table, plus a
+    corpus-level summary — what an operator reads before deciding
+    dedup passes and mixture weights."""
+    from .io import Tables
+    from .io.sinks import write_metrics_json
+    from .operators import textops
+    from .session import get_spark
+
+    spark = get_spark(
+        "hpml-profile", cpus=args.cpus, shuffle_partitions=args.cpus
+    )
+    t = Tables(spark, args.data_dir)
+    docs = t.documents
+    nov = textops.ngram_novelty(docs)
+    mixed = textops.mixed_lang_profile(docs)
+    dup = textops.duplication_score(docs).select(
+        "doc_id", F.col("dup_frac")
+    )
+    qual = docs.select(
+        "doc_id", "lang", "source", textops.quality_score("text").alias("quality")
+    )
+    per_doc = (
+        qual.join(nov.select("doc_id", "novelty_frac"), "doc_id")
+        .join(mixed.select("doc_id", "majority_lang", "agreement"), "doc_id")
+        .join(dup, "doc_id")
+    )
+    out_path = os.path.join(args.output_dir, "per_doc")
+    per_doc.write.mode("overwrite").parquet(out_path)
+    summary = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("novelty_frac"), 6).alias("mean_novelty"),
+        F.round(F.avg("dup_frac"), 6).alias("mean_dup_frac"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(F.avg((F.col("agreement") < 1.0).cast("double")), 6).alias(
+            "mixed_lang_doc_frac"
+        ),
+    )
+    sm_path = os.path.join(args.output_dir, "summary")
+    write_metrics_json(summary, sm_path)
+    row = summary.collect()[0].asDict()
+    try:
+        from .operators.similarity import source_centroid_drift
+
+        drift = source_centroid_drift(docs, t.embeddings)
+        dr_path = os.path.join(args.output_dir, "source_drift")
+        drift.write.mode("overwrite").parquet(dr_path)
+        row["source_drift_path"] = dr_path
+    except Exception:
+        row["source_drift_path"] = None  # no embeddings table
+    row["per_doc_path"] = out_path
+    return row
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -890,6 +977,8 @@ def main(argv: list[str] | None = None) -> dict:
         return cmd_split(args)
     if args.command == "mix":
         return cmd_mix(args)
+    if args.command == "profile":
+        return cmd_profile(args)
     return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
 
 

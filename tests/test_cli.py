@@ -480,3 +480,74 @@ def test_cli_purge_right_to_be_forgotten(spark, sf_dir, tmp_path):
                  "--output-dir", str(tmp_path / "p2"), "--cpus", "4"])
     assert out2["n_purged"] == 0
     assert out2["n_docs_after"] == n_all - len(purge_ids)
+
+
+def test_cli_mix_materialize_multiset(spark, sf_dir, tmp_path):
+    """`mix --materialize` writes the concrete training multiset whose
+    per-stratum expected size matches the weight table's epochs; the
+    unimax policy rejects the flag."""
+    import pytest as _pytest
+
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "mix",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "mm"),
+            "--policy", "temperature",
+            "--alpha", "0.3",
+            "--target-total", "800",
+            "--materialize",
+            "--cpus", "4",
+        ]
+    )
+    ms = spark.read.parquet(out["multiset_path"])
+    assert out["multiset_rows"] == ms.count() > 0
+    w = {r["lang"]: r for r in spark.read.parquet(out["weights_path"]).collect()}
+    per = {r["lang"]: r["n"] for r in ms.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        expected = w[lang]["epochs"] * w[lang]["n_docs"]
+        assert abs(n - expected) <= max(6, 0.25 * expected)  # hash-measure slack
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "mix",
+                "--data-dir", sf_dir,
+                "--output-dir", str(tmp_path / "mx"),
+                "--policy", "unimax",
+                "--materialize",
+                "--cpus", "4",
+            ]
+        )
+
+
+def test_cli_profile_report(spark, sf_dir, tmp_path):
+    """`profile` joins the per-doc health signals (novelty, mixed-lang,
+    duplication, quality) over every document and writes a sane
+    corpus-level summary + the per-source embedding drift table."""
+    from hive_population_ml_spark.cli import main
+    from hive_population_ml_spark.io import Tables
+
+    out = main(
+        [
+            "profile",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "prof"),
+            "--cpus", "4",
+        ]
+    )
+    docs_n = Tables(spark, sf_dir).documents.count()
+    per_doc = spark.read.parquet(out["per_doc_path"])
+    assert per_doc.count() == docs_n == out["n_docs"]
+    assert set(per_doc.columns) >= {
+        "doc_id", "lang", "source", "quality", "novelty_frac",
+        "majority_lang", "agreement", "dup_frac",
+    }
+    assert 0.0 <= out["mean_novelty"] <= 1.0
+    assert 0.0 <= out["mean_dup_frac"] <= 1.0
+    assert 0.0 <= out["mixed_lang_doc_frac"] <= 1.0
+    assert out["source_drift_path"] is not None
+    drift = spark.read.parquet(out["source_drift_path"])
+    assert drift.count() > 1 and "cos_to_global" in drift.columns
