@@ -139,6 +139,8 @@ HEADLINE = [
     "j_size_estimate_cms",
     "sample_epoch_materialize",
     "text_mixed_lang",
+    "dedup_cluster_sizes",
+    "w_cumulative_distinct",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -813,3 +813,83 @@ def dedup_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_sketch(
         t.documents, group_col="source", text_col="text"
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    shadow_oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT s FROM sh GROUP BY s
+    HAVING count(*) <= ceil(0.1 * (SELECT count(*) FROM documents))
+),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d1, d2
+    FROM inter
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.3
+),
+verts AS (SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+          UNION SELECT d2 AS u, d1 AS v FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.v AS id, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+assign AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+csz AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csz GROUP BY cluster_size
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (round-8 addition): the
+    histogram (cluster_size, n_clusters, n_docs) over the exact
+    n-gram-Jaccard closure — the dedup-effectiveness report read
+    BEFORE choosing a keeper policy (a fat tail of large clusters
+    means a few templates dominate the corpus; all-singletons means
+    dedup would be a no-op). Fully differential: reuses
+    dedup_cluster_ngram's recursive-CTE closure oracle plus two aggs.
+    Scale shape: the closure's cost (audited there); the histogram
+    itself is two tiny aggs over one-row-per-doc then one-row-per-
+    cluster tables."""
+    from ..operators.components import dedup_cluster_assignment
+
+    t = Tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", k=3, threshold=0.3, max_shingle_frac=0.1
+    )
+    assign = dedup_cluster_assignment(
+        t.documents, pairs, id_col="doc_id", src="d1", dst="d2"
+    )
+    csz = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"),
+             "n_clusters", "n_docs")

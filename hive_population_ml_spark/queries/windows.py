@@ -748,3 +748,52 @@ def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("island_end").alias("island_end"),
         "n_members",
     )
+
+
+@register(
+    "w_cumulative_distinct",
+    shadow_oracle="""
+WITH firsts AS (
+    SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY event_type, user_id
+), daily AS (
+    SELECT event_type, first_day AS day, count(*) AS n_new_users
+    FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_new_users AS BIGINT) AS n_new_users,
+       CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+FROM daily
+""",
+)
+def w_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per (event_type, day) — round-8
+    addition: running
+    COUNT(DISTINCT) doesn't decompose over an expanding window, but
+    each user contributes exactly once — on their FIRST day — so the
+    running distinct count is the cumsum of first appearances: one
+    per-(type, user) min agg + one day agg + a window over the
+    #types x #days-row table. The expanding-window sibling of w_sliding_distinct (whose
+    trailing-window form can't use the first-day trick). Never
+    re-scans a day twice; no distinct over any window."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new_users").cast("long").alias("n_new_users"),
+        F.sum("n_new_users").over(w).cast("long").alias("cum_distinct_users"),
+    )

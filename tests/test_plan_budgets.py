@@ -287,6 +287,12 @@ EXCHANGE_BUDGETS = {
     # agg + the per-doc majority window re-keyed on id (final agg
     # reuses it)
     "text_mixed_lang": 2,
+    # the closure's audited 2 (behind its localCheckpoint) + the
+    # cluster-size agg + the histogram agg over one-row-per-cluster
+    "dedup_cluster_sizes": 4,
+    # (type, user) min agg + (type, day) agg + the per-type cumsum
+    # window over the #types x #days table
+    "w_cumulative_distinct": 3,
 }
 
 

@@ -132,6 +132,8 @@ SHADOW_NAMES = [
     "emb_source_drift",
     "sample_epoch_materialize",
     "text_mixed_lang",
+    "dedup_cluster_sizes",
+    "w_cumulative_distinct",
 ]
 
 
