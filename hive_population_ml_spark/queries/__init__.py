@@ -38,6 +38,23 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r8 third wave: the eight registrations added after the second
+    # wave filled the window (two pre-session: w_interval_merge,
+    # dedup_containment; six from this session's build) rotate in to
+    # earn driver hash rows THIS round; eight multi-round-green
+    # incumbents cede (shadow-first sites a_key_skew,
+    # a_pivot_event_counts, f_array/json/lambda_funcs, text_dup_spans,
+    # dedup_cluster_embedding are simply delisted below; oracle-site
+    # a_retention_cohorts moves via ROTATE_TO_SHADOW). flagship never
+    # cedes; streaming stays 3-deep.
+    "w_interval_merge",
+    "dedup_containment",
+    "text_ngram_novelty",
+    "emb_source_drift",
+    "sample_epoch_materialize",
+    "text_mixed_lang",
+    "dedup_cluster_sizes",
+    "w_cumulative_distinct",
     # r8 second wave: the fifteen round-8 registrations (shadow-first —
     # the window was full at registration time) rotate in to earn their
     # first driver hash rows THIS round instead of aging into the exact
@@ -87,21 +104,19 @@ ROTATE_TO_ORACLE = [
     # SQL-expressible query rotates in; text_pii_mask (green r4+r5)
     # cedes its slot.
     "text_chunk_tokens",
-    # r5 additions: the only two shadow queries never driver-checked
-    # (registered late in round 4 / early round 5).
-    "dedup_cluster_embedding",
-    "text_dup_spans",
+    # r5 additions that remain in-window. (r8 third wave: a_key_skew,
+    # a_pivot_event_counts, f_array/json/lambda_funcs, text_dup_spans,
+    # dedup_cluster_embedding were delisted from this section — their
+    # shadow-first register sites return them to SHADOW_ORACLE, ceding
+    # slots to the eight rotated-in queries above.)
     "a_cube_revenue",
-    "a_key_skew",
-    "a_pivot_event_counts",
-    "f_array_funcs",
-    "f_json_funcs",
-    "f_lambda_funcs",
     "text_heavy_hitters",
     "w_rank_functions",
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    # r8 third wave: oracle-site incumbent ceding to the rotations above.
+    "a_retention_cohorts",
     # r8 second wave (see ROTATE_TO_ORACLE note above).
     "j_multiway_revenue",
     "quality_constraint_report",

@@ -125,15 +125,17 @@ SHADOW_NAMES = [
     "w_rank_functions",
     "text_heavy_hitters",
     "text_chunk_chars",
-    # registered after the r8 second-wave rotation (window full again)
-    "w_interval_merge",
-    "dedup_containment",
-    "text_ngram_novelty",
-    "emb_source_drift",
-    "sample_epoch_materialize",
-    "text_mixed_lang",
-    "dedup_cluster_sizes",
-    "w_cumulative_distinct",
+    # r8 third wave: the eight queries listed here until this wave
+    # rotated INTO the driver window; these eight multi-round-green
+    # incumbents ceded and keep the identical hash-equal contract here.
+    "a_key_skew",
+    "a_pivot_event_counts",
+    "f_array_funcs",
+    "f_json_funcs",
+    "f_lambda_funcs",
+    "text_dup_spans",
+    "dedup_cluster_embedding",
+    "a_retention_cohorts",
 ]
 
 
