@@ -141,6 +141,14 @@ HEADLINE = [
     "text_mixed_lang",
     "dedup_cluster_sizes",
     "w_cumulative_distinct",
+    # round-8 fourth wave
+    "w_cusum_changepoint",
+    "w_hopping_window",
+    "w_session_paths",
+    "cdc_merge_upsert",
+    "mix_concentration",
+    "a_bootstrap_ci",
+    "text_lexical_diversity",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

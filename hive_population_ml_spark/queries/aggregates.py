@@ -1307,3 +1307,99 @@ def a_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
         F.round(F.regr_r2("value", "x"), 6).alias("r2"),
     )
+
+
+# -- beyond ref: Poisson bootstrap confidence intervals ---------------------
+
+@register(
+    "a_bootstrap_ci",
+    shadow_oracle="""
+WITH ev AS (
+    SELECT event_type, value, event_id FROM events
+), x AS (
+    SELECT event_type, value, r.r AS rep,
+           (((((abs(event_id * 32 + r.r) + 999983) % 2147483647)
+               * 48271 % 2147483647) * 48271) % 2147483647)
+               / 2147483647.0 AS u
+    FROM ev CROSS JOIN (SELECT unnest(range(32)) AS r) r
+), w AS (
+    SELECT event_type, rep, value,
+           CASE WHEN u < 0.36787944117144233 THEN 0
+                WHEN u < 0.7357588823428847  THEN 1
+                WHEN u < 0.9196986029286058  THEN 2
+                WHEN u < 0.9810118431238462  THEN 3
+                WHEN u < 0.9963401531726563  THEN 4
+                ELSE 5 END AS wt
+    FROM x
+), per AS (
+    SELECT event_type, rep,
+           round(sum(wt * value) / sum(wt), 6) AS rep_mean
+    FROM w GROUP BY event_type, rep
+), ci AS (
+    SELECT event_type,
+           round(avg(rep_mean), 6) AS boot_mean,
+           round(stddev_samp(rep_mean), 6) AS boot_se,
+           round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+           round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+    FROM per GROUP BY event_type
+), obs AS (
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_obs
+    FROM ev GROUP BY event_type
+)
+SELECT obs.event_type, n, mean_obs, boot_mean, boot_se, ci_lo, ci_hi
+FROM obs JOIN ci USING (event_type)
+""",
+)
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence intervals for a grouped mean WITHOUT
+    resampling the data: the Poisson bootstrap (Chamandy et al. 2012 —
+    'Estimating uncertainty for massive data streams', the
+    production-scale bootstrap) replaces sampling-with-replacement
+    (which needs n known up front and a global shuffle per replicate)
+    with an independent Poisson(1) weight per (row, replicate) — so
+    ALL 32 replicates run in ONE pass as a map-side weight expansion +
+    a single partial-aggregated (group, rep) hash agg; the shuffle
+    carries #groups x 32 partial sums, never a resampled copy of the
+    data. Weights are deterministic: the repo's portable minstd Lehmer
+    hash on (event_id * 32 + rep) drives an inverse-CDF Poisson(1)
+    lookup (cumulative e^-1/k! thresholds, capped at 5 where the CDF
+    tail < 4e-4) — integer ops + one divide, mirrored digit-for-digit
+    in the oracle, so both engines draw the SAME bootstrap. Replicate
+    means are rounded BEFORE the across-replicate quantile/stddev so
+    the 32-value order statistics are engine-stable; percentile() and
+    quantile_cont share the (n-1)*q linear-interpolation definition."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value", "event_id")
+    us = (
+        "transform(sequence(0, 31), r -> "
+        "(((((abs(event_id * 32 + r) + 999983) % 2147483647) "
+        "* 48271 % 2147483647) * 48271) % 2147483647) / 2147483647.0d)"
+    )
+    wts = (
+        "transform({u}, u -> CASE WHEN u < 0.36787944117144233d THEN 0 "
+        "WHEN u < 0.7357588823428847d  THEN 1 "
+        "WHEN u < 0.9196986029286058d  THEN 2 "
+        "WHEN u < 0.9810118431238462d  THEN 3 "
+        "WHEN u < 0.9963401531726563d  THEN 4 "
+        "ELSE 5 END)"
+    ).format(u=us)
+    x = ev.select(
+        "event_type",
+        "value",
+        F.posexplode(F.expr(wts)).alias("rep", "wt"),
+    )
+    per = x.groupBy("event_type", "rep").agg(
+        F.round(
+            F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 6
+        ).alias("rep_mean")
+    )
+    ci = per.groupBy("event_type").agg(
+        F.round(F.avg("rep_mean"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("rep_mean"), 6).alias("boot_se"),
+        F.round(F.expr("percentile(rep_mean, 0.025d)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(rep_mean, 0.975d)"), 6).alias("ci_hi"),
+    )
+    obs = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_obs")
+    )
+    return obs.join(F.broadcast(ci), "event_type")

@@ -792,3 +792,85 @@ WHERE p.p_brand = 'Brand#23'
         lineitem=t.lineitem,
         part=t.part,
     )
+
+
+# -- CDC: MERGE INTO (upsert + tombstone apply) onto a snapshot -------------
+
+@register(
+    "cdc_merge_upsert",
+    shadow_oracle="""
+WITH src AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+), base AS (
+    SELECT user_id, event_type, event_id, ts_us, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts_us DESC, event_id DESC)
+                        AS rn
+          FROM src WHERE event_id % 3 <> 0)
+    WHERE rn = 1
+), changes AS (
+    SELECT user_id, event_type, event_id, ts_us, value,
+           (event_id % 9 = 0) AS is_delete
+    FROM src WHERE event_id % 3 = 0
+), unioned AS (
+    SELECT user_id, event_type, event_id, ts_us, value,
+           0 AS pri, CAST(NULL AS BIGINT) AS o_ts,
+           CAST(NULL AS BIGINT) AS o_id, FALSE AS del
+    FROM base
+    UNION ALL
+    SELECT user_id, event_type, event_id, ts_us, value,
+           1 AS pri, ts_us AS o_ts, event_id AS o_id, is_delete AS del
+    FROM changes
+), win AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY pri DESC, o_ts DESC, o_id DESC)
+                   AS rn2
+    FROM unioned
+)
+SELECT user_id, event_type, event_id, ts_us, value
+FROM win WHERE rn2 = 1 AND NOT del
+""",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style MERGE INTO applied as a batch operator:
+    a derived 'yesterday' snapshot (latest state of the event_id%3<>0
+    log) receives a change batch (the event_id%3=0 rows; every 9th a
+    tombstone) — matched keys update to the newest change, unmatched
+    keys insert, tombstoned keys delete. Exercises
+    operators/cdc.py::merge_upsert, whose plan is ONE shuffle of
+    (base UNION changes) through the same partial-aggregated max_by as
+    latest_by_key — deliberately NOT the full-outer-join MERGE
+    formulation, which shuffles both sides and cannot partially
+    aggregate; at 100 TB the snapshot side re-read from a
+    key-hash-partitioned table makes even that single shuffle a no-op
+    on the base. The oracle is the independent priority-union +
+    row_number SQL formulation (base rows rank below every change row;
+    NULL order fields never decide because pri breaks the tie first)."""
+    from ..operators.cdc import latest_by_key, merge_upsert
+
+    t = Tables(spark, sf_dir)
+    src = t.events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    base = latest_by_key(
+        src.filter(F.col("event_id") % 3 != 0),
+        keys=["user_id", "event_type"],
+        order_by=["ts_us", "event_id"],
+        payload=["event_id", "ts_us", "value"],
+        n_versions_col=None,
+    )
+    changes = src.filter(F.col("event_id") % 3 == 0).withColumn(
+        "is_delete", F.col("event_id") % 9 == 0
+    )
+    return merge_upsert(
+        base,
+        changes,
+        keys=["user_id", "event_type"],
+        order_by=["ts_us", "event_id"],
+        delete_col="is_delete",
+    )

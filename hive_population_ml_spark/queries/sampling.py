@@ -556,3 +556,79 @@ def sample_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", "lang")
     eps = mixture_weights(t.documents, "lang", alpha=0.3, target_total=800)
     return materialize_epochs(docs, "lang", eps.select("lang", "epochs"))
+
+
+# -- beyond ref: mixture concentration report (HHI / entropy) ---------------
+
+@register(
+    "mix_concentration",
+    shadow_oracle="""
+WITH s AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS t FROM s),
+sh AS (
+    SELECT source, n_docs, n_tokens, n_tokens * 1.0 / t AS share
+    FROM s, tot
+), g AS (
+    SELECT round(sum(share * share), 6) AS hhi,
+           round(-sum(share * ln(share)), 6) AS entropy,
+           round(exp(-sum(share * ln(share))), 6) AS eff_sources
+    FROM sh
+)
+SELECT source, n_docs, n_tokens, round(share, 6) AS token_share,
+       hhi, entropy, eff_sources
+FROM sh, g
+""",
+)
+def mix_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture concentration report: per-source token share plus
+    the global Herfindahl index, Shannon entropy, and effective source
+    count exp(H) — the one-look diagnostic for 'is this mixture
+    dominated by one crawl?' that gates reweighting (mix_temperature /
+    UniMax) decisions. Scale shape: ONE partial-aggregated scan
+    groups by source (cardinality = #feeds, tens); the global
+    HHI/entropy aggregate runs over that tens-row table and both
+    1-row/tens-row side tables re-attach by broadcast cross join — no
+    second pass over the corpus, no window over the full table. Global
+    floats are sums over the tiny per-source table, rounded to 6 to
+    absorb addition-order skew between engines."""
+    from ..io import Tables
+
+    t = Tables(spark, sf_dir)
+    # Checkpoint the tens-row per-source table so the corpus token scan
+    # runs ONCE for its three consumers (totals, entropy agg, final
+    # projection) — the textops freq-table convention.
+    s = (
+        t.documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    sh = s.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_tokens") / F.col("t")
+    )
+    g = sh.agg(
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(-F.sum(F.col("share") * F.log(F.col("share"))), 6).alias(
+            "entropy"
+        ),
+        F.round(
+            F.exp(-F.sum(F.col("share") * F.log(F.col("share")))), 6
+        ).alias("eff_sources"),
+    )
+    return sh.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        "hhi",
+        "entropy",
+        "eff_sources",
+    )

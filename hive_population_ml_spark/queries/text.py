@@ -1206,3 +1206,58 @@ def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote (and tie-break) as text_lang_id, mirrored per chunk in SQL."""
     t = Tables(spark, sf_dir)
     return textops.mixed_lang_profile(t.documents)
+
+
+# -- beyond ref: lexical diversity (TTR / hapax) quality signals ------------
+
+@register(
+    "text_lexical_diversity",
+    shadow_oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tok AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+), cnt AS (
+    SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(count(*) * 1.0 / sum(c), 6) AS ttr,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6)
+           AS hapax_ratio
+FROM cnt GROUP BY doc_id
+""",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and hapax-
+    legomena fraction — the 'fraction of unique words' style quality
+    rules (Gopher / C4 use these to drop keyword-stuffed and
+    boilerplate pages; low TTR = template text, high hapax on long
+    docs = OCR noise). The Spark plan is a PURE MAP — zero exchanges:
+    each doc's stats come from array expressions on its own token
+    vector (size, array_distinct, and hapax counted by an
+    index-lambda neighbor scan over the SORTED token array — a token
+    is hapax iff it differs from both sorted neighbors), so at 100 TB
+    this costs one corpus scan with no shuffle at all. The oracle is
+    the INDEPENDENT explode -> (doc, token) count -> per-doc rollup
+    formulation — two hash aggs in DuckDB, deliberately a different
+    algorithm arriving at the same exact integers."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", F.sort_array(F.split(F.col("text"), " ")).alias("ts")
+    ).withColumn("n", F.size("ts"))
+    hapax = F.expr(
+        "size(filter(sequence(0, n - 1), i -> "
+        "(i = 0 OR ts[i] != ts[i - 1]) AND "
+        "(i = n - 1 OR ts[i] != ts[i + 1])))"
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).cast("bigint").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(F.size(F.array_distinct("ts")) / F.col("n"), 6).alias("ttr"),
+        F.round(hapax / F.col("n"), 6).alias("hapax_ratio"),
+    )

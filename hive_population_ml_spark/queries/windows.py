@@ -797,3 +797,244 @@ def w_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new_users").cast("long").alias("n_new_users"),
         F.sum("n_new_users").over(w).cast("long").alias("cum_distinct_users"),
     )
+
+
+# -- beyond ref: CUSUM changepoint scan (exact integer arithmetic) ----------
+
+@register(
+    "w_cusum_changepoint",
+    shadow_oracle="""
+WITH q AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 1000000) AS BIGINT) AS v_int
+    FROM events
+), w AS (
+    SELECT user_id, v_int,
+           row_number() OVER win AS rn,
+           sum(v_int) OVER win AS cum_int,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           sum(v_int) OVER (PARTITION BY user_id) AS tot_int
+    FROM q
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+    SELECT user_id, rn, n, abs(cum_int * n - rn * tot_int) AS dev
+    FROM w
+), r AS (
+    SELECT user_id, n, rn, dev,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY dev DESC, rn ASC) AS pick
+    FROM d
+)
+SELECT user_id, n,
+       rn AS changepoint_rn,
+       round(dev / (n * 1000000.0), 6) AS max_cusum
+FROM r WHERE pick = 1
+""",
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key CUSUM changepoint scan: the offline mean-shift detector
+    (Page 1954 / binary-segmentation first split) — for each user, the
+    position maximizing |cumsum_k(v) - k/n * total(v)|, i.e. where the
+    prefix mean most departs from the global mean. The float form of
+    that statistic is an ORDER-DEPENDENT running sum whose low bits
+    differ between engines, so both sides compute it in EXACT BIGINT
+    arithmetic: value quantized to micro-units, and the deviation
+    tested as |cum*n - rn*tot| (the x n*1e6 rescale of the statistic)
+    — pure integer ops, bit-identical everywhere; the one float op
+    (the final /(n*1e6) display rescale) is a single IEEE divide on
+    both engines. Magnitude audit: |v_int| <= ~1e9 (value <= ~1e3),
+    per-user cum <= rows_per_key x 1e9, x n again — safe under 2^63
+    through ~1e4 rows/key at this value scale; a production deployment
+    would drop to 128-bit decimal sums past that. Plan: ONE hash
+    exchange on user_id + one sort serves rn/cum (ordered window) and
+    n/tot (partition-only window); the argmax is a partial-aggregable
+    max_by on the same partitioning — no second shuffle. The oracle is
+    the independent row_number-pick SQL formulation."""
+    t = Tables(spark, sf_dir)
+    q = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_int"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    d = q.select(
+        "user_id",
+        F.row_number().over(win).alias("rn"),
+        F.sum("v_int").over(wrun).alias("cum_int"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("v_int").over(wp).alias("tot_int"),
+    ).select(
+        "user_id",
+        "rn",
+        "n",
+        F.abs(
+            F.col("cum_int") * F.col("n") - F.col("rn") * F.col("tot_int")
+        ).alias("dev"),
+    )
+    # max_by over (dev, -rn): largest deviation, FIRST position on ties —
+    # exact integers, so the argmax is engine-deterministic.
+    best = d.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max_by(
+            F.struct(F.col("rn"), F.col("dev")),
+            F.struct(F.col("dev"), (-F.col("rn")).alias("neg_rn")),
+        ).alias("best"),
+    )
+    return best.select(
+        "user_id",
+        "n",
+        F.col("best.rn").alias("changepoint_rn"),
+        F.round(F.col("best.dev") / (F.col("n") * F.lit(1_000_000.0)), 6).alias(
+            "max_cusum"
+        ),
+    )
+
+
+# -- beyond ref: hopping (sliding time) window aggregation ------------------
+
+@register(
+    "w_hopping_window",
+    shadow_oracle="""
+WITH e AS (
+    SELECT CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
+               AS slot0,
+           value
+    FROM events
+), x AS (
+    SELECT slot0 - k.k * 900000000 AS win_start, value
+    FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT win_start, count(*) AS n_events, round(sum(value), 4) AS v_sum
+FROM x GROUP BY win_start
+""",
+)
+def w_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (size 1 h, hop 15 min) as a BATCH
+    query — the overlap-explode rewrite: every event belongs to exactly
+    size/hop = 4 aligned windows, so each row emits its 4 window-start
+    keys and ONE hash agg finishes. The 4x pre-agg amplification is
+    map-local and collapses to O(#slots) per partition via partial
+    aggregation — the shuffle carries window partials, never the 4x
+    rows (contrast a self-join against a window dimension, which
+    shuffles raw events per window). Window starts travel as BIGINT
+    epoch-us (exact arithmetic, engine-stable hash). The streaming twin
+    is stream_hopping_window (same window spec through
+    Structured Streaming's window(); parity-tested)."""
+    t = Tables(spark, sf_dir)
+    hop_us = 900_000_000  # 15 min
+    e = t.events.select(
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(hop_us)
+            ).cast("bigint")
+            * hop_us
+        ).alias("slot0"),
+        "value",
+    )
+    x = e.select(
+        "slot0", "value", F.explode(F.expr("sequence(0, 3)")).alias("k")
+    ).select(
+        (
+            F.col("slot0") - F.col("k").cast("bigint") * F.lit(hop_us)
+        ).alias("win_start"),
+        "value",
+    )
+    return x.groupBy("win_start").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("v_sum"),
+    )
+
+
+# -- beyond ref: session path mining (top ordered event-type paths) ---------
+
+@register(
+    "w_session_paths",
+    shadow_oracle="""
+WITH o AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 172800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+    SELECT user_id, ts_us, event_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM o
+), p AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+    FROM s GROUP BY user_id, session_id
+), c AS (
+    SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+), r AS (
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+    FROM c
+)
+SELECT rk, path, n_sessions FROM r WHERE rk <= 50
+""",
+)
+def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 session event-type paths (clickstream path mining): the
+    2-day-gap sessions of w_sessionize, each session's time-ordered
+    event types joined into a path string, counted across ALL sessions
+    and ranked. Ordering inside a path is pinned by (ts_us, event_id)
+    — the same boundary-determinism lesson as w_pattern_match. Scale
+    shape: sessionization is one sort shuffle on user_id; the path agg
+    reuses that partitioning (session_id is user-scoped); the path
+    frequency count is one hash agg on the path string; and the top-50
+    runs as TakeOrderedAndProject (rank recomputed on the <=50
+    survivors in a single bounded partition — never a global sort of
+    the full path table). Ties are impossible in the final rank: the
+    (n_sessions DESC, path ASC) order is total because paths are
+    unique after the count agg."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = t.events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    prev = F.lag("ts_us").over(w)
+    tagged = o.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        (prev.isNull() | (F.col("ts_us") - prev > 172_800_000_000))
+        .cast("int")
+        .alias("new_s"),
+    ).withColumn("session_id", F.sum("new_s").over(wrun))
+    paths = (
+        tagged.select(
+            "user_id",
+            "session_id",
+            F.struct("ts_us", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(e)), x -> x.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(50)
+    )
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.select(
+        F.row_number().over(wr).alias("rk"), "path", "n_sessions"
+    )

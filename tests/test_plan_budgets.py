@@ -293,6 +293,25 @@ EXCHANGE_BUDGETS = {
     # (type, user) min agg + (type, day) agg + the per-type cumsum
     # window over the #types x #days table
     "w_cumulative_distinct": 3,
+    # round-8 fourth wave ------------------------------------------------
+    # ONE user_id exchange: sorted + partition windows and the max_by
+    # agg all reuse it
+    "w_cusum_changepoint": 1,
+    # map-side slot explode collapses via partial agg; one hash agg
+    "w_hopping_window": 1,
+    # sessionize sort shuffle (path agg reuses it) + path-count agg;
+    # top-50 is TakeOrderedAndProject
+    "w_session_paths": 2,
+    # base compaction max_by + merged max_by (union is exchange-free)
+    "cdc_merge_upsert": 2,
+    # per-source table checkpointed (corpus token scan runs once); the
+    # rest are tens-row single-partition aggs + two BroadcastExchanges
+    "mix_concentration": 6,
+    # (group, rep) partial agg + across-rep agg + obs agg +
+    # BroadcastExchange for the final tiny join
+    "a_bootstrap_ci": 4,
+    # pure map — any Exchange is a regression
+    "text_lexical_diversity": 0,
 }
 
 

@@ -136,6 +136,15 @@ SHADOW_NAMES = [
     "text_dup_spans",
     "dedup_cluster_embedding",
     "a_retention_cohorts",
+    # r8 fourth wave: registered shadow-first (window full at
+    # registration time), hash-checked here until a future rotation.
+    "w_cusum_changepoint",
+    "w_hopping_window",
+    "w_session_paths",
+    "cdc_merge_upsert",
+    "mix_concentration",
+    "a_bootstrap_ci",
+    "text_lexical_diversity",
 ]
 
 
