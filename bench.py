@@ -208,6 +208,7 @@ DECLARED_UNTIMED = {
     "stream_session_window": "streaming",
     "stream_cdc_state": "streaming",
     "stream_heavy_hitters": "streaming",
+    "stream_hopping_window": "streaming",
     "mix_temperature_weights": "driver-side weight table (no data plane)",
     "mix_unimax_weights": "one token-count agg + L-row waterfill (micro)",
     "multimodal_bytes": "binary plumbing micro",

@@ -204,3 +204,61 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, m=16,
         query_name=f"q_hh_{abs(hash(sf_dir)) % 10**6}",
     )
+
+
+@register(
+    "stream_hopping_window",
+    shadow_oracle="""
+WITH e AS (
+    SELECT CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
+               AS slot0,
+           value
+    FROM events
+), x AS (
+    SELECT slot0 - k.k * 900000000 AS win_start, value
+    FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT win_start, count(*) AS n_events, round(sum(value), 4) AS v_sum
+FROM x GROUP BY win_start
+""",
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation through a REAL Structured Streaming
+    query: window(ts, '1 hour', '15 minutes') — each event lands in
+    size/hop = 4 overlapping window states — replayed with availableNow
+    into a memory sink (complete mode; the full replay makes the
+    result equal the batch form). The oracle is the SAME SQL as the
+    batch twin w_hopping_window's, so the streaming state path itself
+    is hash-checked against DuckDB, and the two twins are transitively
+    hash-equal to each other. Window starts surface as BIGINT epoch-us
+    (Spark's window() aligns hop slots to the epoch origin — the exact
+    floor(us/hop)*hop arithmetic of the batch rewrite). Production
+    posture: unbounded input swaps complete mode for
+    watermark + append with the same window spec; state per key is one
+    (count, sum) pair across 4 live windows per hop."""
+    from ..streaming.pipeline import events_raw_stream
+
+    raw = events_raw_stream(spark, sf_dir)
+    agg = (
+        raw.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("v_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+                "win_start"
+            ),
+            "n_events",
+            "v_sum",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("q_stream_hopping")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("q_stream_hopping")

@@ -145,6 +145,7 @@ SHADOW_NAMES = [
     "mix_concentration",
     "a_bootstrap_ci",
     "text_lexical_diversity",
+    "stream_hopping_window",
 ]
 
 
