@@ -149,6 +149,9 @@ HEADLINE = [
     "mix_concentration",
     "a_bootstrap_ci",
     "text_lexical_diversity",
+    "a_ks_test",
+    "text_zipf_slope",
+    "w_rolling_median",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

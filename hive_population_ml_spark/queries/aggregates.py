@@ -1403,3 +1403,80 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_obs")
     )
     return obs.join(F.broadcast(ci), "event_type")
+
+
+# -- beyond ref: exact two-sample Kolmogorov-Smirnov drift test -------------
+
+@register(
+    "a_ks_test",
+    shadow_oracle="""
+WITH s AS (
+    SELECT event_type, value,
+           CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+    FROM events
+), c AS (
+    SELECT event_type, value,
+           sum(is_a)     OVER w AS cum_a,
+           sum(1 - is_a) OVER w AS cum_b,
+           sum(is_a)     OVER (PARTITION BY event_type) AS n_a,
+           sum(1 - is_a) OVER (PARTITION BY event_type) AS n_b
+    FROM s
+    WINDOW w AS (PARTITION BY event_type ORDER BY value
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       round(max(abs(cum_a * n_b - cum_b * n_a))
+             / (1.0 * max(n_a) * max(n_b)), 6) AS ks_d
+FROM c GROUP BY event_type
+""",
+)
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    distribution-drift gate (deterministic split: even event_ids =
+    sample A, odd = B; swap in yesterday-vs-today or source-vs-source
+    for production drift monitoring). D = max_x |F_A(x) - F_B(x)|,
+    computed tie-correctly with a RANGE window frame (all rows of a
+    tied value enter the cumulative counts together, so D is evaluated
+    at distinct-value boundaries — the ordering-within-ties ambiguity
+    a ROWS frame would leak into the result never arises). The
+    statistic stays in EXACT integer arithmetic until the final
+    divide: max |cum_a*n_b - cum_b*n_a| is the D numerator scaled by
+    n_a*n_b — engine-stable to the last bit. Scale shape: ONE hash
+    exchange on the group key + one sort; the per-group totals reuse
+    the partition window; at 100 TB the per-group sort is the
+    textbook KS cost (no all-pairs, no collect)."""
+    t = Tables(spark, sf_dir)
+    s = t.events.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    c = s.select(
+        "event_type",
+        F.sum("is_a").over(w).alias("cum_a"),
+        F.sum(1 - F.col("is_a")).over(w).alias("cum_b"),
+        F.sum("is_a").over(wp).alias("n_a"),
+        F.sum(1 - F.col("is_a")).over(wp).alias("n_b"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            / (F.max("n_a") * F.max("n_b") * F.lit(1.0)),
+            6,
+        ).alias("ks_d"),
+    )

@@ -1261,3 +1261,64 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct("ts")) / F.col("n"), 6).alias("ttr"),
         F.round(hapax / F.col("n"), 6).alias("hapax_ratio"),
     )
+
+
+# -- beyond ref: Zipf's-law fit over the token frequency spectrum -----------
+
+@register(
+    "text_zipf_slope",
+    shadow_oracle="""
+WITH tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+    SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+), ranked AS (
+    SELECT lang, c,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, token ASC) AS rk
+    FROM freq
+)
+SELECT lang,
+       count(*) AS n_ranks,
+       round(regr_slope(ln(c), ln(rk)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rk)), 6) AS zipf_intercept,
+       round(regr_r2(ln(c), ln(rk)), 6) AS r2
+FROM ranked WHERE rk <= 1000
+GROUP BY lang
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS of ln(freq) ~ ln(rank) over the
+    top-1000 token frequency spectrum — natural text sits near slope
+    -1; templated/machine-generated corpora flatten or steepen the
+    curve, making the slope a corpus-level quality fingerprint
+    (complements the per-doc signals: lexical diversity, token
+    entropy). Rank ties break on the token string so the rank
+    permutation — and hence the exact regression inputs — is
+    engine-deterministic. Scale shape: the (lang, token) frequency agg
+    is vocab-bounded (Heaps' law) and partial-aggregated; the top-1000
+    rank cut is a per-lang window over THAT table (never the corpus);
+    the regression is regr_* closed-form aggregates — one fixed-size
+    state per lang, the a_trend_fit posture. ln() keeps the sums in
+    [0, ~7e3] where both engines' float accumulation agrees past the
+    6-decimal rounding."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    ranked = freq.select(
+        "lang", "c", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") <= 1000)
+    lc, lr = F.log(F.col("c")), F.log(F.col("rk"))
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"),
+    )

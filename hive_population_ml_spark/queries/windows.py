@@ -1038,3 +1038,54 @@ def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(wr).alias("rk"), "path", "n_sessions"
     )
+
+
+# -- beyond ref: exact rolling median (order-statistic window) --------------
+
+@register(
+    "w_rolling_median",
+    shadow_oracle="""
+WITH r AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+)
+SELECT user_id, rn, event_id, round(value, 6) AS value, med7
+FROM r
+""",
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trailing-7-row EXACT rolling median — the robust
+    smoother a rolling mean can't be (one spike drags a mean for 7
+    rows; the median ignores it). Order statistics don't decompose
+    incrementally, so each frame pays an O(w log w) selection — Spark
+    runs the exact interpolated percentile(0.5) aggregate over the
+    moving ROWS frame, DuckDB its quantile_cont, which share the
+    (n-1)*q linear-interpolation definition; frame membership is
+    pinned by the (ts_us, event_id) total order so both engines
+    select the identical 7 values. Scale: ONE hash exchange + sort on
+    the key — the same plan as any ordered window; w=7 keeps the
+    per-frame cost constant. The fixed-size-state alternative at
+    large w is the GK/t-digest sketch path (sketch_value_quantiles),
+    registered separately."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    r = t.events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return r.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(
+            F.expr("percentile(value, 0.5d)").over(w.rowsBetween(-6, 0)), 6
+        ).alias("med7"),
+    )

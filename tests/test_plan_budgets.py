@@ -312,6 +312,14 @@ EXCHANGE_BUDGETS = {
     "a_bootstrap_ci": 4,
     # pure map — any Exchange is a regression
     "text_lexical_diversity": 0,
+    # ONE group-key exchange: RANGE-frame cum window, partition totals,
+    # and the final agg all reuse it
+    "a_ks_test": 1,
+    # (lang, token) freq agg; per-lang rank window + regr agg reuse the
+    # lang partitioning
+    "text_zipf_slope": 2,
+    # ONE key exchange + sort; moving-frame percentile is frame-local
+    "w_rolling_median": 1,
 }
 
 

@@ -146,6 +146,10 @@ SHADOW_NAMES = [
     "a_bootstrap_ci",
     "text_lexical_diversity",
     "stream_hopping_window",
+    # r8 fifth wave
+    "a_ks_test",
+    "text_zipf_slope",
+    "w_rolling_median",
 ]
 
 
