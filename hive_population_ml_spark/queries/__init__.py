@@ -38,6 +38,24 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r8 fourth/fifth wave: the eleven queries built later this round
+    # (ten batch + the streaming hopping twin) rotate in to earn driver
+    # hash rows in their build round; eleven multi-round-green
+    # incumbents cede (oracle-site ceders listed in ROTATE_TO_SHADOW;
+    # shadow-site text_chunk_tokens is simply delisted below).
+    # Streaming stays 3-deep: session + cdc_state + hopping
+    # (attribution, 4-for-4 green, cedes).
+    "w_cusum_changepoint",
+    "w_hopping_window",
+    "w_session_paths",
+    "w_rolling_median",
+    "cdc_merge_upsert",
+    "mix_concentration",
+    "a_bootstrap_ci",
+    "a_ks_test",
+    "text_zipf_slope",
+    "text_lexical_diversity",
+    "stream_hopping_window",
     # r8 third wave: the eight registrations added after the second
     # wave filled the window (two pre-session: w_interval_merge,
     # dedup_containment; six from this session's build) rotate in to
@@ -100,10 +118,10 @@ ROTATE_TO_ORACLE = [
     "dedup_paragraph_exact",
     "sample_quality_stratified",
     "text_source_kl",
-    # r6 (VERDICT r5 #3): the one remaining never-driver-checked
-    # SQL-expressible query rotates in; text_pii_mask (green r4+r5)
-    # cedes its slot.
-    "text_chunk_tokens",
+    # r6 (VERDICT r5 #3): text_chunk_tokens rotated in here r6-r7;
+    # ceded in the r8 fourth/fifth wave (2 green rounds banked,
+    # text_chunk_chars-twin plan) — delisted, returning it to
+    # SHADOW_ORACLE.
     # r5 additions that remain in-window. (r8 third wave: a_key_skew,
     # a_pivot_event_counts, f_array/json/lambda_funcs, text_dup_spans,
     # dedup_cluster_embedding were delisted from this section — their
@@ -115,6 +133,19 @@ ROTATE_TO_ORACLE = [
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    # r8 fourth/fifth wave ceders (3+-green oracle-site incumbents; see
+    # ROTATE_TO_ORACLE note): every one keeps the identical hash-equal
+    # contract as a pytest shadow check.
+    "dedup_levenshtein",
+    "dedup_levenshtein_multipass",
+    "sample_weighted",
+    "text_inverted_index",
+    "text_pmi_collocations",
+    "text_tfidf_keywords",
+    "text_token_entropy",
+    "w_resample_ffill",
+    "w_rolling_range",
+    "stream_attribution_join",
     # r8 third wave: oracle-site incumbent ceding to the rotations above.
     "a_retention_cohorts",
     # r8 second wave (see ROTATE_TO_ORACLE note above).

@@ -136,20 +136,21 @@ SHADOW_NAMES = [
     "text_dup_spans",
     "dedup_cluster_embedding",
     "a_retention_cohorts",
-    # r8 fourth wave: registered shadow-first (window full at
-    # registration time), hash-checked here until a future rotation.
-    "w_cusum_changepoint",
-    "w_hopping_window",
-    "w_session_paths",
-    "cdc_merge_upsert",
-    "mix_concentration",
-    "a_bootstrap_ci",
-    "text_lexical_diversity",
-    "stream_hopping_window",
-    # r8 fifth wave
-    "a_ks_test",
-    "text_zipf_slope",
-    "w_rolling_median",
+    # r8 fourth/fifth-wave rotation: the eleven new queries rotated
+    # INTO the driver window (driver hash rows in their build round);
+    # these eleven multi-round-green incumbents ceded and keep the
+    # identical hash-equal contract here.
+    "dedup_levenshtein",
+    "dedup_levenshtein_multipass",
+    "sample_weighted",
+    "text_inverted_index",
+    "text_pmi_collocations",
+    "text_tfidf_keywords",
+    "text_token_entropy",
+    "w_resample_ffill",
+    "w_rolling_range",
+    "stream_attribution_join",
+    "text_chunk_tokens",
 ]
 
 
