@@ -152,6 +152,10 @@ HEADLINE = [
     "a_ks_test",
     "text_zipf_slope",
     "w_rolling_median",
+    "text_bm25_topk",
+    "a_assoc_rules",
+    "a_ks_test_binned",
+    "emb_jl_project",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -2014,3 +2014,55 @@ def source_centroid_drift(
             F.col("_dot") / (F.sqrt("_nm") * F.sqrt("_ng")), 6
         ).alias("cos_to_global"),
     )
+
+
+def jl_project(
+    corpus: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims via
+    the sparse Achlioptas matrix (entries {+s, 0, -s} with prob
+    {1/6, 2/3, 1/6}, s = sqrt(3/out_dim) — Achlioptas 2003, the
+    database-friendly JL construction; pairwise distances preserved to
+    1±eps with out_dim = O(log n / eps²)).
+
+    The projection matrix is DATA-INDEPENDENT: generated from ``seed``
+    alone (PCG64), so unlike pca_project there is NO training pass at
+    all — no sample, no fit job, nothing to persist beyond the seed.
+    At 100 TB that means the whole operator is ONE Arrow mapInPandas
+    GEMM over the scan (zero exchanges, plan-asserted in tests), and
+    any two clusters/runs/days that share the seed project into the
+    SAME space — the property that makes JL the right tool for
+    incremental-ingest ANN sketching where PCA would drift with each
+    refit. Output: (id_col, vec_col: array<double>[out_dim])."""
+    import numpy as np
+
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    d_in = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    s = float(np.sqrt(3.0 / out_dim))
+    draws = rng.random((d_in, out_dim))
+    mat = np.where(draws < 1 / 6, s, np.where(draws < 5 / 6, 0.0, -s))
+
+    src = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[lo : lo + batch_rows]
+                x = np.asarray(list(part["__v"]), dtype=np.float64)
+                p = x @ mat
+                yield pd.DataFrame(
+                    {id_col: part[id_col].values, vec_col: list(p)}
+                )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<double>"
+    )

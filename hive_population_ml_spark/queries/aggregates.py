@@ -1480,3 +1480,156 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_d"),
     )
+
+
+# -- beyond ref: association rules (support / confidence / lift) ------------
+
+@register(
+    "a_assoc_rules",
+    shadow_oracle="""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+    SELECT count(DISTINCT user_id) AS n_users FROM ut
+), pt AS (
+    SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT ta, tb, n_ab,
+       round(n_ab * 1.0 / n_users, 6) AS support,
+       round(n_ab * 1.0 / pa.n_t, 6) AS conf_ab,
+       round(n_ab * 1.0 / pb.n_t, 6) AS conf_ba,
+       round(n_ab * 1.0 * n_users / (pa.n_t * pb.n_t), 6) AS lift
+FROM pairs
+JOIN pt pa ON pa.event_type = ta
+JOIN pt pb ON pb.event_type = tb
+CROSS JOIN n
+""",
+)
+def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets: for every
+    type pair, support, both confidences, and lift — the market-basket
+    co-occurrence mining that seeds recommendation and
+    next-event-prediction features. Scale shape: the basket table is
+    ONE distinct agg keyed (user, type); the pair expansion self-joins
+    it ON THE USER KEY, so the per-user fan-out is C(types_per_user,2)
+    — bounded by the type vocabulary (tens), never the event count —
+    and the pair agg partially aggregates map-side to the #type²
+    result grid. Per-type counts and the 1-row user total re-attach by
+    broadcast. Every metric is a ratio of exact BIGINT counts, rounded
+    once at the end — engine-stable by construction."""
+    t = Tables(spark, sf_dir)
+    # Checkpoint the basket table: its distinct agg feeds FOUR
+    # consumers (user total, per-type counts, both self-join sides) —
+    # without it each consumer re-scans and re-aggregates the corpus.
+    ut = (
+        t.events.select("user_id", "event_type").distinct().localCheckpoint()
+    )
+    n = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    pt = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ut.withColumnRenamed("event_type", "ta")
+    b = ut.withColumnRenamed("event_type", "tb")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    pa = pt.select(
+        F.col("event_type").alias("ta"), F.col("n_t").alias("n_a")
+    )
+    pb = pt.select(
+        F.col("event_type").alias("tb"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "ta")
+        .join(F.broadcast(pb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_ab"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_ba"),
+            F.round(
+                F.col("n_ab")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b") * F.lit(1.0)),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register("a_ks_test_binned")  # rows-only: histogram-approximate D; the
+# error envelope vs the exact a_ks_test twin is pinned in
+# tests/test_operators.py
+def a_ks_test_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of a_ks_test: histogram-approximate KS. The
+    exact form pays one SORT of every group (right up to ~10^4-row
+    groups; unavoidable for exact D); this twin replaces it with a
+    256-bin fixed-width histogram per (group, sample) — ONE hash agg
+    whose shuffle carries #groups x 256 x 2 bin counts REGARDLESS of
+    group size, plus a cumsum window over that tiny grid. The
+    approximation error is bounded by the probability mass of the
+    widest bin (|D_hist - D| <= max_bin_mass, since the empirical CDFs
+    are evaluated exactly at every bin boundary and D can only hide
+    strictly inside one bin); the envelope against the exact twin is
+    asserted in tests. Bounds come from one min/max pre-agg
+    (broadcast), the same two-pass shape as value histograms."""
+    n_bins = 256
+    t = Tables(spark, sf_dir)
+    s = t.events.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    bounds = s.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = s.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "is_a",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bins)
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    g = b.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wp).alias("n_a"),
+        F.sum("cb").over(wp).alias("n_b"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            / (F.max("n_a") * F.max("n_b") * F.lit(1.0)),
+            6,
+        ).alias("ks_d_approx"),
+    )

@@ -439,3 +439,31 @@ def emb_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return source_centroid_drift(t.documents, t.embeddings)
+
+
+@register("emb_jl_project")  # rows-only: the projection is seeded-random;
+# determinism / JL-distortion / zero-exchange properties pinned in
+# tests/test_operators.py
+def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection of the embedding corpus 64→16
+    dims (Achlioptas sparse matrix, seed-only — NO training pass; see
+    operators/similarity.py::jl_project). The data-independent sibling
+    of embedding_pca: same map-only scan shape, but nothing to fit or
+    persist, so incremental ingest batches land in the same space by
+    construction. Output digests the projected vector into scalar
+    columns (first 4 components + norm)."""
+    from ..operators.similarity import jl_project
+
+    t = Tables(spark, sf_dir)
+    p = jl_project(t.embeddings, out_dim=16)
+    v = F.col("embedding")
+    return p.select(
+        "vec_id",
+        F.round(v[0], 6).alias("p0"),
+        F.round(v[1], 6).alias("p1"),
+        F.round(v[2], 6).alias("p2"),
+        F.round(v[3], 6).alias("p3"),
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("pnorm"),
+    )

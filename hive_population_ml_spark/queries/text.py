@@ -1322,3 +1322,100 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("r2"),
     )
+
+
+# -- beyond ref: BM25 ranked retrieval over the inverted-index stats --------
+
+@register(
+    "text_bm25_topk",
+    shadow_oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), dl AS (
+    SELECT doc_id, len(t) AS dlen FROM toks
+), stats AS (
+    SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl
+), q AS (SELECT unnest(['hash', 'vector', 'stream']) AS term),
+tf AS (
+    SELECT doc_id, token AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+    WHERE token IN ('hash', 'vector', 'stream')
+    GROUP BY doc_id, token
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.doc_id,
+           sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl)))
+               AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+), ranked AS (
+    SELECT doc_id, round(score, 6) AS bm25,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rk
+    FROM scored
+)
+SELECT rk, doc_id, bm25 FROM ranked WHERE rk <= 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, the Lucene-default
+    Robertson idf with +1 floor) for a fixed 3-term query over the
+    corpus — the classic IR scorer the TF-IDF query stops short of,
+    and the relevance-ranking path of the inverted-index operator.
+    Scale shape: doc lengths are a pure map; the tf table is the
+    exploded token stream FILTERED TO THE QUERY TERMS before its agg
+    (the shuffle carries only matching postings — at 100 TB this is
+    the 'seek the postings list' cost, never a full-vocab agg); df
+    (3 rows) and the corpus N/avgdl scalar attach by broadcast; top-20
+    is TakeOrderedAndProject on the rank key. Ranking ties are decided
+    on the ROUNDED score + doc_id in BOTH engines, so the cutoff row
+    is engine-deterministic even where raw float scores differ in the
+    last bit."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dlen").alias("avgdl")
+    )
+    terms = ["hash", "vector", "stream"]
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    part = (
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part).alias("score"))
+    )
+    top = (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    wr = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.select(F.row_number().over(wr).alias("rk"), "doc_id", "bm25")

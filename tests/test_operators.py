@@ -3343,3 +3343,95 @@ def test_mixed_lang_profile_code_switch(spark):
     assert got[2]["n_langs"] == 1 and got[2]["majority_lang"] == "en"
     assert got[2]["agreement"] == 1.0
     assert got[3]["majority_lang"] == "und"
+
+
+# -- round-8 sixth wave: JL projection + binned-KS scale twin ---------------
+
+
+def test_jl_project_deterministic_and_zero_exchange(spark, sf_oracle_dir):
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import jl_project
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    p1 = jl_project(emb, out_dim=16, seed=7)
+    plan = p1._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan[:2000]
+    r1 = {r["vec_id"]: r["embedding"] for r in p1.collect()}
+    r2 = {
+        r["vec_id"]: r["embedding"]
+        for r in jl_project(emb, out_dim=16, seed=7).collect()
+    }
+    assert r1 == r2  # same seed -> bit-identical projection
+    r3 = {
+        r["vec_id"]: r["embedding"]
+        for r in jl_project(emb, out_dim=16, seed=8).collect()
+    }
+    assert r1 != r3  # different seed -> different space
+    assert all(len(v) == 16 for v in r1.values())
+
+
+def test_jl_project_preserves_pairwise_distances(spark, sf_oracle_dir):
+    """JL guarantee (statistical): with out_dim=32, most pairwise
+    squared distances land within a modest distortion band. Checked on
+    a deterministic 40-vector sample -> 780 pairs."""
+    import numpy as np
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import jl_project
+
+    emb = Tables(spark, sf_oracle_dir).embeddings.filter("vec_id < 40")
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    proj = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in jl_project(emb, out_dim=32, seed=42).collect()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d0 = float(np.sum((orig[ids[i]] - orig[ids[j]]) ** 2))
+            dp = float(np.sum((proj[ids[i]] - proj[ids[j]]) ** 2))
+            if d0 > 0:
+                ratios.append(dp / d0)
+    ratios = np.array(ratios)
+    # Achlioptas matrices are unbiased (E[ratio]=1); the band below is
+    # loose vs the JL bound for out_dim=32 but tight enough to catch a
+    # wrong scale factor (3x off) or a degenerate matrix.
+    assert 0.8 < float(np.median(ratios)) < 1.2
+    assert float(np.mean((ratios > 0.4) & (ratios < 1.9))) >= 0.9
+
+
+def test_jl_project_rejects_bad_dim(spark, sf_oracle_dir):
+    import pytest as _pytest
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import jl_project
+
+    emb = Tables(spark, sf_oracle_dir).embeddings
+    with _pytest.raises(ValueError):
+        jl_project(emb, out_dim=0)
+
+
+def test_ks_binned_envelope_vs_exact(spark, sf_oracle_dir):
+    """|D_hist - D_exact| <= max per-bin probability mass (the CDFs are
+    exact at every bin boundary; D can only hide inside one bin). With
+    256 bins over these value distributions that mass is small — assert
+    the theoretical envelope AND a practical 0.02 ceiling."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["event_type"]: r["ks_d"]
+        for r in QUERIES["a_ks_test"](spark, sf_oracle_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["ks_d_approx"]
+        for r in QUERIES["a_ks_test_binned"](spark, sf_oracle_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(exact[k] - approx[k]) <= 0.02, (
+            k,
+            exact[k],
+            approx[k],
+        )

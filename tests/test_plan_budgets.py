@@ -320,6 +320,20 @@ EXCHANGE_BUDGETS = {
     "text_zipf_slope": 2,
     # ONE key exchange + sort; moving-frame percentile is frame-local
     "w_rolling_median": 1,
+    # r8 sixth wave -------------------------------------------------------
+    # two corpus passes by design (doc-length stats pass + postings
+    # pass filtered to the query terms); remaining exchanges are the
+    # tiny df/stats broadcasts, the doc_id join, and TakeOrdered
+    "text_bm25_topk": 8,
+    # basket table checkpointed (distinct agg feeds 4 consumers);
+    # user-keyed self-join sides + pair agg + 3 broadcasts
+    "a_assoc_rules": 9,
+    # bounds agg broadcast + (group,bin,sample) hash agg + cumsum
+    # window + final agg over the #groups x 256 grid
+    "a_ks_test_binned": 4,
+    # seed-only projection: pure Arrow mapInPandas map — any Exchange
+    # is a regression
+    "emb_jl_project": 0,
 }
 
 

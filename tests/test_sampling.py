@@ -151,6 +151,9 @@ SHADOW_NAMES = [
     "w_rolling_range",
     "stream_attribution_join",
     "text_chunk_tokens",
+    # r8 sixth wave: registered shadow-first (window full)
+    "text_bm25_topk",
+    "a_assoc_rules",
 ]
 
 
