@@ -156,6 +156,8 @@ HEADLINE = [
     "a_assoc_rules",
     "a_ks_test_binned",
     "emb_jl_project",
+    "a_rank_normalize",
+    "dedup_recall_report",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

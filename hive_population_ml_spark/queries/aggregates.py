@@ -1633,3 +1633,36 @@ def a_ks_test_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_d_approx"),
     )
+
+
+# -- beyond ref: per-group rank normalization (feature transform) -----------
+
+@register(
+    "a_rank_normalize",
+    shadow_oracle="""
+SELECT event_type, event_id, round(value, 6) AS value,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id), 6)
+           AS pct_rank
+FROM events
+""",
+)
+def a_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank normalization (percent_rank): maps each value to
+    its within-group quantile position — the distribution-free feature
+    transform (a.k.a. quantile/rank gauss-prep) that makes skewed
+    features comparable across groups without fitting anything. Rank
+    ties are impossible because event_id joins the order key, so the
+    [0,1] position is engine-deterministic. Scale shape: ONE hash
+    exchange + sort per group — identical to any ordered window; no
+    second pass, no quantile table to fit or broadcast (contrast
+    ccnet_buckets, which cuts on FITTED percentiles when train/apply
+    must be separable)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t.events.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

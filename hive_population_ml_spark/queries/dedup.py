@@ -893,3 +893,64 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs"),
     ).select(F.col("cluster_size").cast("long").alias("cluster_size"),
              "n_clusters", "n_docs")
+
+
+@register("dedup_recall_report")  # rows-only: the report compares an
+# approximate operator against its exact ground truth — precision==1.0
+# (verified candidates can't be false) and recall>=0.6 pinned in
+# tests/test_operators.py
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality report — 'measure, don't guess' as a
+    first-class query: the EXACT thresholded-Jaccard pair set
+    (prefix-filtered AllPairs/PPJoin — lossless, the registered ground
+    -truth builder) vs the MinHash-LSH pair set at the SAME threshold,
+    joined to one audit row: n_true / n_lsh / n_hit, recall,
+    precision. Because the LSH path verifies exact Jaccard on its
+    candidates, every reported pair is true (precision 1.0 by
+    construction — asserted); recall isolates pure banding loss, the
+    number a production operator owner tunes (bands, rows/band)
+    against. Scale shape: both pair tables are the tiny post-filter
+    sets; the audit join and counts cost nothing beside the operators
+    themselves — making this report cheap enough to run per-ingest as
+    drift monitoring on the dedup tier."""
+    from ..operators.dedup import minhash_lsh_pairs, prefix_jaccard_pairs
+
+    t = Tables(spark, sf_dir)
+    truth = prefix_jaccard_pairs(
+        t.documents, "doc_id", "text", threshold=0.3
+    ).select("d1", "d2", F.lit(1).alias("in_true"))
+    lsh = minhash_lsh_pairs(
+        t.documents, "doc_id", "text", threshold=0.3
+    ).select("d1", "d2", F.lit(1).alias("in_lsh"))
+    j = truth.join(lsh, ["d1", "d2"], "full_outer")
+    return j.agg(
+        F.sum("in_true").cast("bigint").alias("n_true"),
+        F.sum("in_lsh").cast("bigint").alias("n_lsh"),
+        F.sum(
+            F.when(
+                F.col("in_true").isNotNull() & F.col("in_lsh").isNotNull(), 1
+            )
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("in_true").isNotNull() & F.col("in_lsh").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            / F.sum(F.coalesce(F.col("in_true"), F.lit(0))),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("in_true").isNotNull() & F.col("in_lsh").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            / F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))),
+            6,
+        ).alias("precision"),
+    )

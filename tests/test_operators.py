@@ -3435,3 +3435,17 @@ def test_ks_binned_envelope_vs_exact(spark, sf_oracle_dir):
             exact[k],
             approx[k],
         )
+
+
+def test_dedup_recall_report_semantics(spark, sf_oracle_dir):
+    """Precision is 1.0 BY CONSTRUCTION (LSH verifies exact Jaccard on
+    its candidates, so no reported pair can be false); recall bounds
+    pure banding loss."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["dedup_recall_report"](spark, sf_oracle_dir).collect()[0]
+    assert r["n_true"] > 0
+    assert r["precision"] == 1.0
+    assert r["recall"] >= 0.6
+    assert r["n_hit"] <= min(r["n_true"], r["n_lsh"])

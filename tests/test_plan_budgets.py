@@ -334,6 +334,12 @@ EXCHANGE_BUDGETS = {
     # seed-only projection: pure Arrow mapInPandas map — any Exchange
     # is a regression
     "emb_jl_project": 0,
+    # ONE group-key exchange + sort (percent_rank shares it)
+    "a_rank_normalize": 1,
+    # the exact prefix-join path's full plan (its own budget is 8-9;
+    # the LSH side hides behind its candidate checkpoint) + the
+    # tiny-pair full-outer join + 1-row agg
+    "dedup_recall_report": 16,
 }
 
 

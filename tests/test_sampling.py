@@ -154,6 +154,7 @@ SHADOW_NAMES = [
     # r8 sixth wave: registered shadow-first (window full)
     "text_bm25_topk",
     "a_assoc_rules",
+    "a_rank_normalize",
 ]
 
 
