@@ -158,6 +158,9 @@ HEADLINE = [
     "emb_jl_project",
     "a_rank_normalize",
     "dedup_recall_report",
+    "split_stratified_exact",
+    "a_benford_test",
+    "a_survival_km",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

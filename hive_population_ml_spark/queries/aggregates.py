@@ -1666,3 +1666,165 @@ def a_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# -- beyond ref: Benford first-digit conformance (data-quality screen) ------
+
+@register(
+    "a_benford_test",
+    shadow_oracle="""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders WHERE abs(o_totalprice) >= 1
+), c AS (
+    SELECT digit, count(*) AS n FROM d GROUP BY digit
+), tot AS (SELECT sum(n) AS t FROM c)
+SELECT digit, n,
+       round(n * 1.0 / t, 6) AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected,
+       round(t * pow(n * 1.0 / t - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM c, tot
+""",
+)
+def a_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance over order totals — the
+    fraud/synthetic-data screen: naturally occurring multi-scale
+    magnitudes follow P(d) = log10(1 + 1/d); fabricated or truncated
+    feeds don't. Emits the 9-row digit table with observed vs expected
+    shares and the per-digit chi-squared term (sum them for the test
+    statistic, df=8). First digit extracted in EXACT integer/string
+    arithmetic (abs -> BIGINT -> first decimal character — no float
+    log tricks whose edge rounding at 10^k boundaries differs between
+    engines; explicit floor() on BOTH sides because DuckDB's
+    double->BIGINT cast rounds where Spark's truncates — a 1-ulp
+    boundary price would otherwise flip digits). Scale: one map + one
+    9-group partial agg + a 1-row total
+    broadcast; nothing grows with the table but the scan."""
+    t = Tables(spark, sf_dir)
+    d = t.orders.filter(F.abs(F.col("o_totalprice")) >= 1).select(
+        F.substring(
+            F.floor(F.abs(F.col("o_totalprice")))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    obs = F.col("n") / F.col("t")
+    exp_ = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp_, 6).alias("expected"),
+        F.round(F.col("t") * F.pow(obs - exp_, 2) / exp_, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# -- beyond ref: Kaplan-Meier survival curve (user retention) ---------------
+
+@register(
+    "a_survival_km",
+    shadow_oracle="""
+WITH u AS (
+    SELECT CAST(floor((lead(epoch_us(ts)) OVER w - epoch_us(ts))
+                      / 3600000000.0) AS BIGINT) AS life,
+           CASE WHEN lead(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS censored
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), uu AS (
+    SELECT coalesce(life, 99999) AS life, censored FROM u
+), lt AS (
+    SELECT life, count(*) AS n_total,
+           sum(1 - censored) AS d
+    FROM uu GROUP BY life
+), risk AS (
+    SELECT life, d,
+           sum(n_total) OVER (ORDER BY life DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_risk
+    FROM lt
+), ev AS (
+    SELECT life, d, n_risk FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT life AS day,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(exp(sum(ln(1.0 - d * 1.0 / n_risk))
+                 OVER (ORDER BY life ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS survival
+FROM ev
+""",
+)
+def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-next-event survival: every event is a
+    subject whose lifetime is the gap (whole hours) until that user's
+    NEXT event; a user's final event is right-CENSORED (sentinel
+    lifetime past every observed gap) — it joins every at-risk
+    denominator but never a death count, which is precisely the
+    correction naive "average gap" cadence metrics miss (dropping
+    open-ended gaps biases lifetimes short).
+    S(t) = prod_{t_i<=t} (1 - d_i/n_i) computed as exp of a running
+    ln-sum over the per-lifetime table: the product runs over
+    #distinct-gap-hours rows (calendar-bounded — the global window
+    sort is over that TINY table, never the corpus; the corpus-sized
+    work is one per-user lead() window, the same shuffle as any
+    ordered per-key op). Both engines accumulate the
+    identical ln terms in the identical ascending-day frame order, so
+    the float path agrees to well past the 6-decimal rounding.
+    Terminal d=n_risk days are excluded from OUTPUT (S=0 rows): Spark
+    log(0) yields NULL where DuckDB yields -inf — the one cross-engine
+    divergence in this plan — and such a day is necessarily last (all
+    remaining subjects die), so no later cumsum term can need it."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev0 = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    nxt = F.lead("ts_us").over(w)
+    u = ev0.select(
+        F.coalesce(
+            F.floor((nxt - F.col("ts_us")) / 3_600_000_000.0).cast("bigint"),
+            F.lit(99999),
+        ).alias("life"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("censored"),
+    )
+    lt = u.groupBy("life").agg(
+        F.count("*").alias("n_total"),
+        F.sum(1 - F.col("censored")).alias("d"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("life").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = lt.select(
+        "life", "d", F.sum("n_total").over(wdesc).alias("n_risk")
+    )
+    ev = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+    wasc = (
+        Window.orderBy(F.col("life").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        F.col("life").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(wasc)
+            ),
+            6,
+        ).alias("survival"),
+    )

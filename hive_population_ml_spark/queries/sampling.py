@@ -632,3 +632,72 @@ def mix_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         "eff_sources",
     )
+
+
+# -- beyond ref: exact-proportion stratified 3-way split --------------------
+
+@register(
+    "split_stratified_exact",
+    shadow_oracle="""
+WITH r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (((((abs(doc_id) + 999983) % 2147483647)
+                           * 48271 % 2147483647) * 48271) % 2147483647),
+                        doc_id) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+), lab AS (
+    SELECT lang,
+           CASE WHEN rk <= floor(n * 0.8) THEN 'train'
+                WHEN rk <= floor(n * 0.8) + floor(n * 0.1) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+)
+SELECT lang, split, count(*) AS n_docs
+FROM lab GROUP BY lang, split
+""",
+)
+def split_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified train/val/test split: every stratum
+    contributes floor(n*0.8) / floor(n*0.1) / remainder rows — the
+    guarantee hash-threshold splits (sample_stratified / the
+    reference's M4) can only hit in expectation, needed when strata
+    are small (a 12-doc language must not land 0 validation docs by
+    hash luck). Rows are ranked INSIDE each stratum by the portable
+    minstd hash (doc_id tiebreak), so membership is deterministic,
+    seed-stable, and independent of physical row order; the split is
+    the rank compared to exact cut counts. Scale: ONE hash exchange +
+    sort per stratum (the same shuffle any per-group window pays) —
+    the cost over the hash-threshold form, and the reason BOTH exist:
+    hash-keep when strata are huge, exact-rank when quotas are hard
+    requirements. Output is the (stratum, split) contingency table;
+    the per-row assignment is the same frame minus the final agg."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    from ..operators.sampling import uniform_hash
+
+    u = uniform_hash("doc_id", mode="minstd")
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    wp = Window.partitionBy("lang")
+    r = t.documents.select(
+        "lang",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    lab = r.select(
+        "lang",
+        F.when(
+            F.col("rk") <= F.floor(F.col("n") * 0.8), "train"
+        )
+        .when(
+            F.col("rk")
+            <= F.floor(F.col("n") * 0.8) + F.floor(F.col("n") * 0.1),
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    return lab.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))

@@ -340,6 +340,15 @@ EXCHANGE_BUDGETS = {
     # the LSH side hides behind its candidate checkpoint) + the
     # tiny-pair full-outer join + 1-row agg
     "dedup_recall_report": 16,
+    # ONE stratum-key exchange: rank + count windows and the final agg
+    # reuse it
+    "split_stratified_exact": 1,
+    # 9-group digit agg + 1-row total (agg + its BroadcastExchange +
+    # the BroadcastNestedLoop marker on the crossJoin)
+    "a_benford_test": 4,
+    # per-user lead() sort shuffle + lifetime agg + the single-partition
+    # window over the tiny distinct-gap table
+    "a_survival_km": 3,
 }
 
 

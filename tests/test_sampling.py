@@ -155,6 +155,9 @@ SHADOW_NAMES = [
     "text_bm25_topk",
     "a_assoc_rules",
     "a_rank_normalize",
+    "split_stratified_exact",
+    "a_benford_test",
+    "a_survival_km",
 ]
 
 
