@@ -2125,6 +2125,7 @@ def test_levenshtein_multipass_oracle_no_cross_pass(spark, tmp_path):
         levenshtein_pairs_multipass,
     )
     from hive_population_ml_spark.queries import ORACLE, load_all
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
 
     load_all()
     d1 = "cc" + "a" * 38
@@ -2153,7 +2154,7 @@ def test_levenshtein_multipass_oracle_no_cross_pass(spark, tmp_path):
         oracle_pairs = {
             (r[0], r[1])
             for r in con.execute(
-                ORACLE["dedup_levenshtein_multipass"]
+                {**ORACLE, **SHADOW_ORACLE}["dedup_levenshtein_multipass"]
             ).fetchall()
         }
     finally:
