@@ -161,6 +161,7 @@ HEADLINE = [
     "split_stratified_exact",
     "a_benford_test",
     "a_survival_km",
+    "text_lm_interpolated",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

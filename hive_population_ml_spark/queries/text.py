@@ -1419,3 +1419,89 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return top.select(F.row_number().over(wr).alias("rk"), "doc_id", "bm25")
+
+
+# -- beyond ref: Jelinek-Mercer interpolated LM perplexity ------------------
+
+@register(
+    "text_lm_interpolated",
+    shadow_oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+), uni AS (
+    SELECT term AS w, count(*) AS cu
+    FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+), nt AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+bi AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+), bic AS (
+    SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2
+), leftc AS (
+    SELECT w1, CAST(sum(cb) AS DOUBLE) AS cl FROM bic GROUP BY w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(0.7 * (cb / cl) + 0.3 * (cu / n))), 6) AS avg_nll,
+       round(exp(avg(-ln(0.7 * (cb / cl) + 0.3 * (cu / n)))), 6) AS ppl
+FROM bi
+JOIN bic USING (w1, w2)
+JOIN leftc USING (w1)
+JOIN uni ON uni.w = bi.w2
+CROSS JOIN nt
+GROUP BY doc_id
+""",
+)
+def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM perplexity per document:
+    P(w2|w1) = 0.7·P_bigram + 0.3·P_unigram — the smoothing that keeps
+    unseen-in-context tokens finite, which the raw bigram NLL query
+    (text_bigram_logprob) deliberately lacks; this is the CCNet-style
+    'LM filter' shape one perplexity step more faithful than the
+    unigram proxy. Scale: bigram + unigram model tables are
+    vocab-bounded partial aggs, BOTH checkpointed once (each feeds a
+    rollup and/or the scoring join); the corpus-sized work is the
+    bigram explode and the scoring joins on vocab keys; the 1-row
+    token total broadcasts. Interpolation weights are literals on both
+    engines; per-doc avg over exact count ratios, rounded at 6."""
+    toks = (
+        Tables(spark, sf_dir)
+        .documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("t")
+        )
+        .filter(F.size("t") >= 2)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint()
+    )
+    nt = uni.agg(F.sum("cu").cast("double").alias("n"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] as w1, t[i+1] as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bic = (
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("cb")).localCheckpoint()
+    )
+    leftc = bic.groupBy("w1").agg(F.sum("cb").cast("double").alias("cl"))
+    p = 0.7 * (F.col("cb") / F.col("cl")) + 0.3 * (F.col("cu") / F.col("n"))
+    return (
+        bi.join(bic, ["w1", "w2"])
+        .join(leftc, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(-F.log(p))), 6).alias("ppl"),
+        )
+    )

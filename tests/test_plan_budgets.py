@@ -349,6 +349,10 @@ EXCHANGE_BUDGETS = {
     # per-user lead() sort shuffle + lifetime agg + the single-partition
     # window over the tiny distinct-gap table
     "a_survival_km": 3,
+    # bigram + unigram model tables checkpointed (each feeds a rollup
+    # and/or the scoring join); remaining: bigram scoring joins on
+    # vocab keys + doc agg + the 1-row token-total broadcast
+    "text_lm_interpolated": 7,
 }
 
 

@@ -158,6 +158,7 @@ SHADOW_NAMES = [
     "split_stratified_exact",
     "a_benford_test",
     "a_survival_km",
+    "text_lm_interpolated",
 ]
 
 
