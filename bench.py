@@ -157,11 +157,12 @@ HEADLINE = [
     "a_ks_test_binned",
     "emb_jl_project",
     "a_rank_normalize",
-    "dedup_recall_report",
     "split_stratified_exact",
     "a_benford_test",
     "a_survival_km",
     "text_lm_interpolated",
+    "a_markov_transitions",
+    "sketch_user_overlap_hll",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with
@@ -222,6 +223,7 @@ DECLARED_UNTIMED = {
     "stream_cdc_state": "streaming",
     "stream_heavy_hitters": "streaming",
     "stream_hopping_window": "streaming",
+    "dedup_recall_report": "composition of timed stages (prefix-exact + LSH pair operators)",
     "mix_temperature_weights": "driver-side weight table (no data plane)",
     "mix_unimax_weights": "one token-count agg + L-row waterfill (micro)",
     "multimodal_bytes": "binary plumbing micro",

@@ -1828,3 +1828,143 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+# -- beyond ref: first-order Markov transition matrix over sessions ---------
+
+@register(
+    "a_markov_transitions",
+    shadow_oracle="""
+WITH o AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 172800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+    SELECT user_id, ts_us, event_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM o
+), tr AS (
+    SELECT event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts_us, event_id) AS nxt
+    FROM s
+), c AS (
+    SELECT cur, nxt, count(*) AS n FROM tr WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt
+), rowt AS (
+    SELECT cur, sum(n) AS nr FROM c GROUP BY cur
+)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / nr, 6) AS p
+FROM c JOIN rowt USING (cur)
+""",
+)
+def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types WITHIN
+    sessions (same 2-day-gap sessions as w_session_paths — transitions
+    never cross a session boundary, the error naive whole-stream
+    bigrams make): P(next|current) from exact transition counts. The model
+    behind next-event prediction features and the generator for
+    synthetic clickstream QA. Scale: one user-key sort shuffle serves
+    sessionization AND the lead() pairing (same window family); the
+    transition agg collapses to the #types² grid map-side; row totals
+    re-attach by broadcast. Exact counts, one rounded division."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = t.events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    prev = F.lag("ts_us").over(w)
+    s = o.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        (prev.isNull() | (F.col("ts_us") - prev > 172_800_000_000))
+        .cast("int")
+        .alias("new_s"),
+    ).withColumn("session_id", F.sum("new_s").over(wrun))
+    # lead() over the SAME user-key window (session rows are contiguous
+    # in it), gated on the next row sharing the session id — avoids a
+    # second exchange on (user, session) that Catalyst can't prove
+    # redundant with the user-key partitioning
+    tr = s.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        (F.lead("session_id").over(w) == F.col("session_id")).alias(
+            "same_session"
+        ),
+    ).filter(F.col("nxt").isNotNull() & F.col("same_session"))
+    # checkpoint the #types2-row transition grid: it feeds the row-total
+    # rollup AND the final projection (without it the whole
+    # sessionize+lead+agg chain recomputes per consumer)
+    c = (
+        tr.groupBy("cur", "nxt").agg(F.count("*").alias("n")).localCheckpoint()
+    )
+    rowt = c.groupBy("cur").agg(F.sum("n").alias("nr"))
+    return c.join(F.broadcast(rowt), "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("nr"), 6).alias("p"),
+    )
+
+
+@register("sketch_user_overlap_hll")  # rows-only: HLL estimates are
+# algorithm-specific; inclusion-exclusion error vs exact overlap pinned
+# in tests/test_operators.py
+def sketch_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from HLL sketches: |A∩B| estimated by
+    inclusion-exclusion (|A| + |B| − |A∪B|, the union being the ONE
+    set operation HLL supports losslessly) for every event-type pair.
+    The 100 TB posture is the whole point: per-type user sketches are
+    ONE pass + fixed 4-KiB states, the pair matrix is a self-join of
+    the #types-row SKETCH TABLE (never re-scanning users per pair —
+    contrast the exact form's per-pair distinct joins), and persisted
+    sketches make tomorrow's overlap an incremental union. Relative
+    error grows for small intersections of large sets (the
+    inclusion-exclusion weakness, stated honestly in the pinned error
+    test: absolute error bounded by the union's HLL error, not the
+    intersection's size)."""
+    t = Tables(spark, sf_dir)
+    sk = (
+        t.events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .localCheckpoint()
+    )
+    a = sk.select(
+        F.col("event_type").alias("ta"),
+        F.col("sk").alias("ska"),
+        F.col("n_exact").alias("na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("tb"),
+        F.col("sk").alias("skb"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("ta") < F.col("tb"))
+    est_a = F.hll_sketch_estimate("ska")
+    est_b = F.hll_sketch_estimate("skb")
+    est_u = F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    return pairs.select(
+        "ta",
+        "tb",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        est_u.cast("long").alias("est_union"),
+        F.greatest(F.lit(0.0), est_a + est_b - est_u)
+        .cast("long")
+        .alias("est_overlap"),
+    )

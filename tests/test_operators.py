@@ -3450,3 +3450,37 @@ def test_dedup_recall_report_semantics(spark, sf_oracle_dir):
     assert r["precision"] == 1.0
     assert r["recall"] >= 0.6
     assert r["n_hit"] <= min(r["n_true"], r["n_lsh"])
+
+
+def test_hll_user_overlap_tracks_exact(spark, sf_oracle_dir):
+    """Inclusion-exclusion overlap estimate vs exact pairwise distinct
+    intersection: absolute error bounded by ~3x the union's HLL
+    relative error band (lg_k=12 -> ~1.6%; 3 estimates compound)."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    got = {
+        (r["ta"], r["tb"]): r
+        for r in QUERIES["sketch_user_overlap_hll"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    ev = Tables(spark, sf_oracle_dir).events
+    ut = ev.select("user_id", "event_type").distinct()
+    import pyspark.sql.functions as F
+
+    a = ut.withColumnRenamed("event_type", "ta")
+    b = ut.withColumnRenamed("event_type", "tb")
+    exact = {
+        (r["ta"], r["tb"]): r["n"]
+        for r in a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        tol = max(10.0, 0.05 * max(r["n_a"], r["n_b"]))
+        assert abs(r["est_overlap"] - exact[k]) <= tol, (k, r, exact[k])

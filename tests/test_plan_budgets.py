@@ -353,6 +353,12 @@ EXCHANGE_BUDGETS = {
     # and/or the scoring join); remaining: bigram scoring joins on
     # vocab keys + doc agg + the 1-row token-total broadcast
     "text_lm_interpolated": 7,
+    # transition grid checkpointed (windows collapse to ONE user-key
+    # exchange inside its job); remaining: row-total rollup + broadcast
+    "a_markov_transitions": 2,
+    # ONE pass builds per-type sketches (checkpointed); pair matrix is
+    # a crossJoin of the #types-row sketch table
+    "sketch_user_overlap_hll": 1,
 }
 
 

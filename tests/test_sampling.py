@@ -159,6 +159,7 @@ SHADOW_NAMES = [
     "a_benford_test",
     "a_survival_km",
     "text_lm_interpolated",
+    "a_markov_transitions",
 ]
 
 
