@@ -163,6 +163,8 @@ HEADLINE = [
     "text_lm_interpolated",
     "a_markov_transitions",
     "sketch_user_overlap_hll",
+    "a_ab_welch_test",
+    "a_chi2_independence",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -1968,3 +1968,166 @@ def sketch_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_overlap"),
     )
+
+
+# -- beyond ref: deterministic A/B assignment + Welch's t-test --------------
+
+@register(
+    "a_ab_welch_test",
+    shadow_oracle="""
+WITH a AS (
+    SELECT event_type, value,
+           CASE WHEN (((((abs(user_id) + 999983) % 2147483647)
+                       * 48271 % 2147483647) * 48271) % 2147483647)
+                     / 2147483647.0 < 0.5
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events
+), s AS (
+    SELECT event_type, variant, count(*) AS n,
+           avg(value) AS m, var_samp(value) AS v
+    FROM a GROUP BY event_type, variant
+), w AS (
+    SELECT sa.event_type,
+           sa.n AS n_a, sb.n AS n_b,
+           round(sa.m, 6) AS mean_a, round(sb.m, 6) AS mean_b,
+           (sa.v / sa.n + sb.v / sb.n) AS se2,
+           (sa.m - sb.m) / sqrt(sa.v / sa.n + sb.v / sb.n) AS tt,
+           pow(sa.v / sa.n + sb.v / sb.n, 2)
+             / (pow(sa.v / sa.n, 2) / (sa.n - 1)
+                + pow(sb.v / sb.n, 2) / (sb.n - 1)) AS dof
+    FROM s sa JOIN s sb
+      ON sa.event_type = sb.event_type
+     AND sa.variant = 'A' AND sb.variant = 'B'
+)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       round(tt, 6) AS t_stat, round(dof, 6) AS welch_df
+FROM w
+""",
+)
+def a_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC variant assignment:
+    users hash into A/B via the portable minstd split (seed-stable,
+    retry-stable — the assignment IS the experiment's bucketing
+    function, mirrored digit-for-digit in SQL), then Welch's unequal-
+    variance t-test per metric group: t statistic and
+    Welch–Satterthwaite df from ONE (group, variant) moment agg. The
+    grand tour of the experimentation loop the engine's stats tier now
+    covers: assignment (here), ratio health (the chi²/Benford
+    screens), uncertainty (a_bootstrap_ci), distribution drift
+    (a_ks_test). Scale: one partial-aggregated scan to #groups x 2
+    fixed-size moment states; the A-vs-B pairing is a self-join of
+    that tiny table. var_samp/avg agree across engines well inside the
+    6-decimal rounding at these magnitudes."""
+    t = Tables(spark, sf_dir)
+    from ..operators.sampling import uniform_hash
+
+    a = t.events.select(
+        "event_type",
+        "value",
+        F.when(uniform_hash("user_id", mode="minstd") < 0.5, "A")
+        .otherwise("B")
+        .alias("variant"),
+    )
+    s = (
+        a.groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    sa = s.filter(F.col("variant") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    sb = s.filter(F.col("variant") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    sea = F.col("v_a") / F.col("n_a")
+    seb = F.col("v_b") / F.col("n_b")
+    return sa.join(sb, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(sea + seb), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(sea + seb, 2)
+            / (
+                F.pow(sea, 2) / (F.col("n_a") - 1)
+                + F.pow(seb, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# -- beyond ref: chi-squared independence test (contingency grid) -----------
+
+@register(
+    "a_chi2_independence",
+    shadow_oracle="""
+WITH c AS (
+    SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, sum(n) AS nr FROM c GROUP BY event_type),
+ct AS (SELECT dow, sum(n) AS nc FROM c GROUP BY dow),
+tot AS (SELECT sum(n) AS t FROM c)
+SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+       round(nr * nc * 1.0 / t, 6) AS expected,
+       round(pow(c.n - nr * nc * 1.0 / t, 2) / (nr * nc * 1.0 / t), 6)
+           AS chi2_term
+FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tot
+""",
+)
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screen over the (event_type x
+    day-of-week) contingency grid: observed counts vs independence-
+    expected row·col/total, with the per-cell chi² term (sum for the
+    statistic, df = (R-1)(C-1)) — the 'is traffic mix stable across
+    weekdays?' health check, and with any two categorical columns the
+    generic feature-dependence screen. Scale: ONE partial-aggregated
+    scan to the R x C grid; margins and the 1-row total are rollups of
+    that tiny grid re-attached by broadcast — nothing after the first
+    agg touches the corpus. DuckDB's ISO dayofweek and Spark's
+    1=Sunday dayofweek disagree — both sides use the engine-native
+    function only after pinning: Spark's dayofweek(CAST AS DATE)
+    equals DuckDB's dayofweek+1; the Spark side subtracts 1 to match
+    DuckDB's 0=Sunday..6=Saturday convention."""
+    t = Tables(spark, sf_dir)
+    c = (
+        t.events.groupBy(
+            "event_type",
+            (F.dayofweek(F.to_date("ts")) - 1).cast("bigint").alias("dow"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    rt = c.groupBy("event_type").agg(F.sum("n").alias("nr"))
+    ct = c.groupBy("dow").agg(F.sum("n").alias("nc"))
+    tot = c.agg(F.sum("n").alias("t"))
+    exp_ = F.col("nr") * F.col("nc") / F.col("t")
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(exp_, 6).alias("expected"),
+            F.round(F.pow(F.col("n") - exp_, 2) / exp_, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )

@@ -359,6 +359,12 @@ EXCHANGE_BUDGETS = {
     # ONE pass builds per-type sketches (checkpointed); pair matrix is
     # a crossJoin of the #types-row sketch table
     "sketch_user_overlap_hll": 1,
+    # ONE (group, variant) moment agg (checkpointed); the A-vs-B
+    # pairing self-joins that tiny table
+    "a_ab_welch_test": 1,
+    # R x C grid agg checkpointed; margins/total are tiny-grid rollups
+    # + their BroadcastExchanges
+    "a_chi2_independence": 6,
 }
 
 

@@ -160,6 +160,8 @@ SHADOW_NAMES = [
     "a_survival_km",
     "text_lm_interpolated",
     "a_markov_transitions",
+    "a_ab_welch_test",
+    "a_chi2_independence",
 ]
 
 
