@@ -251,6 +251,17 @@ def _parser() -> argparse.ArgumentParser:
     prof.add_argument("--data-dir", required=True)
     prof.add_argument("--output-dir", required=True)
     prof.add_argument("--cpus", type=int, default=8)
+    st = sub.add_parser(
+        "stats",
+        help="statistical health suite over the events table: exact "
+        "two-sample KS drift, Welch A/B readout (deterministic minstd "
+        "assignment), chi-squared type x weekday independence grid, "
+        "Benford first-digit screen over order totals, and Poisson-"
+        "bootstrap CIs; writes each table parquet + one summary JSON",
+    )
+    st.add_argument("--data-dir", required=True)
+    st.add_argument("--output-dir", required=True)
+    st.add_argument("--cpus", type=int, default=8)
     tok = sub.add_parser(
         "tokenize",
         help="train a BPE tokenizer on the corpus (one word-count pass "
@@ -904,6 +915,55 @@ def cmd_mix(args) -> dict:
     return result
 
 
+def cmd_stats(args) -> dict:
+    """Statistical health suite: the engine's testing tier (KS drift,
+    Welch A/B, chi-squared independence, Benford conformance,
+    bootstrap CIs) run over one dataset and materialized as parquet
+    tables + a one-row summary — the 'is this feed healthy?' artifact
+    an operator schedules per-ingest. Each component is the SAME
+    registered, oracle-checked query the correctness gate runs."""
+    from .io.sinks import write_metrics_json
+    from .queries import QUERIES, load_all
+    from .session import get_spark
+
+    load_all()
+    spark = get_spark(
+        "hpml-stats", cpus=args.cpus, shuffle_partitions=args.cpus
+    )
+    parts = {
+        "ks_drift": "a_ks_test",
+        "welch_ab": "a_ab_welch_test",
+        "chi2_independence": "a_chi2_independence",
+        "benford": "a_benford_test",
+        "bootstrap_ci": "a_bootstrap_ci",
+    }
+    row: dict = {}
+    for label, qname in parts.items():
+        df = QUERIES[qname](spark, args.data_dir)
+        path = os.path.join(args.output_dir, label)
+        df.write.mode("overwrite").parquet(path)
+        row[f"{label}_path"] = path
+        row[f"{label}_rows"] = spark.read.parquet(path).count()
+    ks = spark.read.parquet(row["ks_drift_path"])
+    chi = spark.read.parquet(row["chi2_independence_path"])
+    ben = spark.read.parquet(row["benford_path"])
+    summary = (
+        ks.agg(F.round(F.max("ks_d"), 6).alias("max_ks_d"))
+        .crossJoin(
+            chi.agg(F.round(F.sum("chi2_term"), 6).alias("chi2_stat"))
+        )
+        .crossJoin(
+            ben.agg(
+                F.round(F.sum("chi2_term"), 6).alias("benford_chi2_stat")
+            )
+        )
+    )
+    sm_path = os.path.join(args.output_dir, "summary")
+    write_metrics_json(summary, sm_path)
+    row.update(summary.collect()[0].asDict())
+    return row
+
+
 def cmd_profile(args) -> dict:
     """Corpus-health report: the per-doc signals (novelty, mixed-lang,
     duplication, heuristic quality) joined into one table, plus a
@@ -979,6 +1039,8 @@ def main(argv: list[str] | None = None) -> dict:
         return cmd_mix(args)
     if args.command == "profile":
         return cmd_profile(args)
+    if args.command == "stats":
+        return cmd_stats(args)
     return cmd_train(args) if args.command == "train" else cmd_evaluate(args)
 
 

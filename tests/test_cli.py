@@ -551,3 +551,32 @@ def test_cli_profile_report(spark, sf_dir, tmp_path):
     assert out["source_drift_path"] is not None
     drift = spark.read.parquet(out["source_drift_path"])
     assert drift.count() > 1 and "cos_to_global" in drift.columns
+
+
+def test_cli_stats_suite(spark, sf_dir, tmp_path):
+    """`stats` materializes the testing tier (KS, Welch A/B, chi²,
+    Benford, bootstrap CI) as parquet tables + a one-row summary, each
+    component being a registered oracle-checked query."""
+    from hive_population_ml_spark.cli import main
+
+    out = main(
+        [
+            "stats",
+            "--data-dir", sf_dir,
+            "--output-dir", str(tmp_path / "st"),
+            "--cpus", "4",
+        ]
+    )
+    for label in (
+        "ks_drift",
+        "welch_ab",
+        "chi2_independence",
+        "benford",
+        "bootstrap_ci",
+    ):
+        assert out[f"{label}_rows"] > 0
+        t = spark.read.parquet(out[f"{label}_path"])
+        assert t.count() == out[f"{label}_rows"]
+    assert 0.0 <= out["max_ks_d"] <= 1.0
+    assert out["chi2_stat"] >= 0.0
+    assert out["benford_chi2_stat"] >= 0.0
