@@ -2043,7 +2043,13 @@ def jl_project(
 
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive, got {out_dim}")
-    d_in = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    id_type = dict(corpus.dtypes)[id_col]
+    if first is None:  # empty corpus: empty result, correct schema
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, {vec_col} array<double>"
+        )
+    d_in = len(first[0])
     rng = np.random.default_rng(seed)
     s = float(np.sqrt(3.0 / out_dim))
     draws = rng.random((d_in, out_dim))
@@ -2064,5 +2070,5 @@ def jl_project(
                 )
 
     return src.mapInPandas(
-        run, schema=f"{id_col} long, {vec_col} array<double>"
+        run, schema=f"{id_col} {id_type}, {vec_col} array<double>"
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.sessions import SESSION_SQL_CTE, sessionize_2day
 from ..io import Tables
 from ..operators.moments import grouped_moments, moments_sql
 from ..operators.stats_bundle import delta_stats, stats_bundle
@@ -1756,7 +1757,7 @@ WITH u AS (
 ), ev AS (
     SELECT life, d, n_risk FROM risk WHERE d > 0 AND d < n_risk
 )
-SELECT life AS day,
+SELECT life AS gap_hours,
        CAST(n_risk AS BIGINT) AS n_at_risk,
        CAST(d AS BIGINT) AS n_events,
        round(exp(sum(ln(1.0 - d * 1.0 / n_risk))
@@ -1818,7 +1819,7 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
-        F.col("life").alias("day"),
+        F.col("life").alias("gap_hours"),
         F.col("n_risk").cast("bigint").alias("n_at_risk"),
         F.col("d").cast("bigint").alias("n_events"),
         F.round(
@@ -1834,21 +1835,9 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_markov_transitions",
-    shadow_oracle="""
-WITH o AS (
-    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 172800000000
-                THEN 1 ELSE 0 END AS new_s
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-), s AS (
-    SELECT user_id, ts_us, event_id, event_type,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-    FROM o
-), tr AS (
+    shadow_oracle="WITH "
+    + SESSION_SQL_CTE
+    + """, tr AS (
     SELECT event_type AS cur,
            lead(event_type) OVER (PARTITION BY user_id, session_id
                                   ORDER BY ts_us, event_id) AS nxt
@@ -1876,23 +1865,7 @@ def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-attach by broadcast. Exact counts, one rounded division."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o = t.events.select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    prev = F.lag("ts_us").over(w)
-    s = o.select(
-        "user_id",
-        "ts_us",
-        "event_id",
-        "event_type",
-        (prev.isNull() | (F.col("ts_us") - prev > 172_800_000_000))
-        .cast("int")
-        .alias("new_s"),
-    ).withColumn("session_id", F.sum("new_s").over(wrun))
+    s = sessionize_2day(t.events)
     # lead() over the SAME user-key window (session rows are contiguous
     # in it), gated on the next row sharing the session id — avoids a
     # second exchange on (user, session) that Catalyst can't prove

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.pipeline import run_events_stream
 from .registry import register
+from .windows import HOPPING_ORACLE_SQL
 
 
 @register(
@@ -208,19 +209,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_hopping_window",
-    shadow_oracle="""
-WITH e AS (
-    SELECT CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
-               AS slot0,
-           value
-    FROM events
-), x AS (
-    SELECT slot0 - k.k * 900000000 AS win_start, value
-    FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
-)
-SELECT win_start, count(*) AS n_events, round(sum(value), 4) AS v_sum
-FROM x GROUP BY win_start
-""",
+    shadow_oracle=HOPPING_ORACLE_SQL,
 )
 def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregation through a REAL Structured Streaming

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.sessions import SESSION_SQL_CTE, sessionize_2day
 from ..io import Tables
 from .registry import register
 
@@ -896,9 +897,11 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- beyond ref: hopping (sliding time) window aggregation ------------------
 
-@register(
-    "w_hopping_window",
-    shadow_oracle="""
+# Shared between the batch query below and streamq.stream_hopping_window —
+# the twin-equivalence claim ("same SQL, transitively hash-equal") is
+# enforced structurally by both register() sites referencing THIS
+# constant, not hand-synced copies.
+HOPPING_ORACLE_SQL = """
 WITH e AS (
     SELECT CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
                AS slot0,
@@ -910,7 +913,12 @@ WITH e AS (
 )
 SELECT win_start, count(*) AS n_events, round(sum(value), 4) AS v_sum
 FROM x GROUP BY win_start
-""",
+"""
+
+
+@register(
+    "w_hopping_window",
+    shadow_oracle=HOPPING_ORACLE_SQL,
 )
 def w_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregation (size 1 h, hop 15 min) as a BATCH
@@ -953,21 +961,9 @@ def w_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w_session_paths",
-    shadow_oracle="""
-WITH o AS (
-    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 172800000000
-                THEN 1 ELSE 0 END AS new_s
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-), s AS (
-    SELECT user_id, ts_us, event_id, event_type,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-    FROM o
-), p AS (
+    shadow_oracle="WITH "
+    + SESSION_SQL_CTE
+    + """, p AS (
     SELECT user_id, session_id,
            string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
     FROM s GROUP BY user_id, session_id
@@ -996,24 +992,7 @@ def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_sessions DESC, path ASC) order is total because paths are
     unique after the count agg."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o = t.events.select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    prev = F.lag("ts_us").over(w)
-    tagged = o.select(
-        "user_id",
-        "ts_us",
-        "event_id",
-        "event_type",
-        (prev.isNull() | (F.col("ts_us") - prev > 172_800_000_000))
-        .cast("int")
-        .alias("new_s"),
-    ).withColumn("session_id", F.sum("new_s").over(wrun))
+    tagged = sessionize_2day(t.events)
     paths = (
         tagged.select(
             "user_id",

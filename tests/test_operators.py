@@ -3414,10 +3414,14 @@ def test_jl_project_rejects_bad_dim(spark, sf_oracle_dir):
 
 
 def test_ks_binned_envelope_vs_exact(spark, sf_oracle_dir):
-    """|D_hist - D_exact| <= max per-bin probability mass (the CDFs are
-    exact at every bin boundary; D can only hide inside one bin). With
-    256 bins over these value distributions that mass is small — assert
-    the theoretical envelope AND a practical 0.02 ceiling."""
+    """|D_hist - D_exact| <= max per-bin combined probability mass (the
+    CDFs are exact at every bin boundary; the true argmax can only hide
+    inside one bin, shifting each CDF by at most that bin's mass in its
+    sample). Asserts the THEORETICAL envelope computed from the actual
+    bin masses AND a practical 0.02 ceiling."""
+    import pyspark.sql.functions as F
+
+    from hive_population_ml_spark.io import Tables
     from hive_population_ml_spark.queries import QUERIES, load_all
 
     load_all()
@@ -3430,12 +3434,54 @@ def test_ks_binned_envelope_vs_exact(spark, sf_oracle_dir):
         for r in QUERIES["a_ks_test_binned"](spark, sf_oracle_dir).collect()
     }
     assert set(exact) == set(approx)
-    for k in exact:
-        assert abs(exact[k] - approx[k]) <= 0.02, (
-            k,
-            exact[k],
-            approx[k],
+    # envelope: mirror the query's 256-bin assignment, take per group
+    # max_i (massA_i + massB_i)
+    n_bins = 256
+    ev = Tables(spark, sf_oracle_dir).events.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    g = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "is_a",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ).cast("int"),
+            ).alias("bin"),
         )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(1 - F.col("is_a")).alias("cb"),
+        )
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    env = {
+        r["event_type"]: r["env"]
+        for r in g.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.col("ca") / F.col("na") + F.col("cb") / F.col("nb")
+            ).alias("env")
+        )
+        .collect()
+    }
+    for k in exact:
+        err = abs(exact[k] - approx[k])
+        assert err <= env[k] + 1e-9, (k, err, env[k])
+        assert err <= 0.02, (k, exact[k], approx[k])
 
 
 def test_dedup_recall_report_semantics(spark, sf_oracle_dir):
@@ -3484,3 +3530,21 @@ def test_hll_user_overlap_tracks_exact(spark, sf_oracle_dir):
     for k, r in got.items():
         tol = max(10.0, 0.05 * max(r["n_a"], r["n_b"]))
         assert abs(r["est_overlap"] - exact[k]) <= tol, (k, r, exact[k])
+
+
+def test_jl_project_empty_and_string_ids(spark):
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.similarity import jl_project
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = jl_project(empty, out_dim=8)
+    assert out.count() == 0
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+
+    named = spark.createDataFrame(
+        [Row(doc="a", embedding=[1.0, 2.0]), Row(doc="b", embedding=[3.0, 4.0])]
+    )
+    got = jl_project(named, out_dim=4, id_col="doc").collect()
+    assert {r["doc"] for r in got} == {"a", "b"}
+    assert all(len(r["embedding"]) == 4 for r in got)
