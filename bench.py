@@ -165,6 +165,9 @@ HEADLINE = [
     "sketch_user_overlap_hll",
     "a_ab_welch_test",
     "a_chi2_independence",
+    "w_time_weighted_avg",
+    "a_gini_value",
+    "text_readability_ari",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

@@ -2104,3 +2104,59 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- beyond ref: Gini coefficient per group (inequality profile) ------------
+
+@register(
+    "a_gini_value",
+    shadow_oracle="""
+WITH r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           sum(value) OVER (PARTITION BY event_type) AS sv
+    FROM events WHERE value >= 0
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       round(max(sv), 4) AS total_value,
+       round(2.0 * sum(i * value) / (max(n) * max(sv))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM r GROUP BY event_type
+""",
+)
+def a_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per group — the
+    inequality fingerprint (0 = uniform, →1 = one observation holds
+    everything) behind 'is revenue/token mass concentrated in a few
+    whales?' questions; the continuous-distribution sibling of
+    mix_concentration's HHI over shares. Closed rank form
+    G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over the within-group sort;
+    ranks break ties on event_id, and Σ(i·x) is TIE-SAFE anyway
+    (equal x make the rank permutation irrelevant to the sum), so the
+    statistic is engine-deterministic before its final rounding.
+    Negative values are excluded (Gini is defined on non-negative
+    support). Scale: ONE hash exchange + sort per group; rank and the
+    partition totals share it; the agg reuses the partitioning."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = t.events.filter(F.col("value") >= 0).select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("value").over(wp).alias("sv"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("sv"), 4).alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("value"))
+            / (F.max("n") * F.max("sv"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -1505,3 +1505,68 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(-F.log(p))), 6).alias("ppl"),
         )
     )
+
+
+# -- beyond ref: ARI readability score (quality signal) ---------------------
+
+@register(
+    "text_readability_ari",
+    shadow_oracle="""
+WITH d AS (
+    SELECT doc_id,
+           length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+               AS n_chars_an,
+           len(string_split(text, ' ')) AS n_words,
+           greatest(1, len(regexp_split_to_array(text, '[.!?]+')) - 1)
+               AS n_sents
+    FROM documents
+)
+SELECT doc_id, CAST(n_chars_an AS BIGINT) AS n_chars_an,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(floor((471 * n_chars_an * n_sents + 50 * n_words * n_words
+                   - 2143 * n_words * n_sents) * 1.0
+                  / (n_words * n_sents)) AS BIGINT) AS ari_x100
+FROM d WHERE n_words > 0
+""",
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document (Senter & Smith 1967:
+    4.71·chars/word + 0.5·words/sentence − 21.43) — the readability
+    quality signal that needs NO syllable dictionary (char- and
+    word-count based, so it survives tokenizer-free pipelines; used as
+    a cheap grade-level gate alongside the stopword/length heuristics).
+    Alphanumeric chars counted by one regexp_replace strip; sentences
+    by splitting on [.!?]+ runs (floored at 1 so headline-style
+    fragments don't divide by zero) — both regexes RE2-safe and
+    byte-identical across engines (the PII-mask convention). The score
+    surfaces as centi-ARI (x100, floored): the x100 common-denominator
+    form is EXACT integer arithmetic until one float divide, and
+    floor() has no round-half mode — a round(...,6) here genuinely
+    hash-diverged on a doc whose ratio landed on an exact .5 tie
+    (Spark half-up vs DuckDB half-even). Pure map, zero exchanges."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.length(
+            F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")
+        ).alias("n_chars_an"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.greatest(
+            F.lit(1), F.size(F.split(F.col("text"), "[.!?]+")) - 1
+        ).alias("n_sents"),
+    )
+    c, w_, sn = F.col("n_chars_an"), F.col("n_words"), F.col("n_sents")
+    return d.filter(w_ > 0).select(
+        "doc_id",
+        c.cast("bigint").alias("n_chars_an"),
+        w_.cast("bigint").alias("n_words"),
+        sn.cast("bigint").alias("n_sents"),
+        F.floor(
+            (471 * c * sn + 50 * w_ * w_ - 2143 * w_ * sn)
+            * F.lit(1.0)
+            / (w_ * sn)
+        )
+        .cast("bigint")
+        .alias("ari_x100"),
+    )

@@ -1068,3 +1068,58 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(value, 0.5d)").over(w.rowsBetween(-6, 0)), 6
         ).alias("med7"),
     )
+
+
+# -- beyond ref: time-weighted average (irregular-series TWAP) --------------
+
+@register(
+    "w_time_weighted_avg",
+    shadow_oracle="""
+WITH s AS (
+    SELECT user_id, value,
+           lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(dt_us) AS BIGINT) AS span_us,
+       round(sum(value * dt_us) / sum(dt_us), 6) AS twap
+FROM s WHERE dt_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (TWAP): each
+    observation holds until the next one, so its weight is its holding
+    duration — the correction plain avg() silently gets wrong whenever
+    sampling density correlates with the value (bursty high readings
+    dominate an unweighted mean). The last observation per key carries
+    no duration and is excluded (step-function convention). Durations
+    are exact epoch-us BIGINTs from one lead() window; the weighted
+    sum is the only float path, rounded at 6. Scale: ONE hash exchange
+    + sort per key, agg reuses the partitioning — the same plan family
+    as every ordered per-key op here."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = t.events.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    ).select(
+        "user_id",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+    )
+    return (
+        s.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap"),
+        )
+    )

@@ -365,6 +365,12 @@ EXCHANGE_BUDGETS = {
     # R x C grid agg checkpointed; margins/total are tiny-grid rollups
     # + their BroadcastExchanges
     "a_chi2_independence": 6,
+    # ONE key exchange + sort; lead + agg reuse it
+    "w_time_weighted_avg": 1,
+    # ONE group exchange + sort; rank, partition totals, agg share it
+    "a_gini_value": 1,
+    # pure map — any Exchange is a regression
+    "text_readability_ari": 0,
 }
 
 

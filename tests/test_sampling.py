@@ -162,6 +162,10 @@ SHADOW_NAMES = [
     "a_markov_transitions",
     "a_ab_welch_test",
     "a_chi2_independence",
+    # r8 ninth wave
+    "w_time_weighted_avg",
+    "a_gini_value",
+    "text_readability_ari",
 ]
 
 
