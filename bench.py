@@ -168,6 +168,9 @@ HEADLINE = [
     "w_time_weighted_avg",
     "a_gini_value",
     "text_readability_ari",
+    "a_autocorr_lag1",
+    "a_seasonality_strength",
+    "text_compressibility",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

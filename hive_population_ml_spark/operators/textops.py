@@ -1434,3 +1434,57 @@ def mixed_lang_profile(
         ),
         F.round(mc / F.sum("__c"), 6).alias("agreement"),
     )
+
+
+def compressibility(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the parameter-free
+    redundancy score modern curation stacks use beside the heuristic
+    rules (highly compressible text = templated/repetitive/machine-
+    generated; incompressible = already-encoded junk or high-entropy
+    noise; natural prose sits in a band). DEFLATE at a fixed level is
+    bit-deterministic for fixed input, so the ratio is reproducible
+    across runs/engines — but no SQL engine exposes zlib, hence
+    rows-only evidence with closed-form property tests. Runs as one
+    Arrow mapInPandas pass (zlib releases the GIL; the C codec IS the
+    vectorized path here) — zero exchanges, scan-bound at 100 TB.
+    Output: (id, n_bytes, n_compressed, ratio = compressed/raw)."""
+    import pandas as pd
+    import zlib
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf["__t"].str.encode("utf-8")
+            nb = raw.str.len().astype("int64")
+            nc = raw.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": nb.values,
+                    "n_compressed": nc.values,
+                    "ratio": (
+                        nc.values / np_maximum_one(nb.values)
+                    ).round(6),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=f"{id_col} long, n_bytes long, n_compressed long, "
+        "ratio double",
+    )
+
+
+def np_maximum_one(arr):
+    """max(arr, 1) elementwise — div-by-zero guard for empty docs."""
+    import numpy as np
+
+    return np.maximum(arr, 1)

@@ -2160,3 +2160,122 @@ def a_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# -- beyond ref: lag-1 autocorrelation per key (time-series feature) --------
+
+@register(
+    "a_autocorr_lag1",
+    shadow_oracle="""
+WITH s AS (
+    SELECT user_id, value,
+           lag(value) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_pairs,
+       round(corr(value, prev), 6) AS acf1
+FROM s WHERE prev IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 3
+""",
+)
+def a_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per key — the first-order serial-
+    dependence feature (near 0: white noise; positive: momentum /
+    trending sensor; negative: oscillation) that belongs next to the
+    Δ1/Δ2 delta stats in any per-entity feature bundle. One lag()
+    window pairs each value with its predecessor under the pinned
+    (ts_us, event_id) order, then Pearson corr() — a closed-form
+    fixed-size aggregate state, the regr_*/a_trend_fit posture: the
+    shuffle carries one moment state per (key, partition), never the
+    series. Keys with <3 pairs are dropped (corr of a 2-point series
+    is ±1 by construction — noise, not signal). Both engines' corr
+    share the textbook definition; values at these magnitudes agree
+    well inside the 6-decimal rounding."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = t.events.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    ).select("user_id", "value", F.lag("value").over(w).alias("prev"))
+    return (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("acf1"),
+        )
+        .filter(F.col("n_pairs") >= 3)
+    )
+
+
+# -- beyond ref: seasonality strength (eta-squared variance ratio) ----------
+
+@register(
+    "a_seasonality_strength",
+    shadow_oracle="""
+WITH e AS (
+    SELECT event_type,
+           CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow, value
+    FROM events
+), g AS (
+    SELECT event_type, dow, count(*) AS n, sum(value) AS s,
+           sum(value * value) AS ss
+    FROM e GROUP BY event_type, dow
+), tot AS (
+    SELECT event_type, sum(n) AS nt, sum(s) AS st, sum(ss) AS sst
+    FROM g GROUP BY event_type
+)
+SELECT g.event_type,
+       CAST(max(nt) AS BIGINT) AS n,
+       round(sum(s * s / n) - max(st * st / nt), 4) AS ss_between,
+       round(max(sst - st * st / nt), 4) AS ss_total,
+       round((sum(s * s / n) - max(st * st / nt))
+             / (max(sst - st * st / nt)), 6) AS eta_sq
+FROM g JOIN tot USING (event_type)
+GROUP BY g.event_type
+""",
+)
+def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength as eta-squared (one-way ANOVA
+    variance ratio): SS_between/SS_total over weekday groups — near 0
+    means the weekday explains nothing (no weekly cycle), near 1 a
+    hard weekly pattern; the screen run before bothering with seasonal
+    decomposition. Pure sufficient-statistics form: ONE partial-
+    aggregated (group, weekday) pass collecting n/Σx/Σx², a tens-row
+    rollup for the totals, and the algebraic identities
+    SS_total = Σx² − (Σx)²/n, SS_between = Σ_g((Σx_g)²/n_g) − (Σx)²/n
+    — the m16_regression_metrics posture: no second scan, no windows,
+    nothing grows past the 7 x #groups grid. Weekday numbering
+    cancels out of the ratio, so the engines' dayofweek convention
+    mismatch is harmless HERE (groups are the same sets either way) —
+    unlike a_chi2_independence, whose OUTPUT carries the labels."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.dayofweek(F.to_date("ts")).cast("bigint").alias("dow"),
+        "value",
+    )
+    g = e.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st"), F.sum("ss").alias("sst")
+    )
+    j = g.join(F.broadcast(tot), "event_type")
+    ss_b = F.sum(F.col("s") * F.col("s") / F.col("n")) - F.max(
+        F.col("st") * F.col("st") / F.col("nt")
+    )
+    ss_t = F.max(F.col("sst") - F.col("st") * F.col("st") / F.col("nt"))
+    return j.groupBy("event_type").agg(
+        F.max("nt").cast("bigint").alias("n"),
+        F.round(ss_b, 4).alias("ss_between"),
+        F.round(ss_t, 4).alias("ss_total"),
+        F.round(ss_b / ss_t, 6).alias("eta_sq"),
+    )

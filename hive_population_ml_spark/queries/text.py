@@ -1570,3 +1570,16 @@ def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ari_x100"),
     )
+
+
+@register("text_compressibility")  # rows-only: no SQL engine exposes
+# zlib; determinism + repetition-ordering properties pinned in
+# tests/test_operators.py
+def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (see operators/textops.py::
+    compressibility) — the parameter-free redundancy signal beside the
+    Gopher repetition rules: templated docs compress far below natural
+    prose. Zero exchanges; the C codec runs GIL-free inside one Arrow
+    mapInPandas scan."""
+    t = Tables(spark, sf_dir)
+    return textops.compressibility(t.documents)

@@ -3548,3 +3548,29 @@ def test_jl_project_empty_and_string_ids(spark):
     got = jl_project(named, out_dim=4, id_col="doc").collect()
     assert {r["doc"] for r in got} == {"a", "b"}
     assert all(len(r["embedding"]) == 4 for r in got)
+
+
+def test_compressibility_semantics(spark):
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.textops import compressibility
+
+    rows = [
+        Row(doc_id=1, text="the same line " * 200),           # templated
+        Row(doc_id=2, text=" ".join(f"w{i}x{i*7%13}" for i in range(400))),
+        Row(doc_id=3, text=""),                                # empty
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in compressibility(spark.createDataFrame(rows)).collect()
+    }
+    # repetitive text compresses far better than varied text
+    assert out[1]["ratio"] < out[2]["ratio"]
+    assert out[1]["ratio"] < 0.1
+    assert out[3]["n_bytes"] == 0 and out[3]["ratio"] > 0  # guarded div
+    # deterministic across invocations (fixed level -> fixed DEFLATE)
+    again = {
+        r["doc_id"]: r["ratio"]
+        for r in compressibility(spark.createDataFrame(rows)).collect()
+    }
+    assert {k: v["ratio"] for k, v in out.items()} == again

@@ -371,6 +371,14 @@ EXCHANGE_BUDGETS = {
     "a_gini_value": 1,
     # pure map — any Exchange is a regression
     "text_readability_ari": 0,
+    # ONE key exchange + sort; lag + closed-form corr agg reuse it
+    "a_autocorr_lag1": 1,
+    # (group, weekday) sufficient-stats agg + tens-row rollup + its
+    # BroadcastExchange + final agg
+    "a_seasonality_strength": 5,
+    # zlib inside one Arrow mapInPandas scan — any Exchange is a
+    # regression
+    "text_compressibility": 0,
 }
 
 

@@ -166,6 +166,8 @@ SHADOW_NAMES = [
     "w_time_weighted_avg",
     "a_gini_value",
     "text_readability_ari",
+    "a_autocorr_lag1",
+    "a_seasonality_strength",
 ]
 
 
