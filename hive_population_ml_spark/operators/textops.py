@@ -1456,11 +1456,12 @@ def compressibility(
     import pandas as pd
     import zlib
 
+    id_type = dict(df.dtypes)[id_col]
     src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
 
     def run(batches):
         for pdf in batches:
-            raw = pdf["__t"].str.encode("utf-8")
+            raw = pdf["__t"].fillna("").str.encode("utf-8")
             nb = raw.str.len().astype("int64")
             nc = raw.map(lambda b: len(zlib.compress(b, level))).astype(
                 "int64"
@@ -1478,7 +1479,7 @@ def compressibility(
 
     return src.mapInPandas(
         run,
-        schema=f"{id_col} long, n_bytes long, n_compressed long, "
+        schema=f"{id_col} {id_type}, n_bytes long, n_compressed long, "
         "ratio double",
     )
 

@@ -1963,7 +1963,6 @@ WITH a AS (
     SELECT sa.event_type,
            sa.n AS n_a, sb.n AS n_b,
            round(sa.m, 6) AS mean_a, round(sb.m, 6) AS mean_b,
-           (sa.v / sa.n + sb.v / sb.n) AS se2,
            (sa.m - sb.m) / sqrt(sa.v / sa.n + sb.v / sb.n) AS tt,
            pow(sa.v / sa.n + sb.v / sb.n, 2)
              / (pow(sa.v / sa.n, 2) / (sa.n - 1)
@@ -2191,9 +2190,12 @@ def a_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size aggregate state, the regr_*/a_trend_fit posture: the
     shuffle carries one moment state per (key, partition), never the
     series. Keys with <3 pairs are dropped (corr of a 2-point series
-    is ±1 by construction — noise, not signal). Both engines' corr
-    share the textbook definition; values at these magnitudes agree
-    well inside the 6-decimal rounding."""
+    is ±1 by construction — noise, not signal). The statistic is
+    covar_samp/(sd·sd) with a nullif zero-variance guard: ANSI-mode
+    corr() throws DIVIDE_BY_ZERO on a constant series where DuckDB's
+    corr returns NULL — the guarded form gives NULL on both engines
+    (regression-tested with a constant-valued key). Values at these
+    magnitudes agree well inside the 6-decimal rounding."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     s = t.events.select(
@@ -2207,7 +2209,18 @@ def a_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.corr("value", "prev"), 6).alias("acf1"),
+            # zero-variance series: ANSI-mode corr() THROWS
+            # DIVIDE_BY_ZERO (DuckDB's returns NULL) — compute the
+            # identical statistic as covar/(sd*sd) with a nullif guard
+            # so degenerate keys yield NULL instead of failing the job
+            F.round(
+                F.covar_samp("value", "prev")
+                / F.nullif(
+                    F.stddev_samp("value") * F.stddev_samp("prev"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("acf1"),
         )
         .filter(F.col("n_pairs") >= 3)
     )

@@ -1556,7 +1556,12 @@ def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1), F.size(F.split(F.col("text"), "[.!?]+")) - 1
         ).alias("n_sents"),
     )
-    c, w_, sn = F.col("n_chars_an"), F.col("n_words"), F.col("n_sents")
+    # int32 literals x int32 counts would wrap at ~2^31 in non-ANSI mode
+    # (the oracle computes the same formula in BIGINT) — cast first so
+    # the 'EXACT integer arithmetic' claim holds for long documents
+    c = F.col("n_chars_an").cast("bigint")
+    w_ = F.col("n_words").cast("bigint")
+    sn = F.col("n_sents").cast("bigint")
     return d.filter(w_ > 0).select(
         "doc_id",
         c.cast("bigint").alias("n_chars_an"),

@@ -3574,3 +3574,51 @@ def test_compressibility_semantics(spark):
         for r in compressibility(spark.createDataFrame(rows)).collect()
     }
     assert {k: v["ratio"] for k, v in out.items()} == again
+
+
+def test_autocorr_constant_series_yields_null(spark):
+    """Zero-variance series: Spark corr is NaN, DuckDB corr is NULL —
+    the query normalizes to NULL so the hash contract can't diverge."""
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    import datetime as dt
+
+    rows = [
+        Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1 + i),
+            user_id=1,
+            event_type="view",
+            value=5.0,
+            props="{}",
+        )
+        for i in range(6)
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="autocorr_const_")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = QUERIES["a_autocorr_lag1"](spark, d).collect()
+    assert len(out) == 1 and out[0]["acf1"] is None
+
+
+def test_compressibility_null_text_and_string_ids(spark):
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.textops import compressibility
+
+    rows = [Row(doc="a", text=None), Row(doc="b", text="hello hello")]
+    out = {
+        r["doc"]: r
+        for r in compressibility(
+            spark.createDataFrame(rows), id_col="doc"
+        ).collect()
+    }
+    assert out["a"]["n_bytes"] == 0  # NULL treated as empty, no crash
+    assert out["b"]["n_compressed"] > 0
