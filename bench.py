@@ -171,6 +171,7 @@ HEADLINE = [
     "a_autocorr_lag1",
     "a_seasonality_strength",
     "text_compressibility",
+    "mix_cluster_silhouette",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

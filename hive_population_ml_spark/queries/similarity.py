@@ -467,3 +467,22 @@ def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("pnorm"),
     )
+
+
+@register("mix_cluster_silhouette")  # rows-only: k-means cells have no
+# DuckDB twin; range/separation/degenerate-k properties pinned in
+# tests/test_operators.py
+def mix_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per learned-domain cell (see operators/
+    similarity.py::cluster_silhouette) — the quality gate on
+    mix_domain_clusters' k-means cells: low mean silhouette means the
+    'domains' are noise and temperature-mixing over them is
+    reweighting nothing. Same bounded-sample centroid fit as the
+    mixing query (k=16, seed=7), one zero-exchange distance-grid scan,
+    one cell agg."""
+    from ..operators.similarity import cluster_silhouette, train_ivf_centroids
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = train_ivf_centroids(emb, k=16, seed=7)
+    return cluster_silhouette(emb, cents)

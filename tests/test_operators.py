@@ -3622,3 +3622,37 @@ def test_compressibility_null_text_and_string_ids(spark):
     }
     assert out["a"]["n_bytes"] == 0  # NULL treated as empty, no crash
     assert out["b"]["n_compressed"] > 0
+
+
+def test_cluster_silhouette_semantics(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+
+    # two tight, well-separated blobs -> silhouette near 1 everywhere
+    rng = np.random.default_rng(3)
+    rows, cents = [], []
+    for cell, base in ((0, 0.0), (1, 100.0)):
+        cents.append(Row(vec_id=cell, embedding=[base, base]))
+        for i in range(20):
+            v = [base + rng.random() * 0.1, base + rng.random() * 0.1]
+            rows.append(Row(vec_id=cell * 100 + i, embedding=v))
+    out = {
+        r["cell"]: r
+        for r in cluster_silhouette(
+            spark.createDataFrame(rows), spark.createDataFrame(cents)
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n"] == 20 and r["mean_sil"] > 0.99
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_silhouette(
+            spark.createDataFrame(rows), spark.createDataFrame(cents[:1])
+        )

@@ -379,6 +379,9 @@ EXCHANGE_BUDGETS = {
     # zlib inside one Arrow mapInPandas scan — any Exchange is a
     # regression
     "text_compressibility": 0,
+    # distance grid is a zero-exchange mapInPandas scan; ONE cell agg
+    # (training shuffles run in the bounded-sample KMeans fit jobs)
+    "mix_cluster_silhouette": 1,
 }
 
 
