@@ -172,6 +172,8 @@ HEADLINE = [
     "a_seasonality_strength",
     "text_compressibility",
     "mix_cluster_silhouette",
+    "a_mann_whitney_u",
+    "w_peak_detection",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

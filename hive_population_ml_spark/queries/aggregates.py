@@ -2292,3 +2292,94 @@ def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ss_t, 4).alias("ss_total"),
         F.round(ss_b / ss_t, 6).alias("eta_sq"),
     )
+
+
+# -- beyond ref: Mann-Whitney U rank-sum test (nonparametric A/B) -----------
+
+@register(
+    "a_mann_whitney_u",
+    shadow_oracle="""
+WITH s AS (
+    SELECT event_type, value,
+           CASE WHEN (((((abs(user_id) + 999983) % 2147483647)
+                       * 48271 % 2147483647) * 48271) % 2147483647)
+                     / 2147483647.0 < 0.5
+                THEN 1 ELSE 0 END AS is_a
+    FROM events
+), r AS (
+    SELECT event_type, value, is_a,
+           rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+           count(*) OVER (PARTITION BY event_type, value) AS tie_n
+    FROM s
+), a AS (
+    SELECT event_type,
+           CAST(sum(is_a) AS BIGINT) AS n_a,
+           CAST(sum(1 - is_a) AS BIGINT) AS n_b,
+           sum(CASE WHEN is_a = 1
+                    THEN rk + (tie_n - 1) / 2.0 ELSE 0 END) AS r_a
+    FROM r GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_a,
+       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 6) AS z
+FROM a
+""",
+)
+def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per metric group — the
+    NONPARAMETRIC A/B readout (same deterministic minstd assignment as
+    a_ab_welch_test): compares distributions by rank, so one whale
+    outlier can't swing it the way it swings a t-test on means. Ties
+    get the textbook midrank treatment computed WITHOUT a dense-rank
+    pass: rank() gives the tie group's first position and a
+    (group, value) partition count its size, so midrank =
+    rk + (tie_n − 1)/2 — exact halves, engine-stable. U = R_A −
+    n_A(n_A+1)/2, z under the large-sample normal approximation
+    (untied variance; fine at these n). Scale: ONE group-key exchange
+    + sort serves both windows; the rollup reuses the partitioning."""
+    t = Tables(spark, sf_dir)
+    from ..operators.sampling import uniform_hash
+
+    s = t.events.select(
+        "event_type",
+        "value",
+        F.when(uniform_hash("user_id", mode="minstd") < 0.5, 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type", "value")
+    r = s.select(
+        "event_type",
+        "is_a",
+        F.rank().over(wr).alias("rk"),
+        F.count("*").over(wt).alias("tie_n"),
+    )
+    a = r.groupBy("event_type").agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("is_a") == 1,
+                F.col("rk") + (F.col("tie_n") - 1) / 2.0,
+            ).otherwise(0.0)
+        ).alias("r_a"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return a.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(u_a, 4).alias("u_a"),
+        F.round(
+            (u_a - F.col("n_a") * F.col("n_b") / 2.0)
+            / F.sqrt(
+                F.col("n_a")
+                * F.col("n_b")
+                * (F.col("n_a") + F.col("n_b") + 1)
+                / 12.0
+            ),
+            6,
+        ).alias("z"),
+    )

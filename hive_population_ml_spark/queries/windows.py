@@ -1123,3 +1123,69 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# -- beyond ref: local peak detection (lag/lead neighborhood test) ----------
+
+@register(
+    "w_peak_detection",
+    shadow_oracle="""
+WITH s AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER w AS rn,
+           lag(value)  OVER w AS pv,
+           lead(value) OVER w AS nv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), p AS (
+    SELECT user_id, rn, event_id, value
+    FROM s
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND value > pv AND value > nv
+      AND value - greatest(pv, nv) >= 0.5
+)
+SELECT user_id,
+       count(*) AS n_peaks,
+       round(max(value), 6) AS max_peak,
+       CAST(min(rn) AS BIGINT) AS first_peak_rn
+FROM p GROUP BY user_id
+""",
+)
+def w_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peak detection per key: a strict local maximum over both
+    immediate neighbors with a minimum prominence of 0.5 over the
+    higher neighbor — the spike-mining primitive behind alerting and
+    burst features (the CUSUM query finds ONE global shift; this finds
+    every local spike). Endpoints are excluded (a boundary value has
+    only one neighbor — not a peak by this definition). Strict
+    inequalities make tied plateaus peak-free, which is deliberate and
+    engine-stable; all comparisons are raw column values, no floats
+    manufactured. Plan: ONE key exchange + sort serves rn/lag/lead;
+    the per-key rollup reuses the partitioning."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = t.events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("pv"),
+        F.lead("value").over(w).alias("nv"),
+    )
+    p = s.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("value") > F.col("pv"))
+        & (F.col("value") > F.col("nv"))
+        & (F.col("value") - F.greatest("pv", "nv") >= 0.5)
+    )
+    return p.groupBy("user_id").agg(
+        F.count("*").alias("n_peaks"),
+        F.round(F.max("value"), 6).alias("max_peak"),
+        F.min("rn").cast("bigint").alias("first_peak_rn"),
+    )

@@ -382,6 +382,11 @@ EXCHANGE_BUDGETS = {
     # distance grid is a zero-exchange mapInPandas scan; ONE cell agg
     # (training shuffles run in the bounded-sample KMeans fit jobs)
     "mix_cluster_silhouette": 1,
+    # ONE group exchange: rank sort + the (group, value) tie window
+    # (partition refinement) + rollup all reuse it
+    "a_mann_whitney_u": 1,
+    # ONE key exchange + sort serves rn/lag/lead; rollup reuses it
+    "w_peak_detection": 1,
 }
 
 

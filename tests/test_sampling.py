@@ -168,6 +168,8 @@ SHADOW_NAMES = [
     "text_readability_ari",
     "a_autocorr_lag1",
     "a_seasonality_strength",
+    "a_mann_whitney_u",
+    "w_peak_detection",
 ]
 
 
