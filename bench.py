@@ -174,6 +174,9 @@ HEADLINE = [
     "mix_cluster_silhouette",
     "a_mann_whitney_u",
     "w_peak_detection",
+    "a_spearman_trend",
+    "a_mutual_info",
+    "a_user_entropy",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

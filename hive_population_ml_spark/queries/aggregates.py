@@ -2383,3 +2383,189 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# -- beyond ref: Spearman rank correlation vs time (monotone trend) ---------
+
+@register(
+    "a_spearman_trend",
+    shadow_oracle="""
+WITH r AS (
+    SELECT event_type,
+           rank() OVER (PARTITION BY event_type ORDER BY ts)
+             + (count(*) OVER (PARTITION BY event_type, ts) - 1) / 2.0
+             AS rt,
+           rank() OVER (PARTITION BY event_type ORDER BY value)
+             + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+             AS rv
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(rt, rv), 6) AS rho
+FROM r GROUP BY event_type
+""",
+)
+def a_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of value against time per metric group
+    — the SCALABLE monotone-trend test. Mann-Kendall (the textbook
+    nonparametric trend test) is Θ(n²) pairwise sign comparisons;
+    Spearman's rho against the time axis answers the same question
+    ("is this metric drifting monotonically?") from two rank windows
+    and one Pearson corr on the ranks — O(n log n), and robust to the
+    whale outliers that bend a_trend_fit's least-squares slope. Ties on
+    either axis get exact textbook midranks via the same
+    rank() + (tie_n − 1)/2 identity as a_mann_whitney_u (no dense-rank
+    pass). Scale: every window partitions by event_type, so ONE
+    group-key exchange serves both rank sorts and the rollup reuses
+    the partitioning; rank state is per-group-bounded."""
+    t = Tables(spark, sf_dir)
+    wt_ord = Window.partitionBy("event_type").orderBy("ts")
+    wt_tie = Window.partitionBy("event_type", "ts")
+    wv_ord = Window.partitionBy("event_type").orderBy("value")
+    wv_tie = Window.partitionBy("event_type", "value")
+    r = t.events.select(
+        "event_type",
+        (
+            F.rank().over(wt_ord)
+            + (F.count("*").over(wt_tie) - 1) / 2.0
+        ).alias("rt"),
+        (
+            F.rank().over(wv_ord)
+            + (F.count("*").over(wv_tie) - 1) / 2.0
+        ).alias("rv"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("rt", "rv"), 6).alias("rho"),
+    )
+
+
+# -- beyond ref: mutual information + Cramér's V (categorical dependence) ---
+
+@register(
+    "a_mutual_info",
+    shadow_oracle="""
+WITH j AS (
+    SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+    FROM documents GROUP BY lang, source
+), mx AS (SELECT lang, sum(c) AS cx FROM j GROUP BY lang),
+   my AS (SELECT source, sum(c) AS cy FROM j GROUP BY source),
+   tot AS (SELECT sum(c) AS n FROM j),
+   e AS (
+    SELECT lang, source, c, cx, cy, n
+    FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n_docs,
+       round(sum(c / n * ln(c * n / (cx * cy))), 6) AS mi_nats,
+       round(sum(c / n * ln(c * n / (cx * cy)))
+             / sqrt((-sum(c / n * ln(cx / n)) + 0.0)
+                    * (-sum(c / n * ln(cy / n)) + 0.0)), 6) AS nmi,
+       round(sqrt(sum(pow(c - cx * cy / n, 2) / (cx * cy / n))
+                  / (max(n) * least(count(DISTINCT lang) - 1,
+                                    count(DISTINCT source) - 1))), 6)
+           AS cramers_v
+FROM e
+""",
+)
+def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats), normalized MI, and Cramér's V between
+    the two categorical document facets (lang × source) — the
+    feature-dependence screen a mixing pipeline runs before treating
+    facets as independent sampling axes (a_chi2_independence answers
+    "is there dependence?"; this quantifies HOW MUCH, on the [0,1] NMI
+    / Cramér scales). Everything derives from the joint contingency
+    table: marginal entropies fall out of the joint rows because
+    Σ_y c·ln(cx/n) = cx·ln(cx/n), so no separate marginal scan is
+    needed. Scale: ONE corpus exchange builds the ≤|langs|·|sources|
+    joint table; marginals/total are tiny aggs over it, broadcast back;
+    the final agg touches only contingency cells — corpus size affects
+    exactly one partial-aggregated pass."""
+    t = Tables(spark, sf_dir)
+    j = (
+        t.documents.groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint()
+    )
+    mx = j.groupBy("lang").agg(F.sum("c").alias("cx"))
+    my = j.groupBy("source").agg(F.sum("c").alias("cy"))
+    tot = j.agg(F.sum("c").alias("n"))
+    e = (
+        j.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    c, cx, cy, n = F.col("c"), F.col("cx"), F.col("cy"), F.col("n")
+    mi = F.sum(c / n * F.log(c * n / (cx * cy)))
+    hx = -F.sum(c / n * F.log(cx / n)) + F.lit(0.0)
+    hy = -F.sum(c / n * F.log(cy / n)) + F.lit(0.0)
+    chi2 = F.sum(F.pow(c - cx * cy / n, F.lit(2.0)) / (cx * cy / n))
+    dof = F.least(
+        F.countDistinct("lang") - 1, F.countDistinct("source") - 1
+    )
+    return e.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(mi / F.sqrt(hx * hy), 6).alias("nmi"),
+        F.round(F.sqrt(chi2 / (F.max("n") * dof)), 6).alias("cramers_v"),
+    )
+
+
+# -- beyond ref: per-user behavioral entropy (diversity profiling) ----------
+
+@register(
+    "a_user_entropy",
+    shadow_oracle="""
+WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY user_id, event_type
+), e AS (
+    SELECT user_id, c,
+           sum(c) OVER (PARTITION BY user_id) AS tot,
+           count(*) OVER (PARTITION BY user_id) AS k
+    FROM c
+)
+SELECT user_id,
+       CAST(max(tot) AS BIGINT) AS n_events,
+       CAST(max(k) AS BIGINT) AS n_types,
+       round(-sum(c / tot * ln(c / tot)) + 0.0, 6) AS entropy_nats,
+       round(CASE WHEN max(k) > 1
+                  THEN (-sum(c / tot * ln(c / tot)) + 0.0) / ln(max(k))
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM e GROUP BY user_id
+""",
+)
+def a_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score (0 = single-behavior bot-like, 1 on the
+    normalized scale = uniform across every observed type). The
+    text-side twin is text_token_entropy; this is the EVENT-side
+    diversity profile a sampling pipeline uses to stratify users by
+    behavioral breadth. `+ 0.0` canonicalizes the IEEE −0.0 that
+    −Σ p·ln(p) produces for single-type users in both engines.
+    Scale: one partial-aggregated (user, type) exchange, one user-key
+    window exchange; the final per-user rollup reuses the window
+    partitioning; state per user is bounded by the event-type
+    vocabulary (tens), never raw rows."""
+    t = Tables(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    e = c.select(
+        "user_id",
+        "c",
+        F.sum("c").over(w).alias("tot"),
+        F.count("*").over(w).alias("k"),
+    )
+    p = F.col("c") / F.col("tot")
+    h = -F.sum(p * F.log(p)) + F.lit(0.0)
+    return e.groupBy("user_id").agg(
+        F.max("tot").cast("bigint").alias("n_events"),
+        F.max("k").cast("bigint").alias("n_types"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(
+            F.when(F.max("k") > 1, h / F.log(F.max("k"))).otherwise(0.0),
+            6,
+        ).alias("norm_entropy"),
+    )

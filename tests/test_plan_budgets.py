@@ -387,6 +387,15 @@ EXCHANGE_BUDGETS = {
     "a_mann_whitney_u": 1,
     # ONE key exchange + sort serves rn/lag/lead; rollup reuses it
     "w_peak_detection": 1,
+    # ONE group exchange serves both rank sorts + tie windows + rollup
+    "a_spearman_trend": 1,
+    # corpus sees ONE partial-agg exchange; the other 7 are aggs/
+    # broadcasts/countDistinct expansion over the <=|langs|*|sources|
+    # contingency table (tiny by construction)
+    "a_mutual_info": 8,
+    # (user, type) partial agg + user window; rollup reuses the window
+    # partitioning
+    "a_user_entropy": 2,
 }
 
 

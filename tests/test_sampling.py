@@ -170,6 +170,9 @@ SHADOW_NAMES = [
     "a_seasonality_strength",
     "a_mann_whitney_u",
     "w_peak_detection",
+    "a_spearman_trend",
+    "a_mutual_info",
+    "a_user_entropy",
 ]
 
 
