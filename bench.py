@@ -177,6 +177,9 @@ HEADLINE = [
     "a_spearman_trend",
     "a_mutual_info",
     "a_user_entropy",
+    "a_quantile_bins",
+    "w_streak_runs",
+    "w_gap_stats",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

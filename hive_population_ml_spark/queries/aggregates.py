@@ -2569,3 +2569,48 @@ def a_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_entropy"),
     )
+
+
+# -- beyond ref: equi-depth decile binning (feature discretization) ---------
+
+@register(
+    "a_quantile_bins",
+    shadow_oracle="""
+WITH r AS (
+    SELECT event_type, value,
+           ntile(10) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS decile
+    FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi,
+       round(avg(value), 4) AS bin_avg
+FROM r GROUP BY event_type, decile
+""",
+)
+def a_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile binning per metric group — the feature-
+    discretization primitive (a_histogram_value is the equi-WIDTH
+    twin: fixed bin edges, skewed masses; this fixes the masses and
+    lets the edges float, which is what tree/quantile-based models
+    and drift monitors actually want). ntile ties are resolved by the
+    (value, event_id) total order so both engines assign the identical
+    row→bucket permutation — ntile's bucket-size rule (first n mod k
+    buckets take the extra row) is the same in Spark and DuckDB.
+    Scale: ONE group-key exchange serves the ntile sort and the
+    (group, decile) rollup refines the same partitioning; at 100 TB
+    the same shape runs on approx_percentile edges instead of a full
+    sort (the a_percentiles_approx swap pattern)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = t.events.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return r.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(F.avg("value"), 4).alias("bin_avg"),
+    )

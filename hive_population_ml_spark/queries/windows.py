@@ -1189,3 +1189,118 @@ def w_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("max_peak"),
         F.min("rn").cast("bigint").alias("first_peak_rn"),
     )
+
+
+# -- beyond ref: run-length streaks (gaps-and-islands) ----------------------
+
+@register(
+    "w_streak_runs",
+    shadow_oracle="""
+WITH o AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+    FROM events
+), runs AS (
+    SELECT user_id, event_type, grp, count(*) AS len
+    FROM o GROUP BY user_id, event_type, grp
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_len,
+       round(avg(len), 4) AS avg_len,
+       CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_streaks_3plus
+FROM runs GROUP BY event_type
+""",
+)
+def w_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-repeat streaks per event type via the classic
+    gaps-and-islands identity: within a user's (ts, event_id) total
+    order, rn_overall − rn_within_type is CONSTANT exactly along a
+    maximal run of the same type, so grouping on that difference
+    materializes every run without a self-join. The behavioral
+    signal: long streaks of one event type are the bot/retry
+    signature (w_peak_detection finds value bursts; this finds
+    REPETITION bursts). Scale: both row_numbers ride ONE user-key
+    exchange (the second window refines the first's partitioning);
+    the run agg and the type rollup are partial-aggregated."""
+    t = Tables(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = t.events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "grp"
+        ),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_len"),
+        F.round(F.avg("len"), 4).alias("avg_len"),
+        F.sum(F.when(F.col("len") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_streaks_3plus"),
+    )
+
+
+# -- beyond ref: inter-arrival gap profile (freshness / liveness) -----------
+
+@register(
+    "w_gap_stats",
+    shadow_oracle="""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_us) / 1e6, 4) AS avg_gap_s,
+       round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_gap_s,
+       round(max(gap_us) / 1e6, 4) AS max_gap_s,
+       CAST(sum(CASE WHEN gap_us > 86400000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gaps_1d
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def w_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap profile — the freshness/liveness
+    readout (w_sessionize CUTS on a fixed 2-day gap; this MEASURES the
+    gap distribution so that threshold can be chosen, and flags users
+    whose feeds stall >1 day). Gaps are computed in epoch-microseconds
+    (the sessions-CTE convention) so sub-second spacing survives;
+    single-event users have no gap and drop out identically in both
+    engines. The exact p50 is fine at per-user cardinality; at 100 TB
+    the same shape swaps to approx_percentile (a_percentiles_approx
+    pattern). Scale: ONE user-key exchange serves the lag sort and the
+    per-user rollup reuses the partitioning; per-user state in the
+    percentile is bounded by that user's event count."""
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    g = t.events.select(
+        "user_id", (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 4).alias(
+            "p50_gap_s"
+        ),
+        F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s"),
+        F.sum(F.when(F.col("gap_us") > 86_400_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gaps_1d"),
+    )

@@ -396,6 +396,14 @@ EXCHANGE_BUDGETS = {
     # (user, type) partial agg + user window; rollup reuses the window
     # partitioning
     "a_user_entropy": 2,
+    # ONE group exchange serves the ntile sort; (group, decile) rollup
+    # refines the same partitioning
+    "a_quantile_bins": 1,
+    # user-key exchange serves both row_numbers (second window refines
+    # the first); run agg + type rollup partial-aggregate
+    "w_streak_runs": 2,
+    # ONE user-key exchange serves the lag sort and the per-user rollup
+    "w_gap_stats": 1,
 }
 
 

@@ -173,6 +173,9 @@ SHADOW_NAMES = [
     "a_spearman_trend",
     "a_mutual_info",
     "a_user_entropy",
+    "a_quantile_bins",
+    "w_streak_runs",
+    "w_gap_stats",
 ]
 
 
