@@ -180,6 +180,8 @@ HEADLINE = [
     "a_quantile_bins",
     "w_streak_runs",
     "w_gap_stats",
+    "a_psi_drift",
+    "text_jsd_drift",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

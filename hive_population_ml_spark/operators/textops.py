@@ -1388,6 +1388,64 @@ def source_kl_divergence(
     )
 
 
+def source_js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's unigram distribution
+    vs the whole corpus — the SYMMETRIC, BOUNDED companion to
+    :func:`source_kl_divergence`: KL is unbounded and asymmetric (fine
+    for ranking feeds, awkward for alerting thresholds); JSD lives in
+    [0, ln 2] so a monitor can carry one fixed threshold across feeds
+    of any size. JSD(p,q) = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2,
+    over the same add-``smooth`` smoothed full-vocabulary expansion as
+    the KL operator (vocab × groups, groups are tens).
+
+    Output: (group_col, n_tokens, jsd_nats, jsd_norm) where jsd_norm
+    = jsd/ln 2 ∈ [0, 1], rounded to 6.
+    """
+    tok = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("t")
+    )
+    corpus = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all")).localCheckpoint()
+    )
+    per_group = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c_g"))
+    totals = F.broadcast(
+        tok.groupBy("g")
+        .agg(F.sum(F.lit(1)).cast("double").alias("n_g"))
+        .crossJoin(
+            corpus.agg(
+                F.sum("c_all").cast("double").alias("n_all"),
+                F.count(F.lit(1)).cast("double").alias("v"),
+            )
+        )
+    )
+    p_g = (F.coalesce(F.col("c_g"), F.lit(0)) + F.lit(smooth)) / (
+        F.col("n_g") + F.lit(smooth) * F.col("v")
+    )
+    p_c = (F.col("c_all") + F.lit(smooth)) / (
+        F.col("n_all") + F.lit(smooth) * F.col("v")
+    )
+    m = (p_g + p_c) / 2
+    jsd = F.sum(
+        F.lit(0.5) * p_g * F.log(p_g / m) + F.lit(0.5) * p_c * F.log(p_c / m)
+    )
+    return (
+        corpus.crossJoin(totals)
+        .join(per_group, ["g", "t"], "left")
+        .groupBy("g")
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.round(jsd, 6).alias("jsd_nats"),
+            F.round(jsd / F.log(F.lit(2.0)), 6).alias("jsd_norm"),
+        )
+        .select(F.col("g").alias(group_col), "n_tokens", "jsd_nats", "jsd_norm")
+    )
+
+
 def mixed_lang_profile(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2614,3 +2614,95 @@ def a_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("hi"),
         F.round(F.avg("value"), 4).alias("bin_avg"),
     )
+
+
+# -- beyond ref: Population Stability Index (temporal drift monitor) --------
+
+@register(
+    "a_psi_drift",
+    shadow_oracle="""
+WITH e AS (
+    SELECT event_type, value,
+           ntile(2) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS half
+    FROM events
+), mm AS (
+    SELECT event_type, min(value) AS mn, max(value) AS mx
+    FROM e GROUP BY event_type
+), b AS (
+    SELECT e.event_type,
+           CASE WHEN mx = mn THEN 0
+                ELSE least(CAST(floor((e.value - mn) / ((mx - mn) / 10))
+                                AS BIGINT), 9) END AS bucket,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS cb
+    FROM e JOIN mm USING (event_type)
+    GROUP BY 1, 2
+), g AS (
+    SELECT event_type, ca, cb,
+           sum(ca) OVER (PARTITION BY event_type) AS na,
+           sum(cb) OVER (PARTITION BY event_type) AS nb
+    FROM b
+)
+SELECT event_type,
+       CAST(max(na) + max(nb) AS BIGINT) AS n,
+       round(sum(((ca + 0.5) / (na + 5.0) - (cb + 0.5) / (nb + 5.0))
+                 * ln(((ca + 0.5) / (na + 5.0))
+                      / ((cb + 0.5) / (nb + 5.0)))), 6) AS psi
+FROM g GROUP BY event_type
+""",
+)
+def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per metric group between the first
+    and second time-half of the stream — THE production ML-monitoring
+    drift metric (scorecard convention: PSI < 0.1 stable, > 0.25
+    investigate). Halves come from ntile(2) over the deterministic
+    (ts, event_id) order; bins are the same equi-width deciles as
+    a_histogram_value; each bucket gets +0.5 Laplace mass (+5 on the
+    totals) so one-sided buckets stay finite — buckets empty in BOTH
+    halves contribute exactly 0, so skipping them is exact, not an
+    approximation. a_ks_test answers "did the distribution move?" with
+    a sup-statistic; PSI localizes HOW MUCH mass moved, per bin.
+    Scale: one group-key exchange for the ntile sort, one tiny min/max
+    agg broadcast back, one partial-aggregated (group, bucket, half)
+    count; the PSI rollup runs on the ≤|groups|·10 pivot table."""
+    t = Tables(spark, sf_dir)
+    wh = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = t.events.select(
+        "event_type", "value", F.ntile(2).over(wh).alias("half")
+    )
+    mm = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    j = e.join(F.broadcast(mm), "event_type")
+    width = (F.col("mx") - F.col("mn")) / 10
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(9),
+            )
+        )
+        .alias("bucket")
+    )
+    b = j.groupBy("event_type", bucket).agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("cb"),
+    )
+    wt = Window.partitionBy("event_type")
+    g = b.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 5.0)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 5.0)
+    return g.groupBy("event_type").agg(
+        (F.max("na") + F.max("nb")).cast("bigint").alias("n"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+    )

@@ -952,6 +952,50 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_jsd_drift",
+    shadow_oracle="""
+WITH tok AS (
+    SELECT source AS g, unnest(string_split(text, ' ')) AS t FROM documents
+),
+corpus AS (SELECT t, count(*) AS c_all FROM tok GROUP BY t),
+per_group AS (SELECT g, t, count(*) AS c_g FROM tok GROUP BY g, t),
+totals AS (
+    SELECT g, n_g, n_all, v FROM
+        (SELECT g, count(*) * 1.0 AS n_g FROM tok GROUP BY g),
+        (SELECT sum(c_all) * 1.0 AS n_all, count(*) * 1.0 AS v FROM corpus)
+),
+expanded AS (
+    SELECT totals.g, corpus.c_all, totals.n_g, totals.n_all, totals.v,
+           (coalesce(per_group.c_g, 0) + 1.0) / (totals.n_g + totals.v)
+               AS p_g,
+           (corpus.c_all + 1.0) / (totals.n_all + totals.v) AS p_c
+    FROM corpus CROSS JOIN totals
+    LEFT JOIN per_group ON per_group.g = totals.g AND per_group.t = corpus.t
+)
+SELECT g AS source,
+       CAST(max(n_g) AS BIGINT) AS n_tokens,
+       round(sum(0.5 * p_g * ln(p_g / ((p_g + p_c) / 2))
+                 + 0.5 * p_c * ln(p_c / ((p_g + p_c) / 2))), 6) AS jsd_nats,
+       round(sum(0.5 * p_g * ln(p_g / ((p_g + p_c) / 2))
+                 + 0.5 * p_c * ln(p_c / ((p_g + p_c) / 2))) / ln(2.0), 6)
+           AS jsd_norm
+FROM expanded
+GROUP BY g
+""",
+)
+def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the whole corpus — the
+    SYMMETRIC, [0, ln 2]-BOUNDED drift readout (text_source_kl ranks
+    feeds but its KL is unbounded and direction-dependent; JSD's fixed
+    range lets a monitor carry ONE alert threshold across feeds of any
+    size; jsd_norm rescales to [0,1]). Same smoothed full-vocabulary
+    vocab × groups expansion as the KL query — groups are tens, the
+    corpus is scanned once into token counts. Fully differential."""
+    t = Tables(spark, sf_dir)
+    return textops.source_js_divergence(t.documents, "source", "text")
+
+
+@register(
     "text_ccnet_buckets",
     shadow_oracle="""
 WITH tok AS (

@@ -404,6 +404,13 @@ EXCHANGE_BUDGETS = {
     "w_streak_runs": 2,
     # ONE user-key exchange serves the lag sort and the per-user rollup
     "w_gap_stats": 1,
+    # group-key ntile sort + (group,bucket,half) partial agg + the tiny
+    # min/max agg whose result broadcasts back; PSI rollup runs on the
+    # <=|groups|*10 pivot
+    "a_psi_drift": 3,
+    # same expansion as text_source_kl: vocab agg + (group,token) agg +
+    # group-totals broadcast chain
+    "text_jsd_drift": 7,
 }
 
 

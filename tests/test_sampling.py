@@ -176,6 +176,8 @@ SHADOW_NAMES = [
     "a_quantile_bins",
     "w_streak_runs",
     "w_gap_stats",
+    "a_psi_drift",
+    "text_jsd_drift",
 ]
 
 
