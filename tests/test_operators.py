@@ -3656,3 +3656,51 @@ def test_cluster_silhouette_semantics(spark):
         cluster_silhouette(
             spark.createDataFrame(rows), spark.createDataFrame(cents[:1])
         )
+
+
+def test_source_js_divergence_bounds_and_symmetry(spark):
+    """JSD closed-form properties: a group distributed identically to
+    the corpus scores near 0; disjoint-vocabulary groups score high;
+    every score lives in the [0, ln 2] bound that makes a fixed alert
+    threshold portable across feeds (the reason this exists next to
+    the unbounded KL)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators.textops import (
+        source_js_divergence,
+    )
+
+    # two identical sources -> each is distributed like the corpus
+    same = [
+        Row(source=s, text="alpha beta gamma delta")
+        for s in ("feed_a", "feed_b")
+    ]
+    out = {
+        r["source"]: r
+        for r in source_js_divergence(spark.createDataFrame(same)).collect()
+    }
+    assert all(abs(r["jsd_nats"]) < 0.02 for r in out.values())
+
+    # disjoint vocabularies -> far from the corpus, but still <= ln 2
+    disjoint = [
+        Row(source="feed_a", text="aa bb cc dd " * 20),
+        Row(source="feed_b", text="xx yy zz ww " * 20),
+    ]
+    out2 = {
+        r["source"]: r
+        for r in source_js_divergence(
+            spark.createDataFrame(disjoint)
+        ).collect()
+    }
+    ln2 = math.log(2.0)
+    for r in out2.values():
+        assert 0.0 <= r["jsd_nats"] <= ln2 + 1e-9
+        assert 0.0 <= r["jsd_norm"] <= 1.0 + 1e-9
+        # vs a 50/50 corpus the best any disjoint half can do is
+        # bounded away from 0 and (because the corpus CONTAINS the
+        # group) away from ln 2 as well
+        assert r["jsd_nats"] > 0.1
+    # symmetric construction -> symmetric scores
+    assert abs(out2["feed_a"]["jsd_nats"] - out2["feed_b"]["jsd_nats"]) < 1e-6
