@@ -2402,7 +2402,8 @@ WITH r AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(corr(rt, rv), 6) AS rho
+       round(covar_samp(rt, rv)
+             / nullif(stddev_samp(rt) * stddev_samp(rv), 0.0), 6) AS rho
 FROM r GROUP BY event_type
 """,
 )
@@ -2437,7 +2438,17 @@ def a_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.corr("rt", "rv"), 6).alias("rho"),
+        # all-tied group (every row equal on an axis): ANSI-mode corr()
+        # THROWS DIVIDE_BY_ZERO where DuckDB's returns NULL — the
+        # covar/(sd·sd) form with a nullif guard yields NULL on both
+        # engines (same fix as a_autocorr_lag1)
+        F.round(
+            F.covar_samp("rt", "rv")
+            / F.nullif(
+                F.stddev_samp("rt") * F.stddev_samp("rv"), F.lit(0.0)
+            ),
+            6,
+        ).alias("rho"),
     )
 
 
@@ -2462,8 +2473,9 @@ SELECT CAST(max(n) AS BIGINT) AS n_docs,
              / sqrt((-sum(c / n * ln(cx / n)) + 0.0)
                     * (-sum(c / n * ln(cy / n)) + 0.0)), 6) AS nmi,
        round(sqrt(sum(pow(c - cx * cy / n, 2) / (cx * cy / n))
-                  / (max(n) * least(count(DISTINCT lang) - 1,
-                                    count(DISTINCT source) - 1))), 6)
+                  / (max(n) * nullif(least(count(DISTINCT lang) - 1,
+                                           count(DISTINCT source) - 1),
+                                     0))), 6)
            AS cramers_v
 FROM e
 """,
@@ -2500,8 +2512,14 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = -F.sum(c / n * F.log(cx / n)) + F.lit(0.0)
     hy = -F.sum(c / n * F.log(cy / n)) + F.lit(0.0)
     chi2 = F.sum(F.pow(c - cx * cy / n, F.lit(2.0)) / (cx * cy / n))
-    dof = F.least(
-        F.countDistinct("lang") - 1, F.countDistinct("source") - 1
+    # single-category degenerate corpus: dof = 0 — ANSI division would
+    # throw (and DuckDB's double /0 gives inf); nullif makes BOTH
+    # engines yield NULL
+    dof = F.nullif(
+        F.least(
+            F.countDistinct("lang") - 1, F.countDistinct("source") - 1
+        ),
+        F.lit(0),
     )
     return e.agg(
         F.max("n").cast("bigint").alias("n_docs"),

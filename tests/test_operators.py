@@ -3704,3 +3704,35 @@ def test_source_js_divergence_bounds_and_symmetry(spark):
         assert r["jsd_nats"] > 0.1
     # symmetric construction -> symmetric scores
     assert abs(out2["feed_a"]["jsd_nats"] - out2["feed_b"]["jsd_nats"]) < 1e-6
+
+
+def test_spearman_constant_axis_yields_null(spark):
+    """All-equal values in a group: the value-rank axis has zero
+    variance — ANSI corr() would throw DIVIDE_BY_ZERO; the guarded
+    covar/(sd·sd) form must yield NULL (matching DuckDB) instead."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = [
+        Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1 + i),
+            user_id=1,
+            event_type="view",
+            value=5.0,
+            props="{}",
+        )
+        for i in range(6)
+    ]
+    d = tempfile.mkdtemp(prefix="spearman_const_")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = QUERIES["a_spearman_trend"](spark, d).collect()
+    assert len(out) == 1 and out[0]["rho"] is None and out[0]["n"] == 6
