@@ -1324,7 +1324,8 @@ WITH ev AS (
                / 2147483647.0 AS u
     FROM ev CROSS JOIN (SELECT unnest(range(32)) AS r) r
 ), w AS (
-    SELECT event_type, rep, value,
+    SELECT event_type, rep,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_u,
            CASE WHEN u < 0.36787944117144233 THEN 0
                 WHEN u < 0.7357588823428847  THEN 1
                 WHEN u < 0.9196986029286058  THEN 2
@@ -1334,17 +1335,23 @@ WITH ev AS (
     FROM x
 ), per AS (
     SELECT event_type, rep,
-           round(sum(wt * value) / sum(wt), 6) AS rep_mean
+           CAST(floor(CAST(sum(wt * v_u) AS DOUBLE) / sum(wt) / 1000.0
+                      + 0.5) AS BIGINT) AS m
     FROM w GROUP BY event_type, rep
 ), ci AS (
     SELECT event_type,
-           round(avg(rep_mean), 6) AS boot_mean,
-           round(stddev_samp(rep_mean), 6) AS boot_se,
-           round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
-           round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+           round(CAST(sum(m) AS DOUBLE) / 32.0 / 1000.0, 6) AS boot_mean,
+           round(sqrt(greatest(0.0,
+                 (CAST(sum(m * m) AS DOUBLE)
+                  - CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE) / 32.0)
+                 / 31.0)) / 1000.0, 6) AS boot_se,
+           round(quantile_cont(m, 0.025) / 1000.0, 6) AS ci_lo,
+           round(quantile_cont(m, 0.975) / 1000.0, 6) AS ci_hi
     FROM per GROUP BY event_type
 ), obs AS (
-    SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_obs
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1e6, 6) AS mean_obs
     FROM ev GROUP BY event_type
 )
 SELECT obs.event_type, n, mean_obs, boot_mean, boot_se, ci_lo, ci_hi
@@ -1365,10 +1372,14 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash on (event_id * 32 + rep) drives an inverse-CDF Poisson(1)
     lookup (cumulative e^-1/k! thresholds, capped at 5 where the CDF
     tail < 4e-4) — integer ops + one divide, mirrored digit-for-digit
-    in the oracle, so both engines draw the SAME bootstrap. Replicate
-    means are rounded BEFORE the across-replicate quantile/stddev so
-    the 32-value order statistics are engine-stable; percentile() and
-    quantile_cont share the (n-1)*q linear-interpolation definition."""
+    in the oracle, so both engines draw the SAME bootstrap. Values are
+    quantized to micro-unit BIGINTs (floor(x*1e6+0.5)) and replicate
+    means to milli-unit BIGINTs, so every distributed sum is EXACT
+    integer arithmetic (the a_ks_test pattern) — float accumulation
+    order once flipped boot_mean's 6th decimal between runs; the only
+    doubles left are single divisions/sqrt of exact integers, and
+    percentile() / quantile_cont interpolate the same sorted integers
+    under the shared (n-1)*q definition."""
     t = Tables(spark, sf_dir)
     ev = t.events.select("event_type", "value", "event_id")
     us = (
@@ -1384,24 +1395,48 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN u < 0.9963401531726563d  THEN 4 "
         "ELSE 5 END)"
     ).format(u=us)
+    # Exact-integer replicate sums (same pattern as a_ks_test): value is
+    # quantized to micro-units ONCE with floor(x*1e6 + 0.5) — identical
+    # in both engines, no round-half-convention exposure — so every
+    # distributed sum below is BIGINT arithmetic, immune to the float
+    # accumulation-order nondeterminism that once flipped boot_mean's
+    # 6th decimal between otherwise-identical runs. The only doubles are
+    # single divisions / sqrt of exact integers — deterministic IEEE.
+    v_u = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     x = ev.select(
         "event_type",
-        "value",
+        v_u.alias("v_u"),
         F.posexplode(F.expr(wts)).alias("rep", "wt"),
     )
+    # replicate mean quantized to milli-units as an exact integer, so
+    # the across-replicate moment sums below are exact too
     per = x.groupBy("event_type", "rep").agg(
-        F.round(
-            F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 6
-        ).alias("rep_mean")
+        F.floor(
+            F.sum(F.col("wt") * F.col("v_u")).cast("double")
+            / F.sum("wt")
+            / F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("m")
     )
+    sm = F.sum("m").cast("double")
+    smm = F.sum(F.col("m") * F.col("m")).cast("double")
     ci = per.groupBy("event_type").agg(
-        F.round(F.avg("rep_mean"), 6).alias("boot_mean"),
-        F.round(F.stddev_samp("rep_mean"), 6).alias("boot_se"),
-        F.round(F.expr("percentile(rep_mean, 0.025d)"), 6).alias("ci_lo"),
-        F.round(F.expr("percentile(rep_mean, 0.975d)"), 6).alias("ci_hi"),
+        F.round(sm / 32.0 / 1000.0, 6).alias("boot_mean"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), (smm - sm * sm / 32.0) / 31.0))
+            / 1000.0,
+            6,
+        ).alias("boot_se"),
+        F.round(F.expr("percentile(m, 0.025d)") / 1000.0, 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975d)") / 1000.0, 6).alias("ci_hi"),
     )
     obs = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_obs")
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(v_u).cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("mean_obs"),
     )
     return obs.join(F.broadcast(ci), "event_type")
 
