@@ -38,6 +38,44 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r9 wave (VERDICT r8 #1): drain the declared 25-query rotation
+    # queue — every SQL-expressible query registered after the r8
+    # window filled (waves 6-14) earns its first driver hash row THIS
+    # round. Ceding 25 slots: the eight non-streaming multi-round-green
+    # incumbents (cdc_scd2_history, dedup_source_overlap,
+    # split_cluster_safe, text_dsir_weights via ROTATE_TO_SHADOW;
+    # shadow-site dedup_paragraph_exact, text_source_kl,
+    # mix_unimax_weights, sample_quality_stratified delisted below)
+    # plus — forced by queue depth 25 > 8 eligible multi-greens — 17
+    # one-green r8 first-timers (delisted below; each banked its r8
+    # row, keeps the identical hash contract as a pytest shadow).
+    # flagship never cedes; streaming stays 3-deep (session +
+    # cdc_state + hopping).
+    "text_bm25_topk",
+    "a_assoc_rules",
+    "a_rank_normalize",
+    "split_stratified_exact",
+    "a_benford_test",
+    "a_survival_km",
+    "text_lm_interpolated",
+    "a_markov_transitions",
+    "a_ab_welch_test",
+    "a_chi2_independence",
+    "w_time_weighted_avg",
+    "a_gini_value",
+    "text_readability_ari",
+    "a_autocorr_lag1",
+    "a_seasonality_strength",
+    "a_mann_whitney_u",
+    "w_peak_detection",
+    "a_spearman_trend",
+    "a_mutual_info",
+    "a_user_entropy",
+    "a_quantile_bins",
+    "w_streak_runs",
+    "w_gap_stats",
+    "a_psi_drift",
+    "text_jsd_drift",
     # r8 fourth/fifth wave: the eleven queries built later this round
     # (ten batch + the streaming hopping twin) rotate in to earn driver
     # hash rows in their build round; eleven multi-round-green
@@ -45,16 +83,14 @@ ROTATE_TO_ORACLE = [
     # shadow-site text_chunk_tokens is simply delisted below).
     # Streaming stays 3-deep: session + cdc_state + hopping
     # (attribution, 4-for-4 green, cedes).
-    "w_cusum_changepoint",
+    # (r9: w_cusum_changepoint, w_rolling_median, cdc_merge_upsert,
+    # text_zipf_slope, text_lexical_diversity delisted after their r8
+    # green row — ceding to the r9 wave; back to SHADOW_ORACLE.)
     "w_hopping_window",
     "w_session_paths",
-    "w_rolling_median",
-    "cdc_merge_upsert",
     "mix_concentration",
     "a_bootstrap_ci",
     "a_ks_test",
-    "text_zipf_slope",
-    "text_lexical_diversity",
     "stream_hopping_window",
     # r8 third wave: the eight registrations added after the second
     # wave filled the window (two pre-session: w_interval_merge,
@@ -65,13 +101,12 @@ ROTATE_TO_ORACLE = [
     # dedup_cluster_embedding are simply delisted below; oracle-site
     # a_retention_cohorts moves via ROTATE_TO_SHADOW). flagship never
     # cedes; streaming stays 3-deep.
-    "w_interval_merge",
-    "dedup_containment",
+    # (r9: w_interval_merge, dedup_containment, dedup_cluster_sizes
+    # delisted after their r8 green row — ceding to the r9 wave.)
     "text_ngram_novelty",
     "emb_source_drift",
     "sample_epoch_materialize",
     "text_mixed_lang",
-    "dedup_cluster_sizes",
     "w_cumulative_distinct",
     # r8 second wave: the fifteen round-8 registrations (shadow-first —
     # the window was full at registration time) rotate in to earn their
@@ -84,8 +119,9 @@ ROTATE_TO_ORACLE = [
     # a_profile_table, a_funnel_conversion, w_rank_functions,
     # text_heavy_hitters, text_chunk_chars). flagship never cedes;
     # streaming stays 3-deep (attribution + session + cdc_state).
-    "j_bloom_pruned",
-    "j_correlated_subquery",
+    # (r9: j_bloom_pruned, j_correlated_subquery, a_winsorized_stats,
+    # a_trend_fit, w_ewma, w_pattern_match delisted after their r8
+    # green row — ceding to the r9 wave.)
     "incr_stats_merge",
     "gdpr_delete_cascade",
     "dedup_jaccard_prefix",
@@ -93,11 +129,7 @@ ROTATE_TO_ORACLE = [
     "text_semantic_decontaminate",
     "text_ccnet_buckets",
     "text_duplication_score",
-    "a_winsorized_stats",
-    "a_trend_fit",
-    "w_ewma",
     "w_sliding_distinct",
-    "w_pattern_match",
     "sample_training_order",
     # r8 (VERDICT r7 #2): the five late-round-7 registrations that have
     # never earned a driver hash row rotate in; five 3-round-green r5
@@ -105,19 +137,17 @@ ROTATE_TO_ORACLE = [
     # are shadow-first, so delisting returns them to SHADOW_ORACLE):
     # o_set_operations, asof_forward_ship, a_unpivot_user_stats,
     # dedup_incremental_ngram, text_heavy_hitters_lang.
-    "a_outlier_mad",
-    "a_histogram_value",
-    "a_corr_matrix",
+    # (r9: a_outlier_mad, a_histogram_value, a_corr_matrix delisted
+    # after their r8 green row — ceding to the r9 wave.)
     "text_token_contamination",
     "text_remove_dup_spans",
     # r7: the five round-7 queries registered shadow-first (window was
     # full at registration time) rotate in to earn their first driver
     # hash rows this round; five multi-round-green incumbents cede.
-    "mix_unimax_weights",
+    # (r9: mix_unimax_weights, dedup_paragraph_exact,
+    # sample_quality_stratified, text_source_kl delisted after two
+    # green rounds (r7+r8) — the standing multi-round-green cede.)
     "stream_cdc_state",
-    "dedup_paragraph_exact",
-    "sample_quality_stratified",
-    "text_source_kl",
     # r6 (VERDICT r5 #3): text_chunk_tokens rotated in here r6-r7;
     # ceded in the r8 fourth/fifth wave (2 green rounds banked,
     # text_chunk_chars-twin plan) — delisted, returning it to
@@ -133,6 +163,13 @@ ROTATE_TO_ORACLE = [
 ]
 # All 4-for-4 driver-green (r1-r4); the cheapest evidence to trade.
 ROTATE_TO_SHADOW = [
+    # r9 wave ceders with oracle-site registrations (two green rounds
+    # r7+r8 each); shadow-site r9 ceders are delisted from
+    # ROTATE_TO_ORACLE above instead.
+    "cdc_scd2_history",
+    "dedup_source_overlap",
+    "split_cluster_safe",
+    "text_dsir_weights",
     # r8 fourth/fifth wave ceders (3+-green oracle-site incumbents; see
     # ROTATE_TO_ORACLE note): every one keeps the identical hash-equal
     # contract as a pytest shadow check.
@@ -216,6 +253,74 @@ ROTATE_TO_SHADOW = [
     "w4_tail_k",
     "text_fingerprint_groups",
 ]
+
+
+# Every query name that has earned a driver hash row in some past
+# round's CORRECTNESS_r*.json (the union of all driver windows, rounds
+# 1-8; includes the three pre-consolidation names a6/a10/m17 that no
+# longer register). VERDICT r8 #2 structural fix: a SQL-expressible
+# query may sit OUTSIDE the driver window only if it is on this ledger
+# — i.e. new registrations must enter via ROTATE_TO_ORACLE (driver-
+# first) instead of accumulating as a never-checked shadow backlog.
+# Enforced by tests/test_api.py::test_no_never_driver_checked_shadows;
+# extend this ledger only from a new CORRECTNESS record, never to
+# bypass the guard.
+DRIVER_CHECKED_LEDGER = frozenset([
+    "a10_frequency_table", "a11_class_weights", "a12_rowwise_mean",
+    "a13_global_stats", "a14_weighted_mean", "a1_stats_bundle",
+    "a2_higher_moments", "a3_temporal_deltas", "a5_calendar_reagg",
+    "a6_diurnal_range", "a7_half_contrast", "a8_season_scoped",
+    "a9_distinct_counts", "a_bootstrap_ci", "a_corr_matrix",
+    "a_cube_revenue", "a_funnel_conversion", "a_histogram_value",
+    "a_key_skew", "a_ks_test", "a_outlier_iqr", "a_outlier_mad",
+    "a_percentiles", "a_pivot_event_counts", "a_profile_table",
+    "a_retention_cohorts", "a_rollup_revenue", "a_trend_fit",
+    "a_unpivot_user_stats", "a_winsorized_stats", "asof_forward_ship",
+    "asof_nearest_ship", "cdc_latest_state", "cdc_merge_upsert",
+    "cdc_scd2_history", "cdc_snapshot_diff", "corpus_clean_pipeline",
+    "dedup_cluster_embedding", "dedup_cluster_keeper_quality",
+    "dedup_cluster_ngram", "dedup_cluster_sizes", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_incremental_ngram",
+    "dedup_jaccard_prefix", "dedup_levenshtein",
+    "dedup_levenshtein_multipass", "dedup_ngram_jaccard",
+    "dedup_paragraph_exact", "dedup_source_overlap", "emb_source_drift",
+    "f_array_funcs", "f_datetime_parts", "f_json_funcs",
+    "f_lambda_funcs", "f_math_funcs", "f_scalar_funcs",
+    "f_string_funcs", "flagship_interval_stats", "gdpr_delete_cascade",
+    "incr_stats_merge", "j2_key_normalize", "j5_semi_split",
+    "j_bloom_pruned", "j_correlated_subquery", "j_multiway_revenue",
+    "j_outer_anti", "knn_bruteforce", "m13_oof_folds",
+    "m14_ensemble_blend", "m15_auc_roc", "m15_classification_metrics",
+    "m16_regression_metrics", "m17_confusion_matrix",
+    "m1_standard_scale", "m_calibration", "mix_concentration",
+    "mix_temperature_weights", "mix_unimax_weights", "multimodal_bytes",
+    "o4_top1_per_group", "o_set_operations", "p_filter_project",
+    "p_null_guard_cast", "pack_token_shards",
+    "quality_constraint_report", "s2_union_provenance",
+    "sample_epoch_materialize", "sample_group_bottomk",
+    "sample_quality_stratified", "sample_stratified",
+    "sample_training_order", "sample_weighted", "split_cluster_safe",
+    "stream_attribution_join", "stream_cdc_state",
+    "stream_hopping_window", "stream_session_window",
+    "stream_windowed_agg", "text_bigram_logprob", "text_ccnet_buckets",
+    "text_chunk_chars", "text_chunk_tokens", "text_decontaminate",
+    "text_dsir_weights", "text_dup_spans", "text_duplication_score",
+    "text_fingerprint_groups", "text_heavy_hitters",
+    "text_heavy_hitters_lang", "text_inverted_index", "text_lang_id",
+    "text_lexical_diversity", "text_mixed_lang", "text_ngram_novelty",
+    "text_pii_mask", "text_pmi_collocations", "text_quality_profile",
+    "text_remove_dup_spans", "text_repetition_filter",
+    "text_semantic_decontaminate", "text_source_kl", "text_stats",
+    "text_tfidf_keywords", "text_token_contamination",
+    "text_token_counts", "text_token_entropy", "text_unigram_logprob",
+    "text_zipf_slope", "w1_ordered_head", "w3_stride_subsample",
+    "w4_tail_k", "w5_sequence_digest", "w_cumulative_distinct",
+    "w_cusum_changepoint", "w_ewma", "w_hopping_window",
+    "w_interval_merge", "w_pattern_match", "w_rank_functions",
+    "w_resample_ffill", "w_rolling_median", "w_rolling_range",
+    "w_session_paths", "w_session_window", "w_sessionize",
+    "w_sliding_distinct",
+])
 
 
 def load_all() -> None:

@@ -178,6 +178,29 @@ def test_coverage_doc_counts_match_registry():
     assert got == want, f"COVERAGE.md says {got}, registry has {want}"
 
 
+def test_no_never_driver_checked_shadows():
+    """VERDICT r8 #2 structural fix: registration must not outpace the
+    driver's 50-slot window. Every SQL-expressible query OUTSIDE the
+    window (i.e. in SHADOW_ORACLE after rotation) must already hold a
+    driver hash row from a past round (DRIVER_CHECKED_LEDGER, built
+    from the union of CORRECTNESS_r1..r8 records). A new shadow-first
+    registration fails here until it is rotated into the window — so a
+    never-driver-checked backlog can no longer accumulate."""
+    from hive_population_ml_spark import queries
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
+
+    queries.load_all()
+    unchecked = sorted(
+        set(SHADOW_ORACLE) - queries.DRIVER_CHECKED_LEDGER
+    )
+    assert not unchecked, (
+        f"SQL-expressible queries never driver-hash-checked and not in "
+        f"the current window: {unchecked}. Rotate them into "
+        f"ROTATE_TO_ORACLE (ceding green incumbents) instead of "
+        f"registering shadow-first."
+    )
+
+
 def test_sequence_dataset_mirrors_population_alignment(sensor, annotations):
     """use_sequences=True parity: the sequence dataset aligns the same
     (annotation, window) populations as the aggregate dataset, but

@@ -151,33 +151,35 @@ SHADOW_NAMES = [
     "w_rolling_range",
     "stream_attribution_join",
     "text_chunk_tokens",
-    # r8 sixth wave: registered shadow-first (window full)
-    "text_bm25_topk",
-    "a_assoc_rules",
-    "a_rank_normalize",
-    "split_stratified_exact",
-    "a_benford_test",
-    "a_survival_km",
-    "text_lm_interpolated",
-    "a_markov_transitions",
-    "a_ab_welch_test",
-    "a_chi2_independence",
-    # r8 ninth wave
-    "w_time_weighted_avg",
-    "a_gini_value",
-    "text_readability_ari",
-    "a_autocorr_lag1",
-    "a_seasonality_strength",
-    "a_mann_whitney_u",
-    "w_peak_detection",
-    "a_spearman_trend",
-    "a_mutual_info",
-    "a_user_entropy",
-    "a_quantile_bins",
-    "w_streak_runs",
-    "w_gap_stats",
-    "a_psi_drift",
-    "text_jsd_drift",
+    # r9 rotation (VERDICT r8 #1): the 25-query r8 shadow-first queue
+    # (waves 6-14) rotated INTO the driver window; these 25 incumbents
+    # ceded slots (8 multi-round-green + 17 one-green r8 first-timers,
+    # forced by queue depth) and keep the identical hash contract here.
+    "cdc_scd2_history",
+    "dedup_source_overlap",
+    "split_cluster_safe",
+    "text_dsir_weights",
+    "dedup_paragraph_exact",
+    "text_source_kl",
+    "mix_unimax_weights",
+    "sample_quality_stratified",
+    "j_bloom_pruned",
+    "j_correlated_subquery",
+    "cdc_merge_upsert",
+    "a_outlier_mad",
+    "a_histogram_value",
+    "a_corr_matrix",
+    "a_winsorized_stats",
+    "a_trend_fit",
+    "w_ewma",
+    "w_pattern_match",
+    "w_interval_merge",
+    "w_cusum_changepoint",
+    "w_rolling_median",
+    "text_zipf_slope",
+    "text_lexical_diversity",
+    "dedup_containment",
+    "dedup_cluster_sizes",
 ]
 
 
