@@ -248,6 +248,8 @@ DECLARED_UNTIMED = {
     "multimodal_bytes": "binary plumbing micro",
     "multimodal_wav_features": "codec-bound (decode dominates, measured in tests)",
     "multimodal_wav_spectral": "codec-bound",
+    "multimodal_jpeg_features": "codec-bound (python huffman decode "
+    "dominates at fixture scale; RMSE/closed-form pinned in tests)",
     "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
     "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
     "text_topics_lda": "ML fit path (online variational LDA; "

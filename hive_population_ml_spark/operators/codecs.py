@@ -14,9 +14,16 @@ library, so the ``decode_stub=False`` path in
   scanline filters unfiltered per the spec: a real COMPRESSED format,
   decode pinned in tests against an independent forward-filter writer.
 
-These are the codec plug points the stubs document; JPEG/MP3/video stay
-honestly stubbed (no stdlib DCT or video codec exists). Encoders are
-included so tests and fixtures can round-trip without external tools.
+- **Baseline JPEG (SOF0, huffman)** — a real numpy decoder/encoder
+  pair: quality-scaled Annex-K quantization, forward/inverse DCT as an
+  orthogonal matrix product, canonical huffman coding with 0xFF byte
+  stuffing, restart markers, and 4:2:0/4:2:2 chroma upsampling on
+  decode. Progressive / arithmetic / 12-bit JPEG raise
+  NotImplementedError — the honest boundary.
+
+MP3/video stay honestly stubbed (no stdlib audio/video DCT codec is
+feasible here). Encoders are included so tests and fixtures can
+round-trip without external tools.
 """
 
 from __future__ import annotations
@@ -353,3 +360,584 @@ def wav_spectral(data: bytes, n_bands: int = 8) -> list[float]:
     bands = np.zeros(n_bands)
     np.add.at(bands, idx, spec)
     return [centroid, rolloff, *(bands / total).tolist()]
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, huffman entropy coding) — numpy + struct
+# only. Reference semantics: ITU-T T.81 (the public JPEG spec); the
+# quality->table scaling follows the libjpeg convention so fixtures look
+# like real-world encoder output. Per-symbol huffman runs in Python
+# (fixture-scale payloads); the DCT/IDCT over all blocks is one einsum.
+# A production pipeline swaps libjpeg-turbo in at the same dispatch
+# point in operators/multimodal.py.
+# --------------------------------------------------------------------------
+
+# zigzag position k -> natural (row-major) coefficient index. Generated
+# from the defining diagonal traversal: diagonals s = r + c in order;
+# odd diagonals walk down-left (increasing row), even walk up-right.
+_JPEG_ZIGZAG = np.array(
+    sorted(
+        range(64),
+        key=lambda i: (
+            (i >> 3) + (i & 7),
+            (i >> 3) if (((i >> 3) + (i & 7)) & 1) else -(i >> 3),
+        ),
+    ),
+    dtype=np.int64,
+)
+# natural index -> zigzag position (inverse permutation)
+_JPEG_UNZIGZAG = np.argsort(_JPEG_ZIGZAG)
+
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K typical huffman tables (bits-per-length histogram + symbol
+# list in code order). The decoder never assumes these — it reads DHT —
+# so a transcription slip here could only cost compression efficiency,
+# and _huff_encode_table validates structural soundness at build time.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the libjpeg quality convention."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthogonal 8x8 DCT-II matrix T: forward DCT = T @ B @ T.T (equals
+    the T.81 FDCT with its 1/4·C(u)C(v) normalization), IDCT = T.T @ S @ T."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    t = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    t[0, :] = 1.0 / np.sqrt(8.0)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG huffman: symbol -> (code, length). Validates the
+    (bits, vals) shape so a malformed table fails at build, not decode."""
+    if sum(bits) != len(vals):
+        raise ValueError("huffman bits histogram does not match value count")
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("huffman code overflow — invalid bits histogram")
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_encode_table(bits, vals).items()
+    }
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF -> 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self._nbits -= 8
+            self._acc &= (1 << self._nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            # pad final partial byte with 1-bits per T.81 F.1.2.3
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data; un-stuffs 0xFF00
+    and stops at any real marker (leaving pos on the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("hit marker inside entropy stream")
+            else:
+                self.pos += 1
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+    def align(self) -> None:
+        """Discard bits to the next byte boundary (before RST markers)."""
+        self._nbits = 0
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC magnitude category (bit length of |v|)."""
+    return int(abs(v)).bit_length()
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane -> (n_blocks_y, n_blocks_x, 8, 8), edge-replicated
+    padding so partial boundary blocks don't ring against black."""
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_plane_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Level-shift, batch forward DCT, quantize -> int blocks
+    (n_by, n_bx, 8, 8)."""
+    blocks = _blockify(plane.astype(np.float64) - 128.0)
+    coeffs = np.einsum("ij,abjk,lk->abil", _DCT_T, blocks, _DCT_T)
+    q = coeffs / qtable
+    return np.floor(q + 0.5).astype(np.int64)  # round-half-up, sign-symmetric enough
+
+
+def _entropy_encode(
+    writer: _JpegBitWriter,
+    block: np.ndarray,
+    pred: int,
+    dc_table: dict,
+    ac_table: dict,
+) -> int:
+    """One quantized 8x8 block -> bitstream; returns the new DC predictor."""
+    zz = block.reshape(64)[_JPEG_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _jpeg_category(diff)
+    code, length = dc_table[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = ac_table[0x00]  # EOB
+                writer.write(code, length)
+                break
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_table[0xF0]  # ZRL: 16 zeros
+            writer.write(code, length)
+            run -= 16
+        size = _jpeg_category(v)
+        code, length = ac_table[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    return dc
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(payload) + 2) + payload
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 grayscale -> baseline JPEG
+    bytes (SOF0, 4:4:4, standard huffman tables, quality-scaled Annex-K
+    quantization)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB or (H, W) grayscale")
+    h, w = arr.shape[:2]
+    qy, qc = _jpeg_quality_tables(quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qtabs, qids = [qy], [0]
+    else:
+        x = arr.astype(np.float64)
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qtabs, qids = [qy, qc, qc], [0, 1, 1]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(
+        0xFFDB, b"\x00" + bytes(qy.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8))
+    )
+    if not gray:
+        out += _marker(
+            0xFFDB, b"\x01" + bytes(qc.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8))
+        )
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, qids[ci])  # h=v=1
+    out += _marker(0xFFC0, sof)
+    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huffs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in huffs:
+        out += _marker(
+            0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
+        )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _marker(0xFFDA, sos)
+
+    dc_luma = _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_luma = _huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_chroma = _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_chroma = _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    comp_blocks = [
+        _encode_plane_blocks(p, q) for p, q in zip(planes, qtabs)
+    ]
+    nby, nbx = comp_blocks[0].shape[:2]
+    writer = _JpegBitWriter()
+    preds = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                dc_t = dc_luma if ci == 0 else dc_chroma
+                ac_t = ac_luma if ci == 0 else ac_chroma
+                preds[ci] = _entropy_encode(
+                    writer, comp_blocks[ci][by, bx], preds[ci], dc_t, ac_t
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB (or (H, W) for
+    grayscale streams). Supports SOF0 huffman baseline, 8-bit samples,
+    chroma sampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    markers; progressive (SOF2), arithmetic coding, and 12-bit depth
+    raise NotImplementedError."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        tag = data[pos + 1]
+        if tag == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if tag == 0xDB:  # DQT (possibly multiple tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int64)
+                nat = np.empty(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                p += 65
+        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) supported, got SOF marker "
+                f"0xFF{tag:02X}"
+            )
+        elif tag == 0xC0:  # SOF0
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if depth != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", payload, 6 + ci * 3)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = {"h": h, "w": w, "comps": comps}
+        elif tag == 0xC4:  # DHT (possibly multiple tables per segment)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                table = _huff_decode_table(bits, vals)
+                (ac_tables if tc else dc_tables)[th] = table
+                p += 17 + n
+        elif tag == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif tag == 0xDA:  # SOS — entropy-coded data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = payload[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = payload[1 + si * 2], payload[2 + si * 2]
+                comp = next(c for c in sof["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _jpeg_decode_scan(
+                data, pos, sof, scan, qtables, dc_tables, ac_tables,
+                restart_interval,
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(
+    data: bytes,
+    pos: int,
+    sof: dict,
+    scan: list,
+    qtables: dict,
+    dc_tables: dict,
+    ac_tables: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    h, w = sof["h"], sof["w"]
+    comps = [c for c, _, _ in scan]
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise NotImplementedError("JPEG sampling factors beyond 2 unsupported")
+    mcux = (w + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+    reader = _JpegBitReader(data, pos)
+    # per component: quantized coefficient blocks on the MCU-padded grid
+    coeff = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align()
+                if not (
+                    reader.pos + 1 < len(data)
+                    and data[reader.pos] == 0xFF
+                    and 0xD0 <= data[reader.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("expected JPEG restart marker")
+                reader.pos += 2
+                preds = [0] * len(comps)
+            for si, (c, td, ta) in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        sym = reader.read_symbol(dc_tables[td])
+                        diff = 0
+                        if sym:
+                            bits = reader.read_bits(sym)
+                            diff = (
+                                bits
+                                if bits >= (1 << (sym - 1))
+                                else bits - (1 << sym) + 1
+                            )
+                        preds[si] += diff
+                        blk[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_tables[ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("invalid JPEG AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            bits = reader.read_bits(size)
+                            blk[k] = (
+                                bits
+                                if bits >= (1 << (size - 1))
+                                else bits - (1 << size) + 1
+                            )
+                            k += 1
+                        nat = np.empty(64, dtype=np.int64)
+                        nat[_JPEG_ZIGZAG] = blk
+                        coeff[si][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = nat.reshape(8, 8)
+            mcu_count += 1
+    planes = []
+    for si, (c, _, _) in enumerate(scan):
+        deq = coeff[si] * qtables[c["tq"]]
+        pix = np.einsum("ji,abjk,kl->abil", _DCT_T, deq, _DCT_T) + 128.0
+        nby, nbx = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(
+            np.repeat(plane, maxv // c["v"], axis=0), maxh // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_features(data: bytes, dim: int = 8) -> list[float]:
+    """Same feature contract as bmp/png_features, decoded from JPEG."""
+    arr = decode_jpeg(data)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    arr = arr.astype(np.float64) / 255.0
+    h, w, _ = arr.shape
+    gray = arr.mean(axis=2)
+    feats = [
+        float(w),
+        float(h),
+        float(arr[:, :, 0].mean()),
+        float(arr[:, :, 1].mean()),
+        float(arr[:, :, 2].mean()),
+        float(gray.std()),
+    ]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def jpeg_resize(data: bytes, width: int, height: int, quality: int = 85) -> bytes:
+    """Nearest-neighbor resize, re-encoded as baseline JPEG."""
+    arr = decode_jpeg(data)
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_jpeg(arr[rows][:, cols], quality=quality)

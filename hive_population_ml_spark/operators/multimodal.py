@@ -9,8 +9,9 @@ per-row UDFs would serialize item-at-a-time).
 Codec story: PIL/librosa/av are NOT in this container, but two formats
 need only the standard library, so ``decode_stub=False`` is REAL for
 them (``operators/codecs.py``): WAV PCM audio (duration/RMS/peak/ZCR
-features, equal-duration chunking) and uncompressed 24-bit BMP images
-(dimension/channel stats, nearest-neighbor resize). Other media types
+features, equal-duration chunking), uncompressed 24-bit BMP images,
+zlib PNG, and baseline-sequential JPEG (real huffman + DCT decode,
+dimension/channel stats, nearest-neighbor resize). Other media types
 under ``decode_stub=False`` raise NotImplementedError at the exact
 plug point where a production codec slots in. ``decode_stub=True``
 keeps the deterministic byte-derived fakes for format-agnostic
@@ -90,6 +91,58 @@ def synthesize_wav(
     )
 
 
+def synthesize_image(
+    df: DataFrame,
+    id_col: str,
+    width: int = 32,
+    height: int = 24,
+    codec: str = "jpeg",
+    quality: int = 85,
+) -> DataFrame:
+    """Deterministic compressed-image payload per row (a gradient whose
+    orientation and channel phases derive from the id), encoded with the
+    REAL stdlib codec (jpeg | png | bmp) so the compressed-image decode
+    path is exercisable from plain testdata tables. mapInPandas, no
+    shuffle — same posture as synthesize_wav."""
+    if codec not in ("jpeg", "png", "bmp"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                r = (xx * 255 // max(width - 1, 1) + i * 17) % 256
+                g = (yy * 255 // max(height - 1, 1) + i * 29) % 256
+                b = ((xx + yy) * 255 // max(width + height - 2, 1) + i * 43) % 256
+                img = np.stack([r, g, b], axis=2).astype(np.uint8)
+                if codec == "jpeg":
+                    payloads.append(codecs.encode_jpeg(img, quality=quality))
+                elif codec == "png":
+                    payloads.append(codecs.encode_png(img))
+                else:
+                    payloads.append(codecs.encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": payloads,
+                    "media_type": [f"image/{codec}"] * len(pdf),
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def _fake_decode(media: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in features: byte-histogram moments. Replace
     with a real codec (PIL.Image.open etc.) in production."""
@@ -143,10 +196,12 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
         return codecs.bmp_features(media, dim)
     if media_type == "image/png":
         return codecs.png_features(media, dim)
+    if media_type == "image/jpeg":
+        return codecs.jpeg_features(media, dim)
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; executable here: "
-        f"audio/wav, image/bmp, image/png — PIL/librosa/av plug in at "
-        f"this dispatch"
+        f"audio/wav, image/bmp, image/png, image/jpeg — PIL/librosa/av "
+        f"plug in at this dispatch"
     )
 
 
@@ -179,11 +234,13 @@ def resize_media(
                         out.append(codecs.bmp_resize(m, width, height))
                     elif t == "image/png":
                         out.append(codecs.png_resize(m, width, height))
+                    elif t == "image/jpeg":
+                        out.append(codecs.jpeg_resize(m, width, height))
                     else:
                         raise NotImplementedError(
                             f"no stdlib resize codec for media_type={t!r}; "
-                            f"executable here: image/bmp, image/png (PIL "
-                            f"plugs in here)"
+                            f"executable here: image/bmp, image/png, "
+                            f"image/jpeg (PIL plugs in here)"
                         )
             yield pd.DataFrame(
                 {

@@ -3736,3 +3736,248 @@ def test_spearman_constant_axis_yields_null(spark):
     )
     out = QUERIES["a_spearman_trend"](spark, d).collect()
     assert len(out) == 1 and out[0]["rho"] is None and out[0]["n"] == 6
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 9, VERDICT r8 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_zigzag_matches_published_order():
+    """The generated diagonal traversal must equal the T.81 published
+    zigzag sequence — pinned here as an independent literal so a
+    symmetric encode/decode bug can't hide it."""
+    from hive_population_ml_spark.operators import codecs
+
+    published = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert codecs._JPEG_ZIGZAG.tolist() == published
+
+
+def test_jpeg_dct_matrix_matches_direct_formula():
+    """Forward DCT via the matrix product must equal the T.81 FDCT
+    definition S[u,v] = 1/4 C(u) C(v) sum_x sum_y s(x,y) cos cos —
+    transcribed here directly (independent of _dct_matrix)."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    rng = np.random.default_rng(3)
+    block = rng.uniform(-128, 127, (8, 8))
+    got = codecs._DCT_T @ block @ codecs._DCT_T.T
+    want = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            acc = 0.0
+            for x in range(8):
+                for y in range(8):
+                    acc += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            want[u, v] = 0.25 * cu * cv * acc
+    assert np.allclose(got, want, atol=1e-9)
+    # and the matrix is orthogonal, so decode inverts encode exactly
+    assert np.allclose(codecs._DCT_T @ codecs._DCT_T.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_roundtrip_rmse_bounds():
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    enc = codecs.encode_jpeg(img, quality=90)
+    assert len(enc) < img.nbytes // 2  # actually compresses
+    dec = codecs.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    rmse = float(np.sqrt(np.mean((dec.astype(float) - img.astype(float)) ** 2)))
+    assert rmse < 3.0, rmse
+    # worst case content: uniform noise at high quality stays bounded
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    dn = codecs.decode_jpeg(codecs.encode_jpeg(noise, quality=95))
+    rmse_n = float(np.sqrt(np.mean((dn.astype(float) - noise.astype(float)) ** 2)))
+    assert rmse_n < 10.0, rmse_n
+    # grayscale path
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    dg = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    assert dg.shape == (h, w)
+    assert float(np.sqrt(np.mean((dg.astype(float) - g) ** 2))) < 2.0
+
+
+def test_jpeg_flat_field_is_exact():
+    """A flat 128-gray image is DC-only; quantization of a zero-centered
+    block is exact, so decode must reproduce it bit-exactly."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=85))
+    assert np.array_equal(dec, flat)
+
+
+def _handmade_jpeg_420_dc_only() -> tuple[bytes, int, int]:
+    """Hand-author a 16x16 4:2:0 baseline JPEG as raw marker bytes —
+    written against T.81 directly, NOT via encode_jpeg — with DC-only
+    blocks and all-ones quant tables, plus a DRI/RST0 restart exercised
+    between the two MCUs of a 32x16 frame. Decoded flat values are
+    closed-form: pixel = DC / 8 + 128 per plane."""
+    import struct as st
+
+    # trivial huffman tables: symbols 0..11 at increasing lengths is
+    # overkill — use one table with symbols {0, 2} so codes are short:
+    # bits histogram: two codes of length 1? invalid (fills the tree);
+    # use lengths {1, 2}: code(0)='0', code(2)='10'.
+    bits = [1, 1] + [0] * 14
+    vals = [0, 2]  # category-0 (diff 0) and category-2 DC symbols
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)      # DC table 0
+    dht_ac = bytes([0x10]) + bytes(bits) + bytes(vals)   # AC table 0 (EOB='0')
+
+    def seg(tag, payload):
+        return st.pack(">HH", tag, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # all-ones luma quant
+    # SOF0: 16 rows, 32 cols, 3 comps, Y is 2x2, Cb/Cr 1x1 (4:2:0)
+    sof = st.pack(">BHHB", 8, 16, 32, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht)
+    out += seg(0xFFC4, dht_ac)
+    out += seg(0xFFDD, st.pack(">H", 1))  # restart every MCU
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+
+    # Entropy data, MCU 1: Y blocks DC diffs (+16, 0, 0, 0) then Cb +8,
+    # Cr -8. Category-2 value bits: +16 needs cat 5... keep diffs small:
+    # use diff=+2 (cat 2, bits '10') and -2 (cat 2, bits '01').
+    # Stream per block: DC sym + value bits, then AC EOB ('0').
+    def put(bitstr, acc):
+        return acc + bitstr
+
+    b = ""
+    # Y1: diff +2 -> sym2('10') + '10'; EOB '0'
+    b += "10" + "10" + "0"
+    # Y2..Y4: diff 0 -> sym0('0'); EOB '0'
+    b += "00" * 3
+    # Cb: diff +2, Cr: diff -2 ('01' encodes -2 in cat 2)
+    b += "10" + "10" + "0"
+    b += "10" + "01" + "0"
+    b += "1" * ((8 - len(b) % 8) % 8)  # pad to byte with 1s
+    out += int(b, 2).to_bytes(len(b) // 8, "big")
+    out += b"\xff\xd0"  # RST0
+    # MCU 2: predictors reset by RST; all diffs 0
+    b2 = "00" * 4 + "00" + "00"
+    b2 += "1" * ((8 - len(b2) % 8) % 8)
+    out += int(b2, 2).to_bytes(len(b2) // 8, "big")
+    out += b"\xff\xd9"
+    return bytes(out), 16, 32
+
+
+def test_jpeg_decoder_against_hand_authored_420_fixture():
+    """Decoder-independent fixture: raw T.81 marker bytes with DC-only
+    blocks, 4:2:0 sampling, and a restart marker. Closed-form pixels:
+    left MCU has Y=128.25 (DC 2/8) with Cb/Cr offsets, right MCU is
+    neutral 128 everywhere (predictors reset by RST0)."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    data, h, w = _handmade_jpeg_420_dc_only()
+    dec = codecs.decode_jpeg(data)
+    assert dec.shape == (h, w, 3)
+    # Right MCU (cols 16..31): all-zero DC after restart -> exactly 128
+    assert np.array_equal(dec[:, 16:, :], np.full((16, 16, 3), 128, np.uint8))
+    # Left MCU: Y DC diffs (+2, 0, 0, 0) — DC prediction carries across
+    # the component's blocks, so ALL FOUR Y blocks decode to DC=2 ->
+    # Y = 128.25 across the 16x16; chroma upsampled: cb=+0.25, cr=-0.25.
+    y = np.full((16, 16), 128.25)
+    cb = np.full((16, 16), 0.25)
+    cr = np.full((16, 16), -0.25)
+    exp_r = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    exp_g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    exp_b = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    got = dec[:, :16, :].astype(float)
+    assert np.array_equal(got[:, :, 0], exp_r)
+    assert np.array_equal(got[:, :, 1], exp_g)
+    assert np.array_equal(got[:, :, 2], exp_b)
+
+
+def test_jpeg_progressive_raises_honestly():
+    import struct as st
+
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators import codecs
+
+    sof2 = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    data = (
+        b"\xff\xd8"
+        + st.pack(">HH", 0xFFC2, len(sof2) + 2)
+        + sof2
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        codecs.decode_jpeg(data)
+
+
+def test_jpeg_resize_roundtrip():
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack([xx * 8, yy * 8, (xx + yy) * 4], axis=2).astype(np.uint8)
+    small = codecs.jpeg_resize(codecs.encode_jpeg(img, 90), 16, 16)
+    dec = codecs.decode_jpeg(small)
+    assert dec.shape == (16, 16, 3)
+    # nearest-neighbor of a monotone gradient stays monotone-ish
+    assert dec[:, :, 0].astype(int).max() > 200
+
+
+def test_multimodal_real_jpeg_paths_in_spark(spark):
+    """End-to-end Spark plumbing: synthesize_image(jpeg) -> real decode
+    features -> resize, all through mapInPandas with decode_stub=False."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators import codecs, multimodal
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(8)])
+    media = multimodal.synthesize_image(df, "doc_id", width=32, height=24)
+    rows = media.collect()
+    assert len(rows) == 8
+    assert all(r.media_type == "image/jpeg" for r in rows)
+    # every payload is a decodable baseline JPEG of the declared size
+    for r in rows:
+        arr = codecs.decode_jpeg(bytes(r.media))
+        assert arr.shape == (24, 32, 3)
+    feats = multimodal.extract_features(media, dim=8, decode_stub=False)
+    out = {r.id: r.feat for r in feats.collect()}
+    assert len(out) == 8
+    for i, f in out.items():
+        assert f[0] == 32.0 and f[1] == 24.0  # width, height from pixels
+        assert 0.0 <= f[2] <= 1.0 and 0.0 <= f[5] <= 1.0
+    # distinct ids produce distinct images (phase-shifted gradients)
+    assert len({tuple(np.round(f, 6)) for f in out.values()}) == 8
+    resized = multimodal.resize_media(media, 16, 12, decode_stub=False)
+    for r in resized.collect():
+        assert codecs.decode_jpeg(bytes(r.media)).shape == (12, 16, 3)
