@@ -178,6 +178,7 @@ HEADLINE = [
     "a_mutual_info",
     "a_user_entropy",
     "a_quantile_bins",
+    "a_quantile_bins_approx",
     "w_streak_runs",
     "w_gap_stats",
     "a_psi_drift",

@@ -1430,9 +1430,17 @@ def source_js_divergence(
         F.col("n_all") + F.lit(smooth) * F.col("v")
     )
     m = (p_g + p_c) / 2
-    jsd = F.sum(
-        F.lit(0.5) * p_g * F.log(p_g / m) + F.lit(0.5) * p_c * F.log(p_c / m)
-    )
+    # determinism (round 9, the a_ks_test pattern extended to ln-terms):
+    # the JS sum runs over the whole vocabulary, and round(float_sum, 6)
+    # of a many-term distributed double sum can flip on half-boundaries
+    # with partial-merge order. Quantize each per-token term to exact
+    # 1e-12 micro-units (BIGINT) and sum INTEGERS — order-invariant;
+    # one divide at the end. Per-term quantization bias is < vocab/2
+    # micro-units, i.e. < 5e-7 nats at a 1M-token vocabulary — below
+    # the 6-decimal output granularity.
+    term = F.lit(0.5) * p_g * F.log(p_g / m) + F.lit(0.5) * p_c * F.log(p_c / m)
+    jsd_q = F.sum(F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("long"))
+    jsd = jsd_q / F.lit(1e12)
     return (
         corpus.crossJoin(totals)
         .join(per_group, ["g", "t"], "left")

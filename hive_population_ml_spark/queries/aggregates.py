@@ -2427,19 +2427,29 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadow_oracle="""
 WITH r AS (
     SELECT event_type,
-           rank() OVER (PARTITION BY event_type ORDER BY ts)
-             + (count(*) OVER (PARTITION BY event_type, ts) - 1) / 2.0
-             AS rt,
-           rank() OVER (PARTITION BY event_type ORDER BY value)
-             + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
-             AS rv
+           2 * rank() OVER (PARTITION BY event_type ORDER BY ts)
+             + count(*) OVER (PARTITION BY event_type, ts) - 1 AS rt2,
+           2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+             + count(*) OVER (PARTITION BY event_type, value) - 1 AS rv2
     FROM events
+), g AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(rt2 AS HUGEINT)) AS sx,
+           sum(CAST(rv2 AS HUGEINT)) AS sy,
+           sum(CAST(rt2 AS HUGEINT) * rt2) AS sxx,
+           sum(CAST(rv2 AS HUGEINT) * rv2) AS syy,
+           sum(CAST(rt2 AS HUGEINT) * rv2) AS sxy
+    FROM r GROUP BY event_type
 )
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       round(covar_samp(rt, rv)
-             / nullif(stddev_samp(rt) * stddev_samp(rv), 0.0), 6) AS rho
-FROM r GROUP BY event_type
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      0.0), 6) AS rho
+FROM g
 """,
 )
 def a_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,10 +2461,20 @@ def a_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one Pearson corr on the ranks — O(n log n), and robust to the
     whale outliers that bend a_trend_fit's least-squares slope. Ties on
     either axis get exact textbook midranks via the same
-    rank() + (tie_n − 1)/2 identity as a_mann_whitney_u (no dense-rank
-    pass). Scale: every window partitions by event_type, so ONE
-    group-key exchange serves both rank sorts and the rollup reuses
-    the partitioning; rank state is per-group-bounded."""
+    rank() + (tie_n − 1)/2 identity as a_mann_whitney_u — kept in
+    EXACT INTEGER form as DOUBLED midranks (2·rank + tie_n − 1), so
+    the five distributed moment sums are integer-exact and order-
+    invariant (the a_ks_test determinism pattern, round 9: the prior
+    covar_samp/stddev form carried Welford merge states whose float
+    divisions wobble with partial-merge order). The doubling cancels
+    in the Pearson ratio; rho combines the five exact sums in one
+    deterministic double expression, with a nullif guard for all-tied
+    axes (where ANSI corr() would throw and DuckDB returns NULL).
+    Scale: every window partitions by event_type, so ONE group-key
+    exchange serves both rank sorts and the rollup reuses the
+    partitioning; the shuffle carries five integer partials per
+    (group, partition). Products sum in DECIMAL(38,0)/HUGEINT —
+    4n³ stays under 38 digits at any realistic group depth."""
     t = Tables(spark, sf_dir)
     wt_ord = Window.partitionBy("event_type").orderBy("ts")
     wt_tie = Window.partitionBy("event_type", "ts")
@@ -2463,24 +2483,38 @@ def a_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t.events.select(
         "event_type",
         (
-            F.rank().over(wt_ord)
-            + (F.count("*").over(wt_tie) - 1) / 2.0
-        ).alias("rt"),
+            2 * F.rank().over(wt_ord).cast("bigint")
+            + F.count("*").over(wt_tie)
+            - 1
+        ).alias("rt2"),
         (
-            F.rank().over(wv_ord)
-            + (F.count("*").over(wv_tie) - 1) / 2.0
-        ).alias("rv"),
+            2 * F.rank().over(wv_ord).cast("bigint")
+            + F.count("*").over(wv_tie)
+            - 1
+        ).alias("rv2"),
     )
-    return r.groupBy("event_type").agg(
+    rt2d = F.col("rt2").cast("decimal(19,0)")
+    rv2d = F.col("rv2").cast("decimal(19,0)")
+    g = r.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        # all-tied group (every row equal on an axis): ANSI-mode corr()
-        # THROWS DIVIDE_BY_ZERO where DuckDB's returns NULL — the
-        # covar/(sd·sd) form with a nullif guard yields NULL on both
-        # engines (same fix as a_autocorr_lag1)
+        F.sum("rt2").alias("sx"),
+        F.sum("rv2").alias("sy"),
+        F.sum(rt2d * rt2d).alias("sxx"),
+        F.sum(rv2d * rv2d).alias("syy"),
+        F.sum(rt2d * rv2d).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return g.select(
+        "event_type",
+        "n",
         F.round(
-            F.covar_samp("rt", "rv")
+            (nd * sxy - sx * sy)
             / F.nullif(
-                F.stddev_samp("rt") * F.stddev_samp("rv"), F.lit(0.0)
+                F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+                F.lit(0.0),
             ),
             6,
         ).alias("rho"),
@@ -2661,6 +2695,45 @@ def a_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t.events.select(
         "event_type", "value", F.ntile(10).over(w).alias("decile")
     )
+    return r.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(F.avg("value"), 4).alias("bin_avg"),
+    )
+
+
+@register("a_quantile_bins_approx")  # rows-only: sketch edges; bin-mass
+# error vs the exact ntile form pinned in tests/test_scale_toolkit.py
+def a_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB form of a_quantile_bins (VERDICT r8 #4):
+    equi-depth deciles from Greenwald-Khanna cutpoints instead of a
+    per-group ntile sort. The exact form's single group-key exchange
+    carries EVERY row into one sorted partition per group — the 100x
+    probe showed 29x growth when groups deepen 100x. Here the decile
+    EDGES come from one percentile_approx partial agg (fixed mergeable
+    sketch state per partition, #groups result rows, broadcast back),
+    and each row labels itself map-side by counting edges below its
+    value (the text_ccnet_buckets cutpoint pattern) — no full sort
+    anywhere, cost ~flat in group depth. Rank error per edge is
+    <= group_n/accuracy (accuracy=10000). Output columns match the
+    exact query so the two are drop-in swappable; the dispatch rule
+    (exact under ~1M rows/group, sketch above) is documented in
+    PERFORMANCE.md "Per-group order statistics: the dispatch rule"."""
+    t = Tables(spark, sf_dir)
+    cuts = t.events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(10000),
+        ).alias("cuts")
+    )
+    e = t.events.join(F.broadcast(cuts), "event_type")
+    decile = F.aggregate(
+        "cuts",
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+    )
+    r = e.select("event_type", "value", decile.cast("int").alias("decile"))
     return r.groupBy("event_type", "decile").agg(
         F.count("*").cast("bigint").alias("n"),
         F.round(F.min("value"), 6).alias("lo"),

@@ -1007,10 +1007,12 @@ expanded AS (
 )
 SELECT g AS source,
        CAST(max(n_g) AS BIGINT) AS n_tokens,
-       round(sum(0.5 * p_g * ln(p_g / ((p_g + p_c) / 2))
-                 + 0.5 * p_c * ln(p_c / ((p_g + p_c) / 2))), 6) AS jsd_nats,
-       round(sum(0.5 * p_g * ln(p_g / ((p_g + p_c) / 2))
-                 + 0.5 * p_c * ln(p_c / ((p_g + p_c) / 2))) / ln(2.0), 6)
+       round(sum(CAST(floor((0.5 * p_g * ln(p_g / ((p_g + p_c) / 2))
+                 + 0.5 * p_c * ln(p_c / ((p_g + p_c) / 2))) * 1e12 + 0.5)
+                 AS BIGINT)) / 1e12, 6) AS jsd_nats,
+       round(sum(CAST(floor((0.5 * p_g * ln(p_g / ((p_g + p_c) / 2))
+                 + 0.5 * p_c * ln(p_c / ((p_g + p_c) / 2))) * 1e12 + 0.5)
+                 AS BIGINT)) / 1e12 / ln(2.0), 6)
            AS jsd_norm
 FROM expanded
 GROUP BY g
@@ -1023,7 +1025,11 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     range lets a monitor carry ONE alert threshold across feeds of any
     size; jsd_norm rescales to [0,1]). Same smoothed full-vocabulary
     vocab × groups expansion as the KL query — groups are tens, the
-    corpus is scanned once into token counts. Fully differential."""
+    corpus is scanned once into token counts. Fully differential.
+    Round 9: per-token JS terms quantize to exact 1e-12 micro-unit
+    BIGINTs before the distributed sum (the a_ks_test determinism
+    pattern — see PERFORMANCE.md DETERMINISM note) so the vocab-sized
+    float sum can't wobble with partial-merge order."""
     t = Tables(spark, sf_dir)
     return textops.source_js_divergence(t.documents, "source", "text")
 

@@ -411,6 +411,10 @@ EXCHANGE_BUDGETS = {
     # same expansion as text_source_kl: vocab agg + (group,token) agg +
     # group-totals broadcast chain
     "text_jsd_drift": 7,
+    # GK cutpoint agg (1) + map-side decile labels off the broadcast
+    # (BroadcastExchange) + (group,decile) partial agg (1) — NO ntile
+    # sort; the whole point of the sketch twin
+    "a_quantile_bins_approx": 3,
 }
 
 

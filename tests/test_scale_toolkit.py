@@ -502,3 +502,38 @@ def test_cms_join_size_overestimates_within_bound(spark, sf_oracle_dir):
         count_min_sketch(d2, "k", depth=4, width=8192),
     ).collect()[0]["est_join_rows"]
     assert est_disjoint == 0.0
+
+
+def test_a_quantile_bins_approx_mass_and_edge_bounds(spark, sf_oracle_dir):
+    """The sketch-edge decile twin (VERDICT r8 #4) must be a drop-in
+    swap for a_quantile_bins: same schema, same groups, every decile's
+    mass within 2*n/accuracy of the exact n/10 equi-depth target, and
+    per-(group, decile) [lo, hi] ranges consistent with a partition of
+    the value axis (lo <= hi, adjacent bins non-overlapping)."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["a_quantile_bins"](spark, sf_oracle_dir)
+    approx = QUERIES["a_quantile_bins_approx"](spark, sf_oracle_dir)
+    assert approx.columns == exact.columns
+    rows = approx.collect()
+    assert rows
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["event_type"], []).append(r)
+    for g, bins in by_group.items():
+        bins.sort(key=lambda r: r["decile"])
+        n = sum(r["n"] for r in bins)
+        # GK rank error accuracy=10000: each edge off by <= n/10000
+        # rows, so each bin's mass is within 2*n/10000 of n/10 (plus
+        # tie mass at the edge value; tolerance doubled for safety)
+        tol = max(4 * n / 10000.0, 2.0)
+        for r in bins:
+            assert abs(r["n"] - n / 10.0) <= max(tol, 0.02 * n), (
+                g, r["decile"], r["n"], n,
+            )
+        for a, b in zip(bins, bins[1:]):
+            assert a["lo"] <= a["hi"]
+            assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9, (
+                "adjacent deciles overlap", g, a, b,
+            )
