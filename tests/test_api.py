@@ -178,6 +178,35 @@ def test_coverage_doc_counts_match_registry():
     assert got == want, f"COVERAGE.md says {got}, registry has {want}"
 
 
+def test_shadow_shards_partition_registry():
+    """VERDICT r8 #5: the shadow-oracle contract is runnable as N
+    parallel pytest shards (separate Spark sessions) via deterministic
+    markers. Guarantee: the shard assignment PARTITIONS SHADOW_ORACLE —
+    every query lands in exactly one shard, every shard is non-empty,
+    and the union is the whole registry — so running all N shard
+    invocations is provably equivalent to the single full run."""
+    from conftest import N_SHADOW_SHARDS, shadow_shard
+
+    from hive_population_ml_spark import queries
+    from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
+
+    queries.load_all()
+    shards: dict[int, set] = {k: set() for k in range(N_SHADOW_SHARDS)}
+    for name in SHADOW_ORACLE:
+        k = shadow_shard(name)
+        assert 0 <= k < N_SHADOW_SHARDS
+        shards[k].add(name)
+    union = set().union(*shards.values())
+    assert union == set(SHADOW_ORACLE)
+    assert sum(len(v) for v in shards.values()) == len(SHADOW_ORACLE)
+    assert all(shards.values()), (
+        f"empty shard(s): { [k for k, v in shards.items() if not v] } — "
+        f"rebalance N_SHADOW_SHARDS"
+    )
+    # assignment is pure function of the name: stable across processes
+    assert all(shadow_shard(n) == shadow_shard(str(n)) for n in union)
+
+
 def test_no_never_driver_checked_shadows():
     """VERDICT r8 #2 structural fix: registration must not outpace the
     driver's 50-slot window. Every SQL-expressible query OUTSIDE the

@@ -210,7 +210,18 @@ def test_shadow_list_is_complete():
     assert set(SHADOW_NAMES) == set(SHADOW_ORACLE)
 
 
-@pytest.mark.parametrize("name", SHADOW_NAMES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(
+            n,
+            marks=getattr(
+                pytest.mark, f"shadow_shard{__import__('zlib').crc32(n.encode()) % 4}"
+            ),
+        )
+        for n in SHADOW_NAMES
+    ],
+)
 def test_shadow_oracle_differential(spark, sf_oracle_dir, name):
     from hive_population_ml_spark.queries import QUERIES, load_all
     from hive_population_ml_spark.queries.registry import SHADOW_ORACLE
