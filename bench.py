@@ -167,12 +167,14 @@ HEADLINE = [
     "a_chi2_independence",
     "w_time_weighted_avg",
     "a_gini_value",
+    "a_gini_value_approx",
     "text_readability_ari",
     "a_autocorr_lag1",
     "a_seasonality_strength",
     "text_compressibility",
     "mix_cluster_silhouette",
     "a_mann_whitney_u",
+    "a_mann_whitney_binned",
     "w_peak_detection",
     "a_spearman_trend",
     "a_mutual_info",
@@ -182,6 +184,7 @@ HEADLINE = [
     "w_streak_runs",
     "w_gap_stats",
     "a_psi_drift",
+    "a_psi_drift_approx",
     "text_jsd_drift",
 ]
 

@@ -2742,6 +2742,230 @@ def a_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a_gini_value_approx")  # rows-only: sketch-binned Lorenz
+# integral; |approx - exact| <= ~1/n_bins pinned in tests/test_scale_toolkit.py
+def a_gini_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-depth-independent form of a_gini_value (dispatch rule,
+    PERFORMANCE.md): the exact query's 21x-at-100x cost is ONE sort per
+    group for the rank integral 2·Σ(i·x)/(n·Σx). Here the Lorenz curve
+    is evaluated on 64 GK equi-depth bins — cutpoint agg (bounded
+    sketch state), map-side bin labels, a (group, bin) partial agg, and
+    a <=64-row-per-group trapezoid rollup. Grouping values into bins
+    ignores only WITHIN-bin inequality, so the trapezoid underestimates
+    G by at most the largest bin's mass share (~1/64 at equi-depth).
+    Output columns match the exact query (drop-in swap)."""
+    n_bins = 64
+    t = Tables(spark, sf_dir)
+    src = t.events.filter(F.col("value") >= 0)
+    cuts = src.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value",
+            F.array(*[F.lit(k / n_bins) for k in range(1, n_bins)]),
+            F.lit(10000),
+        ).alias("cuts")
+    )
+    e = src.join(F.broadcast(cuts), "event_type")
+    bin_ = F.aggregate(
+        "cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+    )
+    g = e.select("event_type", "value", bin_.alias("bin")).groupBy(
+        "event_type", "bin"
+    ).agg(
+        F.count("*").alias("nb"), F.sum("value").alias("sb")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        (F.sum("nb").over(wc) / F.sum("nb").over(wp)).alias("p"),
+        (F.sum("sb").over(wc) / F.sum("sb").over(wp)).alias("lz"),
+        F.sum("nb").over(wp).alias("n"),
+        F.sum("sb").over(wp).alias("sv"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("p")
+    seg = c.select(
+        "event_type",
+        "n",
+        "sv",
+        (
+            (F.col("p") - F.coalesce(F.lag("p").over(wl), F.lit(0.0)))
+            * (F.col("lz") + F.coalesce(F.lag("lz").over(wl), F.lit(0.0)))
+        ).alias("trap"),
+    )
+    return seg.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("sv"), 4).alias("total_value"),
+        F.round(1.0 - F.sum("trap"), 6).alias("gini"),
+    )
+
+
+@register("a_mann_whitney_binned")  # rows-only: histogram-approximate U;
+# midrank-displacement bound vs the exact twin pinned in
+# tests/test_scale_toolkit.py
+def a_mann_whitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of a_mann_whitney_u (dispatch rule,
+    PERFORMANCE.md; the a_ks_test_binned pattern): the exact test pays
+    a per-group rank sort (18x at 100x group depth); this twin bins
+    values onto a 256-bin fixed-width grid — min/max pre-agg broadcast,
+    map-side bin labels, ONE (group, bin) partial agg whose shuffle
+    carries #groups x 256 x 2 counts regardless of depth — and treats
+    each bin as one tie block, which is EXACTLY the midrank U statistic
+    of the coarsened values: R_A = Σ_i a_i·(cum_before_i + (t_i+1)/2).
+    Each observation's midrank moves < t_i/2 from its exact value, so
+    |ΔR_A| <= Σ a_i·(t_i-1)/2 — the bound the test asserts. Output
+    columns match the exact query (drop-in swap)."""
+    n_bins = 256
+    t = Tables(spark, sf_dir)
+    from ..operators.sampling import uniform_hash
+
+    s = t.events.select(
+        "event_type",
+        "value",
+        F.when(uniform_hash("user_id", mode="minstd") < 0.5, 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    bounds = s.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = s.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "is_a",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    g = b.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("a"), F.sum(1 - F.col("is_a")).alias("bcnt")
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type",
+        "a",
+        "bcnt",
+        F.coalesce(
+            F.sum(F.col("a") + F.col("bcnt")).over(wprev), F.lit(0)
+        ).alias("before"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum("bcnt").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("a")
+            * (F.col("before") + (F.col("a") + F.col("bcnt") + 1) / 2.0)
+        ).alias("r_a"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(u_a, 4).alias("u_a"),
+        F.round(
+            (u_a - F.col("n_a") * F.col("n_b") / 2.0)
+            / F.sqrt(
+                F.col("n_a")
+                * F.col("n_b")
+                * (F.col("n_a") + F.col("n_b") + 1)
+                / 12.0
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register("a_psi_drift_approx")  # rows-only: GK-median half split;
+# |psi - exact| envelope pinned in tests/test_scale_toolkit.py
+def a_psi_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-depth-independent form of a_psi_drift (dispatch rule,
+    PERFORMANCE.md): the exact query's only deep-group cost is the
+    ntile(2) time-half sort (11.4x at 100x depth). Here the half split
+    is a GK median of ts_us per group (bounded sketch agg, #groups-row
+    broadcast, map-side comparison) — rank error <= n/10000 rows land
+    on the wrong side of the split, shifting each bucket's count by at
+    most that much. Everything downstream (equi-width min/max deciles,
+    +0.5/+5 Laplace smoothing, the PSI rollup on the <=|groups|·10
+    pivot) is IDENTICAL to the exact query. Output columns match
+    (drop-in swap)."""
+    t = Tables(spark, sf_dir)
+    src = t.events.select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    med = src.groupBy("event_type").agg(
+        F.percentile_approx("ts_us", F.lit(0.5), F.lit(10000)).alias("med")
+    )
+    # min/max don't depend on the half split — aggregate them straight
+    # off src so the med-join subtree isn't duplicated into a second
+    # scan (saves two exchanges)
+    mm = src.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    j = (
+        src.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mm), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "mn",
+            "mx",
+            F.when(F.col("ts_us") <= F.col("med"), 1)
+            .otherwise(2)
+            .alias("half"),
+        )
+    )
+    width = (F.col("mx") - F.col("mn")) / 10
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(9),
+            )
+        )
+        .alias("bucket")
+    )
+    b = j.groupBy("event_type", bucket).agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("cb"),
+    )
+    wt = Window.partitionBy("event_type")
+    g = b.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 5.0)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 5.0)
+    return g.groupBy("event_type").agg(
+        (F.max("na") + F.max("nb")).cast("bigint").alias("n"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+    )
+
+
 # -- beyond ref: Population Stability Index (temporal drift monitor) --------
 
 @register(

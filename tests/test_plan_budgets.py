@@ -415,6 +415,15 @@ EXCHANGE_BUDGETS = {
     # (BroadcastExchange) + (group,decile) partial agg (1) — NO ntile
     # sort; the whole point of the sketch twin
     "a_quantile_bins_approx": 3,
+    # GK cutpoints (1+bcast) + (group,bin) agg (1) + tiny trapezoid
+    # window on the <=64-row-per-group grid (1)
+    "a_gini_value_approx": 4,
+    # min/max (1+bcast) + (group,bin) agg (1) + cum-before window on
+    # the 256-bin grid (1)
+    "a_mann_whitney_binned": 4,
+    # GK median (1+bcast) + min/max (1+bcast) + (group,bucket) agg +
+    # the group-total window on the <=groups*10 pivot
+    "a_psi_drift_approx": 6,
 }
 
 

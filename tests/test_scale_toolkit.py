@@ -537,3 +537,117 @@ def test_a_quantile_bins_approx_mass_and_edge_bounds(spark, sf_oracle_dir):
             assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9, (
                 "adjacent deciles overlap", g, a, b,
             )
+
+
+def test_a_gini_value_approx_close_to_exact(spark, sf_oracle_dir):
+    """Trapezoid-on-GK-bins Gini must sit within the binning bound of
+    the exact rank-form value: the approximation drops only within-bin
+    inequality, so |G_exact - G_approx| <= max bin mass share (~1/64
+    at equi-depth; 3/64 allowed for sketch edge error), and the
+    trapezoid can only UNDERestimate."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["a_gini_value"](spark, sf_oracle_dir).collect()
+    }
+    approx = QUERIES["a_gini_value_approx"](spark, sf_oracle_dir)
+    assert approx.columns == ["event_type", "n", "total_value", "gini"]
+    rows = approx.collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert r["n"] == e["n"]
+        assert abs(r["total_value"] - e["total_value"]) < 1e-6 * max(
+            1.0, abs(e["total_value"])
+        )
+        assert e["gini"] - r["gini"] >= -3.0 / 64, (r, e)
+        assert abs(r["gini"] - e["gini"]) <= 3.0 / 64, (r, e)
+
+
+def test_a_mann_whitney_binned_within_midrank_bound(spark, sf_oracle_dir):
+    """Binned U is the exact midrank U of the coarsened values; each
+    observation's midrank moves < t_bin/2, so |U_binned - U_exact| <=
+    sum_i a_i*(t_i-1)/2 computed from the bin occupancies. Also: same
+    (n_a, n_b) and the z sign agrees when |z| is non-marginal."""
+    from pyspark.sql import functions as F
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.sampling import uniform_hash
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["a_mann_whitney_u"](spark, sf_oracle_dir).collect()
+    }
+    approx_df = QUERIES["a_mann_whitney_binned"](spark, sf_oracle_dir)
+    assert approx_df.columns == ["event_type", "n_a", "n_b", "u_a", "z"]
+    approx = {r["event_type"]: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    # recompute the per-group displacement bound from the bin grid
+    n_bins = 256
+    s = (
+        Tables(spark, sf_oracle_dir)
+        .events.select(
+            "event_type",
+            "value",
+            F.when(uniform_hash("user_id", mode="minstd") < 0.5, 1)
+            .otherwise(0)
+            .alias("is_a"),
+        )
+    )
+    bounds = s.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    g = (
+        s.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "is_a",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.sum("is_a").alias("a"), F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("a") * (F.col("t") - 1) / 2.0).alias("bound")
+        )
+    )
+    bound = {r["event_type"]: r["bound"] for r in g.collect()}
+    for k, r in approx.items():
+        e = exact[k]
+        assert (r["n_a"], r["n_b"]) == (e["n_a"], e["n_b"])
+        assert abs(r["u_a"] - e["u_a"]) <= bound[k] + 1.0, (k, r, e, bound[k])
+        if abs(e["z"]) > 0.5:
+            assert (r["z"] > 0) == (e["z"] > 0), (k, r, e)
+
+
+def test_a_psi_drift_approx_close_to_exact(spark, sf_oracle_dir):
+    """GK-median half split vs exact ntile(2): at most n/10000 + tie
+    rows flip sides, so bucket counts shift by a vanishing fraction and
+    PSI (a smooth function of bucket proportions) moves by o(1). The
+    envelope asserted here is loose (0.05 absolute) because PSI's ln
+    ratios amplify small-count buckets under Laplace smoothing."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["a_psi_drift"](spark, sf_oracle_dir).collect()
+    }
+    approx_df = QUERIES["a_psi_drift_approx"](spark, sf_oracle_dir)
+    assert approx_df.columns == ["event_type", "n", "psi"]
+    approx = {r["event_type"]: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for k, r in approx.items():
+        e = exact[k]
+        assert r["n"] == e["n"]
+        assert abs(r["psi"] - e["psi"]) <= 0.05, (k, r, e)
