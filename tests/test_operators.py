@@ -157,10 +157,10 @@ def test_multimodal_stub_pipeline(spark, sf_dir):
 
 
 def test_multimodal_real_decode_raises(spark):
-    # image/jpeg stays a loud stub (no stdlib DCT codec); PNG moved to
-    # the real-codec side in round 5
+    # audio/mp3 stays a loud stub (no stdlib MDCT codec); PNG moved to
+    # the real-codec side in round 5, baseline JPEG in round 9
     df = spark.createDataFrame([Row(doc_id=1, text="x")])
-    media = attach_media(df, "doc_id", "text", "image/jpeg")
+    media = attach_media(df, "doc_id", "text", "audio/mp3")
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         extract_features(media, decode_stub=False).collect()
 
