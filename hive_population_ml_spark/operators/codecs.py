@@ -941,3 +941,60 @@ def jpeg_resize(data: bytes, width: int, height: int, quality: int = 85) -> byte
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return encode_jpeg(arr[rows][:, cols], quality=quality)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hash (pHash, DCT variant) — the image-side analog of
+# SimHash: a 64-bit fingerprint whose Hamming distance tracks VISUAL
+# similarity, robust to re-encoding (JPEG quality changes), resizing,
+# and brightness shifts (DC excluded). Public algorithm; pairs feed the
+# same Manku block-combination candidate machinery as text SimHash
+# (operators/dedup.py::fingerprint_pairs).
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix_n(n: int) -> np.ndarray:
+    """Orthogonal n-point DCT-II matrix (generalizes the 8x8 _DCT_T)."""
+    k = np.arange(n).reshape(n, 1)
+    x = np.arange(n).reshape(1, n)
+    t = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    t[0, :] = 1.0 / np.sqrt(n)
+    return t
+
+
+_DCT_T32 = _dct_matrix_n(32)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """(H, W[, C]) uint8 image -> 64-bit perceptual hash.
+
+    Steps: grayscale (channel mean) -> AREA downsample to 32x32 via an
+    integral image (box averaging is what makes the hash stable under
+    codec noise — nearest-neighbor sampling leaks single-pixel JPEG
+    artifacts straight into the DCT) -> 32-point orthogonal DCT ->
+    top-left 8x8 coefficient block -> threshold at the median of the 63
+    AC coefficients. The DC bit is forced 0, so the hash is invariant
+    to global brightness shifts and always fits a non-negative int64
+    (Spark LongType / DuckDB BIGINT safe)."""
+    g = (
+        arr.astype(np.float64).mean(axis=2)
+        if arr.ndim == 3
+        else arr.astype(np.float64)
+    )
+    h, w = g.shape
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    cum = np.zeros((h + 1, w + 1))
+    cum[1:, 1:] = np.cumsum(np.cumsum(g, 0), 1)
+    corners = cum[ys][:, xs]
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    small = (
+        corners[1:, 1:] - corners[:-1, 1:] - corners[1:, :-1] + corners[:-1, :-1]
+    ) / np.maximum(area, 1)
+    d = _DCT_T32 @ small @ _DCT_T32.T
+    block = d[:8, :8].reshape(-1)
+    med = np.median(block[1:])
+    v = 0
+    for i, b in enumerate(block > med):
+        v = (v << 1) | (0 if i == 0 else int(b))
+    return v

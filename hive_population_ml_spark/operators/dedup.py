@@ -476,23 +476,21 @@ def _simhash_tables(max_hamming: int, n_blocks: int | None) -> tuple[int, list[t
     return n_blocks, list(combinations(range(n_blocks), r))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def fingerprint_pairs(
+    fp: DataFrame,
     max_hamming: int = 3,
     n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs among precomputed 64-bit fingerprints — the core
+    of ``simhash_pairs``, factored out (round 9) so ANY 64-bit
+    similarity-preserving hash rides the same Manku block-combination
+    candidate machinery: text SimHash and image pHash
+    (``codecs.phash64``) both land here.
 
-    Candidates via block-combination tables (see ``_simhash_tables`` —
-    exact pigeonhole recall at any ``max_hamming``), verified with
-    bit_count(xor). Exact duplicates share every table; run
-    ``canonical_near_dup_pairs`` (exact-collapse first) so duplicate
-    clusters never reach the bucket expansion — at 100 TB that, plus the
-    ~2^-33 random collision rate of the d=3 keys, keeps bucket sizes
-    O(cluster), not O(corpus/2^16).
-    """
+    Input: a (doc, simhash) frame. Candidates via block-combination
+    tables (``_simhash_tables`` — exact pigeonhole recall at any
+    ``max_hamming``), verified with bit_count(xor). Output:
+    (d1, d2, hamming) with d1 < d2."""
     n_blocks, combos = _simhash_tables(max_hamming, n_blocks)
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     starts = [sum(widths[:i]) for i in range(n_blocks)]
@@ -500,7 +498,6 @@ def simhash_pairs(
     def block(i: int) -> str:
         return f"(shiftrightunsigned(simhash, {starts[i]}) & {(1 << widths[i]) - 1})"
 
-    fp = simhash(df, id_col, text_col)
     # One (table, key) row per combination; key = hash of the agreed
     # blocks (a rare hash collision only adds a candidate the exact
     # hamming verify then drops). SQL-string build: one parse for the
@@ -531,6 +528,28 @@ def simhash_pairs(
             F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidates via block-combination tables (see ``_simhash_tables`` —
+    exact pigeonhole recall at any ``max_hamming``), verified with
+    bit_count(xor). Exact duplicates share every table; run
+    ``canonical_near_dup_pairs`` (exact-collapse first) so duplicate
+    clusters never reach the bucket expansion — at 100 TB that, plus the
+    ~2^-33 random collision rate of the d=3 keys, keeps bucket sizes
+    O(cluster), not O(corpus/2^16).
+    """
+    return fingerprint_pairs(
+        simhash(df, id_col, text_col), max_hamming, n_blocks
     )
 
 

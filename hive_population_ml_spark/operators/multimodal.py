@@ -91,6 +91,27 @@ def synthesize_wav(
     )
 
 
+def _blob_image(pattern: int, width: int, height: int):
+    """Smooth seeded random field — a natural-image stand-in whose
+    energy spreads across the low DCT block (pure gradients/gratings
+    concentrate energy in a few coefficients, which makes perceptual
+    hashes of the near-zero remainder codec-noise-sensitive)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + pattern)
+    ctrl = rng.uniform(30, 225, (8, 8))
+    big = np.kron(ctrl, np.ones((height // 6 + 2, width // 6 + 2)))
+    # box blur for smoothness (integral image, 9x9 window)
+    pad = np.pad(big, 4, mode="edge")
+    cum = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1))
+    cum[1:, 1:] = np.cumsum(np.cumsum(pad, 0), 1)
+    sm = (
+        cum[9:, 9:] - cum[:-9, 9:] - cum[9:, :-9] + cum[:-9, :-9]
+    ) / 81.0
+    g = sm[:height, :width]
+    return np.stack([g, 255 - g, 0.5 * g + 64], axis=2).astype(np.uint8)
+
+
 def synthesize_image(
     df: DataFrame,
     id_col: str,
@@ -98,12 +119,19 @@ def synthesize_image(
     height: int = 24,
     codec: str = "jpeg",
     quality: int = 85,
+    pattern_mod: int | None = None,
+    quality_cycle: tuple = (),
 ) -> DataFrame:
-    """Deterministic compressed-image payload per row (a gradient whose
-    orientation and channel phases derive from the id), encoded with the
+    """Deterministic compressed-image payload per row, encoded with the
     REAL stdlib codec (jpeg | png | bmp) so the compressed-image decode
-    path is exercisable from plain testdata tables. mapInPandas, no
-    shuffle — same posture as synthesize_wav."""
+    path is exercisable from plain testdata tables. Default: a gradient
+    whose channel phases derive from the id (every id distinct). With
+    ``pattern_mod`` set, rows share one of ``pattern_mod`` smooth
+    seeded random-field images (id % pattern_mod) and — if
+    ``quality_cycle`` is given — repeats of a pattern encode at
+    cycling JPEG qualities, producing byte-DISTINCT payloads of
+    visually IDENTICAL images: the perceptual-dedup fixture.
+    mapInPandas, no shuffle — same posture as synthesize_wav."""
     if codec not in ("jpeg", "png", "bmp"):
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -117,12 +145,23 @@ def synthesize_image(
             payloads = []
             for i in pdf["id"]:
                 i = int(i)
-                r = (xx * 255 // max(width - 1, 1) + i * 17) % 256
-                g = (yy * 255 // max(height - 1, 1) + i * 29) % 256
-                b = ((xx + yy) * 255 // max(width + height - 2, 1) + i * 43) % 256
-                img = np.stack([r, g, b], axis=2).astype(np.uint8)
+                if pattern_mod is not None:
+                    img = _blob_image(i % pattern_mod, width, height)
+                    q = (
+                        quality_cycle[(i // pattern_mod) % len(quality_cycle)]
+                        if quality_cycle
+                        else quality
+                    )
+                else:
+                    r = (xx * 255 // max(width - 1, 1) + i * 17) % 256
+                    g = (yy * 255 // max(height - 1, 1) + i * 29) % 256
+                    b = (
+                        (xx + yy) * 255 // max(width + height - 2, 1) + i * 43
+                    ) % 256
+                    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+                    q = quality
                 if codec == "jpeg":
-                    payloads.append(codecs.encode_jpeg(img, quality=quality))
+                    payloads.append(codecs.encode_jpeg(img, quality=q))
                 elif codec == "png":
                     payloads.append(codecs.encode_png(img))
                 else:
@@ -141,6 +180,46 @@ def synthesize_image(
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+PHASH_SCHEMA = "id bigint, media_type string, phash bigint"
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """Perceptual 64-bit image hash per media row (codecs.phash64 —
+    DCT pHash): decode (jpeg/png/bmp), grayscale, area-downsample,
+    32-point DCT, median-threshold the low 8x8 block. mapInPandas,
+    partition-preserving; the hash column feeds
+    ``dedup.fingerprint_pairs`` for Hamming-banded near-dup pairing —
+    the image-side twin of text SimHash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            hashes = []
+            for m, t in zip(pdf["media"], pdf["media_type"]):
+                m = bytes(m)
+                if t == "image/jpeg":
+                    arr = codecs.decode_jpeg(m)
+                elif t == "image/png":
+                    arr = codecs.decode_png(m)
+                elif t == "image/bmp":
+                    arr = codecs.decode_bmp(m)
+                else:
+                    raise NotImplementedError(
+                        f"phash needs a decodable image type, got {t!r}"
+                    )
+                hashes.append(codecs.phash64(arr))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "phash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
 def _fake_decode(media: bytes, dim: int = 8) -> list[float]:

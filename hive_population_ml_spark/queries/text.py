@@ -193,6 +193,35 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_image_phash")  # rows-only: perceptual hash, not SQL
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (round 9): DCT pHash over REAL decoded
+    JPEG pixels, paired by Hamming distance through the SAME Manku
+    block-combination machinery as text SimHash
+    (dedup.fingerprint_pairs) — the multimodal pipeline's "same image,
+    different bytes" detector (re-encodes, quality changes). Fixture:
+    192 docs share 24 seeded random-field images, each repeat
+    JPEG-encoded at a cycling quality (75/90) so payload BYTES differ
+    while pixels stay visually identical — exact/byte dedup finds
+    nothing, pHash at d<=6 must pair exactly the same-pattern docs
+    (measured margins: intra <=6, inter >=16; pinned in
+    tests/test_operators.py). Scale: decode+hash is a zero-shuffle
+    Arrow mapInPandas pass; banding is the audited SimHash shape."""
+    from ..operators import multimodal
+    from ..operators.dedup import fingerprint_pairs
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < 192)
+    media = multimodal.synthesize_image(
+        docs, "doc_id", width=64, height=48,
+        pattern_mod=24, quality_cycle=(75, 90),
+    )
+    fp = multimodal.phash_media(media).select(
+        F.col("id").alias("doc"), F.col("phash").alias("simhash")
+    )
+    return fingerprint_pairs(fp, max_hamming=6).orderBy("d1", "d2")
+
+
 @register(
     "text_fingerprint_groups",
     oracle="""

@@ -3981,3 +3981,53 @@ def test_multimodal_real_jpeg_paths_in_spark(spark):
     resized = multimodal.resize_media(media, 16, 12, decode_stub=False)
     for r in resized.collect():
         assert codecs.decode_jpeg(bytes(r.media)).shape == (12, 16, 3)
+
+
+def test_phash64_invariance_and_separation():
+    """pHash margins on the fixture family: re-encoding the SAME image
+    at different JPEG qualities moves the hash <= 6 bits; DIFFERENT
+    seeded random-field images stay >= 12 bits apart (measured 16); the
+    DC bit is always zero so the hash fits non-negative int64."""
+    import itertools
+
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import _blob_image
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    hashes = {}
+    for pat in range(12):
+        img = _blob_image(pat, 64, 48)
+        h_raw = codecs.phash64(img)
+        h75 = codecs.phash64(codecs.decode_jpeg(codecs.encode_jpeg(img, 75)))
+        h90 = codecs.phash64(codecs.decode_jpeg(codecs.encode_jpeg(img, 90)))
+        assert 0 <= h_raw < 2**63  # DC bit zeroed -> LongType-safe
+        assert max(ham(h_raw, h75), ham(h_raw, h90), ham(h75, h90)) <= 6
+        hashes[pat] = (h_raw, h75, h90)
+    for p, q in itertools.combinations(hashes, 2):
+        d = min(ham(x, y) for x in hashes[p] for y in hashes[q])
+        assert d >= 12, (p, q, d)
+    # determinism
+    assert codecs.phash64(_blob_image(3, 64, 48)) == hashes[3][0]
+
+
+def test_dedup_image_phash_pairs_exactly_same_pattern_docs(spark, sf_oracle_dir):
+    """End-to-end: 192 docs / 24 shared images / cycling JPEG quality.
+    Byte hashes differ (exact dedup would find nothing at quality
+    boundaries), but the pHash pairing must return EXACTLY the
+    same-pattern pairs: 24 * C(8,2) = 672, no false positives."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["dedup_image_phash"](spark, sf_oracle_dir).collect()
+    got = {(r["d1"], r["d2"]) for r in rows}
+    want = {
+        (a, b)
+        for pat in range(24)
+        for a in range(pat, 192, 24)
+        for b in range(pat, 192, 24)
+        if a < b
+    }
+    assert got == want
+    assert all(r["hamming"] <= 6 for r in rows)
