@@ -256,6 +256,8 @@ DECLARED_UNTIMED = {
     "dominates at fixture scale; RMSE/closed-form pinned in tests)",
     "dedup_image_phash": "codec-bound (192 python JPEG decodes dominate; "
     "banding is the timed SimHash shape; margins pinned in tests)",
+    "multimodal_image_quality": "codec-bound (decode dominates; "
+    "monotonicity pinned in tests)",
     "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
     "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
     "text_topics_lda": "ML fit path (online variational LDA; "

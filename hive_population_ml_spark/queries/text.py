@@ -193,6 +193,34 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_image_quality")  # rows-only: pixel metrics, not SQL
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality screen (round 9) over REAL decoded JPEG pixels:
+    brightness / RMS contrast / Laplacian-variance sharpness / 8-bin
+    intensity entropy per image — the pre-training gate an image corpus
+    runs before expensive scoring (the image twin of
+    text_quality_profile). Monotonicity pins in tests: blurring an
+    image strictly drops sharpness; flat fills score ~0 entropy."""
+    from ..operators import multimodal
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_image(
+        docs, "doc_id", width=64, height=48, pattern_mod=25
+    )
+    q = multimodal.image_quality(media)
+    return q.select(
+        "id",
+        "media_type",
+        "width",
+        "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"),
+        F.round("sharpness", 8).alias("sharpness"),
+        F.round("entropy8", 6).alias("entropy8"),
+    )
+
+
 @register("dedup_image_phash")  # rows-only: perceptual hash, not SQL
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (round 9): DCT pHash over REAL decoded

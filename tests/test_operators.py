@@ -4031,3 +4031,53 @@ def test_dedup_image_phash_pairs_exactly_same_pattern_docs(spark, sf_oracle_dir)
     }
     assert got == want
     assert all(r["hamming"] <= 6 for r in rows)
+
+
+def test_image_quality_blur_monotonicity_and_flat_field(spark):
+    """Quality-screen pins: (1) box-blurring an image strictly drops
+    Laplacian-variance sharpness; (2) a flat fill scores ~0 contrast,
+    sharpness, and entropy; (3) entropy of a balanced two-tone image
+    is ~1 bit."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import (
+        _blob_image,
+        attach_media,
+        image_quality,
+    )
+
+    # high-frequency subject: seeded noise — blurring it collapses the
+    # Laplacian variance by orders of magnitude (a smooth blob barely
+    # moves, uint8 quantization noise dominating the margin)
+    rng = np.random.default_rng(17)
+    sharp = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    blurred = sharp.copy()
+    for _ in range(2):  # two 3x3 box passes (edge-padded — np.roll's
+        # wraparound would manufacture a seam that SPIKES the Laplacian)
+        b = np.pad(
+            blurred.astype(np.float64), ((1, 1), (1, 1), (0, 0)), mode="edge"
+        )
+        acc = np.zeros_like(blurred, dtype=np.float64)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                acc += b[dy : dy + 48, dx : dx + 64]
+        blurred = (acc / 9).astype(np.uint8)
+    flat = np.full((48, 64, 3), 77, np.uint8)
+    two_tone = np.zeros((48, 64, 3), np.uint8)
+    two_tone[:, 32:] = 255
+
+    rows = [
+        Row(id=i, media=codecs.encode_png(img), media_type="image/png",
+            width=64, height=48, n_bytes=0)
+        for i, img in enumerate([sharp, blurred, flat, two_tone])
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["id"]: r for r in image_quality(df).collect()}
+    assert out[0]["sharpness"] > 10 * out[1]["sharpness"] > 0
+    assert out[2]["sharpness"] == 0.0 and out[2]["contrast"] < 1e-12
+    assert out[2]["entropy8"] == 0.0
+    assert abs(out[3]["entropy8"] - 1.0) < 0.01
+    assert abs(out[3]["brightness"] - 0.5) < 0.01
+    assert all(r["width"] == 64 and r["height"] == 48 for r in out.values())
