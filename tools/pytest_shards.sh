@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Parallel shadow-oracle contract runner (VERDICT r8 #5).
+#
+# The 118-query shadow differential contract is sharded by deterministic
+# pytest markers (crc32(name) % 4 -> shadow_shard0..3; assignment pinned
+# as an exact partition of SHADOW_ORACLE by
+# tests/test_api.py::test_shadow_shards_partition_registry).
+# Each shard runs in its OWN pytest process / Spark session, so the four
+# runs execute concurrently on a multicore box; the union of the four is
+# provably equivalent to the single full run.
+#
+# Usage: tools/pytest_shards.sh  [extra pytest args...]
+set -u
+cd "$(dirname "$0")/.."
+pids=()
+rc=0
+for k in 0 1 2 3; do
+    python -m pytest tests/test_sampling.py -m "shadow_shard${k}" -q \
+        --junit-xml="/tmp/shadow_shard${k}.xml" "$@" \
+        > "/tmp/shadow_shard${k}.log" 2>&1 &
+    pids+=($!)
+done
+for i in 0 1 2 3; do
+    if ! wait "${pids[$i]}"; then
+        rc=1
+        echo "shard ${i}: FAILED (see /tmp/shadow_shard${i}.log)"
+    else
+        tail -1 "/tmp/shadow_shard${i}.log" | sed "s/^/shard ${i}: /"
+    fi
+done
+exit $rc
