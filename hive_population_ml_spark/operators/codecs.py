@@ -992,7 +992,13 @@ def phash64(arr: np.ndarray) -> int:
         corners[1:, 1:] - corners[:-1, 1:] - corners[1:, :-1] + corners[:-1, :-1]
     ) / np.maximum(area, 1)
     d = _DCT_T32 @ small @ _DCT_T32.T
-    block = d[:8, :8].reshape(-1)
+    # quantize to 1e-6 before thresholding: a FLAT (or near-flat) image
+    # has mathematically-zero AC coefficients whose float residue
+    # (~1e-13, DC-magnitude-dependent) would otherwise turn into
+    # arbitrary brightness-sensitive bits. After rounding, flat fields
+    # hash to exactly 0 and unclipped global brightness shifts can't
+    # perturb any bit.
+    block = np.round(d[:8, :8].reshape(-1), 6)
     med = np.median(block[1:])
     v = 0
     for i, b in enumerate(block > med):

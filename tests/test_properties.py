@@ -293,3 +293,94 @@ def test_dup_spans_matches_python_reference(spark, texts):
     # ordering ties beyond the sort key triple are impossible (span is
     # unique), so the comparison is exact
     assert got == expected
+
+
+# -- round-9 additions: pHash / banding recall / JPEG round-trip ------------
+
+_fp_sets = st.lists(
+    st.integers(min_value=0, max_value=2**63 - 1),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(fps=_fp_sets, d=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_fingerprint_pairs_exact_recall_and_precision(spark, fps, d):
+    """Pigeonhole property of the Manku block tables, for ANY 64-bit
+    fingerprint multiset: fingerprint_pairs at max_hamming=d returns
+    EXACTLY the brute-force pairs within Hamming d — recall is exact by
+    the block-combination construction, precision is exact because of
+    the bit_count(xor) verify."""
+    from hive_population_ml_spark.operators.dedup import fingerprint_pairs
+
+    fp = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps)], "doc long, simhash long"
+    )
+    got = {
+        (r["d1"], r["d2"])
+        for r in fingerprint_pairs(fp, max_hamming=d).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= d
+    }
+    assert got == want
+
+
+_ctrl_grid = st.lists(
+    st.lists(st.integers(min_value=30, max_value=225), min_size=6, max_size=6),
+    min_size=6,
+    max_size=6,
+)
+
+
+@given(grid=_ctrl_grid, shift=st.integers(min_value=-20, max_value=20))
+@SETTINGS
+def test_phash_brightness_invariance_and_upscale_stability(grid, shift):
+    """pHash zeroes the DC bit, so an UNCLIPPED global brightness shift
+    must leave the hash untouched; area downsampling makes a 2x
+    nearest-neighbor upscale a near-no-op (Hamming <= 4)."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators.codecs import phash64
+
+    ctrl = np.array(grid, dtype=np.float64)
+    # 64x64 so both the image (64->32: exact 2x2 area means) and its 2x
+    # upscale (128->32: exact 4x4 means) land on ALIGNED resample grids
+    # — the upscale is then a strict hash no-op, not merely "close"
+    big = np.kron(ctrl, np.ones((11, 11)))[:64, :64]
+    img = np.clip(big, 30, 225).astype(np.uint8)
+    h0 = phash64(img)
+    shifted = (img.astype(np.int64) + shift)
+    assert shifted.min() >= 0 and shifted.max() <= 255  # no clipping
+    assert phash64(shifted.astype(np.uint8)) == h0
+    up = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert phash64(up) == h0
+
+
+@given(grid=_ctrl_grid, quality=st.integers(min_value=80, max_value=95))
+@SETTINGS
+def test_jpeg_roundtrip_rmse_bounded_on_random_blocky_images(grid, quality):
+    """encode->decode at quality 80-95 keeps pixel RMSE under 12 for
+    ANY control-grid image hypothesis produces — including the
+    worst-case alternating-extreme grids whose hard 30<->225 block
+    edges maximize ringing (measured ~10.5 at q80; a broken huffman/
+    zigzag/IDCT path lands at RMSE 50+). The strict <3 bound on smooth
+    gradients lives in tests/test_operators.py; output dims always
+    match input."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    ctrl = np.array(grid, dtype=np.float64)
+    big = np.kron(ctrl, np.ones((9, 9)))[:50, :52]
+    g = big
+    img = np.stack([g, 255 - g, 0.5 * g + 60], axis=2).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    rmse = float(np.sqrt(np.mean((dec.astype(float) - img.astype(float)) ** 2)))
+    assert rmse < 12.0, rmse
