@@ -14,12 +14,15 @@ library, so the ``decode_stub=False`` path in
   scanline filters unfiltered per the spec: a real COMPRESSED format,
   decode pinned in tests against an independent forward-filter writer.
 
-- **Baseline JPEG (SOF0, huffman)** — a real numpy decoder/encoder
-  pair: quality-scaled Annex-K quantization, forward/inverse DCT as an
-  orthogonal matrix product, canonical huffman coding with 0xFF byte
-  stuffing, restart markers, and 4:2:0/4:2:2 chroma upsampling on
-  decode. Progressive / arithmetic / 12-bit JPEG raise
-  NotImplementedError — the honest boundary.
+- **JPEG (SOF0 baseline + SOF2 progressive, huffman)** — a real numpy
+  decoder/encoder pair: quality-scaled Annex-K quantization,
+  forward/inverse DCT as an orthogonal matrix product, canonical
+  huffman coding with 0xFF byte stuffing, restart markers, 4:2:0/4:2:2
+  chroma upsampling, multi-scan progressive decode (spectral
+  selection, successive approximation, EOB runs) and a
+  spectral-selection progressive encoder. Arithmetic coding / 12-bit /
+  lossless / hierarchical raise NotImplementedError — the honest
+  boundary.
 
 MP3/video stay honestly stubbed (no stdlib audio/video DCT codec is
 feasible here). Encoders are included so tests and fixtures can
@@ -363,7 +366,7 @@ def wav_spectral(data: bytes, n_bands: int = 8) -> list[float]:
 
 
 # --------------------------------------------------------------------------
-# JPEG (baseline sequential DCT, huffman entropy coding) — numpy + struct
+# JPEG (baseline + progressive DCT, huffman entropy coding) — numpy + struct
 # only. Reference semantics: ITU-T T.81 (the public JPEG spec); the
 # quality->table scaling follows the libjpeg convention so fixtures look
 # like real-world encoder output. Per-symbol huffman runs in Python
@@ -618,22 +621,28 @@ def _encode_plane_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     return np.floor(q + 0.5).astype(np.int64)  # round-half-up, sign-symmetric enough
 
 
-def _entropy_encode(
-    writer: _JpegBitWriter,
-    block: np.ndarray,
-    pred: int,
-    dc_table: dict,
-    ac_table: dict,
+def _encode_dc(
+    writer: _JpegBitWriter, block: np.ndarray, pred: int, dc_table: dict
 ) -> int:
-    """One quantized 8x8 block -> bitstream; returns the new DC predictor."""
-    zz = block.reshape(64)[_JPEG_ZIGZAG]
-    dc = int(zz[0])
+    """Huffman-encode one block's DC diff; returns the new predictor."""
+    dc = int(block.reshape(64)[0])
     diff = dc - pred
     size = _jpeg_category(diff)
     code, length = dc_table[size]
     writer.write(code, length)
     if size:
         writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    return dc
+
+
+def _encode_ac_band(
+    writer: _JpegBitWriter, block: np.ndarray, ac_table: dict
+) -> None:
+    """Huffman-encode one block's AC band 1..63 (run-length + EOB).
+    In a baseline scan this follows _encode_dc; in a progressive
+    spectral-selection AC scan it IS the whole data unit (the EOB0
+    symbol doubles as an EOB-run of one)."""
+    zz = block.reshape(64)[_JPEG_ZIGZAG]
     run = 0
     last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
     for k in range(1, 64):
@@ -654,6 +663,19 @@ def _entropy_encode(
         writer.write(code, length)
         writer.write(v if v > 0 else v + (1 << size) - 1, size)
         run = 0
+
+
+def _entropy_encode(
+    writer: _JpegBitWriter,
+    block: np.ndarray,
+    pred: int,
+    dc_table: dict,
+    ac_table: dict,
+) -> int:
+    """One quantized 8x8 block -> baseline bitstream (DC diff + AC band);
+    returns the new DC predictor."""
+    dc = _encode_dc(writer, block, pred, dc_table)
+    _encode_ac_band(writer, block, ac_table)
     return dc
 
 
@@ -661,10 +683,17 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">HH", tag, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W) uint8 grayscale -> baseline JPEG
-    bytes (SOF0, 4:4:4, standard huffman tables, quality-scaled Annex-K
-    quantization)."""
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, progressive: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 grayscale -> JPEG bytes
+    (4:4:4, standard huffman tables, quality-scaled Annex-K
+    quantization). ``progressive=False``: baseline SOF0, one
+    interleaved full-band scan. ``progressive=True``: SOF2 with
+    spectral selection — one interleaved DC scan followed by one
+    non-interleaved AC(1..63) scan per component (per-block EOB0,
+    i.e. EOB-runs of one). Both orders carry the SAME quantized
+    coefficients, so the two decodes are pixel-identical."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -696,7 +725,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack(">BBB", ci + 1, 0x11, qids[ci])  # h=v=1
-    out += _marker(0xFFC0, sof)
+    out += _marker(0xFFC2 if progressive else 0xFFC0, sof)
     huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
     if not gray:
         huffs += [
@@ -707,12 +736,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += _marker(
             0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
         )
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += _marker(0xFFDA, sos)
-
     dc_luma = _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_luma = _huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_chroma = _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
@@ -721,27 +744,75 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         _encode_plane_blocks(p, q) for p, q in zip(planes, qtabs)
     ]
     nby, nbx = comp_blocks[0].shape[:2]
-    writer = _JpegBitWriter()
-    preds = [0] * ncomp
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(ncomp):
-                dc_t = dc_luma if ci == 0 else dc_chroma
-                ac_t = ac_luma if ci == 0 else ac_chroma
-                preds[ci] = _entropy_encode(
-                    writer, comp_blocks[ci][by, bx], preds[ci], dc_t, ac_t
-                )
-    out += writer.flush()
+    if not progressive:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        out += _marker(0xFFDA, sos)
+        writer = _JpegBitWriter()
+        preds = [0] * ncomp
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(ncomp):
+                    dc_t = dc_luma if ci == 0 else dc_chroma
+                    ac_t = ac_luma if ci == 0 else ac_chroma
+                    preds[ci] = _entropy_encode(
+                        writer, comp_blocks[ci][by, bx], preds[ci], dc_t, ac_t
+                    )
+        out += writer.flush()
+    else:
+        # scan 1: interleaved DC, full precision (Ss=Se=0, Ah=Al=0)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x00\x00"
+        out += _marker(0xFFDA, sos)
+        writer = _JpegBitWriter()
+        preds = [0] * ncomp
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(ncomp):
+                    preds[ci] = _encode_dc(
+                        writer,
+                        comp_blocks[ci][by, bx],
+                        preds[ci],
+                        dc_luma if ci == 0 else dc_chroma,
+                    )
+        out += writer.flush()
+        # scans 2..: per-component AC band 1..63 (non-interleaved)
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+            sos += b"\x01\x3f\x00"
+            out += _marker(0xFFDA, sos)
+            writer = _JpegBitWriter()
+            for by in range(nby):
+                for bx in range(nbx):
+                    _encode_ac_band(
+                        writer,
+                        comp_blocks[ci][by, bx],
+                        ac_luma if ci == 0 else ac_chroma,
+                    )
+            out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def _jpeg_extend(bits: int, size: int) -> int:
+    """T.81 F.12 EXTEND: map a size-bit magnitude code to its signed value."""
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB (or (H, W) for
-    grayscale streams). Supports SOF0 huffman baseline, 8-bit samples,
-    chroma sampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0), restart
-    markers; progressive (SOF2), arithmetic coding, and 12-bit depth
-    raise NotImplementedError."""
+    """JPEG bytes -> (H, W, 3) uint8 RGB (or (H, W) for grayscale).
+
+    Supports baseline sequential (SOF0) AND progressive (SOF2) huffman
+    JPEG: multi-scan spectral selection, successive approximation
+    (DC/AC first + refinement passes, EOB runs), 8-bit samples, chroma
+    sampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.
+    Coefficients accumulate across scans and dequantize/IDCT once at
+    EOI. Arithmetic coding, 12-bit depth, lossless and hierarchical
+    modes raise NotImplementedError — the honest boundary."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -749,7 +820,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     sof = None
+    coeff: list[np.ndarray] = []
     restart_interval = 0
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -759,24 +832,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         payload = data[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
-        if tag == 0xDB:  # DQT (possibly multiple tables per segment)
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+        if tag == 0xDB:  # DQT
+            pp = 0
+            while pp < len(payload):
+                pq, tq = payload[pp] >> 4, payload[pp] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit JPEG quant tables unsupported")
-                zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int64)
+                zz = np.frombuffer(payload, np.uint8, 64, pp + 1).astype(np.int64)
                 nat = np.empty(64, dtype=np.int64)
                 nat[_JPEG_ZIGZAG] = zz
                 qtables[tq] = nat.reshape(8, 8)
-                p += 65
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                     0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, got SOF marker "
-                f"0xFF{tag:02X}"
-            )
-        elif tag == 0xC0:  # SOF0
+                pp += 65
+        elif tag in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             depth, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if depth != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -784,120 +851,226 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 6 + ci * 3)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            sof = {"h": h, "w": w, "comps": comps}
-        elif tag == 0xC4:  # DHT (possibly multiple tables per segment)
-            p = 0
-            while p < len(payload):
-                tc, th = payload[p] >> 4, payload[p] & 0x0F
-                bits = list(payload[p + 1 : p + 17])
+            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+                raise NotImplementedError("JPEG sampling factors beyond 2 unsupported")
+            maxh = max(c["h"] for c in comps)
+            maxv = max(c["v"] for c in comps)
+            mcux = (w + 8 * maxh - 1) // (8 * maxh)
+            mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+            sof = {
+                "h": h, "w": w, "comps": comps, "maxh": maxh, "maxv": maxv,
+                "mcux": mcux, "mcuy": mcuy,
+                "progressive": tag == 0xC2,
+            }
+            # full-frame natural-order coefficient store, one padded
+            # grid per component; scans fill it in, possibly bit-planes
+            # at a time
+            coeff = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline (SOF0) and progressive (SOF2) huffman JPEG "
+                f"supported, got SOF marker 0xFF{tag:02X}"
+            )
+        elif tag == 0xC4:  # DHT
+            pp = 0
+            while pp < len(payload):
+                tc, th = payload[pp] >> 4, payload[pp] & 0x0F
+                bits = list(payload[pp + 1 : pp + 17])
                 n = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + n])
-                table = _huff_decode_table(bits, vals)
-                (ac_tables if tc else dc_tables)[th] = table
-                p += 17 + n
+                vals = list(payload[pp + 17 : pp + 17 + n])
+                (ac_tables if tc else dc_tables)[th] = _huff_decode_table(bits, vals)
+                pp += 17 + n
         elif tag == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
-        elif tag == 0xDA:  # SOS — entropy-coded data follows
+        elif tag == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
             scan = []
             for si in range(ns):
                 cs, tt = payload[1 + si * 2], payload[2 + si * 2]
-                comp = next(c for c in sof["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            return _jpeg_decode_scan(
-                data, pos, sof, scan, qtables, dc_tables, ac_tables,
-                restart_interval,
+                idx = next(
+                    i for i, c in enumerate(sof["comps"]) if c["id"] == cs
+                )
+                scan.append((idx, tt >> 4, tt & 0x0F))
+            ss_, se_, ahal = payload[1 + ns * 2], payload[2 + ns * 2], payload[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _jpeg_decode_sos(
+                data, pos, sof, scan, coeff, dc_tables, ac_tables,
+                restart_interval, ss_, se_, ah, al,
             )
+            saw_scan = True
         # APPn / COM / others: skipped
-    raise ValueError("JPEG has no SOS scan")
+    if sof is None or not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _jpeg_reconstruct(sof, coeff, qtables)
 
 
-def _jpeg_decode_scan(
+def _jpeg_decode_sos(
     data: bytes,
     pos: int,
     sof: dict,
     scan: list,
-    qtables: dict,
+    coeff: list,
     dc_tables: dict,
     ac_tables: dict,
     restart_interval: int,
-) -> np.ndarray:
-    h, w = sof["h"], sof["w"]
-    comps = [c for c, _, _ in scan]
-    maxh = max(c["h"] for c in comps)
-    maxv = max(c["v"] for c in comps)
-    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
-        raise NotImplementedError("JPEG sampling factors beyond 2 unsupported")
-    mcux = (w + 8 * maxh - 1) // (8 * maxh)
-    mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+    ss_: int,
+    se_: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one entropy-coded scan (baseline full-band, progressive
+    DC/AC first or refinement) into the coefficient store; returns the
+    stream position of the next marker."""
     reader = _JpegBitReader(data, pos)
-    # per component: quantized coefficient blocks on the MCU-padded grid
-    coeff = [
-        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
-        for c in comps
-    ]
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align()
-                if not (
-                    reader.pos + 1 < len(data)
-                    and data[reader.pos] == 0xFF
-                    and 0xD0 <= data[reader.pos + 1] <= 0xD7
-                ):
-                    raise ValueError("expected JPEG restart marker")
-                reader.pos += 2
-                preds = [0] * len(comps)
-            for si, (c, td, ta) in enumerate(scan):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        sym = reader.read_symbol(dc_tables[td])
-                        diff = 0
-                        if sym:
-                            bits = reader.read_bits(sym)
-                            diff = (
-                                bits
-                                if bits >= (1 << (sym - 1))
-                                else bits - (1 << sym) + 1
-                            )
-                        preds[si] += diff
-                        blk[0] = preds[si]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_tables[ta])
-                            if rs == 0x00:  # EOB
+    interleaved = len(scan) > 1
+    if sof["progressive"] and ss_ > 0 and interleaved:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
+
+    def decode_unit(si: int, blk: np.ndarray) -> None:
+        td, ta = scan[si][1], scan[si][2]
+        k = ss_
+        if k == 0:  # DC (and, for baseline, the AC tail below)
+            if ah == 0:
+                sym = reader.read_symbol(dc_tables[td])
+                diff = _jpeg_extend(reader.read_bits(sym), sym) if sym else 0
+                preds[si] += diff
+                blk[0] = preds[si] << al
+            else:  # DC refinement: one bit per block
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+            k = 1
+        if k > se_:
+            return
+        actbl = ac_tables[ta]
+        if ah == 0:  # first pass over this band (baseline AC is this too)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= se_:
+                rs = reader.read_symbol(actbl)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                k += r
+                if k > se_:
+                    raise ValueError("JPEG AC coefficient overrun")
+                blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.read_bits(sz), sz) << al
+                k += 1
+        else:  # AC successive-approximation refinement (T.81 G.1.2.3)
+            p1, m1 = 1 << al, -1 << al
+            if state["eobrun"] == 0:
+                while k <= se_:
+                    rs = reader.read_symbol(actbl)
+                    r, sz = rs >> 4, rs & 0x0F
+                    if sz == 0:
+                        if r < 15:
+                            # unlike the first pass, the refinement
+                            # EOBRUN INCLUDES the current block (its
+                            # tail still consumes correction bits
+                            # below) — T.81 G.1.2.3 / libjpeg jdphuff
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        new_val = 0  # ZRL: pass 16 zero-history coeffs
+                    else:
+                        if sz != 1:
+                            raise ValueError("invalid refinement AC symbol")
+                        new_val = p1 if reader.read_bit() else m1
+                    while k <= se_:
+                        zk = _JPEG_ZIGZAG[k]
+                        c = int(blk[zk])
+                        if c != 0:
+                            if reader.read_bit() and (c & p1) == 0:
+                                blk[zk] = c + (p1 if c > 0 else m1)
+                        else:
+                            if r == 0:
                                 break
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("invalid JPEG AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC coefficient overrun")
-                            bits = reader.read_bits(size)
-                            blk[k] = (
-                                bits
-                                if bits >= (1 << (size - 1))
-                                else bits - (1 << size) + 1
+                            r -= 1
+                        k += 1
+                    if new_val != 0:
+                        if k > se_:
+                            raise ValueError("JPEG refinement overrun")
+                        blk[_JPEG_ZIGZAG[k]] = new_val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se_:
+                    zk = _JPEG_ZIGZAG[k]
+                    c = int(blk[zk])
+                    if c != 0 and reader.read_bit() and (c & p1) == 0:
+                        blk[zk] = c + (p1 if c > 0 else m1)
+                    k += 1
+                state["eobrun"] -= 1
+
+    def handle_restart(unit_count: int) -> None:
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.align()
+            if not (
+                reader.pos + 1 < len(data)
+                and data[reader.pos] == 0xFF
+                and 0xD0 <= data[reader.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected JPEG restart marker")
+            reader.pos += 2
+            for i in range(len(preds)):
+                preds[i] = 0
+            state["eobrun"] = 0
+
+    comps = sof["comps"]
+    if interleaved:
+        units = 0
+        for my in range(sof["mcuy"]):
+            for mx in range(sof["mcux"]):
+                handle_restart(units)
+                for si, (ci, _, _) in enumerate(scan):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_unit(
+                                si,
+                                coeff[ci][my * c["v"] + by, mx * c["h"] + bx],
                             )
-                            k += 1
-                        nat = np.empty(64, dtype=np.int64)
-                        nat[_JPEG_ZIGZAG] = blk
-                        coeff[si][
-                            my * c["v"] + by, mx * c["h"] + bx
-                        ] = nat.reshape(8, 8)
-            mcu_count += 1
+                units += 1
+    else:
+        ci = scan[0][0]
+        c = comps[ci]
+        # non-interleaved grid: the component's OWN block dimensions
+        cw = (sof["w"] * c["h"] + sof["maxh"] - 1) // sof["maxh"]
+        ch = (sof["h"] * c["v"] + sof["maxv"] - 1) // sof["maxv"]
+        bw, bh = (cw + 7) // 8, (ch + 7) // 8
+        units = 0
+        for by in range(bh):
+            for bx in range(bw):
+                handle_restart(units)
+                decode_unit(0, coeff[ci][by, bx])
+                units += 1
+    reader.align()
+    return reader.pos
+
+
+def _jpeg_reconstruct(sof: dict, coeff: list, qtables: dict) -> np.ndarray:
+    h, w = sof["h"], sof["w"]
+    maxh, maxv = sof["maxh"], sof["maxv"]
     planes = []
-    for si, (c, _, _) in enumerate(scan):
-        deq = coeff[si] * qtables[c["tq"]]
-        pix = np.einsum("ji,abjk,kl->abil", _DCT_T, deq, _DCT_T) + 128.0
+    for ci, c in enumerate(sof["comps"]):
+        deq = coeff[ci].reshape(
+            coeff[ci].shape[0], coeff[ci].shape[1], 8, 8
+        ) * qtables[c["tq"]]
+        pix = np.einsum("ji,abjk,kl->abil", _DCT_T, deq.astype(np.float64), _DCT_T) + 128.0
         nby, nbx = pix.shape[:2]
         plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         plane = np.repeat(

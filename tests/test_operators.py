@@ -3921,22 +3921,25 @@ def test_jpeg_decoder_against_hand_authored_420_fixture():
     assert np.array_equal(got[:, :, 2], exp_b)
 
 
-def test_jpeg_progressive_raises_honestly():
+def test_jpeg_arithmetic_and_lossless_raise_honestly():
+    # progressive (SOF2) became REAL later in round 9; the remaining
+    # honest boundaries are arithmetic coding (SOF9) and lossless (SOF3)
     import struct as st
 
     import pytest as _pytest
 
     from hive_population_ml_spark.operators import codecs
 
-    sof2 = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    data = (
-        b"\xff\xd8"
-        + st.pack(">HH", 0xFFC2, len(sof2) + 2)
-        + sof2
-        + b"\xff\xd9"
-    )
-    with _pytest.raises(NotImplementedError, match="SOF"):
-        codecs.decode_jpeg(data)
+    for marker in (0xFFC9, 0xFFC3):
+        sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        data = (
+            b"\xff\xd8"
+            + st.pack(">HH", marker, len(sof) + 2)
+            + sof
+            + b"\xff\xd9"
+        )
+        with _pytest.raises(NotImplementedError, match="SOF"):
+            codecs.decode_jpeg(data)
 
 
 def test_jpeg_resize_roundtrip():
@@ -4081,3 +4084,104 @@ def test_image_quality_blur_monotonicity_and_flat_field(spark):
     assert abs(out[3]["entropy8"] - 1.0) < 0.01
     assert abs(out[3]["brightness"] - 0.5) < 0.01
     assert all(r["width"] == 64 and r["height"] == 48 for r in out.values())
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Spectral-selection progressive encoding carries the SAME
+    quantized coefficients as baseline, so decodes must be
+    pixel-identical arrays — this exercises multi-scan accumulation,
+    the interleaved DC scan, non-interleaved AC scans, and EOB runs."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import _blob_image
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    grad = np.stack(
+        [xx * 255 // 63, yy * 255 // 47, (xx + yy) * 255 // 109], axis=2
+    ).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    for img, q in [(grad, 90), (noise, 85), (_blob_image(7, 64, 48), 75)]:
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, q))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg(img, q, progressive=True))
+        assert np.array_equal(base, prog)
+    gray = (yy * 255 // 47).astype(np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(gray, 85)),
+        codecs.decode_jpeg(codecs.encode_jpeg(gray, 85, progressive=True)),
+    )
+
+
+def _handmade_progressive_sa_jpeg() -> bytes:
+    """Hand-author a grayscale 8x16 progressive JPEG exercising
+    SUCCESSIVE APPROXIMATION — the scan machinery our encoder does not
+    emit: DC first at Al=1, AC first at Al=1 with an EOB-run that skips
+    block 2, a DC refinement scan, and an AC refinement scan with a
+    correction bit on an existing coefficient plus a new coefficient.
+    Written against T.81 directly (raw marker bytes), not via
+    encode_jpeg."""
+    import struct as st
+
+    def seg(tag, payload):
+        return st.pack(">HH", tag, len(payload) + 2) + payload
+
+    def bits_to_bytes(b):
+        b += "1" * ((8 - len(b) % 8) % 8)
+        return int(b, 2).to_bytes(len(b) // 8, "big")
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xFFC2, st.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: sym0='0', sym2='10'; AC table 0: 0x00='0', 0x01='10',
+    # 0x10='110'
+    out += seg(0xFFC4, bytes([0x00, 1, 1] + [0] * 14 + [0, 2]))
+    out += seg(
+        0xFFC4, bytes([0x10, 1, 1, 1] + [0] * 13 + [0x00, 0x01, 0x10])
+    )
+
+    def sos(ss, se, ah, al):
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1 — DC first, Al=1: blk1 diff +2 ('10'+'10'), blk2 diff 0 ('0')
+    out += sos(0, 0, 0, 1) + bits_to_bytes("10" + "10" + "0")
+    # scan 2 — AC first, Al=1: blk1 k=1 coeff +1 ('10'+'1'), then EOB1
+    # ('110' + 1 run bit '0' -> eobrun=1 skips blk2 entirely)
+    out += sos(1, 63, 0, 1) + bits_to_bytes("10" + "1" + "110" + "0")
+    # scan 3 — DC refine to Al=0: one bit per block: blk1 1, blk2 0
+    out += sos(0, 0, 1, 0) + bits_to_bytes("10")
+    # scan 4 — AC refine to Al=0: blk1: new +1 at k=2 ('10' sym + '1'
+    # sign), correction bit '1' for the existing k=1 coeff crossed on
+    # the way, EOB0 ('0' -> refinement eobrun INCLUDES this block);
+    # blk2: EOB0 ('0'), no nonzeros to correct
+    out += sos(1, 63, 1, 0) + bits_to_bytes("10" + "1" + "1" + "0" + "0")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_successive_approximation_fixture():
+    """Closed-form SA decode: final coefficients are known exactly
+    (quant=1), so expected pixels are one orthogonal IDCT away.
+    Block 1: DC=(2<<1)|1=5, coeff@zigzag1 = (1<<1) refined +1 = 3,
+    coeff@zigzag2 (natural 8) = +1 new in the refinement scan.
+    Block 2: DC=(2<<1)=4 (EOB-run skipped its AC scan; refine bit 0)."""
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    dec = codecs.decode_jpeg(_handmade_progressive_sa_jpeg())
+    assert dec.shape == (8, 16)
+    c1 = np.zeros((8, 8))
+    c1[0, 0] = 5.0
+    c1[0, 1] = 3.0   # natural index 1 (zigzag k=1)
+    c1[1, 0] = 1.0   # natural index 8 (zigzag k=2)
+    want1 = np.clip(
+        np.round(codecs._DCT_T.T @ c1 @ codecs._DCT_T + 128.0), 0, 255
+    ).astype(np.uint8)
+    c2 = np.zeros((8, 8))
+    c2[0, 0] = 4.0
+    want2 = np.clip(
+        np.round(codecs._DCT_T.T @ c2 @ codecs._DCT_T + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(dec[:, :8], want1)
+    assert np.array_equal(dec[:, 8:], want2)
