@@ -1502,17 +1502,24 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").over(wp).alias("n_a"),
         F.sum(1 - F.col("is_a")).over(wp).alias("n_b"),
     )
+    # cross products in DECIMAL(38,0): cum_a*n_b hits BIGINT overflow
+    # (ANSI throw) once a group passes ~3e9 rows; decimal keeps the
+    # D numerator EXACT at any realistic depth (DuckDB's HUGEINT
+    # already does on the oracle side) — round-9 hardening after the
+    # 1000x probe caught the same class in a_mann_whitney_binned
+    ca = F.col("cum_a").cast("decimal(19,0)")
+    cb = F.col("cum_b").cast("decimal(19,0)")
+    nb_ = F.col("n_b").cast("decimal(19,0)")
+    na_ = F.col("n_a").cast("decimal(19,0)")
     return c.groupBy("event_type").agg(
         F.max("n_a").cast("bigint").alias("n_a"),
         F.max("n_b").cast("bigint").alias("n_b"),
         F.round(
-            F.max(
-                F.abs(
-                    F.col("cum_a") * F.col("n_b")
-                    - F.col("cum_b") * F.col("n_a")
-                )
-            )
-            / (F.max("n_a") * F.max("n_b") * F.lit(1.0)),
+            F.max(F.abs(ca * nb_ - cb * na_)).cast("double")
+            / (
+                F.max("n_a").cast("double")
+                * F.max("n_b").cast("double")
+            ),
             6,
         ).alias("ks_d"),
     )
@@ -2355,9 +2362,13 @@ WITH s AS (
     FROM r GROUP BY event_type
 )
 SELECT event_type, n_a, n_b,
-       round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_a,
-       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
-             / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 6) AS z
+       round(r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0, 4)
+           AS u_a,
+       round((r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0),
+             6) AS z
 FROM a
 """,
 )
@@ -2401,20 +2412,21 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0.0)
         ).alias("r_a"),
     )
-    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    # combine in DOUBLE (cast each factor): the integer triple product
+    # n_a*n_b*(n_a+n_b+1) overflows BIGINT under ANSI once groups pass
+    # ~100M rows (caught by the round-9 1000x probe on the binned twin;
+    # same expression here). The SQL mirror casts identically so the
+    # engines round-trip the same doubles.
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u_a = F.col("r_a") - na * (na + 1) / 2.0
     return a.select(
         "event_type",
         "n_a",
         "n_b",
         F.round(u_a, 4).alias("u_a"),
         F.round(
-            (u_a - F.col("n_a") * F.col("n_b") / 2.0)
-            / F.sqrt(
-                F.col("n_a")
-                * F.col("n_b")
-                * (F.col("n_a") + F.col("n_b") + 1)
-                / 12.0
-            ),
+            (u_a - na * nb / 2.0)
+            / F.sqrt(na * nb * (na + nb + 1) / 12.0),
             6,
         ).alias("z"),
     )
@@ -2873,20 +2885,19 @@ def a_mann_whitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("before") + (F.col("a") + F.col("bcnt") + 1) / 2.0)
         ).alias("r_a"),
     )
-    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    # combine in DOUBLE: the integer triple product n_a*n_b*(n_a+n_b+1)
+    # overflows BIGINT (ANSI throw) once groups pass ~100M rows — the
+    # round-9 1000x probe caught exactly that
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u_a = F.col("r_a") - na * (na + 1) / 2.0
     return agg.select(
         "event_type",
         "n_a",
         "n_b",
         F.round(u_a, 4).alias("u_a"),
         F.round(
-            (u_a - F.col("n_a") * F.col("n_b") / 2.0)
-            / F.sqrt(
-                F.col("n_a")
-                * F.col("n_b")
-                * (F.col("n_a") + F.col("n_b") + 1)
-                / 12.0
-            ),
+            (u_a - na * nb / 2.0)
+            / F.sqrt(na * nb * (na + nb + 1) / 12.0),
             6,
         ).alias("z"),
     )
