@@ -1155,6 +1155,15 @@ def phash64(arr: np.ndarray) -> int:
         else arr.astype(np.float64)
     )
     h, w = g.shape
+    # sub-32px images: integer-upsample first, else the 32-cell resample
+    # grid has duplicate edges -> zero-area cells forced to 0, which
+    # breaks the flat-field / brightness-invariance contracts
+    # (code-review r9 finding)
+    if h < 32:
+        g = g.repeat(-(-32 // h), axis=0)
+    if w < 32:
+        g = g.repeat(-(-32 // w), axis=1)
+    h, w = g.shape
     ys = (np.arange(33) * h) // 32
     xs = (np.arange(33) * w) // 32
     cum = np.zeros((h + 1, w + 1))

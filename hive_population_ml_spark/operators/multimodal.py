@@ -141,17 +141,23 @@ def synthesize_image(
         from . import codecs
 
         yy, xx = np.mgrid[0:height, 0:width]
+        cache: dict = {}  # payloads are pure functions of (pattern, q)
         for pdf in batches:
             payloads = []
             for i in pdf["id"]:
                 i = int(i)
                 if pattern_mod is not None:
-                    img = _blob_image(i % pattern_mod, width, height)
+                    pat = i % pattern_mod
                     q = (
                         quality_cycle[(i // pattern_mod) % len(quality_cycle)]
                         if quality_cycle
                         else quality
                     )
+                    key = (pat, q)
+                    if key in cache:
+                        payloads.append(cache[key])
+                        continue
+                    img = _blob_image(pat, width, height)
                 else:
                     r = (xx * 255 // max(width - 1, 1) + i * 17) % 256
                     g = (yy * 255 // max(height - 1, 1) + i * 29) % 256
@@ -161,11 +167,14 @@ def synthesize_image(
                     img = np.stack([r, g, b], axis=2).astype(np.uint8)
                     q = quality
                 if codec == "jpeg":
-                    payloads.append(codecs.encode_jpeg(img, quality=q))
+                    payload = codecs.encode_jpeg(img, quality=q)
                 elif codec == "png":
-                    payloads.append(codecs.encode_png(img))
+                    payload = codecs.encode_png(img)
                 else:
-                    payloads.append(codecs.encode_bmp(img))
+                    payload = codecs.encode_bmp(img)
+                if pattern_mod is not None:
+                    cache[(pat, q)] = payload
+                payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -179,6 +188,24 @@ def synthesize_image(
 
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         run, schema=MEDIA_SCHEMA
+    )
+
+
+def _decode_image(media: bytes, media_type: str):
+    """Shared image-decode dispatch (jpeg/png/bmp) for the pixel-level
+    operators — one place to add the next codec (code-review r9: this
+    was copy-pasted per operator)."""
+    from . import codecs
+
+    if media_type == "image/jpeg":
+        return codecs.decode_jpeg(media)
+    if media_type == "image/png":
+        return codecs.decode_png(media)
+    if media_type == "image/bmp":
+        return codecs.decode_bmp(media)
+    raise NotImplementedError(
+        f"need a decodable image type, got {media_type!r}; executable "
+        f"here: image/jpeg, image/png, image/bmp"
     )
 
 
@@ -212,17 +239,7 @@ def image_quality(df: DataFrame) -> DataFrame:
                 "sharpness", "entropy8",
             )}
             for m, t in zip(pdf["media"], pdf["media_type"]):
-                m = bytes(m)
-                if t == "image/jpeg":
-                    arr = codecs.decode_jpeg(m)
-                elif t == "image/png":
-                    arr = codecs.decode_png(m)
-                elif t == "image/bmp":
-                    arr = codecs.decode_bmp(m)
-                else:
-                    raise NotImplementedError(
-                        f"image_quality needs a decodable image type, got {t!r}"
-                    )
+                arr = _decode_image(bytes(m), t)
                 g = (
                     arr.astype(np.float64).mean(axis=2)
                     if arr.ndim == 3
@@ -273,18 +290,7 @@ def phash_media(df: DataFrame) -> DataFrame:
         for pdf in batches:
             hashes = []
             for m, t in zip(pdf["media"], pdf["media_type"]):
-                m = bytes(m)
-                if t == "image/jpeg":
-                    arr = codecs.decode_jpeg(m)
-                elif t == "image/png":
-                    arr = codecs.decode_png(m)
-                elif t == "image/bmp":
-                    arr = codecs.decode_bmp(m)
-                else:
-                    raise NotImplementedError(
-                        f"phash needs a decodable image type, got {t!r}"
-                    )
-                hashes.append(codecs.phash64(arr))
+                hashes.append(codecs.phash64(_decode_image(bytes(m), t)))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

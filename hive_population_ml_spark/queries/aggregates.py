@@ -2488,29 +2488,43 @@ def a_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, partition). Products sum in DECIMAL(38,0)/HUGEINT —
     4n³ stays under 38 digits at any realistic group depth."""
     t = Tables(spark, sf_dir)
-    wt_ord = Window.partitionBy("event_type").orderBy("ts")
+    # doubled midrank 2r = 2*cnt_le - tie_n + 1, built from BIGINT
+    # window counts instead of F.rank() (whose IntegerType caps groups
+    # at 2^31 rows — code-review r9 finding); RANGE frames make the
+    # cumulative count tie-inclusive, matching rank()+(tie-1)/2 exactly
+    wt_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wt_tie = Window.partitionBy("event_type", "ts")
-    wv_ord = Window.partitionBy("event_type").orderBy("value")
+    wv_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wv_tie = Window.partitionBy("event_type", "value")
     r = t.events.select(
         "event_type",
         (
-            2 * F.rank().over(wt_ord).cast("bigint")
-            + F.count("*").over(wt_tie)
-            - 1
+            2 * F.count("*").over(wt_cum)
+            - F.count("*").over(wt_tie)
+            + 1
         ).alias("rt2"),
         (
-            2 * F.rank().over(wv_ord).cast("bigint")
-            + F.count("*").over(wv_tie)
-            - 1
+            2 * F.count("*").over(wv_cum)
+            - F.count("*").over(wv_tie)
+            + 1
         ).alias("rv2"),
     )
     rt2d = F.col("rt2").cast("decimal(19,0)")
     rv2d = F.col("rv2").cast("decimal(19,0)")
     g = r.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("rt2").alias("sx"),
-        F.sum("rv2").alias("sy"),
+        # decimal sums: sum(rt2) = n(n+1) would overflow BIGINT past
+        # ~3e9 rows/group (the DuckDB mirror is already HUGEINT)
+        F.sum(rt2d).alias("sx"),
+        F.sum(rv2d).alias("sy"),
         F.sum(rt2d * rt2d).alias("sxx"),
         F.sum(rv2d * rv2d).alias("syy"),
         F.sum(rt2d * rv2d).alias("sxy"),

@@ -210,15 +210,13 @@ def test_shadow_list_is_complete():
     assert set(SHADOW_NAMES) == set(SHADOW_ORACLE)
 
 
+from conftest import shadow_shard  # single source for shard assignment
+
+
 @pytest.mark.parametrize(
     "name",
     [
-        pytest.param(
-            n,
-            marks=getattr(
-                pytest.mark, f"shadow_shard{__import__('zlib').crc32(n.encode()) % 4}"
-            ),
-        )
+        pytest.param(n, marks=getattr(pytest.mark, f"shadow_shard{shadow_shard(n)}"))
         for n in SHADOW_NAMES
     ],
 )

@@ -12,18 +12,25 @@
 # Usage: tools/pytest_shards.sh  [extra pytest args...]
 set -u
 cd "$(dirname "$0")/.."
+# shard count comes from ONE source (tests/conftest.py) so rebalancing
+# N_SHADOW_SHARDS can't silently desync this runner
+N=$(python -c "import sys; sys.path.insert(0, 'tests'); from conftest import N_SHADOW_SHARDS as n; print(n)")
 pids=()
 rc=0
-for k in 0 1 2 3; do
+for k in $(seq 0 $((N - 1))); do
     python -m pytest tests/test_sampling.py -m "shadow_shard${k}" -q \
         --junit-xml="/tmp/shadow_shard${k}.xml" "$@" \
         > "/tmp/shadow_shard${k}.log" 2>&1 &
     pids+=($!)
 done
-for i in 0 1 2 3; do
-    if ! wait "${pids[$i]}"; then
+for i in $(seq 0 $((N - 1))); do
+    wait "${pids[$i]}"
+    code=$?
+    # pytest exit 5 = "no tests collected" (an extra -k filter can
+    # empty a shard) — that is not a failure of the contract
+    if [ "$code" -ne 0 ] && [ "$code" -ne 5 ]; then
         rc=1
-        echo "shard ${i}: FAILED (see /tmp/shadow_shard${i}.log)"
+        echo "shard ${i}: FAILED exit=${code} (see /tmp/shadow_shard${i}.log)"
     else
         tail -1 "/tmp/shadow_shard${i}.log" | sed "s/^/shard ${i}: /"
     fi
