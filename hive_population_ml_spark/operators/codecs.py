@@ -17,12 +17,13 @@ library, so the ``decode_stub=False`` path in
 - **JPEG (SOF0 baseline + SOF2 progressive, huffman)** — a real numpy
   decoder/encoder pair: quality-scaled Annex-K quantization,
   forward/inverse DCT as an orthogonal matrix product, canonical
-  huffman coding with 0xFF byte stuffing, restart markers, 4:2:0/4:2:2
-  chroma upsampling, multi-scan progressive decode (spectral
-  selection, successive approximation, EOB runs) and a
-  spectral-selection progressive encoder. Arithmetic coding / 12-bit /
-  lossless / hierarchical raise NotImplementedError — the honest
-  boundary.
+  huffman coding with 0xFF byte stuffing. The DECODER additionally
+  handles restart markers (DRI/RSTn), 4:2:0/4:2:2 chroma upsampling,
+  fill bytes/TEM, and multi-scan progressive streams (spectral
+  selection, successive approximation, EOB runs); the ENCODER emits
+  4:4:4 only and never writes DRI/RST (plus a spectral-selection
+  progressive mode). Arithmetic coding / 12-bit / lossless /
+  hierarchical raise NotImplementedError — the honest boundary.
 
 MP3/video stay honestly stubbed (no stdlib audio/video DCT codec is
 feasible here). Encoders are included so tests and fixtures can
@@ -823,12 +824,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coeff: list[np.ndarray] = []
     restart_interval = 0
     saw_scan = False
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them so foreign encoders' padding doesn't
+        # desync the parser
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
+        if tag == 0x01 or 0xD0 <= tag <= 0xD7:
+            # TEM / stray RSTn between segments: standalone markers with
+            # no length field (T.81 B.1.1.3)
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG marker segment")
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         payload = data[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len

@@ -2926,10 +2926,14 @@ def a_psi_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a GK median of ts_us per group (bounded sketch agg, #groups-row
     broadcast, map-side comparison) — rank error <= n/10000 rows land
     on the wrong side of the split, shifting each bucket's count by at
-    most that much. Everything downstream (equi-width min/max deciles,
-    +0.5/+5 Laplace smoothing, the PSI rollup on the <=|groups|·10
-    pivot) is IDENTICAL to the exact query. Output columns match
-    (drop-in swap)."""
+    most that much. Downstream (equi-width min/max deciles, +0.5/+5
+    Laplace smoothing, the PSI rollup on the <=|groups|·10 pivot) the
+    formulas match the exact query, with one second-order caveat: the
+    GK split may give na != nb, so a bucket empty in BOTH halves (which
+    the groupBy grid drops) no longer contributes exactly 0 to PSI the
+    way ntile(2)'s equal halves guarantee — a small extra error term on
+    top of the rank bound, included in the envelope that
+    tests/test_scale_toolkit.py pins empirically."""
     t = Tables(spark, sf_dir)
     src = t.events.select(
         "event_type",

@@ -3942,6 +3942,24 @@ def test_jpeg_arithmetic_and_lossless_raise_honestly():
             codecs.decode_jpeg(data)
 
 
+def test_jpeg_decoder_tolerates_fill_bytes_and_standalone_markers():
+    # T.81 B.1.1.2-3: 0xFF fill bytes may pad before any marker, and
+    # TEM (0xFF01) carries no length field — foreign encoders emit
+    # both; the header loop must not parse them as length-prefixed
+    # segments (ADVICE r9)
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    img = (np.arange(16 * 16 * 3) % 251).reshape(16, 16, 3).astype(np.uint8)
+    data = codecs.encode_jpeg(img, 90)
+    assert data[:2] == b"\xff\xd8"
+    # splice fill bytes + TEM + a stray RST2 right after SOI
+    spliced = data[:2] + b"\xff\xff\xff\x01\xff\xd2" + data[2:]
+    base = codecs.decode_jpeg(data)
+    assert np.array_equal(codecs.decode_jpeg(spliced), base)
+
+
 def test_jpeg_resize_roundtrip():
     import numpy as np
 

@@ -15,12 +15,18 @@ cd "$(dirname "$0")/.."
 # shard count comes from ONE source (tests/conftest.py) so rebalancing
 # N_SHADOW_SHARDS can't silently desync this runner
 N=$(python -c "import sys; sys.path.insert(0, 'tests'); from conftest import N_SHADOW_SHARDS as n; print(n)")
+# per-invocation output dir so concurrent runs (two CI jobs on one box)
+# can't interleave/clobber each other's logs; override with
+# PYTEST_SHARD_DIR for a stable location
+OUT="${PYTEST_SHARD_DIR:-$(mktemp -d /tmp/shadow_shards.XXXXXX)}"
+mkdir -p "$OUT"
+echo "shard output dir: $OUT"
 pids=()
 rc=0
 for k in $(seq 0 $((N - 1))); do
     python -m pytest tests/test_sampling.py -m "shadow_shard${k}" -q \
-        --junit-xml="/tmp/shadow_shard${k}.xml" "$@" \
-        > "/tmp/shadow_shard${k}.log" 2>&1 &
+        --junit-xml="$OUT/shadow_shard${k}.xml" "$@" \
+        > "$OUT/shadow_shard${k}.log" 2>&1 &
     pids+=($!)
 done
 for i in $(seq 0 $((N - 1))); do
@@ -30,9 +36,9 @@ for i in $(seq 0 $((N - 1))); do
     # empty a shard) — that is not a failure of the contract
     if [ "$code" -ne 0 ] && [ "$code" -ne 5 ]; then
         rc=1
-        echo "shard ${i}: FAILED exit=${code} (see /tmp/shadow_shard${i}.log)"
+        echo "shard ${i}: FAILED exit=${code} (see $OUT/shadow_shard${i}.log)"
     else
-        tail -1 "/tmp/shadow_shard${i}.log" | sed "s/^/shard ${i}: /"
+        tail -1 "$OUT/shadow_shard${i}.log" | sed "s/^/shard ${i}: /"
     fi
 done
 exit $rc
