@@ -25,9 +25,15 @@ library, so the ``decode_stub=False`` path in
   progressive mode). Arithmetic coding / 12-bit / lossless /
   hierarchical raise NotImplementedError — the honest boundary.
 
-MP3/video stay honestly stubbed (no stdlib audio/video DCT codec is
-feasible here). Encoders are included so tests and fixtures can
-round-trip without external tools.
+- **MJPEG video in AVI (RIFF container)** — struct-only container
+  walk (avih/strh/strf headers, movi chunk run, word alignment) over
+  the real JPEG decoder above; frame selection happens on the
+  container index BEFORE pixel decode, and DHT-less MJPEG frames get
+  the Annex-K tables spliced in per the OpenDML convention.
+
+MP3 and non-MJPEG video codecs stay honestly stubbed (no stdlib
+audio/video DCT codec is feasible here). Encoders are included so
+tests and fixtures can round-trip without external tools.
 """
 
 from __future__ import annotations
@@ -1199,3 +1205,246 @@ def phash64(arr: np.ndarray) -> int:
     for i, b in enumerate(block > med):
         v = (v << 1) | (0 if i == 0 else int(b))
     return v
+
+
+# --------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container, Motion-JPEG video stream) — struct only.
+# Reference semantics: the public Microsoft RIFF/AVI spec (AVIMAINHEADER,
+# AVISTREAMHEADER, BITMAPINFOHEADER) and the OpenDML AVI extensions.
+# Motion-JPEG is "a sequence of independently-coded baseline JPEGs", so
+# the REAL decode_jpeg above does the per-frame work — this section only
+# adds the container walk plus the one MJPEG-specific quirk (frames that
+# omit DHT, which the OpenDML MJPEG convention allows because decoders
+# are expected to supply the Annex-K typical tables).
+#
+# Reference parity: the reference treats media as opaque paths
+# (src/data/dataset.py); decoding video payloads into frame rows is the
+# Spark-side generalization the charter's multimodal tier asks for.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over a RIFF chunk
+    run; chunks are word-aligned (odd sizes padded by one byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi_mjpeg(
+    frames: list, fps: int = 10, quality: int = 85
+) -> bytes:
+    """(H, W, 3) uint8 frames -> MJPEG-in-AVI bytes (fixture/round-trip
+    helper). Each ``00dc`` chunk is exactly ``encode_jpeg(frame,
+    quality)`` — standalone-decodable, DHT included — plus an idx1
+    index so third-party players can seek."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    arr0 = np.asarray(frames[0])
+    h, w = arr0.shape[0], arr0.shape[1]
+    payloads = [encode_jpeg(np.asarray(f), quality=quality) for f in frames]
+    if any(np.asarray(f).shape[:2] != (h, w) for f in frames):
+        raise ValueError("all AVI frames must share one geometry")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_bytes = max(len(p) for p in payloads)
+    # AVIMAINHEADER: usec/frame, maxbytes/sec, padding, flags
+    # (HASINDEX|ISINTERLEAVED), frames, initial, streams, bufsize,
+    # width, height, reserved[4]
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I4I",
+            1_000_000 // fps, max_bytes * fps, 0, 0x110,
+            len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+        ),
+    )
+    # AVISTREAMHEADER: vids/MJPG, flags..sampleSize + rcFrame
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0, 1, fps, 0, len(payloads), max_bytes, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        ),
+    )
+    # BITMAPINFOHEADER with biCompression='MJPG'
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+            0, 0, 0, 0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    # idx1 entries: fourcc, flags (AVIIF_KEYFRAME), offset (from the
+    # 'movi' fourcc), size
+    idx_entries, off = [], 4
+    for p in payloads:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# Annex-K typical huffman tables as a ready-to-splice DHT segment, for
+# MJPEG frames that omit DHT (OpenDML convention). Built once from the
+# same table constants the encoder uses.
+def _mjpeg_default_dht() -> bytes:
+    payload = b""
+    for tc, th, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        payload += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return _marker(0xFFC4, payload)
+
+
+def mjpeg_ensure_dht(jpeg: bytes) -> bytes:
+    """Return ``jpeg`` with the Annex-K typical huffman tables spliced
+    in before the first SOS if the frame carries no DHT segment — the
+    OpenDML MJPEG convention (hardware MJPEG encoders routinely strip
+    DHT because the tables are fixed). No-op for self-contained frames.
+    """
+    pos, has_dht, first_sos = 2, False, None
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        while pos + 1 < len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1
+        tag = jpeg[pos + 1]
+        if tag == 0xD9:
+            break
+        if tag == 0x01 or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        if tag == 0xC4:
+            has_dht = True
+        if tag == 0xDA:
+            first_sos = pos
+            break
+        (seg_len,) = struct.unpack_from(">H", jpeg, pos + 2)
+        pos += 2 + seg_len
+    if has_dht or first_sos is None:
+        return jpeg
+    return jpeg[:first_sos] + _mjpeg_default_dht() + jpeg[first_sos:]
+
+
+def decode_avi(data: bytes) -> dict:
+    """MJPEG-AVI bytes -> container metadata + per-frame JPEG payloads
+    (NOT yet pixel-decoded — frame selection happens before the
+    expensive per-frame ``decode_jpeg``).
+
+    Returns ``{width, height, fps, n_frames, codec, frames}`` with
+    ``frames`` a list of standalone-decodable JPEG byte strings
+    (DHT-less MJPEG frames get the Annex-K tables spliced in). Only the
+    'vids'/MJPG stream type is implemented; DIB/other FourCCs raise
+    NotImplementedError — the honest boundary (a production pipeline
+    swaps PyAV/ffmpeg in at the same dispatch point in
+    operators/multimodal.py)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(8 + riff_size, len(data))
+    width = height = 0
+    fps = 0.0
+    codec = b""
+    frames: list[bytes] = []
+    saw_vids = False
+    for fourcc, p, size in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = data[p : p + 4]
+        if kind == b"hdrl":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if f2 == b"avih":
+                    usec, _, _, _, _, _, _, _, width, height = (
+                        struct.unpack_from("<10I", data, p2)
+                    )
+                    fps = 1_000_000.0 / usec if usec else 0.0
+                elif f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if f3 == b"strh" and data[p3 : p3 + 4] == b"vids":
+                            saw_vids = True
+                            codec = data[p3 + 4 : p3 + 8]
+                            scale, rate = struct.unpack_from(
+                                "<II", data, p3 + 20
+                            )
+                            if scale:
+                                fps = rate / scale
+        elif kind == b"movi":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                # ##dc / ##db = compressed / uncompressed video frame
+                # for stream ##; MJPEG uses dc
+                if f2[2:4] in (b"dc", b"db"):
+                    frames.append(mjpeg_ensure_dht(bytes(data[p2 : p2 + s2])))
+    if not saw_vids:
+        raise ValueError("AVI has no video ('vids') stream")
+    if codec not in (b"MJPG", b"mjpg", b"dmb1"):
+        raise NotImplementedError(
+            f"only MJPEG AVI is decodable here (got FourCC "
+            f"{codec!r}); PyAV/ffmpeg plugs in at "
+            f"operators/multimodal.py for other codecs"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": len(frames),
+        "codec": codec.decode("ascii", "replace"),
+        "frames": frames,
+    }
+
+
+def avi_sample_frames(data: bytes, n_frames: int) -> list[bytes]:
+    """Evenly-spaced JPEG frame payloads from an MJPEG AVI — the real
+    replacement for the byte-slice frame stub. Selection happens on the
+    container index BEFORE any pixel decode, so sampling 4 frames from
+    a 10k-frame video pays for 4 JPEG decodes, not 10k."""
+    d = decode_avi(data)
+    total = d["n_frames"]
+    if total == 0:
+        return []
+    k = min(n_frames, total)
+    idx = [(j * total) // k for j in range(k)]
+    return [d["frames"][i] for i in idx]
+
+
+def avi_features(data: bytes, dim: int = 8) -> list[float]:
+    """Video feature vector: [width, height, fps, n_frames, duration_s,
+    mean_gray_first, mean_gray_last, inter_frame_delta] padded/truncated
+    to dim — header fields from the container, pixel stats from REAL
+    decode_jpeg on the first/last frames only (bounded work per video)."""
+    d = decode_avi(data)
+    feats = [
+        float(d["width"]),
+        float(d["height"]),
+        float(d["fps"]),
+        float(d["n_frames"]),
+        d["n_frames"] / d["fps"] if d["fps"] else 0.0,
+    ]
+    if d["frames"]:
+        first = decode_jpeg(d["frames"][0]).astype(np.float64)
+        last = decode_jpeg(d["frames"][-1]).astype(np.float64)
+        g0 = first.mean(axis=2).mean() / 255.0 if first.ndim == 3 else first.mean() / 255.0
+        g1 = last.mean(axis=2).mean() / 255.0 if last.ndim == 3 else last.mean() / 255.0
+        feats += [float(g0), float(g1), float(abs(g1 - g0))]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))

@@ -3942,6 +3942,154 @@ def test_jpeg_arithmetic_and_lossless_raise_honestly():
             codecs.decode_jpeg(data)
 
 
+def _avi_test_frames(n=6, w=32, h=24):
+    import numpy as np
+
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for k in range(n):
+        img = np.stack(
+            [(xx * 8 + k * 20) % 256, (yy * 10 + k * 3) % 256,
+             ((xx + yy) * 4 + k * 10) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        frames.append(img)
+    return frames
+
+
+def test_avi_mjpeg_roundtrip_and_frame_parity():
+    # VERDICT r9 #1 done-bar: per-frame parity with decode_jpeg on the
+    # same bytes — each 00dc chunk must BYTE-equal the standalone
+    # encode_jpeg output, so the container adds zero codec semantics
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    frames = _avi_test_frames()
+    avi = codecs.encode_avi_mjpeg(frames, fps=12, quality=90)
+    d = codecs.decode_avi(avi)
+    assert (d["width"], d["height"]) == (32, 24)
+    assert d["fps"] == 12.0
+    assert d["n_frames"] == len(frames)
+    assert d["codec"] == "MJPG"
+    for k, f in enumerate(frames):
+        assert d["frames"][k] == codecs.encode_jpeg(f, quality=90)
+        dec = codecs.decode_jpeg(d["frames"][k])
+        rmse = float(np.sqrt(((dec.astype(float) - f) ** 2).mean()))
+        assert rmse < 6.0, (k, rmse)
+
+
+def test_avi_decoder_against_hand_authored_fixture():
+    # decoder-independent container fixture: a minimal RIFF/AVI written
+    # as raw struct bytes (NOT via encode_avi_mjpeg), two frames, odd
+    # chunk length to exercise word-alignment padding
+    import struct as st
+
+    from hive_population_ml_spark.operators import codecs
+
+    f0 = codecs.encode_jpeg(_avi_test_frames(1)[0], quality=85)
+    f1 = f0 + b"\x00" if len(f0) % 2 == 0 else f0  # force ODD length
+
+    def ch(cc, p):
+        return cc + st.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+
+    avih = ch(b"avih", st.pack("<14I", 40000, 0, 0, 0x10, 2, 0, 1, 0, 32, 24, 0, 0, 0, 0))
+    strh = ch(
+        b"strh",
+        b"vids" + b"MJPG" + st.pack("<10I4H", 0, 0, 0, 1, 25, 0, 2, 0, 0xFFFFFFFF, 0, 0, 0, 32, 24),
+    )
+    strf = ch(b"strf", st.pack("<IiiHH4sIiiII", 40, 32, 24, 1, 24, b"MJPG", 32 * 24 * 3, 0, 0, 0, 0))
+    hdrl = ch(b"LIST", b"hdrl" + avih + ch(b"LIST", b"strl" + strh + strf))
+    movi = ch(b"LIST", b"movi" + ch(b"00dc", f1) + ch(b"00dc", f0))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+    d = codecs.decode_avi(avi)
+    assert d["n_frames"] == 2
+    assert (d["width"], d["height"]) == (32, 24)
+    assert d["fps"] == 25.0  # strh rate/scale wins over avih usec
+    assert d["frames"][0] == f1 and d["frames"][1] == f0
+    # non-MJPEG FourCC raises honestly
+    import pytest as _pytest
+
+    bad = avi.replace(b"MJPG", b"DIB ")
+    with _pytest.raises(NotImplementedError, match="MJPEG"):
+        codecs.decode_avi(bad)
+
+
+def test_mjpeg_dht_splice_parity():
+    # OpenDML MJPEG convention: frames may omit DHT; mjpeg_ensure_dht
+    # splices the Annex-K typical tables and the decode must match the
+    # self-contained frame exactly (the encoder's tables ARE Annex-K)
+    import struct as st
+
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    j = codecs.encode_jpeg(_avi_test_frames(1)[0], quality=85)
+    out, pos = bytearray(j[:2]), 2
+    while pos + 4 <= len(j):
+        tag = j[pos + 1]
+        if tag == 0xDA:
+            out += j[pos:]
+            break
+        (seg,) = st.unpack_from(">H", j, pos + 2)
+        if tag != 0xC4:
+            out += j[pos : pos + 2 + seg]
+        pos += 2 + seg
+    stripped = bytes(out)
+    assert b"\xff\xc4" not in stripped[: stripped.find(b"\xff\xda")]
+    fixed = codecs.mjpeg_ensure_dht(stripped)
+    assert np.array_equal(codecs.decode_jpeg(fixed), codecs.decode_jpeg(j))
+    # no-op on self-contained frames
+    assert codecs.mjpeg_ensure_dht(j) == j
+
+
+def test_avi_sample_frames_even_spacing_and_bounded_work():
+    from hive_population_ml_spark.operators import codecs
+
+    frames = _avi_test_frames(n=10)
+    avi = codecs.encode_avi_mjpeg(frames, fps=10, quality=85)
+    d = codecs.decode_avi(avi)
+    sel = codecs.avi_sample_frames(avi, 4)
+    assert [d["frames"].index(s) for s in sel] == [0, 2, 5, 7]
+    # asking for more frames than exist returns all, once each
+    assert len(codecs.avi_sample_frames(avi, 99)) == 10
+
+
+def test_video_frame_stats_in_spark(spark):
+    from hive_population_ml_spark.operators import multimodal
+
+    base = spark.range(6).withColumnRenamed("id", "vid")
+    media = multimodal.synthesize_video(base, "vid", n_frames=8)
+    rows = multimodal.video_frame_stats(media, n_frames=4).collect()
+    assert len(rows) == 6 * 4
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.id, []).append(r)
+    for vid, rs in by_vid.items():
+        rs.sort(key=lambda r: r.frame_idx)
+        assert rs[0].motion == 0.0
+        # translating gradient: every later sampled frame moved
+        assert all(r.motion > 0.0 for r in rs[1:])
+        assert all(0.0 <= r.gray_mean <= 1.0 for r in rs)
+    # sample_frames real path: frames are standalone-decodable JPEGs
+    fr = multimodal.sample_frames(media, n_frames=3, decode_stub=False).collect()
+    assert len(fr) == 6 * 3
+    from hive_population_ml_spark.operators import codecs
+
+    arr = codecs.decode_jpeg(bytes(fr[0].frame))
+    assert arr.shape == (24, 32, 3)
+    # extract_features video dispatch: header fields come from the
+    # container, not pixel decode of every frame
+    feats = multimodal.extract_features(
+        media, dim=8, decode_stub=False
+    ).collect()
+    for r in feats:
+        assert r.feat[0] == 32.0 and r.feat[1] == 24.0
+        assert r.feat[3] == 8.0  # n_frames
+
+
 def test_jpeg_decoder_tolerates_fill_bytes_and_standalone_markers():
     # T.81 B.1.1.2-3: 0xFF fill bytes may pad before any marker, and
     # TEM (0xFF01) carries no length field — foreign encoders emit
