@@ -261,6 +261,9 @@ DECLARED_UNTIMED = {
     "multimodal_video_frames": "codec-bound (python MJPEG frame decodes "
     "dominate at fixture scale; container walk + frame parity pinned "
     "in tests)",
+    "dedup_audio_fingerprint": "codec-bound (96 python WAV decodes + FFT "
+    "dominate; banding is the timed SimHash shape; margins pinned in "
+    "tests)",
     "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
     "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
     "text_topics_lda": "ML fit path (online variational LDA; "

@@ -91,6 +91,137 @@ def synthesize_wav(
     )
 
 
+def _melody_samples(pattern: int, sr: int, duration_s: float, n_seg: int = 8):
+    """Seeded multi-tone melody (int16): per time segment, three tones
+    at band-interior frequencies — sparse-spectrum content whose
+    band-dominance pattern is the audio analog of _blob_image's smooth
+    field (pure single tones would make inter-pattern fingerprints
+    collide; broadband noise would sit on the threshold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5000 + pattern)
+    n = int(sr * duration_s)
+    seg = n // n_seg
+    out = np.zeros(n)
+    nyq = sr / 2
+    for s in range(n_seg):
+        t = np.arange(seg) / sr
+        x = np.zeros(seg)
+        for b in rng.choice(8, size=3, replace=False):
+            f = (b + 0.25 + 0.5 * rng.random()) * nyq / 8
+            x += np.sin(2 * np.pi * f * t + rng.random() * 6.28)
+        out[s * seg : (s + 1) * seg] = x / 3
+    return out
+
+
+def _melody_variant(pattern: int, variant: int, sr: int, duration_s: float):
+    """Deterministic same-content transforms — byte-distinct payloads a
+    listener would call the same clip: amplitude scaling, additive
+    noise (SNR 20/12 dB), 3x clip distortion, DC offset, 8-bit
+    requantization."""
+    import numpy as np
+
+    base = _melody_samples(pattern, sr, duration_s)
+    k = variant % 8
+    if k == 0:
+        sig = 0.5 * base
+    elif k == 1:
+        sig = 0.12 * base
+    elif k == 2:
+        sig = 0.9 * base
+    elif k in (3, 4):
+        snr_db = 20 if k == 3 else 12
+        sig = 0.5 * base
+        p_sig = (sig**2).mean()
+        noise_rng = np.random.default_rng(9000 + pattern * 8 + k)
+        sig = sig + noise_rng.normal(
+            0, np.sqrt(p_sig / 10 ** (snr_db / 10)), base.size
+        )
+    elif k == 5:
+        sig = np.clip(1.5 * base, -1.0, 1.0)  # clip distortion
+    elif k == 6:
+        sig = 0.5 * base + 0.06  # DC offset
+    else:
+        q = np.clip(0.5 * base * 32767, -32768, 32767).astype(np.int16)
+        return ((q.astype(np.int32) >> 8) << 8).astype(np.int16)
+    return np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+
+
+def synthesize_audio_melody(
+    df: DataFrame,
+    id_col: str,
+    pattern_mod: int = 12,
+    sample_rate: int = 8000,
+    duration_s: float = 1.0,
+) -> DataFrame:
+    """Deterministic melody WAV per row for the perceptual audio-dedup
+    fixture: rows share one of ``pattern_mod`` seeded melodies
+    (id % pattern_mod), and repeats of a melody get a cycling
+    same-content transform (id // pattern_mod: gain, noise, clipping,
+    DC, requantization) so payload BYTES differ while the clip stays
+    perceptually identical — exact/byte dedup finds nothing. mapInPandas,
+    no shuffle — same posture as synthesize_image's pattern_mod form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        cache: dict = {}
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                key = (i % pattern_mod, (i // pattern_mod) % 8)
+                if key not in cache:
+                    cache[key] = codecs.encode_wav(
+                        _melody_variant(key[0], key[1], sample_rate, duration_s),
+                        sample_rate,
+                    )
+                payloads.append(cache[key])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                    "width": [None] * len(pdf),
+                    "height": [None] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+AUDIO_FP_SCHEMA = "id bigint, media_type string, afp bigint"
+
+
+def audio_fingerprint_media(df: DataFrame) -> DataFrame:
+    """64-bit spectral band-dominance fingerprint per audio row
+    (codecs.audio_fingerprint64): decode WAV, 8 time slices x 8
+    equal-width bands, bit = band carries more than the uniform share
+    of slice energy. mapInPandas, partition-preserving; the hash column
+    feeds ``dedup.fingerprint_pairs`` exactly like image pHash — the
+    audio-side twin (round 10, VERDICT r9 #3)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "afp": [
+                        codecs.audio_fingerprint64(bytes(m))
+                        for m in pdf["media"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
 def _blob_image(pattern: int, width: int, height: int):
     """Smooth seeded random field — a natural-image stand-in whose
     energy spreads across the low DCT block (pure gradients/gratings

@@ -3942,6 +3942,79 @@ def test_jpeg_arithmetic_and_lossless_raise_honestly():
             codecs.decode_jpeg(data)
 
 
+def test_audio_fingerprint_margins_under_same_content_transforms():
+    # VERDICT r9 #3 done-bar: same margin contract as dedup_image_phash
+    # — intra <= d under amplitude/noise/re-encode variants, inter >= D.
+    # The r9 Haitsma-Kalker time-delta bits measured 35/64 intra; the
+    # spectrum-domain bits must hold intra <= 6 / inter >= 16 across
+    # 12 melodies x all 8 variants (gain x3, SNR 20/12 noise, 3x clip,
+    # DC offset, 8-bit requantization).
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import _melody_variant
+
+    fps = {}
+    for pat in range(12):
+        fps[pat] = [
+            codecs.audio_fingerprint64(
+                codecs.encode_wav(_melody_variant(pat, v, 8000, 1.0), 8000)
+            )
+            for v in range(8)
+        ]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    intra = max(
+        ham(hs[i], hs[j])
+        for hs in fps.values()
+        for i in range(8)
+        for j in range(i + 1, 8)
+    )
+    inter = min(
+        ham(a, b)
+        for p1 in range(12)
+        for p2 in range(p1 + 1, 12)
+        for a in fps[p1]
+        for b in fps[p2]
+    )
+    assert intra <= 6, intra
+    assert inter >= 16, inter
+
+
+def test_audio_fingerprint_amplitude_invariance_and_determinism():
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+    from hive_population_ml_spark.operators.multimodal import _melody_samples
+
+    base = _melody_samples(3, 8000, 1.0)
+    h1 = codecs.audio_fingerprint64(
+        codecs.encode_wav((0.8 * base * 32767).astype(np.int16), 8000)
+    )
+    h2 = codecs.audio_fingerprint64(
+        codecs.encode_wav((0.1 * base * 32767).astype(np.int16), 8000)
+    )
+    # energy fractions: exact gain invariance (up to int16 quantization)
+    assert h1 == h2
+    # repeat decode+hash is bit-identical (quantized fractions)
+    assert h1 == codecs.audio_fingerprint64(
+        codecs.encode_wav((0.8 * base * 32767).astype(np.int16), 8000)
+    )
+    # silence hashes to 0 (DC dropped, zero energy sets no bits)
+    assert codecs.audio_fingerprint64(
+        codecs.encode_wav(np.zeros(8000, dtype=np.int16), 8000)
+    ) == 0
+    # signed-BIGINT range for Spark
+    assert -(1 << 63) <= h1 < (1 << 63)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64"):
+        codecs.audio_fingerprint64(
+            codecs.encode_wav(np.zeros(100, dtype=np.int16), 8000),
+            n_frames=5, n_bands=8,
+        )
+
+
 def _avi_test_frames(n=6, w=32, h=24):
     import numpy as np
 
@@ -4196,6 +4269,29 @@ def test_dedup_image_phash_pairs_exactly_same_pattern_docs(spark, sf_oracle_dir)
         for pat in range(24)
         for a in range(pat, 192, 24)
         for b in range(pat, 192, 24)
+        if a < b
+    }
+    assert got == want
+    assert all(r["hamming"] <= 6 for r in rows)
+
+
+def test_dedup_audio_fingerprint_pairs_exactly_same_melody_docs(
+    spark, sf_oracle_dir
+):
+    """End-to-end: 96 docs / 12 shared melodies / cycling same-content
+    transforms (gain, noise, clip, DC, requantization). Byte payloads
+    differ, but the spectral fingerprint pairing must return EXACTLY
+    the same-melody pairs: 12 * C(8,2) = 336, no false positives."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["dedup_audio_fingerprint"](spark, sf_oracle_dir).collect()
+    got = {(r["d1"], r["d2"]) for r in rows}
+    want = {
+        (a, b)
+        for pat in range(12)
+        for a in range(pat, 96, 12)
+        for b in range(pat, 96, 12)
         if a < b
     }
     assert got == want
