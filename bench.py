@@ -157,6 +157,7 @@ HEADLINE = [
     "a_ks_test_binned",
     "emb_jl_project",
     "a_rank_normalize",
+    "a_rank_normalize_approx",
     "split_stratified_exact",
     "a_benford_test",
     "a_survival_km",

@@ -2768,6 +2768,45 @@ def a_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a_rank_normalize_approx")  # rows-only: GK cell labels;
+# |pct - exact| <= 1/(2*cells) + sketch error pinned in tests/test_scale_toolkit.py
+def a_rank_normalize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-depth-independent form of a_rank_normalize (VERDICT r9
+    #6: the dispatch table said "same GK-labeling pattern at finer
+    grain" — this registers the swap concretely). The exact query's
+    percent_rank is ONE sort per group (21.5x at 100x group depth);
+    here each row gets the MIDPOINT of its 256-cell GK quantile cell:
+    255 cutpoints per group from one percentile_approx partial agg
+    (bounded mergeable sketch state, #groups result rows, broadcast
+    back), then a map-side count-of-cutpoints-below label — no sort
+    anywhere, cost ~flat in group depth. Error: exact pct_rank is
+    uniform within a cell, so the midpoint is off by <= 1/(2*256) +
+    GK rank error (n/10000) + within-cell tie mass. Output columns
+    match the exact query (drop-in swap); pct_rank is approximate,
+    which is fine for its consumer (a monotone feature transform)."""
+    n_cells = 256
+    t = Tables(spark, sf_dir)
+    cuts = t.events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value",
+            F.array(*[F.lit(k / n_cells) for k in range(1, n_cells)]),
+            F.lit(10000),
+        ).alias("cuts")
+    )
+    e = t.events.join(F.broadcast(cuts), "event_type")
+    cell = F.aggregate(
+        "cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round((cell + 0.5) / F.lit(float(n_cells)), 6).alias("pct_rank"),
+    )
+
+
 @register("a_gini_value_approx")  # rows-only: sketch-binned Lorenz
 # integral; |approx - exact| <= ~1/n_bins pinned in tests/test_scale_toolkit.py
 def a_gini_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

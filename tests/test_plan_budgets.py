@@ -415,6 +415,9 @@ EXCHANGE_BUDGETS = {
     # (BroadcastExchange) + (group,decile) partial agg (1) — NO ntile
     # sort; the whole point of the sketch twin
     "a_quantile_bins_approx": 3,
+    # GK 255-cutpoint agg (1+bcast) + map-side cell labels — no sort,
+    # no second agg: the whole query is one sketch agg + one projection
+    "a_rank_normalize_approx": 2,
     # GK cutpoints (1+bcast) + (group,bin) agg (1) + tiny trapezoid
     # window on the <=64-row-per-group grid (1)
     "a_gini_value_approx": 4,

@@ -539,6 +539,44 @@ def test_a_quantile_bins_approx_mass_and_edge_bounds(spark, sf_oracle_dir):
             )
 
 
+def test_a_rank_normalize_approx_error_bound(spark, sf_oracle_dir):
+    """The GK-cell twin (VERDICT r9 #6) must be a drop-in swap for
+    a_rank_normalize: same schema, same row count, and per-row
+    |pct_approx - pct_exact| within the cell-midpoint bound — half a
+    cell (1/512) + GK rank error (n/10000) + the row's within-cell tie
+    mass. The testdata has negligible value ties, so a flat envelope of
+    1/512 + 2e-4 + slack covers it; the join also pins that every
+    (event_type, event_id) key survives with its exact value."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["a_rank_normalize"](spark, sf_oracle_dir)
+    approx = QUERIES["a_rank_normalize_approx"](spark, sf_oracle_dir)
+    assert approx.columns == exact.columns
+    j = (
+        exact.alias("e")
+        .join(
+            approx.alias("a"),
+            ["event_type", "event_id"],
+            "full_outer",
+        )
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "e.value as ve",
+            "a.value as va",
+            "abs(a.pct_rank - e.pct_rank) as err",
+        )
+        .collect()
+    )
+    assert j
+    assert all(r["ve"] is not None and r["va"] is not None for r in j)
+    assert all(abs(r["ve"] - r["va"]) < 1e-9 for r in j)
+    envelope = 1.0 / 512 + 2e-4 + 2e-3  # half-cell + GK + tie slack
+    worst = max(r["err"] for r in j)
+    assert worst <= envelope, worst
+
+
 def test_a_gini_value_approx_close_to_exact(spark, sf_oracle_dir):
     """Trapezoid-on-GK-bins Gini must sit within the binning bound of
     the exact rank-form value: the approximation drops only within-bin
