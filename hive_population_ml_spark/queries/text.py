@@ -1663,10 +1663,16 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     'LM filter' shape one perplexity step more faithful than the
     unigram proxy. Scale: bigram + unigram model tables are
     vocab-bounded partial aggs, BOTH checkpointed once (each feeds a
-    rollup and/or the scoring join); the corpus-sized work is the
-    bigram explode and the scoring joins on vocab keys; the 1-row
-    token total broadcasts. Interpolation weights are literals on both
-    engines; per-doc avg over exact count ratios, rounded at 6."""
+    rollup and/or the scoring join); the 1-row token total broadcasts.
+    The three model lookups (cb, cl, cu) are PRE-JOINED into one
+    (w1, w2)-keyed model table — vocab-sized joins — so the
+    corpus-sized bigram stream joins ONCE: the round-10 1000x probe
+    caught the original three corpus-side joins each turning into a
+    full corpus shuffle when the model tables outgrow broadcast
+    (exchanges 7 -> 9, ratio 93.6x); with the single scoring join the
+    at-scale plan shuffles the corpus once on (w1, w2) regardless of
+    model size. Interpolation weights are literals on both engines;
+    per-doc avg over exact count ratios, rounded at 6."""
     toks = (
         Tables(spark, sf_dir)
         .documents.select(
@@ -1695,10 +1701,13 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     leftc = bic.groupBy("w1").agg(F.sum("cb").cast("double").alias("cl"))
     p = 0.7 * (F.col("cb") / F.col("cl")) + 0.3 * (F.col("cu") / F.col("n"))
-    return (
-        bi.join(bic, ["w1", "w2"])
-        .join(leftc, "w1")
+    model = (
+        bic.join(leftc, "w1")
         .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .select("w1", "w2", "cb", "cl", "cu")
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(nt))
         .groupBy("doc_id")
         .agg(
