@@ -330,14 +330,21 @@ def synthesize_video(
     n_frames: int = 8,
     fps: int = 10,
     quality: int = 85,
+    pattern_mod: int | None = None,
+    quality_cycle: tuple = (),
 ) -> DataFrame:
     """Deterministic MJPEG-AVI payload per row, encoded with the REAL
     stdlib codec (codecs.encode_avi_mjpeg over encode_jpeg frames) so
     the video decode path is exercisable from plain testdata tables.
-    Frames are the id-seeded gradient translating by a per-frame phase
-    step — consecutive frames differ smoothly, so motion metrics are
-    non-trivial. mapInPandas, no shuffle — same posture as
-    synthesize_image/synthesize_wav."""
+    Default: frames are the id-seeded gradient translating by a
+    per-frame phase step — consecutive frames differ smoothly, so
+    motion metrics are non-trivial. With ``pattern_mod`` set, rows
+    share one of ``pattern_mod`` videos (id % pattern_mod) whose frames
+    are a smooth seeded random field panning 2 px per frame, and — if
+    ``quality_cycle`` is given — repeats of a pattern encode at cycling
+    JPEG qualities: byte-DISTINCT payloads of visually IDENTICAL
+    videos, the perceptual video-dedup fixture (the video twin of
+    synthesize_image's pattern_mod form). mapInPandas, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -345,10 +352,32 @@ def synthesize_video(
         from . import codecs
 
         yy, xx = np.mgrid[0:height, 0:width]
+        cache: dict = {}
         for pdf in batches:
             payloads = []
             for i in pdf["id"]:
                 i = int(i)
+                if pattern_mod is not None:
+                    pat = i % pattern_mod
+                    q = (
+                        quality_cycle[(i // pattern_mod) % len(quality_cycle)]
+                        if quality_cycle
+                        else quality
+                    )
+                    key = (pat, q)
+                    if key not in cache:
+                        wide = _blob_image(
+                            pat, width + 2 * n_frames, height
+                        )
+                        frames = [
+                            wide[:, 2 * k : 2 * k + width, :]
+                            for k in range(n_frames)
+                        ]
+                        cache[key] = codecs.encode_avi_mjpeg(
+                            frames, fps=fps, quality=q
+                        )
+                    payloads.append(cache[key])
+                    continue
                 frames = []
                 for k in range(n_frames):
                     ph = i * 17 + k * 11
@@ -373,6 +402,40 @@ def synthesize_video(
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+VIDEO_PHASH_SCHEMA = "id bigint, frame_idx int, phash bigint"
+
+
+def video_phash_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Per-sampled-frame DCT pHash over MJPEG videos: evenly-spaced
+    frames off the container index, each huffman+IDCT-decoded and
+    hashed with codecs.phash64. One video -> n_frames (id, frame_idx,
+    phash) rows; downstream, ``dedup.fingerprint_pairs`` pairs frames
+    and a same-slot rollup pairs VIDEOS (dedup_video_phash) — each
+    frame comparison inherits the proven image-pHash margins (intra<=6
+    / inter>=16 under re-encode), which a single majority-vote video
+    hash measured too thin to keep (intra 8-11 vs inter 14 on panning
+    fixtures). Zero-shuffle Arrow mapInPandas, work bounded by
+    n_frames per video."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, m in zip(pdf["id"], pdf["media"]):
+                for k, j in enumerate(
+                    codecs.avi_sample_frames(bytes(m), n_frames)
+                ):
+                    ids.append(i)
+                    idxs.append(k)
+                    hashes.append(codecs.phash64(codecs.decode_jpeg(j)))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
 
 
 VIDEO_FRAME_STATS_SCHEMA = (

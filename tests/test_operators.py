@@ -4298,6 +4298,64 @@ def test_dedup_audio_fingerprint_pairs_exactly_same_melody_docs(
     assert all(r["hamming"] <= 6 for r in rows)
 
 
+def test_dedup_video_phash_pairs_exactly_same_pattern_videos(
+    spark, sf_oracle_dir
+):
+    """End-to-end: 96 docs / 12 shared panning videos / cycling MJPEG
+    quality. Byte payloads differ, but the per-frame pHash + same-slot
+    rollup must return EXACTLY the same-pattern video pairs
+    (12 * C(8,2) = 336), each agreeing on >= 3 of 4 sampled slots."""
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["dedup_video_phash"](spark, sf_oracle_dir).collect()
+    got = {(r["v1"], r["v2"]) for r in rows}
+    want = {
+        (a, b)
+        for pat in range(12)
+        for a in range(pat, 96, 12)
+        for b in range(pat, 96, 12)
+        if a < b
+    }
+    assert got == want
+    assert all(r["n_slots"] >= 3 for r in rows)
+
+
+def test_video_phash_frames_slot_margins(spark):
+    """Per-frame margins on the video fixture, pinned at the contract
+    the rollup actually rides on: >= 3 of 4 slots within d<=6 across a
+    quality re-encode (a single slot of a CROPPED pan frame can drift
+    to ~8 bits — crops redistribute DCT energy, which is why the
+    rollup is slot-majority, not all-slots), and every cross-pattern
+    same-slot pair stays STRICTLY above 6 so false video pairs cannot
+    form."""
+    from hive_population_ml_spark.operators import multimodal
+
+    base = spark.range(24).withColumnRenamed("id", "vid")
+    media = multimodal.synthesize_video(
+        base, "vid", width=64, height=48, pattern_mod=12,
+        quality_cycle=(75, 90),
+    )
+    rows = multimodal.video_phash_frames(media, n_frames=4).collect()
+    h = {(r.id % 12, r.id // 12, r.frame_idx): r.phash for r in rows}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for pat in range(12):
+        close = sum(
+            ham(h[(pat, 0, f)], h[(pat, 1, f)]) <= 6 for f in range(4)
+        )
+        assert close >= 3, (pat, close)
+    inter = min(
+        ham(h[(p1, 0, f)], h[(p2, 0, f)])
+        for p1 in range(12)
+        for p2 in range(p1 + 1, 12)
+        for f in range(4)
+    )
+    assert inter >= 7, inter
+
+
 def test_image_quality_blur_monotonicity_and_flat_field(spark):
     """Quality-screen pins: (1) box-blurring an image strictly drops
     Laplacian-variance sharpness; (2) a flat fill scores ~0 contrast,
