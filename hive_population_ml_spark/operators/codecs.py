@@ -1347,18 +1347,11 @@ def mjpeg_ensure_dht(jpeg: bytes) -> bytes:
     return jpeg[:first_sos] + _mjpeg_default_dht() + jpeg[first_sos:]
 
 
-def decode_avi(data: bytes) -> dict:
-    """MJPEG-AVI bytes -> container metadata + per-frame JPEG payloads
-    (NOT yet pixel-decoded — frame selection happens before the
-    expensive per-frame ``decode_jpeg``).
-
-    Returns ``{width, height, fps, n_frames, codec, frames}`` with
-    ``frames`` a list of standalone-decodable JPEG byte strings
-    (DHT-less MJPEG frames get the Annex-K tables spliced in). Only the
-    'vids'/MJPG stream type is implemented; DIB/other FourCCs raise
-    NotImplementedError — the honest boundary (a production pipeline
-    swaps PyAV/ffmpeg in at the same dispatch point in
-    operators/multimodal.py)."""
+def _avi_parse(data: bytes) -> dict:
+    """Container walk WITHOUT materializing frame payloads: headers plus
+    a lazy (offset, size) index into the movi run. All sampling paths
+    go through this so an N-frame video costs O(N) index entries, not
+    O(N) byte copies, before frame selection."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -1366,7 +1359,7 @@ def decode_avi(data: bytes) -> dict:
     width = height = 0
     fps = 0.0
     codec = b""
-    frames: list[bytes] = []
+    index: list[tuple[int, int]] = []
     saw_vids = False
     for fourcc, p, size in _riff_chunks(data, 12, end):
         if fourcc != b"LIST":
@@ -1394,7 +1387,7 @@ def decode_avi(data: bytes) -> dict:
                 # ##dc / ##db = compressed / uncompressed video frame
                 # for stream ##; MJPEG uses dc
                 if f2[2:4] in (b"dc", b"db"):
-                    frames.append(mjpeg_ensure_dht(bytes(data[p2 : p2 + s2])))
+                    index.append((p2, s2))
     if not saw_vids:
         raise ValueError("AVI has no video ('vids') stream")
     if codec not in (b"MJPG", b"mjpg", b"dmb1"):
@@ -1407,42 +1400,73 @@ def decode_avi(data: bytes) -> dict:
         "width": width,
         "height": height,
         "fps": fps,
-        "n_frames": len(frames),
         "codec": codec.decode("ascii", "replace"),
-        "frames": frames,
+        "index": index,
     }
+
+
+def _avi_frame(data: bytes, entry: tuple[int, int]) -> bytes:
+    """Materialize one indexed frame as a standalone-decodable JPEG
+    (DHT-less MJPEG frames get the Annex-K tables spliced in)."""
+    p, s = entry
+    return mjpeg_ensure_dht(bytes(data[p : p + s]))
+
+
+def decode_avi(data: bytes) -> dict:
+    """MJPEG-AVI bytes -> container metadata + per-frame JPEG payloads
+    (NOT yet pixel-decoded — frame selection happens before the
+    expensive per-frame ``decode_jpeg``).
+
+    Returns ``{width, height, fps, n_frames, codec, frames}`` with
+    ``frames`` a list of standalone-decodable JPEG byte strings
+    (DHT-less MJPEG frames get the Annex-K tables spliced in). Only the
+    'vids'/MJPG stream type is implemented; DIB/other FourCCs raise
+    NotImplementedError — the honest boundary (a production pipeline
+    swaps PyAV/ffmpeg in at the same dispatch point in
+    operators/multimodal.py). Sampling paths (``avi_sample_frames``,
+    ``avi_features``) use the lazy ``_avi_parse`` index instead of this
+    materialize-everything form."""
+    d = _avi_parse(data)
+    frames = [_avi_frame(data, e) for e in d.pop("index")]
+    d["n_frames"] = len(frames)
+    d["frames"] = frames
+    return d
 
 
 def avi_sample_frames(data: bytes, n_frames: int) -> list[bytes]:
     """Evenly-spaced JPEG frame payloads from an MJPEG AVI — the real
     replacement for the byte-slice frame stub. Selection happens on the
-    container index BEFORE any pixel decode, so sampling 4 frames from
-    a 10k-frame video pays for 4 JPEG decodes, not 10k."""
-    d = decode_avi(data)
-    total = d["n_frames"]
+    container index BEFORE any byte copy or pixel decode, so sampling 4
+    frames from a 10k-frame video materializes (and later decodes) 4
+    payloads, not 10k."""
+    d = _avi_parse(data)
+    total = len(d["index"])
     if total == 0:
         return []
     k = min(n_frames, total)
-    idx = [(j * total) // k for j in range(k)]
-    return [d["frames"][i] for i in idx]
+    return [
+        _avi_frame(data, d["index"][(j * total) // k]) for j in range(k)
+    ]
 
 
 def avi_features(data: bytes, dim: int = 8) -> list[float]:
     """Video feature vector: [width, height, fps, n_frames, duration_s,
     mean_gray_first, mean_gray_last, inter_frame_delta] padded/truncated
     to dim — header fields from the container, pixel stats from REAL
-    decode_jpeg on the first/last frames only (bounded work per video)."""
-    d = decode_avi(data)
+    decode_jpeg on the first/last indexed frames only (bounded work per
+    video; intermediate frames are never materialized)."""
+    d = _avi_parse(data)
+    n = len(d["index"])
     feats = [
         float(d["width"]),
         float(d["height"]),
         float(d["fps"]),
-        float(d["n_frames"]),
-        d["n_frames"] / d["fps"] if d["fps"] else 0.0,
+        float(n),
+        n / d["fps"] if d["fps"] else 0.0,
     ]
-    if d["frames"]:
-        first = decode_jpeg(d["frames"][0]).astype(np.float64)
-        last = decode_jpeg(d["frames"][-1]).astype(np.float64)
+    if n:
+        first = decode_jpeg(_avi_frame(data, d["index"][0])).astype(np.float64)
+        last = decode_jpeg(_avi_frame(data, d["index"][-1])).astype(np.float64)
         g0 = first.mean(axis=2).mean() / 255.0 if first.ndim == 3 else first.mean() / 255.0
         g1 = last.mean(axis=2).mean() / 255.0 if last.ndim == 3 else last.mean() / 255.0
         feats += [float(g0), float(g1), float(abs(g1 - g0))]
