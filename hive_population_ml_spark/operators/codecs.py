@@ -838,6 +838,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # desync the parser
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            # stream truncated inside a fill run — keep the decoder's
+            # ValueError contract (not IndexError)
+            raise ValueError("truncated JPEG marker segment")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
@@ -1243,11 +1247,13 @@ def encode_avi_mjpeg(
     index so third-party players can seek."""
     if not frames:
         raise ValueError("encode_avi_mjpeg needs at least one frame")
-    arr0 = np.asarray(frames[0])
-    h, w = arr0.shape[0], arr0.shape[1]
-    payloads = [encode_jpeg(np.asarray(f), quality=quality) for f in frames]
-    if any(np.asarray(f).shape[:2] != (h, w) for f in frames):
+    arrs = [np.asarray(f) for f in frames]
+    h, w = arrs[0].shape[0], arrs[0].shape[1]
+    # validate geometry BEFORE the expensive per-frame huffman+DCT
+    # encodes (code-review r10)
+    if any(a.shape[:2] != (h, w) for a in arrs):
         raise ValueError("all AVI frames must share one geometry")
+    payloads = [encode_jpeg(a, quality=quality) for a in arrs]
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         return (
@@ -1329,6 +1335,8 @@ def mjpeg_ensure_dht(jpeg: bytes) -> bytes:
     while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
         while pos + 1 < len(jpeg) and jpeg[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(jpeg):
+            break  # truncated fill run: nothing left to splice before
         tag = jpeg[pos + 1]
         if tag == 0xD9:
             break
@@ -1340,6 +1348,9 @@ def mjpeg_ensure_dht(jpeg: bytes) -> bytes:
         if tag == 0xDA:
             first_sos = pos
             break
+        if pos + 4 > len(jpeg):
+            break  # truncated before a length field: leave as-is, the
+            # decoder raises its own ValueError downstream
         (seg_len,) = struct.unpack_from(">H", jpeg, pos + 2)
         pos += 2 + seg_len
     if has_dht or first_sos is None:
@@ -1373,20 +1384,38 @@ def _avi_parse(data: bytes) -> dict:
                     )
                     fps = 1_000_000.0 / usec if usec else 0.0
                 elif f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    in_vids = False
                     for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
-                        if f3 == b"strh" and data[p3 : p3 + 4] == b"vids":
-                            saw_vids = True
-                            codec = data[p3 + 4 : p3 + 8]
-                            scale, rate = struct.unpack_from(
-                                "<II", data, p3 + 20
-                            )
-                            if scale:
-                                fps = rate / scale
+                        if f3 == b"strh":
+                            in_vids = data[p3 : p3 + 4] == b"vids"
+                            if in_vids:
+                                saw_vids = True
+                                codec = data[p3 + 4 : p3 + 8]
+                                scale, rate = struct.unpack_from(
+                                    "<II", data, p3 + 20
+                                )
+                                if scale:
+                                    fps = rate / scale
+                        elif f3 == b"strf" and in_vids and s3 >= 20:
+                            # BITMAPINFOHEADER.biCompression is the
+                            # authoritative codec id (VFW spec: the strh
+                            # fccHandler is advisory and often blank) —
+                            # prefer it when set (code-review r10)
+                            bi_comp = data[p3 + 16 : p3 + 20]
+                            if bi_comp.strip(b"\x00"):
+                                codec = bi_comp
         elif kind == b"movi":
             for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
                 # ##dc / ##db = compressed / uncompressed video frame
-                # for stream ##; MJPEG uses dc
-                if f2[2:4] in (b"dc", b"db"):
+                # for stream ##; MJPEG uses dc. Interleaved muxers wrap
+                # frame runs in LIST 'rec ' groups — descend one level
+                # (code-review r10: direct-children-only silently
+                # dropped every rec-wrapped frame).
+                if f2 == b"LIST" and data[p2 : p2 + 4] == b"rec ":
+                    for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if f3[2:4] in (b"dc", b"db"):
+                            index.append((p3, s3))
+                elif f2[2:4] in (b"dc", b"db"):
                     index.append((p2, s2))
     if not saw_vids:
         raise ValueError("AVI has no video ('vids') stream")

@@ -4089,6 +4089,68 @@ def test_avi_decoder_against_hand_authored_fixture():
         codecs.decode_avi(bad)
 
 
+def test_avi_rec_wrapped_frames_and_strf_codec_fallback():
+    # code-review r10: interleaved muxers wrap frame runs in LIST
+    # 'rec ' groups, and the strh fccHandler is advisory (often blank)
+    # with strf biCompression authoritative — both must parse
+    import struct as st
+
+    from hive_population_ml_spark.operators import codecs
+
+    frames = _avi_test_frames(3)
+    avi = codecs.encode_avi_mjpeg(frames, fps=10, quality=85)
+    d0 = codecs.decode_avi(avi)
+
+    def ch(cc, p):
+        return cc + st.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+
+    # rebuild the container with frames inside a LIST 'rec ' group and
+    # a blanked strh handler (strf biCompression still 'MJPG')
+    avih = ch(b"avih", st.pack("<14I", 100000, 0, 0, 0x10, 3, 0, 1, 0, 32, 24, 0, 0, 0, 0))
+    strh = ch(b"strh", b"vids" + b"\x00\x00\x00\x00" + st.pack("<10I4H", 0, 0, 0, 1, 10, 0, 3, 0, 0xFFFFFFFF, 0, 0, 0, 32, 24))
+    strf = ch(b"strf", st.pack("<IiiHH4sIiiII", 40, 32, 24, 1, 24, b"MJPG", 32 * 24 * 3, 0, 0, 0, 0))
+    hdrl = ch(b"LIST", b"hdrl" + avih + ch(b"LIST", b"strl" + strh + strf))
+    rec = ch(b"LIST", b"rec " + b"".join(ch(b"00dc", f) for f in d0["frames"]))
+    movi = ch(b"LIST", b"movi" + rec)
+    body = b"AVI " + hdrl + movi
+    avi2 = b"RIFF" + st.pack("<I", len(body)) + body
+    d = codecs.decode_avi(avi2)
+    assert d["codec"] == "MJPG"  # from strf, not the blank handler
+    assert d["n_frames"] == 3
+    assert d["frames"] == d0["frames"]
+    assert len(codecs.avi_sample_frames(avi2, 2)) == 2
+
+
+def test_avi_encoder_validates_geometry_before_encoding():
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators import codecs
+
+    good = _avi_test_frames(2)
+    bad = good + [np.zeros((10, 10, 3), dtype=np.uint8)]
+    with _pytest.raises(ValueError, match="geometry"):
+        codecs.encode_avi_mjpeg(bad)
+
+
+def test_jpeg_truncated_fill_run_raises_valueerror_not_indexerror():
+    # code-review r10: a stream ending inside a 0xFF fill run must keep
+    # the decoder's ValueError contract (was IndexError)
+    import pytest as _pytest
+
+    from hive_population_ml_spark.operators import codecs
+
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8\xff\xff")
+    # mjpeg_ensure_dht on the same truncated bytes must not crash
+    # (returns input unchanged; the decoder raises downstream)
+    assert codecs.mjpeg_ensure_dht(b"\xff\xd8\xff\xff") == b"\xff\xd8\xff\xff"
+    assert (
+        codecs.mjpeg_ensure_dht(b"\xff\xd8\xff\xdb\x00")
+        == b"\xff\xd8\xff\xdb\x00"
+    )
+
+
 def test_mjpeg_dht_splice_parity():
     # OpenDML MJPEG convention: frames may omit DHT; mjpeg_ensure_dht
     # splices the Annex-K typical tables and the decode must match the
