@@ -371,6 +371,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 3,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
     cell, probe each query's ``n_probe`` nearest cells, score exactly
@@ -381,12 +382,45 @@ def ivf_topk(
     assignment is a map-side argmin (no shuffle). The corpus→cell
     assignment is write-time partitioning in a real deployment: lookups
     touch n_probe cells instead of the full corpus.
+
+    ``assign_method``: "auto" (GEMM mapInPandas at >= 32 cells, the
+    crossJoin-window form below), "gemm", or "exact" — parity between
+    the two is pinned in tests; "exact" exists for small-k plans and
+    the parity check itself.
     """
     # centroid norms precomputed once (broadcast side); row norms once
     # per row instead of once per (row, centroid) pair
     cent = centroids.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("__kn", norm(F.col("cv")))
+
+    # Auto-dispatch (round 10): past ~32 cells the crossJoin-window
+    # assignment's n x k row expansion — every row carrying its full
+    # vector through a per-id sort — dominates memory AND cpu (the
+    # 1000x probe OOMed the executor heap on 500k x 708 expanded rows);
+    # the GEMM form is the assign_cells(method="gemm") lesson extended
+    # to top-n: one Arrow mapInPandas pass, zero exchanges, argpartition
+    # for the n_probe cells. Same (sim desc, cid asc) tie-break, sims
+    # rounded to 9 on both paths.
+    cent_rows = cent.select("cid", "cv").collect()
+    use_gemm = (
+        assign_method == "gemm"
+        or (assign_method == "auto" and len(cent_rows) >= 32)
+    )
+    if use_gemm:
+
+        def assign(df: DataFrame, idc: str, vec: str, keep_n: int) -> DataFrame:
+            return _ivf_assign_gemm(df, idc, vec, cent_rows, keep_n)
+
+        cells = assign(corpus, id_col, vec_col, 1).select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_v").alias("cv2"),
+            "cid",
+        )
+        probes = assign(queries, id_col, vec_col, n_probe).select(
+            F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "cid"
+        )
+        return _ivf_score_gemm(cells, probes, k)
 
     def assign(df: DataFrame, idc: str, vec: str, keep_n: int) -> DataFrame:
         scored = (
@@ -426,6 +460,76 @@ def ivf_topk(
     probes = assign(queries, id_col, vec_col, n_probe).select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "cid"
     ).withColumn("__qn", norm(F.col("qv")))
+    return _ivf_score(cells, probes, k)
+
+
+def _ivf_score_gemm(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Cell-cogrouped BLAS scoring: one applyInPandas per cell computes
+    (probing queries x cell members) cosines as a dense GEMM and emits
+    each query's per-cell top-k; a final window takes the global top-k
+    (the union of per-cell top-ks contains it — the standard
+    distributed-top-k argument; a corpus vector lives in exactly ONE
+    cell, so (query, neighbor) pairs cannot repeat across cells).
+
+    This replaces the equi-join + per-row Catalyst lambda cosine for
+    the auto/GEMM path: at the round-10 1000x probe scale (5k queries x
+    27 probes x ~700-member cells ~ 95M candidates), the interpreted
+    per-element lambda fold measured 771 s (545x ratio); the same
+    flops as per-cell GEMMs run at BLAS rate, and the shuffle carries
+    each side once keyed by cell instead of streaming 95M joined rows.
+    Semantics mirror the exact path: cosines rounded to 9, self-match
+    dropped, ties (cosine desc, neighbor_id asc)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "cosine": "float64"})
+        cm = np.array(list(cdf["cv2"]), dtype=np.float64)
+        qm = np.array(list(qdf["qv"]), dtype=np.float64)
+        cn = np.linalg.norm(cm, axis=1)
+        qn = np.linalg.norm(qm, axis=1)
+        cn[cn == 0.0] = 1.0
+        qn[qn == 0.0] = 1.0
+        sims = np.round((qm / qn[:, None]) @ (cm / cn[:, None]).T, 9)
+        nids = cdf["neighbor_id"].to_numpy()
+        qids = qdf["query_id"].to_numpy()
+        # self-matches score -inf so they never enter the shortlist
+        sims[qids[:, None] == nids[None, :]] = -np.inf
+        kn = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kn - 1, axis=1)[:, :kn]
+        psims = np.take_along_axis(sims, part, axis=1)
+        order = np.lexsort((nids[part], -psims), axis=1)
+        best = np.take_along_axis(part, order, axis=1)
+        bsims = np.take_along_axis(sims, best, axis=1)
+        keep = np.isfinite(bsims).reshape(-1)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kn)[keep],
+                "neighbor_id": nids[best].reshape(-1)[keep],
+                "cosine": bsims.reshape(-1)[keep],
+            }
+        )
+
+    scored = (
+        cells.groupBy("cid")
+        .cogroup(probes.groupBy("cid"))
+        .applyInPandas(
+            score, schema="query_id long, neighbor_id long, cosine double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _ivf_score(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Shared IVF scoring tail: cell equi-join, exact cosine over
+    probed members, per-query top-k (both assignment paths land here)."""
     scored = (
         cells.join(probes, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -444,6 +548,64 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _ivf_assign_gemm(
+    df: DataFrame, idc: str, vec: str, cent_rows: list, keep_n: int
+) -> DataFrame:
+    """Top-``keep_n`` nearest-centroid cells per row via one Arrow
+    mapInPandas GEMM pass — zero exchanges, no n x k row expansion.
+    Mirrors the crossJoin path's semantics exactly: sims rounded to 9,
+    ties broken (sim desc, cid asc), zero-norm vectors score NaN-free 0
+    against every cell (the exact path's NULL sims likewise lose every
+    ordering)."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(cent_rows, key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    cm = np.array([list(r["cv"]) for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    cmn = cm / cn[:, None]
+    kn = min(keep_n, len(cids))
+
+    def run(batches):
+        for pdf in batches:
+            for s in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[s : s + 4096]
+                vm = np.array(list(chunk["_v"]), dtype=np.float64)
+                if vm.size == 0:
+                    continue
+                vn = np.linalg.norm(vm, axis=1)
+                vn[vn == 0.0] = 1.0
+                sims = np.round((vm / vn[:, None]) @ cmn.T, 9)
+                if kn == 1:
+                    # argmax returns the FIRST max — cids sorted asc, so
+                    # ties break to the smaller cell id like the window
+                    best = np.argmax(sims, axis=1)[:, None]
+                else:
+                    part = np.argpartition(-sims, kn - 1, axis=1)[:, :kn]
+                    psims = np.take_along_axis(sims, part, axis=1)
+                    # order the shortlist by (sim desc, cid asc);
+                    # lexsort's last key is primary
+                    order = np.lexsort(
+                        (cids[part], -psims), axis=1
+                    )
+                    best = np.take_along_axis(part, order, axis=1)
+                n = len(chunk)
+                yield pd.DataFrame(
+                    {
+                        "_id": np.repeat(chunk["_id"].to_numpy(), kn),
+                        "_v": [v for v in chunk["_v"] for _ in range(kn)],
+                        "cid": cids[best].reshape(-1),
+                    }
+                )
+
+    src = df.select(
+        F.col(idc).cast("long").alias("_id"), _as_double(F.col(vec)).alias("_v")
+    )
+    return src.mapInPandas(run, schema="_id long, _v array<double>, cid long")
 
 
 def _lsh_buckets_pandas(
@@ -500,7 +662,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     n_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only bucket-colliding candidates.
@@ -508,7 +670,17 @@ def lsh_topk(
     Same output schema as ``cosine_topk``; recall < 1 by design. The
     corpus side is bucketed once (write-time in a real deployment);
     lookups become equi-joins on (table, bucket).
+
+    ``n_planes=None`` derives the hash width from the corpus row count
+    (``auto_n_planes``: constant expected bucket occupancy) — the
+    production form; a fixed width turns quadratic as the corpus grows
+    (see auto_n_planes' docstring for the measured failure). The count
+    is one metadata-cheap job, the analog of auto_n_cells' fingerprint
+    scan; at write-time deployment the width is chosen once at index
+    build.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     c = _lsh_buckets_pandas(
         corpus.select(
             F.col(id_col).cast("long").alias("neighbor_id"),
@@ -1029,7 +1201,7 @@ def train_ivfpq_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_subspaces: int = 8,
     n_centroids: int = 256,
     iters: int = 12,
@@ -1039,10 +1211,16 @@ def train_ivfpq_index(
     """Driver-bounded index training: coarse centroids by seeded Lloyd
     on the deterministic hash-sample, then PQ codebooks trained on the
     sample's RESIDUALS. Returns (centroids (n_cells, d), books
-    (m, k, d/m)) — KBs, deterministic."""
+    (m, k, d/m)) — KBs, deterministic. ``n_cells=None`` derives the
+    cell count from the corpus size (auto_n_cells, k ~ sqrt(n)) so
+    per-cell code-list length — each probed query's scoring cost —
+    grows as sqrt(n), not n (the fixed-k lesson, VERDICT r7 #4 /
+    round-10 LSH probe)."""
     import numpy as np
 
     n = corpus.count()
+    if n_cells is None:
+        n_cells = auto_n_cells(n)
     train = corpus
     if sample_n and n > sample_n:
         mod = 1_000_003
@@ -1737,6 +1915,31 @@ def semantic_decontaminate(
             "max_benchmark_cosine double, contaminated int"
         ),
     ).withColumnRenamed("id", id_col)
+
+
+def auto_n_planes(
+    n_rows: int, target_occupancy: int = 32, lo: int = 4, hi: int = 24
+) -> int:
+    """Corpus-size-derived LSH hash width: enough hyperplanes that the
+    EXPECTED bucket occupancy n / 2^planes stays ~``target_occupancy``.
+
+    A FIXED plane count silently degrades to quadratic candidate work
+    as the corpus grows — bucket occupancy is n/2^planes, so candidates
+    per query grow linearly with n and the bucket join's output grows
+    n^2/2^planes (the round-10 1000x probe filled the DISK with shuffle
+    spill on exactly this: 500k vectors x 4 planes = 31k-vector buckets
+    x 8 tables x 5k queries ~ 1.25B candidate rows carrying full
+    vectors). Widening the key with log2(n) keeps per-bucket occupancy
+    — and therefore per-query candidate count — constant; recall per
+    table falls as keys widen, which the multi-table OR compensates
+    (same trade FAISS's LSH and the Manku SimHash banding make). Capped
+    at ``hi`` (2^24 buckets) because beyond that bucket-key cardinality
+    outgrows any realistic shuffle-partition count, and floored at
+    ``lo`` so tiny fixtures keep the historical 4-plane behavior."""
+    import math
+
+    occ = max(1, n_rows // max(1, target_occupancy))
+    return max(lo, min(int(math.ceil(math.log2(max(2, occ)))), hi))
 
 
 def auto_n_cells(n_rows: int, max_cells: int = 65536) -> int:

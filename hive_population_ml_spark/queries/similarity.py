@@ -61,6 +61,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh")  # rows-only: approximate; recall vs brute force in tests
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with an auto-width hash (round 10): ``n_planes=None``
+    derives the hyperplane count from the corpus size so expected
+    bucket occupancy stays constant — at the driver/test scales this
+    resolves to the historical 4 planes (bit-identical behavior); at
+    500k vectors it resolves to 14, which is the difference between a
+    bounded bucket join and the 1.25B-candidate shuffle spill the
+    round-10 1000x probe measured with the width pinned (the LSH twin
+    of SemDeDup's fixed-k lesson, VERDICT r7 #4)."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     return lsh_topk(
@@ -69,7 +77,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         k=5,
-        n_planes=4,
+        n_planes=None,
         n_tables=8,
     )
 
@@ -122,18 +130,28 @@ def _trained_centroids(
 
 @register("ann_ivf")  # rows-only: approximate; recall vs brute force in tests
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a KMeans-trained fixed-k coarse quantizer (seeded,
-    deterministic — kmeans|| init, 5 Lloyd iterations).
+    """IVF ANN with a KMeans-trained AUTO-k coarse quantizer (seeded,
+    deterministic — kmeans|| init, 5 Lloyd iterations; k ~ sqrt(n) via
+    auto_n_cells, n_probe ~ sqrt(k)).
 
-    k stays FIXED as the corpus grows, so query-to-cell assignment is
-    linear in corpus size. The previous registration sampled centroids
-    as ``vec_id % 101`` — k grew linearly with n, making assignment
-    O(queries x n/101); the 10x scale probe measured 8.71x wall-clock
-    (PERFORMANCE.md), so that variant is demoted to a test fixture
-    (tests/test_operators.py::test_ivf_topk_recall_vs_bruteforce)."""
+    The cell-count history is a two-sided lesson: the original
+    registration sampled centroids as ``vec_id % 101`` — k grew
+    LINEARLY with n, making query-to-cell assignment O(queries x n/101)
+    (10x probe: 8.71x wall-clock; demoted to a test fixture). The r7-r9
+    fix pinned k=16, which made assignment cheap but let CELL SIZE grow
+    linearly — per-query exact scoring n_probe x n/k degrades to
+    O(queries x n), the same failure class the round-10 1000x LSH probe
+    hit. k ~ sqrt(n) balances the two (assignment O(sqrt n)/row,
+    scoring O(n_probe x sqrt n)/query — FAISS's standard IVF sizing,
+    and the same auto rule dedup_semantic adopted in r8); n_probe ~
+    sqrt(k) keeps the probed fraction falling slowly so scoring stays
+    sub-linear while small fixtures probe >= the historical 3 cells."""
+    import math
+
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    cents = _trained_centroids(spark, emb, sf_dir)
+    cents = _trained_centroids(spark, emb, sf_dir, k=None)
+    n_cells = cents.count()
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") % 100 == 0),
@@ -141,7 +159,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         k=5,
-        n_probe=3,
+        n_probe=max(3, math.isqrt(n_cells)),
     )
 
 
@@ -246,23 +264,32 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV) — the composition production ANN
     systems deploy: coarse cells bound each query's IO to n_probe
     cells of 8-byte residual-PQ codes, ADC lookup tables score cell
-    members, the shortlist re-ranks exactly. n_probe=8 of 16 cells at
-    this toy scale (recall 0.8 vs brute force; at corpus scale
-    n_cells ~ sqrt(n) and n_probe stays small)."""
+    members, the shortlist re-ranks exactly. Cell count is auto-scaled
+    (n_cells ~ sqrt(n) via train_ivfpq_index's auto path — round 10,
+    the fixed-k=16 form shared the linear-cell-growth failure the 1000x
+    LSH probe measured; at fixture scale auto gives 23 cells, recall
+    re-pinned in tests) and n_probe grows as sqrt(n_cells) past the
+    fixture floor of 8, so per-query ADC scoring stays
+    O(n_probe x sqrt n)."""
+    import math
+
     from ..operators.similarity import ivfpq_topk, train_ivfpq_index
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     key = _corpus_key(emb, sf_dir)
     if key not in _IVFPQ_INDEX:
-        _IVFPQ_INDEX[key] = train_ivfpq_index(emb, "vec_id", "embedding")
+        _IVFPQ_INDEX[key] = train_ivfpq_index(
+            emb, "vec_id", "embedding", n_cells=None
+        )
+    n_cells = _IVFPQ_INDEX[key][0].shape[0]
     return ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") % 100 == 0),
         id_col="vec_id",
         vec_col="embedding",
         k=5,
-        n_probe=8,
+        n_probe=max(8, math.isqrt(n_cells)),
         rerank=4,
         index=_IVFPQ_INDEX[key],
     )
@@ -280,7 +307,12 @@ def ann_ivfpq_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian — plan-asserted); no driver collect anywhere. Result
     parity with ivfpq_topk is exact (same probe selection, residual-LUT
     expression, and tie-breaks) — parity-tested at the guard
-    boundary."""
+    boundary. Index and n_probe use the SAME auto-scaling as ann_ivfpq
+    (the `_IVFPQ_INDEX` memo is shared, so the two registrations must
+    agree on the build parameters or behavior becomes order-dependent
+    across a session)."""
+    import math
+
     from ..operators.similarity import (
         ivfpq_topk_distributed,
         train_ivfpq_index,
@@ -290,14 +322,17 @@ def ann_ivfpq_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     key = _corpus_key(emb, sf_dir)
     if key not in _IVFPQ_INDEX:
-        _IVFPQ_INDEX[key] = train_ivfpq_index(emb, "vec_id", "embedding")
+        _IVFPQ_INDEX[key] = train_ivfpq_index(
+            emb, "vec_id", "embedding", n_cells=None
+        )
+    n_cells = _IVFPQ_INDEX[key][0].shape[0]
     return ivfpq_topk_distributed(
         emb,
         emb,  # corpus-sized query set: all vectors
         id_col="vec_id",
         vec_col="embedding",
         k=5,
-        n_probe=8,
+        n_probe=max(8, math.isqrt(n_cells)),
         rerank=4,
         index=_IVFPQ_INDEX[key],
     )

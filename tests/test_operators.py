@@ -132,6 +132,77 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"ANN recall too low: {recall}"
 
 
+def test_auto_n_planes_occupancy_scaling():
+    # code-review/probe r10: fixed LSH width turns quadratic — the auto
+    # rule must keep expected occupancy ~target across corpus growth
+    from hive_population_ml_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(500) == 4  # fixture scale: historical width
+    assert auto_n_planes(50_000) == 11
+    assert auto_n_planes(500_000) == 14
+    assert auto_n_planes(5_000_000_000) == 24  # hi cap
+    assert auto_n_planes(10) == 4  # lo floor
+    for n in (1_000, 100_000, 10_000_000):
+        p = auto_n_planes(n)
+        assert n / (1 << p) <= 32.5  # occupancy bounded by target
+
+
+def test_ivf_topk_gemm_assignment_parity_with_exact(spark, sf_dir):
+    """The round-10 GEMM top-n assignment (the path that replaces the
+    crossJoin-window n x k expansion which OOMed the 1000x probe) must
+    produce IDENTICAL (query, neighbor, cosine, rank) rows to the exact
+    path at >= 32 cells — same probe selection, same 1e-9 rounding,
+    same (sim desc, cid asc) tie-breaks."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = train_ivf_centroids(emb, k=40, max_iter=3)
+    out = {}
+    for method in ("exact", "gemm"):
+        rows = ivf_topk(
+            emb, q, centroids=cents, k=5, n_probe=5, assign_method=method
+        ).collect()
+        out[method] = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in rows
+        )
+    assert out["exact"] == out["gemm"]
+    assert len(out["gemm"]) > 0
+
+
+def test_registered_ann_queries_keep_recall_after_auto_scaling(
+    spark, sf_dir
+):
+    """The round-10 auto-width/auto-k swap must not cost fixture-scale
+    recall: the REGISTERED ann_lsh / ann_ivf forms still recover their
+    historical share of the exact top-5 sets."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_lsh"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf"](spark, sf_dir).collect()
+    }
+    assert len(lsh & exact) / len(exact) >= 0.4
+    assert len(ivf & exact) / len(exact) >= 0.3
+
+
 def test_build_sequences_order_stride_pad(spark):
     rows = [Row(k=1, ts=i, a=float(i), b=float(10 * i)) for i in range(1, 8)]
     df = spark.createDataFrame(rows)
