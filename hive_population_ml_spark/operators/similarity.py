@@ -1314,6 +1314,7 @@ def ivfpq_topk(
     rerank: int = 4,
     index=None,
     max_query_rows: int | None = MAX_QUERY_COLLECT_ROWS,
+    max_lut_bytes: int | None = 512 << 20,
 ) -> DataFrame:
     """IVFADC top-k: probe ``n_probe`` cells per query, ADC-score only
     their members' residual codes (per-(query, cell) lookup tables ride
@@ -1325,7 +1326,14 @@ def ivfpq_topk(
     At 100 TB the cell assignment is the table's physical partitioning,
     so each query's IO is n_probe cells of 8-byte codes — neither the
     raw vectors nor the other cells are read. ``index`` takes a trained
-    (centroids, books) pair (offline build); None trains in place."""
+    (centroids, books) pair (offline build); None trains in place.
+
+    ``max_lut_bytes`` guards the DRIVER-BUILT lookup tables in BYTES —
+    the row guard alone missed that LUT size also scales with n_probe
+    (the round-10 1000x probe OOMed the py4j broadcast on a 2.1 GB
+    closure from only 5k queries once auto-n_probe reached 26); past
+    the budget this raises with a pointer to ivfpq_topk_distributed,
+    whose LUTs are DataFrame rows, not a closure."""
     import numpy as np
     import pandas as pd
 
@@ -1347,6 +1355,15 @@ def ivfpq_topk(
     probe_cells = np.argsort(cell_d2, axis=1, kind="stable")[:, :n_probe]
     # LUT[qi, pi, s, j] = || (q - c_cell)_s - book[s][j] ||^2
     nq = len(q_ids)
+    lut_bytes = nq * min(n_probe, cents.shape[0]) * m * books.shape[1] * 8
+    if max_lut_bytes is not None and lut_bytes > max_lut_bytes:
+        raise ValueError(
+            f"ivfpq_topk: driver LUT would be {lut_bytes / 1e6:.0f} MB "
+            f"({nq} queries x {n_probe} probes x {m} x {books.shape[1]} "
+            f"doubles) > max_lut_bytes={max_lut_bytes / 1e6:.0f} MB; use "
+            "ivfpq_topk_distributed (LUTs as packed DataFrame rows, no "
+            "driver closure) or raise max_lut_bytes deliberately."
+        )
     luts = np.empty((nq, n_probe, m, books.shape[1]))
     for qi in range(nq):
         for pi in range(n_probe):

@@ -283,10 +283,19 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH probe measured; at fixture scale auto gives 23 cells, recall
     re-pinned in tests) and n_probe grows as sqrt(n_cells) past the
     fixture floor of 8, so per-query ADC scoring stays
-    O(n_probe x sqrt n)."""
+    O(n_probe x sqrt n). The scorer itself is DISPATCHED on driver-LUT
+    size: the closure-LUT form (ivfpq_topk) when the tables fit the
+    512 MB budget, the packed-DataFrame-LUT form
+    (ivfpq_topk_distributed, row-identical — parity-pinned) past it —
+    the round-10 1000x probe OOMed the py4j broadcast exactly here
+    (5k queries x 26 auto-probes = a 2.1 GB LUT closure)."""
     import math
 
-    from ..operators.similarity import ivfpq_topk, train_ivfpq_index
+    from ..operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_distributed,
+        train_ivfpq_index,
+    )
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
@@ -295,14 +304,21 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVFPQ_INDEX[key] = train_ivfpq_index(
             emb, "vec_id", "embedding", n_cells=None
         )
-    n_cells = _IVFPQ_INDEX[key][0].shape[0]
-    return ivfpq_topk(
+    cents, books = _IVFPQ_INDEX[key]
+    n_cells = cents.shape[0]
+    n_probe = max(8, math.isqrt(n_cells))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    # key[1] = corpus rows; queries are the %100 sample of them
+    nq = max(1, key[1] // 100)
+    lut_bytes = nq * min(n_probe, n_cells) * books.shape[0] * books.shape[1] * 8
+    scorer = ivfpq_topk if lut_bytes <= (512 << 20) else ivfpq_topk_distributed
+    return scorer(
         emb,
-        emb.filter(F.col("vec_id") % 100 == 0),
+        queries,
         id_col="vec_id",
         vec_col="embedding",
         k=5,
-        n_probe=max(8, math.isqrt(n_cells)),
+        n_probe=n_probe,
         rerank=4,
         index=_IVFPQ_INDEX[key],
     )

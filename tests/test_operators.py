@@ -147,6 +147,27 @@ def test_auto_n_planes_occupancy_scaling():
         assert n / (1 << p) <= 32.5  # occupancy bounded by target
 
 
+def test_ivfpq_lut_byte_guard_raises_with_pointer(spark, sf_dir):
+    """The row guard alone missed that LUT size scales with n_probe
+    (round-10 1000x probe: 5k queries x 26 probes = 2.1 GB closure OOMed
+    the broadcast); the BYTE guard must raise a ValueError naming the
+    distributed form before any Spark work happens."""
+    import pytest as _pytest
+
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.similarity import ivfpq_topk
+
+    emb = Tables(spark, sf_dir).embeddings
+    with _pytest.raises(ValueError, match="ivfpq_topk_distributed"):
+        ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") % 10 == 0),
+            k=5,
+            n_probe=4,
+            max_lut_bytes=1024,  # tiny budget forces the raise
+        )
+
+
 def test_ivf_topk_gemm_assignment_parity_with_exact(spark, sf_dir):
     """The round-10 GEMM top-n assignment (the path that replaces the
     crossJoin-window n x k expansion which OOMed the 1000x probe) must
