@@ -271,11 +271,26 @@ def cosine_dup_pairs_blocked(
     )
 
 
-def _gemm_pair_scorer(threshold: float, round_to: int):
+def _gemm_pair_scorer(threshold: float, round_to: int, contract: bool = False):
     """Arrow-batch scorer over packed block-pair rows (columns
     ``items1``/``items2``/``b1``/``b2``): one dense GEMM per block
     pair, emitting only (id1 < id2, cosine >= threshold). Shared by the
-    global blocked all-pairs and the within-cell semantic-dedup pass."""
+    global blocked all-pairs and the within-cell semantic-dedup pass.
+
+    ``contract=True`` (round 10): instead of every qualifying pair, run
+    a LOCAL union-find over the block-pair's pairs and emit one
+    (component-min-id, member) edge per non-root member — at most
+    |nodes| edges instead of O(|nodes|²). Edge contraction preserves
+    connectivity exactly, so a downstream transitive closure computes
+    IDENTICAL components; only closure consumers (semantic_dedup) may
+    use it — pair-OUTPUT consumers need the full list. Why it exists:
+    a low threshold inside IVF cells (which group similar vectors by
+    construction) makes qualifying pairs approach quadratic in cell
+    size — the round-10 1000x probe OOMed the executors on exactly
+    that; contracted edges cap the closure input at one row per
+    vector. The emitted cosine is the member's edge-to-root similarity
+    where such a pair was scored, else the component-forming value —
+    closure consumers ignore it."""
     import numpy as np
     import pandas as pd
 
@@ -303,9 +318,34 @@ def _gemm_pair_scorer(threshold: float, round_to: int):
                     keep = a != b
                 a2 = np.minimum(a[keep], b[keep])
                 b2 = np.maximum(a[keep], b[keep])
-                o1.extend(a2.tolist())
-                o2.extend(b2.tolist())
-                oc.extend(sims[ii[keep], jj[keep]].tolist())
+                sv = sims[ii[keep], jj[keep]]
+                if not contract:
+                    o1.extend(a2.tolist())
+                    o2.extend(b2.tolist())
+                    oc.extend(sv.tolist())
+                    continue
+                # local union-find by min id; emit (root, member) edges
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent.get(r, r) != r:
+                        r = parent[r]
+                    while parent.get(x, x) != x:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for x, y in zip(a2.tolist(), b2.tolist()):
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                        parent[hi] = lo
+                for x in list(parent):
+                    r = find(x)
+                    if r != x:
+                        o1.append(r)
+                        o2.append(x)
+                        oc.append(float(threshold))
             yield pd.DataFrame({"id1": o1, "id2": o2, "cosine": oc})
 
     return score
@@ -1749,6 +1789,7 @@ def semantic_dup_pairs(
     round_to: int = 9,
     block_size: int = 2048,
     n_blocks_per_cell: int | None = None,
+    contract: bool = False,
 ) -> DataFrame:
     """Within-cell cosine near-dup pairs (id1 < id2, cosine >= thr).
 
@@ -1765,6 +1806,11 @@ def semantic_dup_pairs(
     cheap count + the centroid count); a skewed cell then packs larger
     blocks — bounded by |cell| — rather than failing, and the GEMM
     stays dense BLAS either way.
+
+    ``contract=True`` emits locally-union-found (root, member) edges
+    instead of every qualifying pair (see _gemm_pair_scorer) — for
+    closure consumers only; components are identical, the pair LIST is
+    not.
     """
     import math
 
@@ -1787,7 +1833,7 @@ def semantic_dup_pairs(
     rhs = packed.select("cell", F.col("b").alias("b2"), F.col("items").alias("items2"))
     block_pairs = lhs.join(rhs, "cell").filter(F.col("b1") <= F.col("b2"))
     return block_pairs.mapInPandas(
-        _gemm_pair_scorer(threshold, round_to),
+        _gemm_pair_scorer(threshold, round_to, contract=contract),
         schema="id1 long, id2 long, cosine double",
     )
 
@@ -2028,6 +2074,10 @@ def semantic_dedup(
             seed=seed,
             sample_n=max(4096, 16 * n_cells),
         )
+    # contract=True: the closure only needs connectivity, so the pair
+    # pass emits per-task union-find roots (<= 1 edge per vector)
+    # instead of the potentially-quadratic qualifying pair list —
+    # components are provably identical (round-10 probe fix)
     pairs = semantic_dup_pairs(
         corpus,
         centroids,
@@ -2035,6 +2085,7 @@ def semantic_dedup(
         vec_col=vec_col,
         threshold=threshold,
         block_size=block_size,
+        contract=True,
     )
     assign = dedup_cluster_assignment(
         corpus, pairs, id_col=id_col, src="id1", dst="id2"

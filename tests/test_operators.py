@@ -1468,6 +1468,44 @@ def test_semantic_dedup_within_cell_exactness(spark, sf_dir):
     assert len(sem) / len(exact) >= 0.05
 
 
+def test_semantic_dup_pairs_contracted_edges_same_components(spark, sf_dir):
+    """The round-10 closure-input contraction (per-task union-find
+    roots instead of the potentially-quadratic pair list) must yield
+    IDENTICAL cluster assignments: same (vec_id, cluster_id,
+    is_canonical) table as closing over the full pair set, with the
+    contracted edge count bounded by the vector count."""
+    from hive_population_ml_spark.io import Tables
+    from hive_population_ml_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+    from hive_population_ml_spark.operators.similarity import (
+        semantic_dup_pairs,
+        train_ivf_centroids,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = train_ivf_centroids(emb, k=16, max_iter=5)
+    full = semantic_dup_pairs(emb, cents, threshold=0.35)
+    contracted = semantic_dup_pairs(emb, cents, threshold=0.35, contract=True)
+    n_full, n_con = full.count(), contracted.count()
+    assert n_full > 0
+    assert n_con <= emb.count()
+    assert n_con <= n_full
+    a_full = sorted(
+        (r["vec_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup_cluster_assignment(
+            emb, full, id_col="vec_id", src="id1", dst="id2"
+        ).collect()
+    )
+    a_con = sorted(
+        (r["vec_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup_cluster_assignment(
+            emb, contracted, id_col="vec_id", src="id1", dst="id2"
+        ).collect()
+    )
+    assert a_full == a_con
+
+
 def test_semantic_dedup_cluster_quality(spark, sf_dir):
     """Assignment invariants: every vector labeled exactly once;
     cluster_id = min member id; exactly one canonical per cluster (the
