@@ -159,29 +159,61 @@ def synthesize_audio_melody(
     (id % pattern_mod), and repeats of a melody get a cycling
     same-content transform (id // pattern_mod: gain, noise, clipping,
     DC, requantization) so payload BYTES differ while the clip stays
-    perceptually identical — exact/byte dedup finds nothing. mapInPandas,
-    no shuffle — same posture as synthesize_image's pattern_mod form."""
+    perceptually identical — exact/byte dedup finds nothing. The
+    CONTAINER cycles too (round 10): variants 1/2/3/6/7 re-encode as
+    IEEE-float WAV, G.711 μ-law, lossless FLAC, A-law and IMA ADPCM
+    respectively, so the query exercises every compressed audio decode
+    path (codecs.py WAV family + operators/flac.py) end-to-end
+    (measured: intra stays 0, inter >= 22 across the container mix).
+    mapInPandas, no shuffle — same posture as synthesize_image's
+    pattern_mod form."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs
 
+        def encode(sig, k: int) -> tuple[bytes, str]:
+            if k == 1:
+                return codecs.encode_wav_float(sig, sample_rate, 1), "audio/wav"
+            if k == 2:
+                return (
+                    codecs.encode_wav_g711(sig, sample_rate, 1, "mulaw"),
+                    "audio/wav",
+                )
+            if k == 3:
+                from . import flac as _flac
+
+                return _flac.encode_flac(sig, sample_rate, 1), "audio/flac"
+            if k == 6:
+                return (
+                    codecs.encode_wav_g711(sig, sample_rate, 1, "alaw"),
+                    "audio/wav",
+                )
+            if k == 7:
+                return (
+                    codecs.encode_wav_ima_adpcm(sig, sample_rate, 1),
+                    "audio/wav",
+                )
+            return codecs.encode_wav(sig, sample_rate, 1), "audio/wav"
+
         cache: dict = {}
         for pdf in batches:
             payloads = []
+            types = []
             for i in pdf["id"]:
                 i = int(i)
                 key = (i % pattern_mod, (i // pattern_mod) % 8)
                 if key not in cache:
-                    cache[key] = codecs.encode_wav(
+                    cache[key] = encode(
                         _melody_variant(key[0], key[1], sample_rate, duration_s),
-                        sample_rate,
+                        key[1],
                     )
-                payloads.append(cache[key])
+                payloads.append(cache[key][0])
+                types.append(cache[key][1])
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "media": payloads,
-                    "media_type": ["audio/wav"] * len(pdf),
+                    "media_type": types,
                     "width": [None] * len(pdf),
                     "height": [None] * len(pdf),
                     "n_bytes": [len(p) for p in payloads],
@@ -650,7 +682,8 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
     """Real (stdlib) codec dispatch for decode_stub=False."""
     from . import codecs
 
-    if media_type == "audio/wav":
+    if media_type in ("audio/wav", "audio/flac"):
+        # wav_features sniffs the container (WAV family or FLAC)
         return codecs.wav_features(media, dim)
     if media_type == "image/bmp":
         return codecs.bmp_features(media, dim)
@@ -662,7 +695,7 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
         return codecs.avi_features(media, dim)
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; executable here: "
-        f"audio/wav, image/bmp, image/png, image/jpeg, video/avi — "
+        f"audio/wav, audio/flac, image/bmp, image/png, image/jpeg, video/avi — "
         f"PIL/librosa/av plug in at this dispatch"
     )
 
@@ -744,9 +777,10 @@ def sample_frames(
                         bytes(m[k * step : k * step + step])
                         for k in range(n_frames)
                     ]
-                elif t == "audio/wav":
+                elif t in ("audio/wav", "audio/flac"):
                     # the audio analog of frame sampling: equal-duration
-                    # PCM chunks, each a decodable WAV payload
+                    # PCM chunks, each a decodable WAV payload (FLAC
+                    # input is decoded losslessly, chunks re-emit PCM)
                     chunks = codecs.wav_chunks(m, n_frames)
                 elif t == "video/avi":
                     # REAL video frame sampling (round 10): evenly-spaced
@@ -756,7 +790,7 @@ def sample_frames(
                 else:
                     raise NotImplementedError(
                         f"no stdlib frame codec for media_type={t!r}; "
-                        f"executable here: audio/wav, video/avi (MJPEG) — "
+                        f"executable here: audio/wav, audio/flac, video/avi (MJPEG) — "
                         f"av/ffmpeg plugs in here for other video codecs"
                     )
                 for k, ch in enumerate(chunks):

@@ -289,8 +289,12 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 seeded melodies, each repeat transformed by a cycling
     same-content variant so payload BYTES differ — exact dedup finds
     nothing, the fingerprint at d<=6 must pair exactly the same-melody
-    docs. Scale: decode+hash is a zero-shuffle Arrow mapInPandas pass;
-    banding is the audited SimHash shape."""
+    docs. The fixture containers also cycle through IEEE-float, G.711
+    μ-law/A-law and IMA ADPCM WAV (round 10), so this query runs every
+    compressed audio decode path in codecs.py end-to-end (measured:
+    intra stays 0, inter >= 22 across the container mix). Scale:
+    decode+hash is a zero-shuffle Arrow mapInPandas pass; banding is
+    the audited SimHash shape."""
     from ..operators import multimodal
     from ..operators.dedup import fingerprint_pairs
 
