@@ -120,8 +120,13 @@ def decode_wav(data: bytes) -> dict:
             "0x0001 PCM, 0x0003 IEEE float, 0x0006 A-law, 0x0007 μ-law, "
             "0x0011 IMA ADPCM"
         )
-    if fact_samples is not None:
+    # fact trims the zero-padded final block of COMPRESSED formats; for
+    # PCM it is informational only (streaming writers emit placeholder
+    # fact=0 and never patch it — trimming on it would drop real audio)
+    if fact_samples and tag != _WAV_FMT_PCM:
         samples = samples[:fact_samples]
+    if rate <= 0:
+        raise ValueError("WAV fmt declares a non-positive sample rate")
     n_frames = samples.shape[0]
     return {
         "n_channels": n_channels,
@@ -299,7 +304,11 @@ def _wav_decode_float(body: bytes, n_channels: int, bits: int) -> np.ndarray:
     else:
         raise NotImplementedError(f"float WAV bit depth {bits} unsupported")
     n = len(body) // (width * n_channels) * (width * n_channels)
-    x = np.clip(np.frombuffer(body[:n], dtype=dtype), -1.0, 1.0)
+    # nan_to_num BEFORE clip: np.clip folds +/-Inf but propagates NaN,
+    # and NaN->int16 casts are platform-dependent garbage
+    x = np.clip(
+        np.nan_to_num(np.frombuffer(body[:n], dtype=dtype)), -1.0, 1.0
+    )
     return np.round(x * 32767.0).astype(np.int16).reshape(-1, n_channels)
 
 
@@ -388,9 +397,13 @@ def _wav_container(
     body: bytes,
     fact_frames: int | None,
     fmt_extra: bytes = b"",
+    byte_rate: int | None = None,
 ) -> bytes:
-    """Assemble a RIFF/WAVE file: fmt (+extension), optional fact, data."""
-    byte_rate = sample_rate * block_align
+    """Assemble a RIFF/WAVE file: fmt (+extension), optional fact, data.
+    ``byte_rate`` defaults to sample_rate * block_align (exact for the
+    uncompressed formats); compressed encoders pass their average."""
+    if byte_rate is None:
+        byte_rate = sample_rate * block_align
     fmt = struct.pack(
         "<HHIIHH", tag, n_channels, sample_rate, byte_rate, block_align, bits
     )
@@ -558,15 +571,11 @@ def encode_wav_ima_adpcm(
                 body += chan_nibs[c][off : off + 4]
         blocks.append(bytes(body))
     payload = b"".join(blocks)
-    avg_rate = sample_rate * block_align // spb
-    fmt_extra = struct.pack("<H", spb)
-    out = _wav_container(
+    return _wav_container(
         _WAV_FMT_IMA_ADPCM, n_channels, sample_rate, block_align, 4,
-        payload, n_frames, fmt_extra,
+        payload, n_frames, struct.pack("<H", spb),
+        byte_rate=sample_rate * block_align // spb,
     )
-    # _wav_container computes byte_rate as rate*block_align; patch the
-    # ADPCM average byte rate in place (offset 28 in the fmt chunk body).
-    return out[:28] + struct.pack("<I", avg_rate) + out[32:]
 
 
 # --------------------------------------------------------------------------

@@ -594,6 +594,8 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
             raise ValueError("frame channel count disagrees with STREAMINFO")
         r.align()
         body_end = r.byte_position()
+        if body_end + 2 > len(data):
+            raise ValueError("FLAC bitstream truncated")
         crc16_declared = struct.unpack(
             ">H", data[body_end : body_end + 2]
         )[0]

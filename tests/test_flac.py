@@ -148,6 +148,16 @@ def test_corruption_raises():
         flac.decode_flac(bytes(data))
 
 
+def test_truncated_stream_value_error():
+    # truncation anywhere — including inside the trailing CRC-16 —
+    # must raise the decoder's ValueError contract, never struct.error
+    x = _sine(n=500)
+    data = flac.encode_flac(x, 8000, 1)
+    for cut in (len(data) - 1, len(data) - 2, len(data) - 10):
+        with pytest.raises(ValueError):
+            flac.decode_flac(data[:cut])
+
+
 def test_header_crc8_detects_flip():
     x = _sine(n=500)
     data = bytearray(flac.encode_flac(x, 8000, 1))

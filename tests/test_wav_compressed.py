@@ -247,6 +247,48 @@ def test_extensible_fmt_resolves_subformat():
     assert _snr_db(x, d["samples"][:, 0]) > 30.0
 
 
+def test_pcm_ignores_placeholder_fact_zero():
+    # streaming writers emit fact=0 and never patch it; PCM must ignore
+    # fact (it is informational for uncompressed formats)
+    x = _sine(n=100)
+    import struct as _s
+
+    fmt, body, _ = codecs._wav_parse(codecs.encode_wav(x, 8000, 1))
+    payload = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", 16)
+        + _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"fact" + _s.pack("<II", 4, 0)
+        + b"data" + _s.pack("<I", len(body)) + body
+    )
+    wav = b"RIFF" + _s.pack("<I", len(payload)) + payload
+    d = codecs.decode_wav(wav)
+    assert d["n_frames"] == 100
+    assert np.array_equal(d["samples"][:, 0], x)
+
+
+def test_zero_sample_rate_value_error():
+    import struct as _s
+
+    payload = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", 16)
+        + _s.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+        + b"data" + _s.pack("<I", 4) + bytes(4)
+    )
+    wav = b"RIFF" + _s.pack("<I", len(payload)) + payload
+    with pytest.raises(ValueError, match="sample rate"):
+        codecs.decode_wav(wav)
+
+
+def test_float_nan_inf_decode_deterministic():
+    body = np.array([0.5, float("nan"), float("inf"), float("-inf")],
+                    dtype="<f4").tobytes()
+    wav = codecs._wav_container(0x0003, 1, 8000, 4, 32, body, None)
+    s = codecs.decode_wav(wav)["samples"][:, 0]
+    assert list(s) == [16384, 0, 32767, -32767]
+
+
 def test_unknown_format_tag_honest_raise():
     wav = codecs._wav_container(0x0055, 1, 8000, 1, 0, b"\x00\x00", None)
     with pytest.raises(NotImplementedError, match="0x0055"):
