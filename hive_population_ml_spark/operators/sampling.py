@@ -120,14 +120,34 @@ def pack_shards(
     size_col: Column | str,
     budget: int,
     order_col: str,
+    chunk_width: int | None = 65536,
 ) -> DataFrame:
     """Assign docs to contiguous ~``budget``-token shards per bucket.
 
     Shard id = floor(start_offset / budget) where start_offset is the
     running token sum (exclusive) in deterministic ``order_col`` order
     WITHIN the bucket — a doc straddling a boundary belongs to the shard
-    it starts in, so shards overshoot by at most one doc. The window
-    partitions by bucket: no global sort, parallelism = #buckets.
+    it starts in, so shards overshoot by at most one doc.
+
+    Scale shape (round 10 — the 1000x probe caught the naive form): a
+    single ``partitionBy(bucket)`` running-sum window caps parallelism
+    at #buckets, and real corpora have WHALE buckets (one dominant
+    language holds most of 100 TB) — measured 114.9x at 1000x docs.
+    With a numeric ``order_col`` the prefix sum is computed
+    HIERARCHICALLY instead (the classic two-level scan): (1) partial
+    token sums per (bucket, chunk) where chunk = floor(ord /
+    chunk_width) is order-aligned by construction; (2) a running-sum
+    window over that tiny per-bucket chunk table yields each chunk's
+    start offset (the only remaining sequential term — #chunks rows,
+    not #docs); (3) chunk starts join back and a window partitioned by
+    (bucket, chunk) finishes the within-chunk prefix, restoring
+    parallelism to #buckets x #chunks. Results are EXACTLY the
+    single-window manifest (chunking is monotone in ord), pinned by a
+    parity test and the registered query's unchanged DuckDB oracle.
+    Re-probed at 1000x: 114.9x -> 7.9x (36.8 s -> 7.2 s), exchanges
+    2 -> 5 — the hierarchy pays three extra balanced exchanges to
+    remove the per-bucket serialization. ``chunk_width=None`` (or a
+    non-numeric order column) keeps the one-window form.
 
     Returns the shard manifest: (bucket, shard_id, n_docs, total_tokens,
     first/last order key) — the small table a training loader reads.
@@ -137,19 +157,102 @@ def pack_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     size = F.col(size_col) if isinstance(size_col, str) else size_col
-    w = Window.partitionBy(bucket_col).orderBy(order_col)
-    start = F.sum(size).over(w) - size
-    sized = df.select(
+    numeric_ord = dict(df.dtypes).get(order_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    sized0 = df.select(
         F.col(bucket_col).alias("bucket"),
         F.col(order_col).alias("ord"),
         size.alias("n_tokens"),
-        F.floor(start / F.lit(int(budget))).alias("shard_id"),
     )
+    if chunk_width and numeric_ord:
+        chunk = F.floor(F.col("ord") / F.lit(int(chunk_width)))
+        sized0 = sized0.withColumn("chunk", chunk)
+        per_chunk = sized0.groupBy("bucket", "chunk").agg(
+            F.sum("n_tokens").alias("chunk_tokens")
+        )
+        w_chunk = Window.partitionBy("bucket").orderBy("chunk")
+        offsets = per_chunk.select(
+            "bucket",
+            "chunk",
+            (F.sum("chunk_tokens").over(w_chunk) - F.col("chunk_tokens"))
+            .alias("chunk_start"),
+        )
+        w_in = Window.partitionBy("bucket", "chunk").orderBy("ord")
+        start = (
+            F.col("chunk_start") + F.sum("n_tokens").over(w_in)
+            - F.col("n_tokens")
+        )
+        sized = sized0.join(offsets, ["bucket", "chunk"]).select(
+            "bucket",
+            "ord",
+            "n_tokens",
+            F.floor(start / F.lit(int(budget))).alias("shard_id"),
+        )
+    else:
+        w = Window.partitionBy("bucket").orderBy("ord")
+        start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        sized = sized0.select(
+            "bucket",
+            "ord",
+            "n_tokens",
+            F.floor(start / F.lit(int(budget))).alias("shard_id"),
+        )
     return sized.groupBy("bucket", "shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.min("ord").alias("first_ord"),
         F.max("ord").alias("last_ord"),
+    )
+
+
+def two_level_row_number(
+    df: DataFrame,
+    group_col: str,
+    u: Column,
+    tiebreak_col: str,
+    n_chunks: int = 4096,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY u, tiebreak)``
+    plus ``count(*) OVER (PARTITION BY group)`` via the two-level scan
+    (round 10 — same probe-caught whale-bucket fix as pack_shards).
+
+    A direct per-group rank window serializes each group into ONE task;
+    real corpora have whale groups. Instead: ``u`` (numeric in [0, 1),
+    e.g. a uniform hash) is chunked by value — order-aligned by
+    construction — then (1) per-(group, chunk) counts, (2) a running
+    sum over that tiny table gives each chunk's rank offset and the
+    group total, (3) a window partitioned by (group, chunk) finishes
+    the within-chunk rank. Results are EXACTLY the single-window rank:
+    chunking is monotone in u and u-ties can't straddle chunks.
+    Parallelism: #groups x #chunks.
+
+    Returns df plus ``rk`` (1-based rank) and ``n`` (group size)."""
+    from pyspark.sql import Window
+
+    base = df.withColumn("__u", u).withColumn(
+        "__chunk",
+        F.least(
+            F.floor(F.col("__u") * n_chunks), F.lit(n_chunks - 1)
+        ).cast("long"),
+    )
+    per_chunk = base.groupBy(group_col, "__chunk").agg(
+        F.count("*").alias("__c")
+    )
+    w_chunk = Window.partitionBy(group_col).orderBy("__chunk")
+    offsets = per_chunk.select(
+        group_col,
+        "__chunk",
+        (F.sum("__c").over(w_chunk) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    w_in = Window.partitionBy(group_col, "__chunk").orderBy(
+        F.col("__u").asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        base.join(offsets, [group_col, "__chunk"])
+        .withColumn("rk", F.col("__off") + F.row_number().over(w_in))
+        .drop("__u", "__chunk", "__off", "__c")
     )
 
 

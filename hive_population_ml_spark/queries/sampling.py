@@ -668,24 +668,21 @@ def split_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash luck). Rows are ranked INSIDE each stratum by the portable
     minstd hash (doc_id tiebreak), so membership is deterministic,
     seed-stable, and independent of physical row order; the split is
-    the rank compared to exact cut counts. Scale: ONE hash exchange +
-    sort per stratum (the same shuffle any per-group window pays) —
-    the cost over the hash-threshold form, and the reason BOTH exist:
-    hash-keep when strata are huge, exact-rank when quotas are hard
-    requirements. Output is the (stratum, split) contingency table;
-    the per-row assignment is the same frame minus the final agg."""
+    the rank compared to exact cut counts. Scale (round 10): the rank
+    runs through operators.sampling.two_level_row_number — the
+    probe-caught whale-stratum fix — so parallelism is #strata x
+    #chunks instead of one task per stratum; results are exactly the
+    single-window rank (chunking is monotone in the hash). Both split
+    forms exist on purpose: hash-keep when strata are huge, exact-rank
+    when quotas are hard requirements. Output is the (stratum, split)
+    contingency table; the per-row assignment is the same frame minus
+    the final agg."""
     t = Tables(spark, sf_dir)
-    from pyspark.sql import Window
-
-    from ..operators.sampling import uniform_hash
+    from ..operators.sampling import two_level_row_number, uniform_hash
 
     u = uniform_hash("doc_id", mode="minstd")
-    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
-    wp = Window.partitionBy("lang")
-    r = t.documents.select(
-        "lang",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(wp).alias("n"),
+    r = two_level_row_number(
+        t.documents.select("lang", "doc_id"), "lang", u, "doc_id"
     )
     lab = r.select(
         "lang",

@@ -342,6 +342,57 @@ def test_domain_mixture_weights_properties(spark, sf_oracle_dir):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_pack_shards_hierarchical_matches_single_window(spark):
+    # the two-level prefix sum (round 10: probe-caught whale-bucket fix)
+    # must produce EXACTLY the single-window manifest; tiny chunk_width
+    # forces many chunks incl. chunk boundaries mid-shard, sparse ord
+    # gaps and a bucket smaller than one chunk
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for b in ("en", "de", "fr"):
+        ids = sorted(rnd.sample(range(10_000), 400 if b != "fr" else 3))
+        rows += [(b, i, rnd.randint(1, 900)) for i in ids]
+    df = spark.createDataFrame(rows, "bucket string, doc_id long, n long")
+    fast = pack_shards(df, "bucket", "n", budget=1500, order_col="doc_id",
+                       chunk_width=64).collect()
+    slow = pack_shards(df, "bucket", "n", budget=1500, order_col="doc_id",
+                       chunk_width=None).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_two_level_row_number_matches_direct_window(spark):
+    # whale-group rank fix: must equal row_number over (group order by
+    # u, id) + count over group EXACTLY, incl. u ties (forced by id
+    # pairs hashing equal after abs()) and groups smaller than a chunk
+    from pyspark.sql import Window
+
+    from hive_population_ml_spark.operators.sampling import (
+        two_level_row_number,
+        uniform_hash,
+    )
+
+    import random
+
+    rnd = random.Random(5)
+    rows = [("g" + str(i % 3), i) for i in rnd.sample(range(100_000), 500)]
+    rows += [("tiny", 7), ("tiny", -7)]  # abs() makes u collide -> tie
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    u = uniform_hash("doc_id", mode="minstd")
+    got = two_level_row_number(df, "lang", u, "doc_id", n_chunks=16)
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    want = df.select(
+        "lang",
+        "doc_id",
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        F.row_number().over(w).alias("rk"),
+    )
+    a = sorted(map(tuple, got.select("lang", "doc_id", "n", "rk").collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
+
+
 def test_pack_shards_budget_and_coverage(spark, sf_oracle_dir):
     from hive_population_ml_spark.io import Tables
     from hive_population_ml_spark.operators import textops
