@@ -44,6 +44,16 @@ library, so the ``decode_stub=False`` path in
   fixed + LPC predictors, stereo decorrelation, CRC-8/16 and the
   stream MD5, byte-exact round trips pinned in tests.
 
+- **GIF (87a/89a)** — variable-width LZW (the third compression
+  family next to DCT/huffman and deflate): clear/end codes, 4096-entry
+  dictionary, LSB-first packing, 4-pass interlacing, local/global
+  color tables, and multi-frame animation riding the same
+  frame-sampling plumbing as MJPEG-AVI. Exact for <=256-color images
+  (GIF's real domain); full-color input requires explicit
+  ``posterize=True`` and is documented as OUTSIDE the perceptual-dedup
+  same-content contract (measured pHash intra 30 posterized / 12
+  median-cut vs the d<=6 bar — why GIF is not in the phash fixture).
+
 MP3 and non-MJPEG video codecs stay honestly stubbed (no stdlib
 MDCT/perceptual codec is feasible here). Encoders are included so
 tests and fixtures can round-trip without external tools.
@@ -818,6 +828,304 @@ def wav_spectral(data: bytes, n_bands: int = 8) -> list[float]:
     bands = np.zeros(n_bands)
     np.add.at(bands, idx, spec)
     return [centroid, rolloff, *(bands / total).tolist()]
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — LZW-compressed palette images + animation, per the
+# public GIF specification. A THIRD compression family next to the
+# DCT/huffman (JPEG) and deflate (PNG) decoders: variable-width LZW
+# with clear/end codes, 4096-entry dictionary, LSB-first bit packing,
+# 255-byte sub-blocks, optional 4-pass interlacing, local/global color
+# tables, and multi-frame streams (Graphic Control Extension delays) —
+# animated GIFs ride the same frame-sampling plumbing as MJPEG/AVI.
+# The encoder is the fixture helper: exact for <=256-color frames,
+# explicit ``posterize`` opt-in (3-3-2 RGB) otherwise.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> list[int]:
+    """Variable-width LZW (GIF flavor: LSB-first bits, clear/end codes,
+    dict capped at 4096, width bumps when the dict fills the code
+    space)."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def _gif_lzw_encode(min_code: int, indices: list[int]) -> bytes:
+    """GIF-flavor LZW encoder (matches the decoder's width schedule)."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur: tuple = ()
+    for i in indices:
+        nxt = cur + (i,)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {(j,): j for j in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        cur = (i,)
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    rows: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def encode_gif(
+    frames: "np.ndarray | list[np.ndarray]",
+    delay_cs: int = 10,
+    interlace: bool = False,
+    posterize: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 frame(s) -> GIF bytes (fixture helper).
+
+    One global color table over all frames; EXACT for <=256 distinct
+    colors, otherwise raises unless ``posterize=True`` (3-3-2 RGB).
+    Multiple frames become an animated GIF89a with ``delay_cs``
+    centisecond Graphic Control delays."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all GIF frames must share one shape")
+    if posterize:
+        frames = [((f >> np.array([5, 5, 6])) << np.array([5, 5, 6]))
+                  .astype(np.uint8) for f in frames]
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(
+            f"GIF needs <=256 colors, got {palette.shape[0]} — pass "
+            "posterize=True for the 3-3-2 reduction"
+        )
+    # pad palette to a power of two >= 2
+    bits = max(1, int(np.ceil(np.log2(max(palette.shape[0], 2)))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, size 2^bits
+    out += pal.tobytes()
+    min_code = max(bits, 2)
+    idx_frames = inverse.reshape(len(frames), h, w)
+    for f_idx in range(len(frames)):
+        if len(frames) > 1:
+            out += bytes([0x21, 0xF9, 4, 0])  # GCE: no disposal/transp.
+            out += struct.pack("<H", delay_cs)
+            out += bytes([0, 0])  # transparent idx, terminator
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00])
+        idx = idx_frames[f_idx]
+        if interlace:
+            idx = idx[_gif_interlace_order(h)]
+        lzw = _gif_lzw_encode(min_code, idx.reshape(-1).tolist())
+        out += bytes([min_code])
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            out += bytes([len(block)]) + block
+        out += bytes([0])  # block terminator
+    out += bytes([0x3B])  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """GIF bytes -> list of (H, W, 3) uint8 RGB frames (full logical
+    screen per frame; sub-rectangle frames composite onto the previous
+    frame — disposal method 'do not dispose', the fixture encoder's
+    form). Raises NotImplementedError for transparency-keyed frames,
+    ValueError for truncated/corrupt streams."""
+    try:
+        return _decode_gif_frames(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated/corrupt GIF stream: {e}") from e
+
+
+def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:
+                gce_packed = data[pos + 1]
+                if gce_packed & 0x01:
+                    transparent = data[pos + 4]
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+        fpacked = data[pos + 8]
+        pos += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        if transparent is not None:
+            raise NotImplementedError(
+                "GIF transparency compositing unsupported — the honest "
+                "boundary (fixture encoder never emits it)"
+            )
+        idx = np.array(
+            _gif_lzw_decode(min_code, bytes(lzw), fw * fh), dtype=np.int64
+        ).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: undo the 4-pass row order
+            order = _gif_interlace_order(fh)
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        canvas = canvas.copy()
+        canvas[top : top + fh, left : left + fw] = pal[
+            np.clip(idx, 0, pal.shape[0] - 1)
+        ]
+        frames.append(canvas)
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> first frame as (H, W, 3) uint8 RGB."""
+    return decode_gif_frames(data)[0]
+
+
+def gif_features(data: bytes, dim: int = 8) -> list[float]:
+    """Image feature vector over the FIRST frame, same layout as
+    bmp/png/jpeg_features, with n_frames in the last used slot."""
+    frames = decode_gif_frames(data)
+    arr = frames[0].astype(np.float64)
+    h, w = arr.shape[:2]
+    feats = [
+        float(w),
+        float(h),
+        float(arr.mean()),
+        float(arr.std()),
+        float(arr[..., 0].mean()),
+        float(arr[..., 1].mean()),
+        float(arr[..., 2].mean()),
+        float(len(frames)),
+    ]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def gif_sample_frames(data: bytes, n_frames: int) -> list[bytes]:
+    """Evenly-spaced frames of an animated GIF, each re-emitted as a
+    standalone single-frame GIF payload (the image-side analog of
+    avi_sample_frames)."""
+    frames = decode_gif_frames(data)
+    if len(frames) <= n_frames:
+        picks = list(range(len(frames)))
+    else:
+        step = len(frames) / n_frames
+        picks = [int(k * step) for k in range(n_frames)]
+    return [encode_gif(frames[i]) for i in picks]
 
 
 # --------------------------------------------------------------------------

@@ -476,15 +476,67 @@ VIDEO_FRAME_STATS_SCHEMA = (
 )
 
 
+def synthesize_gif_animation(
+    df: DataFrame,
+    id_col: str,
+    width: int = 32,
+    height: int = 24,
+    n_frames: int = 8,
+    n_colors: int = 32,
+) -> DataFrame:
+    """Deterministic animated-GIF payload per row, encoded with the
+    REAL LZW codec (codecs.encode_gif): a seeded ``n_colors``-entry
+    palette renders a diagonal banded field panning 2 px per frame —
+    consecutive frames differ smoothly so motion metrics are
+    non-trivial, and everything stays inside GIF's exact (<=256-color)
+    domain. mapInPandas, no shuffle — the GIF twin of
+    synthesize_video."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        cache: dict = {}
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i not in cache:
+                    rng = np.random.default_rng(3000 + i)
+                    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+                    frames = []
+                    for f in range(n_frames):
+                        idx = ((xx + yy + 2 * f) // 3) % n_colors
+                        frames.append(pal[idx])
+                    cache[i] = codecs.encode_gif(frames, delay_cs=10)
+                payloads.append(cache[i])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": payloads,
+                    "media_type": ["image/gif"] * len(pdf),
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def video_frame_stats(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Per-video frame analytics over REAL decoded MJPEG pixels: sample
-    ``n_frames`` evenly-spaced frames off the container index, huffman+
-    IDCT-decode each (codecs.decode_jpeg), and emit per-frame gray
-    mean/std plus ``motion`` — mean |Δgray| vs the previous SAMPLED
-    frame (0.0 for the first), the shot-boundary / static-content
-    signal a video corpus screens on before expensive captioning.
-    Zero-shuffle Arrow mapInPandas; work per video is bounded by
-    n_frames regardless of container length."""
+    """Per-video frame analytics over REAL decoded pixels: sample
+    ``n_frames`` evenly-spaced frames (MJPEG-AVI off the container
+    index, animated GIF off the frame list), decode each, and emit
+    per-frame gray mean/std plus ``motion`` — mean |Δgray| vs the
+    previous SAMPLED frame (0.0 for the first), the shot-boundary /
+    static-content signal a video corpus screens on before expensive
+    captioning. Zero-shuffle Arrow mapInPandas; work per video is
+    bounded by n_frames regardless of container length."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -493,11 +545,16 @@ def video_frame_stats(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
         for pdf in batches:
             ids, idxs, gm, gs, mo = [], [], [], [], []
-            for i, m in zip(pdf["id"], pdf["media"]):
-                jpegs = codecs.avi_sample_frames(bytes(m), n_frames)
+            for i, m, t in zip(pdf["id"], pdf["media"], pdf["media_type"]):
+                if t == "image/gif":
+                    payloads = codecs.gif_sample_frames(bytes(m), n_frames)
+                    decode = codecs.decode_gif
+                else:
+                    payloads = codecs.avi_sample_frames(bytes(m), n_frames)
+                    decode = codecs.decode_jpeg
                 prev = None
-                for k, j in enumerate(jpegs):
-                    arr = codecs.decode_jpeg(j).astype(np.float64)
+                for k, j in enumerate(payloads):
+                    arr = decode(j).astype(np.float64)
                     gray = (
                         arr.mean(axis=2) if arr.ndim == 3 else arr
                     ) / 255.0
@@ -536,9 +593,11 @@ def _decode_image(media: bytes, media_type: str):
         return codecs.decode_png(media)
     if media_type == "image/bmp":
         return codecs.decode_bmp(media)
+    if media_type == "image/gif":
+        return codecs.decode_gif(media)
     raise NotImplementedError(
         f"need a decodable image type, got {media_type!r}; executable "
-        f"here: image/jpeg, image/png, image/bmp"
+        f"here: image/jpeg, image/png, image/bmp, image/gif"
     )
 
 
@@ -691,12 +750,14 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
         return codecs.png_features(media, dim)
     if media_type == "image/jpeg":
         return codecs.jpeg_features(media, dim)
+    if media_type == "image/gif":
+        return codecs.gif_features(media, dim)
     if media_type == "video/avi":
         return codecs.avi_features(media, dim)
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; executable here: "
-        f"audio/wav, audio/flac, image/bmp, image/png, image/jpeg, video/avi — "
-        f"PIL/librosa/av plug in at this dispatch"
+        f"audio/wav, audio/flac, image/bmp, image/png, image/jpeg, "
+        f"image/gif, video/avi — PIL/librosa/av plug in at this dispatch"
     )
 
 
@@ -787,11 +848,16 @@ def sample_frames(
                     # MJPEG frames selected on the container index, each
                     # a standalone-decodable JPEG payload
                     chunks = codecs.avi_sample_frames(m, n_frames)
+                elif t == "image/gif":
+                    # animated GIF: evenly-spaced frames re-emitted as
+                    # standalone single-frame GIF payloads
+                    chunks = codecs.gif_sample_frames(m, n_frames)
                 else:
                     raise NotImplementedError(
                         f"no stdlib frame codec for media_type={t!r}; "
-                        f"executable here: audio/wav, audio/flac, video/avi (MJPEG) — "
-                        f"av/ffmpeg plugs in here for other video codecs"
+                        f"executable here: audio/wav, audio/flac, "
+                        f"video/avi (MJPEG), image/gif — av/ffmpeg plugs "
+                        f"in here for other video codecs"
                     )
                 for k, ch in enumerate(chunks):
                     ids.append(i)

@@ -339,6 +339,36 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_gif_animation")  # rows-only: LZW decode, not SQL
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode over binary media columns (round 10):
+    synthesize a deterministic LZW-compressed animation per document
+    (codecs.encode_gif — palette art panning 2 px/frame, GIF's exact
+    domain), sample 4 evenly-spaced frames off the frame list,
+    LZW-decode each, and emit per-frame gray mean/std plus inter-frame
+    motion through the SAME media-type-dispatched
+    multimodal.video_frame_stats as MJPEG-AVI. Rows-only by nature
+    (DuckDB has no GIF decoder); LZW correctness is pinned by
+    tests/test_gif.py (hand bit vector, width-growth/dict-overflow
+    stress, interlace, byte-exact round trips). Scale: bounded
+    n_frames decode per doc in a zero-shuffle Arrow mapInPandas pass —
+    the third compression family (LZW) behind the same dispatch as the
+    DCT/huffman and deflate decoders."""
+    from ..operators import multimodal
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < 120)
+    media = multimodal.synthesize_gif_animation(docs, "doc_id", n_frames=8)
+    stats = multimodal.video_frame_stats(media, n_frames=4)
+    return stats.select(
+        "id",
+        "frame_idx",
+        F.round("gray_mean", 6).alias("gray_mean"),
+        F.round("gray_std", 6).alias("gray_std"),
+        F.round("motion", 6).alias("motion"),
+    )
+
+
 @register("dedup_image_phash")  # rows-only: perceptual hash, not SQL
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (round 9): DCT pHash over REAL decoded
@@ -1555,11 +1585,16 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation — and hence the exact regression inputs — is
     engine-deterministic. Scale shape: the (lang, token) frequency agg
     is vocab-bounded (Heaps' law) and partial-aggregated; the top-1000
-    rank cut is a per-lang window over THAT table (never the corpus);
-    the regression is regr_* closed-form aggregates — one fixed-size
-    state per lang, the a_trend_fit posture. ln() keeps the sums in
-    [0, ~7e3] where both engines' float accumulation agrees past the
-    6-decimal rounding."""
+    rank cut is a per-lang window over THAT table (never the corpus),
+    and (round 10 whale-window audit) a per-PARTITION top-1000
+    pre-prune runs map-side first — the global per-lang top-1000 is a
+    subset of the union of per-partition top-1000s, so the final
+    single-task-per-lang sort sees at most 1000 x #partitions rows
+    instead of the whole vocab, with identical results. The regression
+    is regr_* closed-form aggregates — one fixed-size state per lang,
+    the a_trend_fit posture. ln() keeps the sums in [0, ~7e3] where
+    both engines' float accumulation agrees past the 6-decimal
+    rounding."""
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
@@ -1567,10 +1602,16 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     freq = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    w_part = Window.partitionBy("lang", F.spark_partition_id()).orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    pruned = freq.withColumn("__prk", F.row_number().over(w_part)).filter(
+        F.col("__prk") <= 1000
+    )
     wr = Window.partitionBy("lang").orderBy(
         F.col("c").desc(), F.col("token").asc()
     )
-    ranked = freq.select(
+    ranked = pruned.select(
         "lang", "c", F.row_number().over(wr).alias("rk")
     ).filter(F.col("rk") <= 1000)
     lc, lr = F.log(F.col("c")), F.log(F.col("rk"))
