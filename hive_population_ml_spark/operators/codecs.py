@@ -33,11 +33,15 @@ library, so the ``decode_stub=False`` path in
   progressive mode). Arithmetic coding / 12-bit / lossless /
   hierarchical raise NotImplementedError — the honest boundary.
 
-- **MJPEG video in AVI (RIFF container)** — struct-only container
-  walk (avih/strh/strf headers, movi chunk run, word alignment) over
-  the real JPEG decoder above; frame selection happens on the
-  container index BEFORE pixel decode, and DHT-less MJPEG frames get
-  the Annex-K tables spliced in per the OpenDML convention.
+- **Video in AVI (RIFF container)** — struct-only container walk
+  (avih/strh/strf headers, movi chunk run, word alignment) over two
+  frame codecs: MJPEG ('00dc', the real JPEG decoder above, DHT-less
+  frames get the Annex-K tables spliced in per the OpenDML
+  convention) and uncompressed 24-bit DIB ('00db', biCompression ==
+  BI_RGB, bottom-up padded BGR rows re-wrapped as standalone BMPs).
+  Frame selection happens on the container index BEFORE pixel decode;
+  downstream consumers decode via the magic-sniffing
+  ``decode_image_payload``.
 
 - **FLAC lossless audio** (``operators/flac.py``, dispatched through
   ``decode_audio``) — a real compressed codec: rice-coded residuals,
@@ -2066,6 +2070,65 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def encode_avi_dib(frames: list, fps: int = 10) -> bytes:
+    """(H, W, 3) uint8 frames -> uncompressed-DIB AVI bytes (fixture
+    helper for the BI_RGB path): strf biCompression=0, '00db' chunks of
+    bottom-up 4-byte-padded BGR rows — the VFW uncompressed layout."""
+    if not frames:
+        raise ValueError("encode_avi_dib needs at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[0], arrs[0].shape[1]
+    if any(a.shape[:2] != (h, w) for a in arrs):
+        raise ValueError("all AVI frames must share one geometry")
+    stride = (3 * w + 3) & ~3
+    payloads = []
+    for a in arrs:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = a[::-1, :, ::-1].reshape(h, 3 * w)
+        payloads.append(rows.tobytes())
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_bytes = stride * h
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I4I",
+            1_000_000 // fps, max_bytes * fps, 0, 0x110,
+            len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0, 1, fps, 0, len(payloads), max_bytes, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        ),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 24, b"\x00\x00\x00\x00",
+            max_bytes, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 # Annex-K typical huffman tables as a ready-to-splice DHT segment, for
 # MJPEG frames that omit DHT (OpenDML convention). Built once from the
 # same table constants the encoder uses.
@@ -2126,6 +2189,9 @@ def _avi_parse(data: bytes) -> dict:
     width = height = 0
     fps = 0.0
     codec = b""
+    bit_count = 24
+    comp_zero = False
+    saw_strf = False
     index: list[tuple[int, int]] = []
     saw_vids = False
     for fourcc, p, size in _riff_chunks(data, 12, end):
@@ -2156,10 +2222,17 @@ def _avi_parse(data: bytes) -> dict:
                             # BITMAPINFOHEADER.biCompression is the
                             # authoritative codec id (VFW spec: the strh
                             # fccHandler is advisory and often blank) —
-                            # prefer it when set (code-review r10)
+                            # prefer it when set (code-review r10);
+                            # all-zero means BI_RGB uncompressed DIB
+                            bit_count = struct.unpack_from(
+                                "<H", data, p3 + 14
+                            )[0]
+                            saw_strf = True
                             bi_comp = data[p3 + 16 : p3 + 20]
                             if bi_comp.strip(b"\x00"):
                                 codec = bi_comp
+                            else:
+                                comp_zero = True
         elif kind == b"movi":
             for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
                 # ##dc / ##db = compressed / uncompressed video frame
@@ -2175,10 +2248,25 @@ def _avi_parse(data: bytes) -> dict:
                     index.append((p2, s2))
     if not saw_vids:
         raise ValueError("AVI has no video ('vids') stream")
-    if codec not in (b"MJPG", b"mjpg", b"dmb1"):
+    if comp_zero or (
+        not saw_strf
+        and codec in (b"DIB ", b"RGB ", b"", b"\x00\x00\x00\x00")
+    ):
+        # biCompression == BI_RGB (authoritative), or — when no strf is
+        # present — a blank/DIB strh handler: uncompressed bottom-up
+        # DIB frames ('00db')
+        if bit_count != 24:
+            raise NotImplementedError(
+                f"uncompressed AVI supports 24-bit DIB only "
+                f"(got biBitCount={bit_count})"
+            )
+        kind = "dib"
+    elif codec in (b"MJPG", b"mjpg", b"dmb1"):
+        kind = "mjpeg"
+    else:
         raise NotImplementedError(
-            f"only MJPEG AVI is decodable here (got FourCC "
-            f"{codec!r}); PyAV/ffmpeg plugs in at "
+            f"only MJPEG and uncompressed-DIB AVI are decodable here "
+            f"(got FourCC {codec!r}); PyAV/ffmpeg plugs in at "
             f"operators/multimodal.py for other codecs"
         )
     return {
@@ -2186,15 +2274,33 @@ def _avi_parse(data: bytes) -> dict:
         "height": height,
         "fps": fps,
         "codec": codec.decode("ascii", "replace"),
+        "codec_kind": kind,
+        "bit_count": bit_count,
         "index": index,
     }
 
 
-def _avi_frame(data: bytes, entry: tuple[int, int]) -> bytes:
-    """Materialize one indexed frame as a standalone-decodable JPEG
-    (DHT-less MJPEG frames get the Annex-K tables spliced in)."""
+def _dib_frame_to_array(raw: bytes, w: int, h: int) -> np.ndarray:
+    """One 24-bit bottom-up BGR DIB frame payload -> (H, W, 3) RGB."""
+    stride = (3 * w + 3) & ~3  # DIB rows pad to 4 bytes
+    need = stride * h
+    if len(raw) < need:
+        raise ValueError("DIB frame payload truncated")
+    rows = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, stride)
+    return rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def _avi_frame(data: bytes, entry: tuple[int, int], meta: dict) -> bytes:
+    """Materialize one indexed frame as a standalone-decodable image
+    payload: MJPEG frames as JPEG (DHT-less ones get the Annex-K
+    tables spliced in), uncompressed DIB frames re-wrapped as BMP."""
     p, s = entry
-    return mjpeg_ensure_dht(bytes(data[p : p + s]))
+    raw = bytes(data[p : p + s])
+    if meta["codec_kind"] == "dib":
+        return encode_bmp(
+            _dib_frame_to_array(raw, meta["width"], meta["height"])
+        )
+    return mjpeg_ensure_dht(raw)
 
 
 def decode_avi(data: bytes) -> dict:
@@ -2212,10 +2318,25 @@ def decode_avi(data: bytes) -> dict:
     ``avi_features``) use the lazy ``_avi_parse`` index instead of this
     materialize-everything form."""
     d = _avi_parse(data)
-    frames = [_avi_frame(data, e) for e in d.pop("index")]
+    frames = [_avi_frame(data, e, d) for e in d.pop("index")]
     d["n_frames"] = len(frames)
     d["frames"] = frames
     return d
+
+
+def decode_image_payload(data: bytes) -> np.ndarray:
+    """Magic-byte-sniffing image decode (JPEG/BMP/PNG/GIF) — the shared
+    entry for frame payloads whose container (AVI/GIF sampling) may
+    emit either compressed or re-wrapped uncompressed frames."""
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    raise ValueError("unrecognized image payload magic")
 
 
 def avi_sample_frames(data: bytes, n_frames: int) -> list[bytes]:
@@ -2230,7 +2351,7 @@ def avi_sample_frames(data: bytes, n_frames: int) -> list[bytes]:
         return []
     k = min(n_frames, total)
     return [
-        _avi_frame(data, d["index"][(j * total) // k]) for j in range(k)
+        _avi_frame(data, d["index"][(j * total) // k], d) for j in range(k)
     ]
 
 
@@ -2250,8 +2371,12 @@ def avi_features(data: bytes, dim: int = 8) -> list[float]:
         n / d["fps"] if d["fps"] else 0.0,
     ]
     if n:
-        first = decode_jpeg(_avi_frame(data, d["index"][0])).astype(np.float64)
-        last = decode_jpeg(_avi_frame(data, d["index"][-1])).astype(np.float64)
+        first = decode_image_payload(
+            _avi_frame(data, d["index"][0], d)
+        ).astype(np.float64)
+        last = decode_image_payload(
+            _avi_frame(data, d["index"][-1], d)
+        ).astype(np.float64)
         g0 = first.mean(axis=2).mean() / 255.0 if first.ndim == 3 else first.mean() / 255.0
         g1 = last.mean(axis=2).mean() / 255.0 if last.ndim == 3 else last.mean() / 255.0
         feats += [float(g0), float(g1), float(abs(g1 - g0))]

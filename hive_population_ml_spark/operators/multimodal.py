@@ -462,7 +462,9 @@ def video_phash_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 ):
                     ids.append(i)
                     idxs.append(k)
-                    hashes.append(codecs.phash64(codecs.decode_jpeg(j)))
+                    hashes.append(
+                        codecs.phash64(codecs.decode_image_payload(j))
+                    )
             yield pd.DataFrame(
                 {"id": ids, "frame_idx": idxs, "phash": hashes}
             )
@@ -551,7 +553,7 @@ def video_frame_stats(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     decode = codecs.decode_gif
                 else:
                     payloads = codecs.avi_sample_frames(bytes(m), n_frames)
-                    decode = codecs.decode_jpeg
+                    decode = codecs.decode_image_payload
                 prev = None
                 for k, j in enumerate(payloads):
                     arr = decode(j).astype(np.float64)
