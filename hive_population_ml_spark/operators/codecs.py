@@ -616,16 +616,22 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP bytes -> (H, W, 3) uint8 RGB array."""
+    """BMP bytes -> (H, W, 3) uint8 RGB array. Uncompressed 24-bit
+    (BI_RGB) and run-length-encoded 8-bit palette (BI_RLE8, compression
+    1 — encoded/absolute runs, end-of-line/bitmap and delta escapes per
+    the Windows BMP spec) are supported; other depths/compressions
+    raise NotImplementedError — the honest boundary."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", data, 10)[0]
     dib_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp == 8 and compression == 1:
+        return _decode_bmp_rle8(data, offset, dib_size, w, h)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP is supported "
-            f"(got bpp={bpp}, compression={compression})"
+            f"only uncompressed 24-bit and RLE8 palette BMP are "
+            f"supported (got bpp={bpp}, compression={compression})"
         )
     bottom_up = h > 0
     h = abs(h)
@@ -637,6 +643,93 @@ def decode_bmp(data: bytes) -> np.ndarray:
         dst = (h - 1 - row) if bottom_up else row
         arr[dst] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
     return arr
+
+
+def _decode_bmp_rle8(
+    data: bytes, offset: int, dib_size: int, w: int, h: int
+) -> np.ndarray:
+    """BI_RLE8: (count, index) encoded runs; escape 00 00 = end of
+    line, 00 01 = end of bitmap, 00 02 dx dy = delta, 00 n>=3 =
+    absolute run of n indices (word-aligned). Rows are bottom-up."""
+    bottom_up = h > 0
+    h = abs(h)
+    n_colors = struct.unpack_from("<I", data, 14 + 32)[0] or 256
+    pal_off = 14 + dib_size
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+    ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+    idx = np.zeros((h, w), dtype=np.uint8)
+    pos, x, y = offset, 0, 0
+    while pos + 1 < len(data) and y < h:
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0:  # encoded run
+            run = min(b0, w - x)
+            idx[y, x : x + run] = b1
+            x += run
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("RLE8 delta escape truncated")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of b1 indices, word-aligned
+            if pos + b1 > len(data):
+                raise ValueError("RLE8 absolute run truncated")
+            run = min(b1, w - x)
+            idx[y, x : x + run] = np.frombuffer(
+                data, dtype=np.uint8, count=run, offset=pos
+            )
+            x += run
+            pos += b1 + (b1 & 1)
+    arr = pal[idx]
+    return arr[::-1] if bottom_up else arr
+
+
+def encode_bmp_rle8(img: np.ndarray) -> bytes:
+    """(H, W) uint8 palette indices + implicit grayscale palette, or
+    (H, W, 3) RGB with <=256 distinct colors -> BI_RLE8 BMP bytes
+    (fixture helper; encoded runs + end-of-line/bitmap escapes)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        flat = img.reshape(-1, 3)
+        pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if pal.shape[0] > 256:
+            raise ValueError(f"RLE8 needs <=256 colors, got {pal.shape[0]}")
+        idx = inverse.reshape(img.shape[:2]).astype(np.uint8)
+    else:
+        idx = img
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    h, w = idx.shape
+    body = bytearray()
+    for row in idx[::-1]:  # bottom-up
+        x = 0
+        row_list = row.tolist()
+        while x < w:
+            v = row_list[x]
+            run = 1
+            while x + run < w and row_list[x + run] == v and run < 255:
+                run += 1
+            body += bytes([run, v])
+            x += run
+        body += bytes([0, 0])  # end of line
+    body += bytes([0, 1])  # end of bitmap
+    n_colors = pal.shape[0]
+    pal_bytes = bytearray()
+    for r, g, b in pal.tolist():
+        pal_bytes += bytes([b, g, r, 0])
+    offset = 14 + 40 + len(pal_bytes)
+    header = b"BM" + struct.pack(
+        "<IHHI", offset + len(body), 0, 0, offset
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 0, 0, n_colors, 0
+    )
+    return header + dib + bytes(pal_bytes) + bytes(body)
 
 
 def bmp_features(data: bytes, dim: int = 8) -> list[float]:

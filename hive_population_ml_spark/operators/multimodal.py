@@ -6,16 +6,16 @@ functions over ``mapInPandas`` so each task processes whole record
 batches (the only sane shape for per-item Python work at 100 TB —
 per-row UDFs would serialize item-at-a-time).
 
-Codec story: PIL/librosa/av are NOT in this container, but two formats
-need only the standard library, so ``decode_stub=False`` is REAL for
-them (``operators/codecs.py``): WAV PCM audio (duration/RMS/peak/ZCR
-features, equal-duration chunking), uncompressed 24-bit BMP images,
-zlib PNG, and baseline-sequential JPEG (real huffman + DCT decode,
-dimension/channel stats, nearest-neighbor resize). Other media types
-under ``decode_stub=False`` raise NotImplementedError at the exact
-plug point where a production codec slots in. ``decode_stub=True``
-keeps the deterministic byte-derived fakes for format-agnostic
-plumbing tests.
+Codec story: PIL/librosa/av are NOT in this container, but the formats
+in ``operators/codecs.py`` (+ ``operators/flac.py``) need only the
+standard library, so ``decode_stub=False`` is REAL for them: WAV audio
+(PCM 8/16/24/32-bit, IEEE float, G.711 μ-law/A-law, IMA ADPCM), FLAC,
+BMP, zlib PNG, JPEG (baseline + progressive), GIF (LZW, incl.
+animation), and AVI video (MJPEG + uncompressed DIB frames). Remaining
+media types under ``decode_stub=False`` (MP3, non-MJPEG/DIB video
+codecs) raise NotImplementedError at the exact plug point where a
+production codec slots in. ``decode_stub=True`` keeps the
+deterministic byte-derived fakes for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
