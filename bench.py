@@ -268,6 +268,9 @@ DECLARED_UNTIMED = {
     "dedup_video_phash": "codec-bound (384 python MJPEG frame decodes "
     "dominate; banding is the timed SimHash shape; slot-majority rollup "
     "pinned in tests)",
+    "multimodal_gif_animation": "codec-bound (python LZW frame decodes "
+    "dominate at fixture scale; round trips + frame parity pinned in "
+    "tests)",
     "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
     "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
     "text_topics_lda": "ML fit path (online variational LDA; "
