@@ -339,6 +339,33 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_suffix_dup_spans")  # rows-only: iterative prefix
+# doubling (O(log L) re-rank rounds) — not expressible as one SQL query
+def text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide repeated substrings via distributed suffix
+    ranking (round 10, operators/suffixes.py): Manber-Myers prefix
+    doubling expressed as O(log L) rounds of (pos+k equi-join +
+    range-partitioned two-level dense rank — no single-task global
+    sort, no whale windows), candidate groups from rank collisions at
+    the power-of-two prefix level, then exact substring verification —
+    the collision-free twin of the hash-based dup-span miner
+    (text_remove_dup_spans uses fingerprints; this is exact string
+    equality). Output: (span, n_occurrences, n_docs) for every
+    16-char span repeated >= 3 times. Verified against brute-force
+    substring counting and a python suffix-array reference in
+    tests/test_suffixes.py. Scale: the char table is corpus-sized (the
+    honest cost of exact suffix order — the hash miner stays the cheap
+    first pass, this the exact refiner); every shuffle range- or
+    hash-balanced; lineage cut per round with localCheckpoint."""
+    from ..operators.suffixes import duplicated_spans
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").filter(
+        F.col("doc_id") < 150
+    )
+    return duplicated_spans(docs, "doc_id", "text", min_len=16, min_count=3)
+
+
 @register("multimodal_gif_animation")  # rows-only: LZW decode, not SQL
 def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF decode over binary media columns (round 10):

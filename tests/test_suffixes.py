@@ -1,0 +1,164 @@
+"""Distributed suffix-ranking tests (operators/suffixes.py).
+
+Parity strategy: global_dense_rank vs a direct single-window
+dense_rank; suffix_ranks vs a plain-python Manber-Myers reference on
+random strings (full order AND intermediate prefix levels);
+duplicated_spans vs brute-force substring counting; plus sentinel /
+boundary / determinism edges.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_population_ml_spark.operators import suffixes
+
+
+def _py_suffix_order(s: str) -> list[int]:
+    return sorted(range(len(s)), key=lambda i: s[i:])
+
+
+def test_global_dense_rank_matches_direct_window(spark):
+    rnd = random.Random(2)
+    rows = [(i, rnd.randint(0, 30), rnd.randint(0, 5)) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = suffixes.global_dense_rank(df, ["a", "b"], num_partitions=7)
+    want = df.withColumn(
+        "grank", F.dense_rank().over(Window.orderBy("a", "b"))
+    )
+    a = sorted(map(tuple, got.select("id", "grank").collect()))
+    b = sorted(map(tuple, want.select("id", "grank").collect()))
+    assert a == b
+
+
+def test_global_dense_rank_no_single_partition_exchange(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 37).alias("a")
+    )
+    plan = (
+        suffixes.global_dense_rank(df, ["a"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only SinglePartition exchange allowed is the tiny
+    # per-partition offset table (broadcast on the other side)
+    big_single = [
+        line
+        for line in plan.splitlines()
+        if "Exchange SinglePartition" in line and "broadcast" not in line.lower()
+    ]
+    # offset table window runs on <= #partitions rows; it appears as one
+    # SinglePartition exchange of the aggregated per-pid table only
+    assert len(big_single) <= 1, plan
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_suffix_ranks_match_python_reference(spark, seed):
+    rnd = random.Random(seed)
+    s = "".join(rnd.choice("abcd") for _ in range(200))
+    docs = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    chars = suffixes.corpus_char_table(docs, "doc_id", "text")
+    ranks, prefix = suffixes.suffix_ranks(chars)
+    assert prefix >= 1
+    got = {
+        r["pos"]: r["grank"]
+        for r in chars.join(ranks, "pos")
+        .filter(F.col("code") >= 0)
+        .select("pos", "grank")
+        .collect()
+    }
+    order = sorted(got, key=lambda p: got[p])
+    # ranks are all distinct at convergence -> the suffix ORDER matches
+    # the python reference exactly (sentinel sorts before every char,
+    # so dropping it keeps relative order)
+    assert order == _py_suffix_order(s)
+
+
+def test_suffix_ranks_prefix_level_semantics(spark):
+    # until_prefix stops early: equal rank <=> equal prefix of the
+    # returned length
+    s = "abababXabababY"
+    docs = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    chars = suffixes.corpus_char_table(docs, "doc_id", "text")
+    ranks, prefix = suffixes.suffix_ranks(chars, until_prefix=4)
+    assert prefix == 4
+    got = {
+        r["pos"]: r["grank"]
+        for r in chars.join(ranks, "pos")
+        .filter(F.col("code") >= 0)
+        .select("pos", "grank")
+        .collect()
+    }
+    padded = s + "\x00" * 4
+    for i in got:
+        for j in got:
+            same = padded[i : i + 4] == padded[j : j + 4]
+            assert (got[i] == got[j]) == same, (i, j)
+
+
+def test_duplicated_spans_match_bruteforce(spark):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a quick brown fox leaps over a lazy dog",
+        3: "lorem ipsum dolor sit amet",
+        4: "the quick brown fox jumps again and again",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    L = 10
+    got = [
+        (r["span"], r["n_occurrences"], r["n_docs"])
+        for r in suffixes.duplicated_spans(
+            docs, "doc_id", "text", min_len=L
+        ).collect()
+    ]
+    c: Counter = Counter()
+    dper: dict = {}
+    for d, t in texts.items():
+        for i in range(len(t) - L + 1):
+            sp = t[i : i + L]
+            c[sp] += 1
+            dper.setdefault(sp, set()).add(d)
+    want = sorted(
+        ((sp, n, len(dper[sp])) for sp, n in c.items() if n >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+
+
+def test_duplicated_spans_never_cross_documents(spark):
+    # "XX|YY" split across docs must NOT produce the span "X XY" etc.
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa")], "doc_id long, text string"
+    )
+    out = suffixes.duplicated_spans(docs, "doc_id", "text", min_len=3)
+    rows = {r["span"]: (r["n_occurrences"], r["n_docs"]) for r in out.collect()}
+    # each doc has two 'aaa' positions -> 4 total across 2 docs; no
+    # span containing a boundary can appear
+    assert rows == {"aaa": (4, 2)}
+
+
+def test_duplicated_spans_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "xx common yy common zz common ww")],
+        "doc_id long, text string",
+    )
+    out3 = suffixes.duplicated_spans(
+        docs, "doc_id", "text", min_len=4, min_count=3
+    ).collect()
+    assert all(r["n_occurrences"] >= 3 for r in out3)
+    spans = {r["span"] for r in out3}
+    assert {"comm", "ommo", "mmon", " com"} <= spans
+    # the pair-only spans ("n xx" etc.) must be filtered by min_count=3
+    assert all(r["n_occurrences"] >= 3 for r in out3)
+
+
+def test_min_len_validation(spark):
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        suffixes.duplicated_spans(docs, "doc_id", "text", min_len=1)
