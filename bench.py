@@ -271,9 +271,11 @@ DECLARED_UNTIMED = {
     "multimodal_gif_animation": "codec-bound (python LZW frame decodes "
     "dominate at fixture scale; round trips + frame parity pinned in "
     "tests)",
-    "text_suffix_dup_spans": "iterative prefix doubling (O(log L) "
-    "driver-coordinated re-rank rounds; per-round plans timed "
-    "implicitly, exactness pinned vs brute force in tests)",
+    "text_exact_dup_spans": "one L-gram group-by (exact twin of the "
+    "timed hash miner; exactness pinned vs brute force in tests)",
+    "text_longest_repeat": "iterative prefix doubling (O(log L) "
+    "driver-coordinated re-rank rounds; exactness pinned vs brute "
+    "force + python suffix-array reference in tests)",
     "w_sliding_distinct_hll": "timed via w_sliding_distinct (same plan "
     "shape; sketch variant's win is shuffle VOLUME, invisible at sf0.1)",
     "text_topics_lda": "ML fit path (online variational LDA; "

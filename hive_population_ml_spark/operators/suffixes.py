@@ -12,25 +12,33 @@ public algorithm) expressed in DataFrame ops:
    #partitions-row table. The same two-level shape as
    ``sampling.two_level_row_number`` (round-10 whale-window fix),
    generalized to arbitrary sortable keys.
-2. ``suffix_ranks`` — prefix doubling: rank by first character, then
-   repeatedly re-rank by (rank[i], rank[i+k]) with k doubling. After
-   the round that paired at offset k, equal ranks mean equal prefixes
-   of length 2k. O(log L) rounds, each one equi-join (pos+k, trivially
-   co-partitioned) + one global_dense_rank (a range-partitioned sort).
-   No per-group windows anywhere — the rank assignment is whale-free.
-3. ``duplicated_spans`` — positions whose suffix rank collides at the
-   largest power-of-two prefix <= min_len form candidate groups
-   (a SUPERSET of true repeats, since equal-prefix >= min_len implies
-   equal-prefix >= 2^floor(log2 min_len)); each candidate's actual
-   ``substring(pos, min_len)`` is then extracted and grouped — exact
-   verification, no fingerprint collisions. Per-document sentinels
-   keep spans from crossing document boundaries.
+2. ``suffix_ranks`` — prefix doubling with TIE-SHRINKING: rank by
+   first character, then repeatedly re-rank by (rank[i], rank[i+k])
+   with k doubling; equal ranks after the offset-k round mean equal
+   prefixes of length 2k. Early rounds are full range-partitioned
+   re-ranks (``global_rank``, whale-free); once ties fall under a
+   fraction of the corpus, rounds refine only the tied groups inside
+   their disjoint [base, base+m-1] rank slots — the active set decays
+   geometrically, so deep repeats don't cost deep full-corpus passes.
+3. ``duplicated_spans`` — for a FIXED span length the honest plan is
+   a direct L-gram group-by (one partial-aggregated shuffle of L-byte
+   keys), already exact; the suffix machinery would pay O(log L)
+   rounds for nothing at fixed L.
+4. ``longest_repeated_span`` — the query that genuinely needs suffix
+   ORDER: the longest repeat is the maximal LCP between adjacent
+   suffixes in suffix order; adjacent pairs come from a grank+1
+   self-join and each LCP is computed exactly on substrings bounded
+   by the doubling's terminal prefix (convergence at prefix P proves
+   every LCP < P). Per-document sentinels keep repeats from crossing
+   document boundaries.
 
 Scale posture: the char table is corpus-size (one row per byte — the
 honest cost of exact suffix ordering; the hash-based miner remains the
-cheap first pass and this the exact refiner for the spans it flags).
-Every shuffle is range- or hash-balanced; lineage is cut per round
-with localCheckpoint so the O(log L) loop doesn't stack plans.
+cheap first pass and this the exact refiner). Every shuffle is range-
+or hash-balanced; lineage is cut per round with localCheckpoint so the
+O(log L) loop doesn't stack plans; each doubling round shuffles
+constant-width (pos, rank) pairs, which is why doubling beats
+re-scanning with growing L-byte keys when L is unknown.
 
 Reference parity: the reference has no suffix machinery; this extends
 the LLM-pipeline dedup tier (ExactSubstr semantics, Lee et al. 2022's
@@ -57,7 +65,12 @@ def global_dense_rank(
     keys, so local rank + offset IS the global dense rank."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
-    part = part.withColumn("__pid", F.spark_partition_id())
+    # PIN the range partitioning: repartitionByRange samples its
+    # boundaries PER ACTION, so the ranked-rows branch and the offset
+    # branch below would otherwise see DIFFERENT partition layouts and
+    # the offsets would not match the local ranks (caught by the
+    # suffix-doubling convergence plateau, round 10).
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
     w = Window.partitionBy("__pid").orderBy(*cols)
     ranked = part.withColumn("__lr", F.dense_rank().over(w))
     per = ranked.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
@@ -108,39 +121,109 @@ def corpus_char_table(
     )
 
 
-def suffix_ranks(
-    chars: DataFrame, until_prefix: int | None = None
-) -> tuple[DataFrame, int]:
-    """Prefix-doubling suffix ranking over a (pos, code) table.
+def global_rank(
+    df: DataFrame,
+    cols: list[str],
+    out: str = "grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Non-dense 0-based rank over ALL rows by ``cols`` — r(row) =
+    number of rows with strictly smaller key; ties share a rank. Same
+    whale-free two-level shape as ``global_dense_rank`` but the
+    partition offset is the cumulative ROW count, which gives the
+    crucial refinement property: a tie group with base rank b and m
+    members occupies exactly [b, b+m-1], so it can be re-ranked
+    LOCALLY without touching any other group."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
+    # pinned for the same per-action boundary-sampling reason as
+    # global_dense_rank above
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = part.withColumn("__lr", F.rank().over(w) - 1)
+    per = ranked.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = per.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(off), "__pid")
+        .withColumn(out, (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )
 
-    Returns ``(ranks, prefix_len)``: a (pos, grank) frame where equal
-    grank means equal prefix of length >= ``prefix_len``; iteration
-    stops when all ranks are distinct (the full suffix order) or when
-    ``prefix_len >= until_prefix``."""
+
+def suffix_ranks(
+    chars: DataFrame,
+    until_prefix: int | None = None,
+    refine_fraction: float = 0.1,
+    refine_max_group: int = 1_000_000,
+) -> tuple[DataFrame, int]:
+    """Prefix-doubling suffix ranking over a (pos, code) table, with
+    TIE-SHRINKING refinement.
+
+    Ranks are 0-based prefix-count ranks (r = #suffixes with strictly
+    smaller prefix). Early rounds re-rank the whole corpus through the
+    range-partitioned ``global_rank``; once the TIED positions fall
+    below ``refine_fraction`` of the corpus (and no tie group exceeds
+    ``refine_max_group``), rounds refine ONLY the tied groups — each
+    group re-ranks locally inside its [base, base+m-1] slot, untied
+    positions are never touched again, and the active set shrinks
+    geometrically. A 573-char repeat needs ~10 doubling rounds; the
+    tie-shrinking form pays full-corpus shuffles for only the first
+    couple.
+
+    Returns ``(ranks, prefix_len)``: equal grank means equal prefix of
+    length >= prefix_len; at convergence (no ties) the granks are
+    exactly 0..n-1, i.e. the total suffix order."""
     total = chars.count()
-    r = global_dense_rank(
+    r = global_rank(
         chars.select("pos", F.col("code").alias("__k1")), ["__k1"]
     ).select("pos", "grank")
     r = r.localCheckpoint()
     prefix = 1
     k = 1
     while True:
-        n_ranks = r.agg(F.max("grank")).first()[0] or 0
-        if n_ranks >= total:
+        sizes = r.groupBy("grank").agg(F.count("*").alias("__n"))
+        tied = sizes.filter(F.col("__n") >= 2)
+        stats = tied.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_tied"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("max_group"),
+        ).first()
+        n_tied, max_group = stats["n_tied"], stats["max_group"]
+        if n_tied == 0:
             break
         if until_prefix is not None and prefix >= until_prefix:
             break
         shifted = r.select(
             (F.col("pos") - k).alias("pos"), F.col("grank").alias("__k2")
         )
-        paired = (
-            r.withColumnRenamed("grank", "__k1")
-            .join(shifted, "pos", "left")
-            .fillna({"__k2": 0})  # past-end suffixes sort first
-        )
-        r = global_dense_rank(paired, ["__k1", "__k2"]).select(
-            "pos", "grank"
-        )
+        if (
+            n_tied > refine_fraction * total
+            or max_group > refine_max_group
+        ):
+            paired = (
+                r.withColumnRenamed("grank", "__k1")
+                .join(shifted, "pos", "left")
+                .fillna({"__k2": -1})  # past-end suffixes sort first
+            )
+            r = global_rank(paired, ["__k1", "__k2"]).select(
+                "pos", "grank"
+            )
+        else:
+            # AQE picks broadcast vs shuffle for the tied-group join
+            active = r.join(tied.select("grank"), "grank")
+            act = active.join(shifted, "pos", "left").fillna({"__k2": -1})
+            w_g = Window.partitionBy("grank").orderBy("__k2")
+            refined = act.select(
+                "pos",
+                (F.col("grank") + F.rank().over(w_g) - 1).alias("grank"),
+            )
+            untied = r.join(tied.select("grank"), "grank", "left_anti")
+            r = untied.unionByName(refined)
         r = r.localCheckpoint()
         prefix = 2 * k
         k *= 2
@@ -154,45 +237,30 @@ def duplicated_spans(
     min_len: int,
     min_count: int = 2,
 ) -> DataFrame:
-    """EXACT corpus-wide repeated substrings of length ``min_len``:
-    every maximal group of positions whose ``min_len``-char substring
-    occurs >= ``min_count`` times anywhere in the corpus.
+    """EXACT corpus-wide repeated substrings of a FIXED length
+    ``min_len``: every substring occurring >= ``min_count`` times.
 
-    Candidates come from suffix-rank collisions at the largest
-    power-of-two prefix <= min_len (a superset — no recall loss), then
-    each candidate's literal substring is extracted and grouped: the
-    verification is exact string equality, so unlike the hash-based
-    miner there are NO fingerprint collisions. Returns
+    For a fixed span length the right plan is NOT the suffix
+    machinery: grouping positions by their literal ``min_len``-char
+    substring is already exact (no fingerprint collisions, unlike the
+    hash-based miner) and costs ONE partial-aggregated shuffle of
+    min_len-byte keys. The honest dispatch rule: fixed L -> this
+    L-gram group-by (shuffle O(L) bytes/position once); UNKNOWN or
+    maximal L -> ``longest_repeated_span`` below, where prefix
+    doubling pays off because each of its O(log L) rounds shuffles
+    constant-width rank pairs instead of L-byte keys. Returns
     (span, n_occurrences, n_docs) ordered by count desc."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
-    chars = corpus_char_table(docs, id_col, text_col)
-    level = 1
-    while level * 2 <= min_len:
-        level *= 2
-    ranks, got = suffix_ranks(chars, until_prefix=level)
-    pos_rank = chars.join(ranks, "pos")
-    # candidate groups: rank shared by >= min_count positions
-    grp = pos_rank.groupBy("grank").agg(F.count("*").alias("__n"))
-    cands = (
-        pos_rank.join(
-            grp.filter(F.col("__n") >= min_count).select("grank"), "grank"
-        )
-        .filter(F.col("code") >= 0)  # sentinels never start a span
-        .select("doc_id", "local")
-    )
-    texts = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-    )
-    spans = (
-        cands.join(texts, "doc_id")
-        .select(
-            "doc_id",
-            F.substring(
-                F.col("__text"), F.col("local") + 1, min_len
-            ).alias("span"),
-        )
-        .filter(F.length("span") == min_len)  # span fits in its doc
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) "
+                f"- {min_len - 1}, 0)), i -> substring({text_col}, i, "
+                f"{min_len}))"
+            )
+        ).alias("span"),
     )
     return (
         spans.groupBy("span")
@@ -202,4 +270,74 @@ def duplicated_spans(
         )
         .filter(F.col("n_occurrences") >= min_count)
         .orderBy(F.desc("n_occurrences"), F.asc("span"))
+    )
+
+
+def longest_repeated_span(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """The longest substrings repeated ANYWHERE in the corpus — the
+    query shape that genuinely needs suffix order (a fixed-L group-by
+    can't search over L; doubling over candidate lengths would rescan
+    the corpus O(log L) times with L-byte keys).
+
+    Classic reduction: the longest repeat is the maximal LCP between
+    ADJACENT suffixes in suffix order. ``suffix_ranks`` (prefix
+    doubling) yields the total order; adjacent pairs come from a
+    grank+1 self-join; each pair's LCP is computed exactly on
+    substrings bounded by the doubling's terminal prefix length (the
+    last round with any rank collision at prefix P proves every LCP
+    < 2P, so extracting 2P chars per side suffices). Per-document
+    sentinels mean no repeat crosses a document. Returns the top_k
+    (span, length, doc_a, doc_b) by length."""
+    chars = corpus_char_table(docs, id_col, text_col)
+    ranks, prefix = suffix_ranks(chars)
+    pos_rank = chars.join(ranks, "pos").filter(F.col("code") >= 0)
+    texts = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    ext = (
+        pos_rank.join(texts, "doc_id")
+        .select(
+            "grank",
+            "doc_id",
+            F.substring(
+                F.col("__text"), F.col("local") + 1, prefix
+            ).alias("__s"),
+        )
+    )
+    nxt = ext.select(
+        (F.col("grank") - 1).alias("grank"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__s").alias("__s2"),
+    )
+    pairs = ext.withColumnRenamed("doc_id", "doc_a").join(nxt, "grank")
+    # exact LCP of the two bounded substrings: zip characters, first
+    # mismatch position - 1; position 0 = no explicit mismatch, i.e.
+    # one string prefixes the other -> LCP is the shorter length.
+    # (zip_with pads with null; null == char is null, not False, so
+    # array_position(False) only fires on a REAL character mismatch.)
+    mismatch = F.array_position(
+        F.zip_with(
+            F.split("__s", ""), F.split("__s2", ""), lambda a, b: a == b
+        ),
+        F.lit(False),
+    ).cast("long")
+    lcp = F.when(
+        mismatch == 0, F.least(F.length("__s"), F.length("__s2"))
+    ).otherwise(mismatch - 1).cast("long")
+    return (
+        pairs.select("__s", lcp.alias("length"), "doc_a", "doc_b")
+        .filter(F.col("length") > 0)
+        .select(
+            F.expr("substring(__s, 1, length)").alias("span"),
+            "length",
+            "doc_a",
+            "doc_b",
+        )
+        .orderBy(F.desc("length"), F.asc("span"))
+        .limit(top_k)
     )

@@ -339,24 +339,18 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_suffix_dup_spans")  # rows-only: iterative prefix
-# doubling (O(log L) re-rank rounds) — not expressible as one SQL query
-def text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT corpus-wide repeated substrings via distributed suffix
-    ranking (round 10, operators/suffixes.py): Manber-Myers prefix
-    doubling expressed as O(log L) rounds of (pos+k equi-join +
-    range-partitioned two-level dense rank — no single-task global
-    sort, no whale windows), candidate groups from rank collisions at
-    the power-of-two prefix level, then exact substring verification —
-    the collision-free twin of the hash-based dup-span miner
-    (text_remove_dup_spans uses fingerprints; this is exact string
-    equality). Output: (span, n_occurrences, n_docs) for every
-    16-char span repeated >= 3 times. Verified against brute-force
-    substring counting and a python suffix-array reference in
-    tests/test_suffixes.py. Scale: the char table is corpus-sized (the
-    honest cost of exact suffix order — the hash miner stays the cheap
-    first pass, this the exact refiner); every shuffle range- or
-    hash-balanced; lineage cut per round with localCheckpoint."""
+@register("text_exact_dup_spans")  # rows-only: exact twin of the
+# fingerprint miner; kept rows-only with it (same family contract)
+def text_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fixed-length repeated substrings (round 10,
+    operators/suffixes.py::duplicated_spans): the collision-free twin
+    of the hash-based dup-span miner — every 16-char span occurring
+    >= 3 times, counted by literal string equality. The honest plan
+    for FIXED span length is a direct L-gram group-by (one
+    partial-aggregated shuffle of L-byte keys); the suffix machinery
+    (see text_longest_repeat) is reserved for the query shape that
+    needs it. Verified against brute-force substring counting in
+    tests/test_suffixes.py."""
     from ..operators.suffixes import duplicated_spans
 
     t = Tables(spark, sf_dir)
@@ -364,6 +358,35 @@ def text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     return duplicated_spans(docs, "doc_id", "text", min_len=16, min_count=3)
+
+
+@register("text_longest_repeat")  # rows-only: iterative prefix
+# doubling (O(log L) re-rank rounds) — not expressible as one SQL query
+def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest substrings repeated anywhere in the corpus via
+    DISTRIBUTED SUFFIX RANKING (round 10, operators/suffixes.py):
+    Manber-Myers prefix doubling as O(log L) rounds of pos+k equi-join
+    + range-partitioned two-level dense rank (global_dense_rank — no
+    single-task global sort, no whale windows), then the classic
+    longest-repeat = max-LCP-of-adjacent-suffixes reduction: a grank+1
+    self-join pairs order-adjacent suffixes and each LCP is computed
+    exactly on substrings bounded by the doubling's terminal prefix
+    (convergence at prefix P proves every LCP < P). Per-document
+    sentinels keep repeats inside documents. This is the query shape
+    that genuinely needs suffix order — a fixed-L group-by cannot
+    search over L, and re-scanning with doubled L-byte keys would
+    shuffle O(L) bytes/position per round where doubling shuffles
+    constant-width rank pairs. Parity: python suffix-array reference +
+    brute-force longest-repeat in tests/test_suffixes.py. Top-20 by
+    length over the first 60 documents (the doubling depth is set by
+    the longest REPEAT, not document length)."""
+    from ..operators.suffixes import longest_repeated_span
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").filter(
+        F.col("doc_id") < 60
+    )
+    return longest_repeated_span(docs, "doc_id", "text", top_k=20)
 
 
 @register("multimodal_gif_animation")  # rows-only: LZW decode, not SQL

@@ -24,8 +24,12 @@ def _py_suffix_order(s: str) -> list[int]:
 
 
 def test_global_dense_rank_matches_direct_window(spark):
+    # 5000 rows / 7 partitions: large enough that per-action boundary
+    # re-sampling WOULD misalign the offset table (the round-10 bug:
+    # repartitionByRange samples per action, so the ranked branch and
+    # the offset branch must see one pinned layout)
     rnd = random.Random(2)
-    rows = [(i, rnd.randint(0, 30), rnd.randint(0, 5)) for i in range(800)]
+    rows = [(i, rnd.randint(0, 50), rnd.randint(-1, 5)) for i in range(5000)]
     df = spark.createDataFrame(rows, "id long, a long, b long")
     got = suffixes.global_dense_rank(df, ["a", "b"], num_partitions=7)
     want = df.withColumn(
@@ -34,6 +38,29 @@ def test_global_dense_rank_matches_direct_window(spark):
     a = sorted(map(tuple, got.select("id", "grank").collect()))
     b = sorted(map(tuple, want.select("id", "grank").collect()))
     assert a == b
+
+
+def test_global_rank_matches_direct_window(spark):
+    rnd = random.Random(4)
+    rows = [(i, rnd.randint(0, 50), rnd.randint(-1, 5)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = suffixes.global_rank(df, ["a", "b"], num_partitions=7)
+    want = df.withColumn(
+        "grank", F.rank().over(Window.orderBy("a", "b")) - 1
+    )
+    a = sorted(map(tuple, got.select("id", "grank").collect()))
+    b = sorted(map(tuple, want.select("id", "grank").collect()))
+    assert a == b
+    # tie groups occupy exactly [base, base+m-1]: the refinement
+    # property suffix_ranks' tie-shrinking rounds rely on
+    by_rank: dict = {}
+    for _, r in a:
+        by_rank[r] = by_rank.get(r, 0) + 1
+    spots = sorted(by_rank)
+    run = 0
+    for r in spots:
+        assert r == run, (r, run)
+        run += by_rank[r]
 
 
 def test_global_dense_rank_no_single_partition_exchange(spark):
@@ -156,6 +183,56 @@ def test_duplicated_spans_min_count(spark):
     assert {"comm", "ommo", "mmon", " com"} <= spans
     # the pair-only spans ("n xx" etc.) must be filtered by min_count=3
     assert all(r["n_occurrences"] >= 3 for r in out3)
+
+
+def test_longest_repeated_span_matches_bruteforce(spark):
+    texts = {
+        1: "the cat sat on the red mat today",
+        2: "a cat sat on the red hat yesterday",
+        3: "completely different text",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = suffixes.longest_repeated_span(docs, "doc_id", "text", top_k=3)
+    rows = out.collect()
+    # brute force: longest substring with >= 2 distinct occurrences
+    occ: dict = {}
+    for d, t in texts.items():
+        for i in range(len(t)):
+            for j in range(i + 1, len(t) + 1):
+                occ.setdefault(t[i:j], set()).add((d, i))
+    best_len, best = max(
+        (len(s), s) for s, o in occ.items() if len(o) >= 2
+    )
+    assert rows[0]["length"] == best_len
+    assert rows[0]["span"] == best
+    assert {rows[0]["doc_a"], rows[0]["doc_b"]} == {1, 2}
+
+
+def test_longest_repeated_span_within_one_doc(spark):
+    docs = spark.createDataFrame(
+        [(7, "xy ABRACADABRA zz ABRACADABRA ww")],
+        "doc_id long, text string",
+    )
+    rows = suffixes.longest_repeated_span(
+        docs, "doc_id", "text", top_k=1
+    ).collect()
+    assert rows[0]["span"] == " ABRACADABRA "
+    assert rows[0]["length"] == 13
+    assert rows[0]["doc_a"] == 7 and rows[0]["doc_b"] == 7
+
+
+def test_longest_repeated_span_never_crosses_documents(spark):
+    # "endAstart" split at a boundary must not register as a repeat
+    docs = spark.createDataFrame(
+        [(1, "qqqq tail"), (2, " tailqqqq")], "doc_id long, text string"
+    )
+    rows = suffixes.longest_repeated_span(
+        docs, "doc_id", "text", top_k=1
+    ).collect()
+    # the longest true repeat is " tail"/"tail"-family or "qqqq"
+    assert rows[0]["length"] == 5 and rows[0]["span"] == " tail"
 
 
 def test_min_len_validation(spark):
