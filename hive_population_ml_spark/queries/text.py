@@ -1636,11 +1636,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-deterministic. Scale shape: the (lang, token) frequency agg
     is vocab-bounded (Heaps' law) and partial-aggregated; the top-1000
     rank cut is a per-lang window over THAT table (never the corpus),
-    and (round 10 whale-window audit) a per-PARTITION top-1000
-    pre-prune runs map-side first — the global per-lang top-1000 is a
-    subset of the union of per-partition top-1000s, so the final
-    single-task-per-lang sort sees at most 1000 x #partitions rows
-    instead of the whole vocab, with identical results. The regression
+    and (round 11, reverting the round-10 hand-rolled pre-prune)
+    relies on Spark 3.5's WindowGroupLimit rule: the rk <= 1000 filter
+    over row_number() is pushed map-side as a Partial top-1000 prune
+    automatically — the physical plan shows
+    WindowGroupLimit(Partial) before the exchange — so the final
+    single-task-per-lang sort already sees at most 1000 x #partitions
+    rows without a second hand-written window (which only added a
+    third exchange). The regression
     is regr_* closed-form aggregates — one fixed-size state per lang,
     the a_trend_fit posture. ln() keeps the sums in [0, ~7e3] where
     both engines' float accumulation agrees past the 6-decimal
@@ -1652,16 +1655,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     freq = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
-    w_part = Window.partitionBy("lang", F.spark_partition_id()).orderBy(
-        F.col("c").desc(), F.col("token").asc()
-    )
-    pruned = freq.withColumn("__prk", F.row_number().over(w_part)).filter(
-        F.col("__prk") <= 1000
-    )
     wr = Window.partitionBy("lang").orderBy(
         F.col("c").desc(), F.col("token").asc()
     )
-    ranked = pruned.select(
+    ranked = freq.select(
         "lang", "c", F.row_number().over(wr).alias("rk")
     ).filter(F.col("rk") <= 1000)
     lc, lr = F.log(F.col("c")), F.log(F.col("rk"))

@@ -56,3 +56,9 @@ def pytest_configure(config):
             f"contract (deterministic crc32(name) % {N_SHADOW_SHARDS}; run "
             f"shards as parallel pytest processes)",
         )
+    config.addinivalue_line(
+        "markers",
+        "shadow: umbrella marker on every shadow-shard test, so "
+        "tools/round_close.sh's remainder group (-m 'not shadow') plus "
+        "the N shard groups provably cover pytest tests/ exactly",
+    )

@@ -200,7 +200,11 @@ EXCHANGE_BUDGETS = {
     # PCA fit runs in its own (memoized, sample-bounded) jobs; the
     # projection itself is a map-side matvec — pure scan
     "embedding_pca": 0,
-    "pack_token_shards": 2,
+    # round-10 two-level scan rewrite (PERFORMANCE.md "whale-bucket
+    # window" entry: 114.9x -> 7.9x at 1000x): chunk-stats agg +
+    # offset-table broadcast join replace the single whale window,
+    # adding 3 exchanges by design
+    "pack_token_shards": 5,
     "sketch_distinct_tokens": 2,
     "sketch_value_quantiles": 1,
     "m_calibration": 4,
@@ -340,9 +344,11 @@ EXCHANGE_BUDGETS = {
     # the LSH side hides behind its candidate checkpoint) + the
     # tiny-pair full-outer join + 1-row agg
     "dedup_recall_report": 16,
-    # ONE stratum-key exchange: rank + count windows and the final agg
-    # reuse it
-    "split_stratified_exact": 1,
+    # round-10 two-level rank rewrite (PERFORMANCE.md: single-task
+    # stratum rank 13.1x -> 2.2x at 1000x): per-chunk rank agg +
+    # chunk-offset broadcast replace the ONE whale stratum window,
+    # adding 4 exchanges by design
+    "split_stratified_exact": 5,
     # 9-group digit agg + 1-row total (agg + its BroadcastExchange +
     # the BroadcastNestedLoop marker on the crossJoin)
     "a_benford_test": 4,

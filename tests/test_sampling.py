@@ -216,7 +216,15 @@ from conftest import shadow_shard  # single source for shard assignment
 @pytest.mark.parametrize(
     "name",
     [
-        pytest.param(n, marks=getattr(pytest.mark, f"shadow_shard{shadow_shard(n)}"))
+        pytest.param(
+            n,
+            marks=[
+                getattr(pytest.mark, f"shadow_shard{shadow_shard(n)}"),
+                # umbrella marker so tools/round_close.sh can collect
+                # "everything that is NOT a shadow shard" as one group
+                pytest.mark.shadow,
+            ],
+        )
         for n in SHADOW_NAMES
     ],
 )
