@@ -183,7 +183,19 @@ def pack_shards(
             F.col("chunk_start") + F.sum("n_tokens").over(w_in)
             - F.col("n_tokens")
         )
-        sized = sized0.join(offsets, ["bucket", "chunk"]).select(
+        # null-safe equality (<=>) so NULL-keyed rows survive exactly as
+        # the single-window form treats them: a NULL bucket is its own
+        # window partition and a NULL ord is its own (NULL) chunk — an
+        # inner equi-join would silently drop them (ADVICE r10).
+        # EqualNullSafe is still an equi-join predicate, so the join
+        # stays a shuffled hash join, not a nested loop.
+        sized = sized0.join(
+            offsets.withColumnsRenamed(
+                {"bucket": "__rb", "chunk": "__rc"}
+            ),
+            F.col("bucket").eqNullSafe(F.col("__rb"))
+            & F.col("chunk").eqNullSafe(F.col("__rc")),
+        ).select(
             "bucket",
             "ord",
             "n_tokens",
@@ -249,10 +261,22 @@ def two_level_row_number(
     w_in = Window.partitionBy(group_col, "__chunk").orderBy(
         F.col("__u").asc(), F.col(tiebreak_col).asc()
     )
+    # null-safe equality on the group key (<=>): a NULL group is its own
+    # window partition in the single-window form, so the two-level form
+    # must match it through the join instead of dropping it (ADVICE
+    # r10). __chunk is non-null whenever __u is (and u is a hash by
+    # contract — never NULL for non-null ids), but <=> costs nothing
+    # and keeps the parity exact.
     return (
-        base.join(offsets, [group_col, "__chunk"])
+        base.join(
+            offsets.withColumnsRenamed(
+                {group_col: "__rg", "__chunk": "__rc"}
+            ),
+            F.col(group_col).eqNullSafe(F.col("__rg"))
+            & F.col("__chunk").eqNullSafe(F.col("__rc")),
+        )
         .withColumn("rk", F.col("__off") + F.row_number().over(w_in))
-        .drop("__u", "__chunk", "__off", "__c")
+        .drop("__u", "__chunk", "__off", "__c", "__rg", "__rc")
     )
 
 

@@ -362,12 +362,18 @@ def test_pack_shards_hierarchical_matches_single_window(spark):
     for b in ("en", "de", "fr"):
         ids = sorted(rnd.sample(range(10_000), 400 if b != "fr" else 3))
         rows += [(b, i, rnd.randint(1, 900)) for i in ids]
+    # NULL-keyed rows (ADVICE r10): a NULL bucket is its own window
+    # partition and ONE NULL ord per bucket is its own (NULL) chunk —
+    # the two-level path's null-safe join must keep them, not drop them
+    rows += [(None, i, rnd.randint(1, 900)) for i in (3, 99, 512, 9000)]
+    rows += [("en", None, 250), (None, None, 250)]
     df = spark.createDataFrame(rows, "bucket string, doc_id long, n long")
     fast = pack_shards(df, "bucket", "n", budget=1500, order_col="doc_id",
                        chunk_width=64).collect()
     slow = pack_shards(df, "bucket", "n", budget=1500, order_col="doc_id",
                        chunk_width=None).collect()
-    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    nk = lambda t: tuple((x is None, x) for x in t)  # None-safe sort
+    assert sorted(map(tuple, fast), key=nk) == sorted(map(tuple, slow), key=nk)
 
 
 def test_two_level_row_number_matches_direct_window(spark):
@@ -386,6 +392,9 @@ def test_two_level_row_number_matches_direct_window(spark):
     rnd = random.Random(5)
     rows = [("g" + str(i % 3), i) for i in rnd.sample(range(100_000), 500)]
     rows += [("tiny", 7), ("tiny", -7)]  # abs() makes u collide -> tie
+    # NULL group (ADVICE r10): its own window partition; the two-level
+    # path's null-safe group join must rank it, not drop it
+    rows += [(None, 11), (None, 42), (None, 77)]
     df = spark.createDataFrame(rows, "lang string, doc_id long")
     u = uniform_hash("doc_id", mode="minstd")
     got = two_level_row_number(df, "lang", u, "doc_id", n_chunks=16)
@@ -396,8 +405,10 @@ def test_two_level_row_number_matches_direct_window(spark):
         F.count("*").over(Window.partitionBy("lang")).alias("n"),
         F.row_number().over(w).alias("rk"),
     )
-    a = sorted(map(tuple, got.select("lang", "doc_id", "n", "rk").collect()))
-    b = sorted(map(tuple, want.collect()))
+    nk = lambda t: tuple((x is None, x) for x in t)  # None-safe sort
+    a = sorted(map(tuple, got.select("lang", "doc_id", "n", "rk").collect()),
+               key=nk)
+    b = sorted(map(tuple, want.collect()), key=nk)
     assert a == b
 
 
