@@ -38,6 +38,30 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r11 wave (VERDICT r10 #2): bank the second-green debt — the 17
+    # one-green r8 first-timers (each delisted in r9 after exactly one
+    # driver hash row) rotate back IN for their second consecutive
+    # green. Ceding 17 slots: r9-wave first-timers that banked two
+    # consecutive greens (r9 + the held r10 window) — delisted from the
+    # r9 block below, returning to SHADOW_ORACLE with the identical
+    # hash contract. flagship never cedes; streaming stays 3-deep.
+    "j_bloom_pruned",
+    "j_correlated_subquery",
+    "cdc_merge_upsert",
+    "a_outlier_mad",
+    "a_histogram_value",
+    "a_corr_matrix",
+    "a_winsorized_stats",
+    "a_trend_fit",
+    "w_ewma",
+    "w_pattern_match",
+    "w_interval_merge",
+    "w_cusum_changepoint",
+    "w_rolling_median",
+    "text_zipf_slope",
+    "text_lexical_diversity",
+    "dedup_containment",
+    "dedup_cluster_sizes",
     # r9 wave (VERDICT r8 #1): drain the declared 25-query rotation
     # queue — every SQL-expressible query registered after the r8
     # window filled (waves 6-14) earns its first driver hash row THIS
@@ -51,6 +75,13 @@ ROTATE_TO_ORACLE = [
     # row, keeps the identical hash contract as a pytest shadow).
     # flagship never cedes; streaming stays 3-deep (session +
     # cdc_state + hopping).
+    # (r11: a_ab_welch_test, a_chi2_independence, w_time_weighted_avg,
+    # a_gini_value, text_readability_ari, a_autocorr_lag1,
+    # a_seasonality_strength, a_mann_whitney_u, w_peak_detection,
+    # a_spearman_trend, a_mutual_info, a_user_entropy, a_quantile_bins,
+    # w_streak_runs, w_gap_stats, a_psi_drift, text_jsd_drift delisted
+    # after two consecutive green rows (r9 + held r10) — ceding to the
+    # r11 wave above; back to SHADOW_ORACLE.)
     "text_bm25_topk",
     "a_assoc_rules",
     "a_rank_normalize",
@@ -59,23 +90,6 @@ ROTATE_TO_ORACLE = [
     "a_survival_km",
     "text_lm_interpolated",
     "a_markov_transitions",
-    "a_ab_welch_test",
-    "a_chi2_independence",
-    "w_time_weighted_avg",
-    "a_gini_value",
-    "text_readability_ari",
-    "a_autocorr_lag1",
-    "a_seasonality_strength",
-    "a_mann_whitney_u",
-    "w_peak_detection",
-    "a_spearman_trend",
-    "a_mutual_info",
-    "a_user_entropy",
-    "a_quantile_bins",
-    "w_streak_runs",
-    "w_gap_stats",
-    "a_psi_drift",
-    "text_jsd_drift",
     # r8 fourth/fifth wave: the eleven queries built later this round
     # (ten batch + the streaming hopping twin) rotate in to earn driver
     # hash rows in their build round; eleven multi-round-green
@@ -320,6 +334,18 @@ DRIVER_CHECKED_LEDGER = frozenset([
     "w_resample_ffill", "w_rolling_median", "w_rolling_range",
     "w_session_paths", "w_session_window", "w_sessionize",
     "w_sliding_distinct",
+    # r9 first-timers: banked driver hash rows in CORRECTNESS_r9 and
+    # again in the held-window CORRECTNESS_r10 (ledger extended r11
+    # from those records, per the extend-only-from-CORRECTNESS rule).
+    "a_ab_welch_test", "a_assoc_rules", "a_autocorr_lag1",
+    "a_benford_test", "a_chi2_independence", "a_gini_value",
+    "a_mann_whitney_u", "a_markov_transitions", "a_mutual_info",
+    "a_psi_drift", "a_quantile_bins", "a_rank_normalize",
+    "a_seasonality_strength", "a_spearman_trend", "a_survival_km",
+    "a_user_entropy", "split_stratified_exact", "text_bm25_topk",
+    "text_jsd_drift", "text_lm_interpolated", "text_readability_ari",
+    "w_gap_stats", "w_peak_detection", "w_streak_runs",
+    "w_time_weighted_avg",
 ])
 
 

@@ -22,6 +22,23 @@ from hive_population_ml_spark.testing import _normalize, duckdb_connection
 # identical differential contract here as shadow checks. Rotated out in
 # earlier rounds (and still driver-green r1-r3): the first block below.
 SHADOW_NAMES = [
+    "a_ab_welch_test",
+    "a_chi2_independence",
+    "w_time_weighted_avg",
+    "a_gini_value",
+    "text_readability_ari",
+    "a_autocorr_lag1",
+    "a_seasonality_strength",
+    "a_mann_whitney_u",
+    "w_peak_detection",
+    "a_spearman_trend",
+    "a_mutual_info",
+    "a_user_entropy",
+    "a_quantile_bins",
+    "w_streak_runs",
+    "w_gap_stats",
+    "a_psi_drift",
+    "text_jsd_drift",
     "p_filter_project",
     "s2_union_provenance",
     "f_datetime_parts",
@@ -163,23 +180,6 @@ SHADOW_NAMES = [
     "text_source_kl",
     "mix_unimax_weights",
     "sample_quality_stratified",
-    "j_bloom_pruned",
-    "j_correlated_subquery",
-    "cdc_merge_upsert",
-    "a_outlier_mad",
-    "a_histogram_value",
-    "a_corr_matrix",
-    "a_winsorized_stats",
-    "a_trend_fit",
-    "w_ewma",
-    "w_pattern_match",
-    "w_interval_merge",
-    "w_cusum_changepoint",
-    "w_rolling_median",
-    "text_zipf_slope",
-    "text_lexical_diversity",
-    "dedup_containment",
-    "dedup_cluster_sizes",
 ]
 
 
