@@ -306,7 +306,52 @@ R01_BASELINE_QUERIES = [
 ]
 
 
-def final_line(timings: dict[str, float], sf: object) -> str:
+def machine_calibration(spark) -> dict[str, float]:
+    """Fixed-work machine calibration carried on every final line
+    (VERDICT r10 #4): rounds 8 and 10 each burned a diagnosis cycle
+    proving "the machine drifted, not the code". Two pinned kernels,
+    measured in THIS process right before the timed runs, let any two
+    rounds' numbers be normalized mechanically:
+
+    - ``numpy_sort_sec``: median of 3 sorts of the same 2^22 float64
+      array (deterministic rng(0); pure single-thread C loop — no BLAS
+      thread-count dependence) -> raw CPU + memory-bandwidth drift.
+    - ``spark_1p_sec``: median of 3 one-partition Spark jobs summing a
+      fixed 2M-row hash expression (warmed once) -> JVM/codegen-path
+      drift, same session as the benchmark itself.
+
+    A round-over-round query ratio close to the calibration ratio is
+    machine drift; a query ratio far above it is a code regression."""
+    import numpy as np
+
+    base = np.random.default_rng(0).random(1 << 22)
+    times = []
+    for _ in range(3):
+        arr = base.copy()
+        t0 = time.perf_counter()
+        np.sort(arr)
+        times.append(time.perf_counter() - t0)
+    numpy_sec = sorted(times)[1]
+
+    job = lambda: spark.range(0, 2_000_000, 1, 1).selectExpr(
+        "sum(hash(id, 11) % 1000003) AS s"
+    ).collect()
+    job()  # warm codegen
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        times.append(time.perf_counter() - t0)
+    spark_sec = sorted(times)[1]
+    return {
+        "numpy_sort_sec": round(numpy_sec, 4),
+        "spark_1p_sec": round(spark_sec, 4),
+    }
+
+
+def final_line(
+    timings: dict[str, float], sf: object, calib: dict | None = None
+) -> str:
     """Render the FINAL stdout line the driver parses.
 
     O(1)-sized by construction (VERDICT r7 #1): the only per-query map it
@@ -316,17 +361,18 @@ def final_line(timings: dict[str, float], sf: object) -> str:
     pins the byte length under the driver's 2,000-char tail buffer.
     """
     r01 = {name: timings[name] for name in R01_BASELINE_QUERIES if name in timings}
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_time",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "n_queries": len(timings),
-            "r01_comparable_total": round(sum(r01.values()), 3),
-            "queries": r01,
-            "sf": sf,
-        }
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "r01_comparable_total": round(sum(r01.values()), 3),
+        "queries": r01,
+        "sf": sf,
+    }
+    if calib is not None:
+        out["calib"] = calib  # fixed 2-key dict — stays O(1)-sized
+    return json.dumps(out)
 
 
 def main() -> None:
@@ -335,6 +381,8 @@ def main() -> None:
     load_all()
     spark = get_spark("hpml-bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    calib = machine_calibration(spark)
 
     # Warmup: tiny SF exercises the same plans (codegen cache, Arrow init).
     for name in HEADLINE:
@@ -378,7 +426,9 @@ def main() -> None:
     print(json.dumps({"spread": spread, "n_runs": n_runs}))
     print(json.dumps({"queries_full": timings}))
     sys.stdout.flush()
-    print(final_line(timings, float(sf) if sf.replace(".", "").isdigit() else sf))
+    print(final_line(
+        timings, float(sf) if sf.replace(".", "").isdigit() else sf, calib
+    ))
     spark.stop()
 
 

@@ -270,7 +270,10 @@ def test_bench_final_line_stays_compact_at_live_registry_size():
     import bench
 
     timings = {name: 99999.999 for name in bench.HEADLINE}
-    line = bench.final_line(timings, 0.1)
+    line = bench.final_line(
+        timings, 0.1,
+        calib={"numpy_sort_sec": 9999.9999, "spark_1p_sec": 9999.9999},
+    )
     assert len(line) < 1800, (
         f"bench final line would be {len(line)} bytes at the current "
         f"registry size ({len(bench.HEADLINE)} headline queries); it must "
