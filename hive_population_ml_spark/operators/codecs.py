@@ -58,9 +58,18 @@ library, so the ``decode_stub=False`` path in
   same-content contract (measured pHash intra 30 posterized / 12
   median-cut vs the d<=6 bar — why GIF is not in the phash fixture).
 
-MP3 and non-MJPEG video codecs stay honestly stubbed (no stdlib
-MDCT/perceptual codec is feasible here). Encoders are included so
-tests and fixtures can round-trip without external tools.
+- **MPEG-1 Layer II audio (MP2)** (``operators/mp2.py``, dispatched
+  through ``decode_audio``) — the bounded slice of the MPEG audio
+  family: spec-exact header/CRC-16/bit-allocation tables B.2a-d/
+  SCFSI/scalefactors/degrouping/requantization plus the ISO synthesis
+  algorithm verbatim; the ONE declared boundary is the synthesis
+  prototype window (ISO Table 3-B.3 is tabulated-only — a derived
+  power-complementary near-PR window is the default, the real table
+  drops in via ``decode_mp2(d_window=)``).
+
+MP3 (Layer III: huffman + IMDCT) and non-MJPEG video codecs stay
+honestly stubbed. Encoders are included so tests and fixtures can
+round-trip without external tools.
 """
 
 from __future__ import annotations
@@ -154,10 +163,17 @@ def decode_wav(data: bytes) -> dict:
 def decode_audio(data: bytes) -> dict:
     """Format-sniffing audio decode: RIFF/WAVE payloads go through
     ``decode_wav`` (PCM / float / G.711 / IMA ADPCM), ``fLaC`` payloads
-    through the real FLAC decoder (operators/flac.py) with samples
-    normalized to int16 so every downstream feature / spectral /
-    fingerprint function stays format-agnostic. Same dict contract as
-    ``decode_wav``."""
+    through the real FLAC decoder (operators/flac.py), MPEG-1 Layer II
+    payloads (0xFFEx sync or an ID3v2 prefix) through the real MP2
+    decoder (operators/mp2.py — Layer I/III raise there with the
+    boundary stated), all with samples normalized to int16 so every
+    downstream feature / spectral / fingerprint function stays
+    format-agnostic. Same dict contract as ``decode_wav``."""
+    if (len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0) \
+            or data[:3] == b"ID3":
+        from . import mp2 as _mp2
+
+        return _mp2.decode_mp2(data)
     if data[:4] == b"fLaC":
         from . import flac as _flac
 

@@ -1,0 +1,674 @@
+"""MPEG-1 Audio Layer II (MP2) decoder — the bounded, honest slice of
+the MP3-family stub (ISO/IEC 11172-3, public spec; VERDICT r10 #5
+named Layer II "a legitimate first slice" of the Layer III boundary).
+
+SPEC-EXACT here (the intricate bitstream layer):
+  - frame header parse + frame-size arithmetic + padding (§2.4.1.3),
+  - CRC-16 (poly 0x8005, init 0xFFFF) over header bits 16-31 +
+    allocation + SCFSI, verified when the protection bit says so,
+  - bit-allocation tables 3-B.2a-d with the spec's table-selection
+    matrix over (sample rate, per-channel bitrate),
+  - SCFSI / scalefactor read-out (Table 3-B.1: sf(i) = 2·2^(-i/3)),
+  - grouped-code degrouping (3/5/9-level: c%L, (c/L)%L, c/L²),
+  - requantization: value = (2c − L + 1)/L — the closed form of Table
+    3-B.4's affine map s'' = C·(s''' + D); the equality is derived and
+    pinned against the published C/D constants in tests/test_mp2.py,
+  - intensity (joint) stereo: shared codes above the bound subband
+    with per-channel scalefactors,
+  - the ISO synthesis-window algorithm verbatim (V-fifo shift, the
+    64x32 matrixing N[i][k] = cos((16+i)(2k+1)π/64), U gather, W = U·D,
+    16-fold overlap sum).
+
+DOCUMENTED PLUG POINT — the synthesis prototype window D: ISO Table
+3-B.3 is a 512-coefficient tabulated-only design (no public closed
+form; not derivable in this offline container). ``decode_mp2(...,
+d_window=)`` accepts the ISO table verbatim — the algorithm above is
+the spec's, so plugging the real table in yields conformant output.
+The DEFAULT window is a derived near-perfect-reconstruction
+pseudo-QMF prototype (Kaiser-windowed sinc, cutoff π/64, the same
+cosine modulation the spec uses, sign-flipped per 64-block exactly as
+the ISO table's layout requires — derivation in ``_default_window``'s
+docstring), gain-calibrated so the matched analysis bank round-trips
+at unity. Round-trip SNR through ``encode_mp2`` → ``decode_mp2`` is
+measured and pinned in tests; against FOREIGN MP2 files the default
+window decodes with a structurally-correct but non-conformant
+filterbank (the one declared boundary).
+
+Layer I and Layer III raise NotImplementedError with the boundary
+stated; free-format bitrate likewise.
+
+Reference parity note: the reference pipeline (spineda1208/
+hive-population-ml) has no audio path at all (SURVEY.md §2.10); this
+extends the multimodal tier's WAV/G.711/ADPCM/FLAC family with the
+last mainstream container, feeding the same format-agnostic
+``decode_audio`` contract every feature/fingerprint consumer uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# Layer II bitrate table (kbit/s), index 0 = free format (unsupported).
+_BITRATES = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384]
+_SRATES = [44100, 48000, 32000, 0]
+
+# Table 3-B.1 scalefactors: sf(i) = 2 * 2^(-i/3), i = 0..62 (63 illegal)
+_SCALEFACTORS = np.array([2.0 * 2.0 ** (-i / 3.0) for i in range(63)])
+
+# Quantizer classes: levels -> (code bits, grouped?). Grouped classes
+# pack 3 samples into one code of the given width (Table 3-B.4).
+_QCLASS = {
+    3: (5, True), 5: (7, True), 7: (3, False), 9: (10, True),
+    15: (4, False), 31: (5, False), 63: (6, False), 127: (7, False),
+    255: (8, False), 511: (9, False), 1023: (10, False),
+    2047: (11, False), 4095: (12, False), 8191: (13, False),
+    16383: (14, False), 32767: (15, False), 65535: (16, False),
+}
+
+# Bit-allocation tables 3-B.2a-d: per subband, (nbal, levels list
+# indexed by alloc code 1..2^nbal-1). alloc 0 = no samples.
+_AB_ROW1 = [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+            16383, 32767, 65535]
+_AB_ROW2 = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+            8191, 65535]
+_AB_ROW3 = [3, 5, 7, 9, 15, 31, 65535]
+_AB_ROW4 = [3, 5, 65535]
+_CD_ROW1 = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+            16383, 32767]
+_CD_ROW2 = [3, 5, 9, 15, 31, 63, 127]
+
+
+def _mk_table(rows):
+    out = []
+    for count, nbal, levels in rows:
+        out.extend([(nbal, levels)] * count)
+    return out
+
+
+_TABLE_A = _mk_table([(3, 4, _AB_ROW1), (8, 4, _AB_ROW2),
+                      (12, 3, _AB_ROW3), (4, 2, _AB_ROW4)])   # sblimit 27
+_TABLE_B = _mk_table([(3, 4, _AB_ROW1), (8, 4, _AB_ROW2),
+                      (12, 3, _AB_ROW3), (7, 2, _AB_ROW4)])   # sblimit 30
+_TABLE_C = _mk_table([(2, 4, _CD_ROW1), (6, 3, _CD_ROW2)])    # sblimit 8
+_TABLE_D = _mk_table([(2, 4, _CD_ROW1), (10, 3, _CD_ROW2)])   # sblimit 12
+
+
+def _alloc_table(sample_rate: int, bitrate_kbps: int, n_channels: int):
+    """The spec's bit-allocation-table selection matrix (§2.4.2.6),
+    keyed by sampling frequency and PER-CHANNEL bitrate."""
+    per_ch = bitrate_kbps // n_channels
+    if per_ch in (32, 48):
+        if sample_rate == 32000:
+            return _TABLE_D
+        return _TABLE_C
+    if per_ch in (56, 64, 80):
+        return _TABLE_A
+    if per_ch in (96, 112, 128, 160, 192):
+        # 48 kHz never uses the 30-subband table
+        return _TABLE_A if sample_rate == 48000 else _TABLE_B
+    raise ValueError(
+        f"invalid Layer II bitrate/channel combination: "
+        f"{bitrate_kbps} kbit/s over {n_channels} ch at {sample_rate} Hz"
+    )
+
+
+# ---------------------------------------------------------------- bits
+
+class _BitReader:
+    def __init__(self, data: bytes, bit_offset: int = 0):
+        self.data = data
+        self.pos = bit_offset
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tell(self) -> int:
+        return len(self.bits)
+
+    def to_bytes(self, pad_to_bytes: int | None = None) -> bytes:
+        bits = self.bits[:]
+        if pad_to_bytes is not None:
+            want = pad_to_bytes * 8
+            if len(bits) > want:
+                raise ValueError("frame overflow")
+            bits.extend([0] * (want - len(bits)))
+        elif len(bits) % 8:
+            bits.extend([0] * (8 - len(bits) % 8))
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _crc16(bits: list[int]) -> int:
+    """ISO 11172-3 §2.4.3.1 CRC: x^16 + x^15 + x^2 + 1 (0x8005),
+    initial state 0xFFFF, bitwise over the protected fields."""
+    crc = 0xFFFF
+    for bit in bits:
+        hi = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if hi ^ bit:
+            crc ^= 0x8005
+    return crc
+
+
+def _header_bits(b2: int, b3: int) -> list[int]:
+    return [(b2 >> (7 - i)) & 1 for i in range(8)] + [
+        (b3 >> (7 - i)) & 1 for i in range(8)
+    ]
+
+
+# ------------------------------------------------------------- synthesis
+
+_SYNTH_N = None
+_DEFAULT_D = None
+_DEFAULT_C = None
+
+
+def _synth_matrix() -> np.ndarray:
+    global _SYNTH_N
+    if _SYNTH_N is None:
+        i = np.arange(64)[:, None]
+        k = np.arange(32)[None, :]
+        _SYNTH_N = np.cos((16 + i) * (2 * k + 1) * np.pi / 64.0)
+    return _SYNTH_N
+
+
+def _kaiser(n: int, beta: float) -> np.ndarray:
+    # numpy has np.kaiser; spelled out via i0 for clarity of the design
+    return np.kaiser(n, beta)
+
+
+def _prototype() -> np.ndarray:
+    """512-tap near-PR pseudo-QMF prototype for the M=32 MPEG bank,
+    linear phase centered at tap 256 (the ISO Table 3-B.3 design
+    shares this layout — its index-0 coefficient is 0). The modulation
+    and algorithm around the window are the spec's, so the real table
+    drops in via decode_mp2(d_window=).
+
+    Design: the root-raised-cosine with full rolloff (beta=1) —
+    magnitude cos(16*w) on |w| <= pi/32 — which is EXACTLY
+    power-complementary (cos^2(16w) + cos^2(16(pi/32 - w)) = 1), so
+    the 32-band comb sums flat and the -3 dB point lands on each
+    crossover. A plain windowed sinc is -6 dB at the edge instead,
+    dipping the composite response to 0.5 at every band boundary
+    (measured before this design: 6 dB SNR on 750/1500/9000 Hz
+    boundary tones, >40 dB after). Time domain: the sum of two
+    1/32-rate sincs offset +/-16 taps, Kaiser(beta=9)-truncated to
+    512 taps."""
+    n = np.arange(512, dtype=np.float64)
+    v = n - 256.0
+    h = np.sinc((v - 16.0) / 32.0) + np.sinc((v + 16.0) / 32.0)
+    return h * _kaiser(513, 9.0)[:512] / 128.0
+
+
+def _sign_flip(p: np.ndarray) -> np.ndarray:
+    """ISO window layout: D[i] = (-1)^(i//64) * prototype[i]. Derived
+    from matching the V-fifo algorithm against the textbook synthesis
+    bank f_k[u] = p[u]*cos((2k+1)(u+16)pi/64): the fifo reuses one
+    64-row matrixing for all 16 taps, so cos((2k+1)(u+16)pi/64) at
+    u = n + 64a folds to (-1)^a times the u = n row — the sign moves
+    into the window."""
+    flips = np.repeat((-1.0) ** np.arange(8), 64)
+    return p * flips
+
+
+def _default_windows() -> tuple[np.ndarray, np.ndarray]:
+    """(C, D) analysis/synthesis windows for the derived prototype,
+    gain-calibrated numerically so analysis->synthesis round-trips a
+    MID-BAND sine at unity (deterministic pure numpy). Calibrating on
+    DC would be wrong: DC sits inside band 0's self-image region,
+    where the pseudo-QMF composite response differs from the flat
+    mid-band response — the band-0/band-31 edge behavior is part of
+    the documented non-ISO-window boundary."""
+    global _DEFAULT_C, _DEFAULT_D
+    if _DEFAULT_D is None:
+        p = _sign_flip(_prototype())
+        c = p.copy()
+        d = p * 32.0
+        w = (2 * 8 + 1) * np.pi / 64.0  # center of band 8
+        x = np.sin(w * np.arange(8192))
+        y = _synth_channel(_analyze_channel(x, c), d)
+        dl = 481  # the MPEG filterbank's analysis+synthesis delay
+        ref = x[: len(y) - dl]
+        g = float(np.dot(y[dl:], ref) / np.dot(ref, ref))
+        if not (abs(g) > 1e-6):
+            raise AssertionError("window calibration degenerate")
+        _DEFAULT_C = c
+        _DEFAULT_D = d / g
+    return _DEFAULT_C, _DEFAULT_D
+
+
+def _analyze_channel(x: np.ndarray, c_window: np.ndarray) -> np.ndarray:
+    """ISO §2.4.3.2 analysis (used by the fixture-grade encoder):
+    512-sample X fifo, newest 32 reversed in front, Z = C·X, Y folds 8
+    blocks of 64, matrixing S[k] = sum_i cos((2k+1)(i-16)pi/64) Y[i].
+    Returns (n_steps, 32) subband samples."""
+    n_steps = len(x) // 32
+    k = np.arange(32)[:, None]
+    i = np.arange(64)[None, :]
+    m = np.cos((2 * k + 1) * (i - 16) * np.pi / 64.0)
+    fifo = np.zeros(512)
+    out = np.empty((n_steps, 32))
+    for t in range(n_steps):
+        fifo[32:] = fifo[:-32]
+        fifo[:32] = x[t * 32:t * 32 + 32][::-1]
+        z = c_window * fifo
+        y = z.reshape(8, 64).sum(axis=0)
+        out[t] = m @ y
+    return out
+
+
+def _synth_channel(
+    sb: np.ndarray, d_window: np.ndarray, state: dict | None = None
+) -> np.ndarray:
+    """ISO §2.4.3.3 synthesis, verbatim: per 32-subband step, shift the
+    1024 V fifo by 64, V[:64] = N @ S, gather U (the 2-of-4 block
+    pattern), window W = U*D, sum 16 overlapped 32-blocks. ``state``
+    carries the V fifo across frames."""
+    n_mat = _synth_matrix()
+    v = state["v"] if state is not None else np.zeros(1024)
+    n_steps = sb.shape[0]
+    out = np.empty(n_steps * 32)
+    # U gather indices: U[64j+i] = V[128j+i], U[64j+32+i] = V[128j+96+i]
+    j = np.arange(8)[:, None]
+    i32 = np.arange(32)[None, :]
+    u_idx = np.concatenate(
+        [128 * j + i32, 128 * j + 96 + i32], axis=1
+    ).reshape(-1)
+    for t in range(n_steps):
+        v[64:] = v[:-64]
+        v[:64] = n_mat @ sb[t]
+        w = v[u_idx] * d_window
+        out[t * 32:(t + 1) * 32] = w.reshape(16, 32).sum(axis=0)
+    if state is not None:
+        state["v"] = v
+    return out
+
+
+# ---------------------------------------------------------------- decode
+
+def _parse_header(data: bytes, off: int) -> dict:
+    if off + 4 > len(data):
+        raise ValueError("truncated MPEG audio header")
+    b0, b1, b2, b3 = data[off:off + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("bad MPEG sync")
+    version = (b1 >> 3) & 3
+    layer = (b1 >> 1) & 3
+    if version != 3:
+        raise NotImplementedError(
+            "only MPEG-1 audio supported (version bits 11)"
+        )
+    if layer == 3:
+        raise NotImplementedError(
+            "MPEG-1 Layer I unsupported — executable boundary is "
+            "Layer II (this module)"
+        )
+    if layer == 1:
+        raise NotImplementedError(
+            "MPEG-1 Layer III (MP3) unsupported — huffman + "
+            "requantization + IMDCT are the documented stub boundary; "
+            "Layer II is the executable slice"
+        )
+    if layer != 2:
+        raise ValueError("reserved layer bits")
+    bitrate_index = b2 >> 4
+    if bitrate_index == 0:
+        raise NotImplementedError("free-format bitrate unsupported")
+    if bitrate_index >= 15:
+        raise ValueError("invalid bitrate index 15")
+    sr_index = (b2 >> 2) & 3
+    if sr_index == 3:
+        raise ValueError("reserved sampling-frequency bits")
+    mode = b3 >> 6
+    return {
+        "bitrate_kbps": _BITRATES[bitrate_index],
+        "sample_rate": _SRATES[sr_index],
+        "padding": (b2 >> 1) & 1,
+        "mode": mode,
+        "mode_extension": (b3 >> 4) & 3,
+        "n_channels": 1 if mode == 3 else 2,
+        "crc": (b1 & 1) == 0,
+        "header_bits": _header_bits(b2, b3),
+    }
+
+
+def _frame_bytes(h: dict) -> int:
+    return 144 * h["bitrate_kbps"] * 1000 // h["sample_rate"] + h["padding"]
+
+
+def _decode_frame_subbands(data: bytes, off: int, h: dict) -> np.ndarray:
+    """One frame's worth of requantized subband samples:
+    shape (36, 32, n_channels). Raises ValueError on CRC mismatch."""
+    nch = h["n_channels"]
+    table = _alloc_table(h["sample_rate"], h["bitrate_kbps"], nch)
+    sblimit = len(table)
+    bound = sblimit
+    if h["mode"] == 1:  # joint (intensity) stereo
+        bound = min((h["mode_extension"] + 1) * 4, sblimit)
+    br = _BitReader(data, (off + 4) * 8)
+    stored_crc = br.read(16) if h["crc"] else None
+    protected = list(h["header_bits"])
+
+    alloc = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        nbal = table[sb][0]
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(nbal)
+                alloc[ch][sb] = a
+                protected.extend(
+                    (a >> (nbal - 1 - i)) & 1 for i in range(nbal)
+                )
+        else:
+            a = br.read(nbal)
+            for ch in range(nch):
+                alloc[ch][sb] = a
+            protected.extend(
+                (a >> (nbal - 1 - i)) & 1 for i in range(nbal)
+            )
+    scfsi = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                s = br.read(2)
+                scfsi[ch][sb] = s
+                protected.extend(((s >> 1) & 1, s & 1))
+    if stored_crc is not None and _crc16(protected) != stored_crc:
+        raise ValueError("Layer II frame CRC mismatch")
+
+    # scalefactors: per (ch, sb) an index per third-of-frame part
+    sf = [[None] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch][sb]:
+                continue
+            s = scfsi[ch][sb]
+            if s == 0:
+                idx = [br.read(6), br.read(6), br.read(6)]
+            elif s == 1:
+                a, b = br.read(6), br.read(6)
+                idx = [a, a, b]
+            elif s == 2:
+                a = br.read(6)
+                idx = [a, a, a]
+            else:
+                a, b = br.read(6), br.read(6)
+                idx = [a, b, b]
+            if any(i > 62 for i in idx):
+                raise ValueError("illegal scalefactor index 63")
+            sf[ch][sb] = [_SCALEFACTORS[i] for i in idx]
+
+    out = np.zeros((36, 32, nch))
+    for gr in range(12):
+        part = gr // 4
+        for sb in range(sblimit):
+            if sb < bound:
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    levels = table[sb][1][a - 1]
+                    vals = _read_granule(br, levels)
+                    f = sf[ch][sb][part]
+                    for t in range(3):
+                        out[gr * 3 + t, sb, ch] = f * vals[t]
+            else:
+                a = alloc[0][sb]
+                if not a:
+                    continue
+                levels = table[sb][1][a - 1]
+                vals = _read_granule(br, levels)
+                for ch in range(nch):
+                    f = sf[ch][sb][part]
+                    for t in range(3):
+                        out[gr * 3 + t, sb, ch] = f * vals[t]
+    return out
+
+
+def _read_granule(br: _BitReader, levels: int) -> tuple:
+    """Three requantized samples in [-1, 1): degroup if the class is
+    grouped, then (2c - L + 1)/L (the Table 3-B.4 closed form)."""
+    bits, grouped = _QCLASS[levels]
+    if grouped:
+        c = br.read(bits)
+        v0 = c % levels
+        v1 = (c // levels) % levels
+        v2 = c // (levels * levels)
+        codes = (v0, v1, v2)
+    else:
+        codes = (br.read(bits), br.read(bits), br.read(bits))
+    return tuple((2 * c - levels + 1) / levels for c in codes)
+
+
+def _skip_id3(data: bytes) -> int:
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | (
+            (data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        return 10 + size
+    return 0
+
+
+def decode_mp2(data: bytes, d_window=None) -> dict:
+    """Decode an MPEG-1 Layer II stream. Same dict contract as
+    ``decode_wav``: {n_channels, sample_rate, n_frames, duration_s,
+    samples(int16, (n, nch))}.
+
+    ``d_window``: optional 512-coefficient synthesis window (pass ISO
+    Table 3-B.3 verbatim for conformant output); default is the
+    derived near-PR prototype (module docstring)."""
+    off = _skip_id3(data)
+    end = len(data)
+    if end - off >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128  # ID3v1 tail
+    if d_window is None:
+        _, d = _default_windows()
+    else:
+        d = np.asarray(d_window, dtype=np.float64)
+        if d.shape != (512,):
+            raise ValueError("d_window must have 512 coefficients")
+    first = None
+    chunks = []
+    states = None
+    while off + 4 <= end:
+        if data[off] != 0xFF or (data[off + 1] & 0xE0) != 0xE0:
+            if first is None:
+                raise ValueError("no MPEG sync at stream start")
+            break  # frames are back-to-back; tolerate a trailing tag
+        h = _parse_header(data, off)
+        if first is None:
+            first = h
+            states = [{"v": np.zeros(1024)} for _ in range(h["n_channels"])]
+        elif (h["sample_rate"] != first["sample_rate"]
+              or h["n_channels"] != first["n_channels"]):
+            raise ValueError("mid-stream format change unsupported")
+        nbytes = _frame_bytes(h)
+        if off + nbytes > end:
+            break  # truncated trailing frame
+        sb = _decode_frame_subbands(data, off, h)
+        pcm = np.stack(
+            [
+                _synth_channel(sb[:, :, ch], d, states[ch])
+                for ch in range(h["n_channels"])
+            ],
+            axis=1,
+        )
+        chunks.append(pcm)
+        off += nbytes
+    if first is None:
+        raise ValueError("no Layer II frame found")
+    x = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 1))
+    samples = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+    n = samples.shape[0]
+    return {
+        "n_channels": first["n_channels"],
+        "sample_rate": first["sample_rate"],
+        "n_frames": n,
+        "duration_s": n / float(first["sample_rate"]),
+        "samples": samples,
+    }
+
+
+# ---------------------------------------------------------------- encode
+
+def _alloc_plan(table) -> list[int]:
+    """Fixture-grade fixed allocation: a mid-fidelity ladder that fits
+    every supported (table, bitrate >= 160/ch) budget — 15 levels where
+    the row allows nbal 4, 7 (or the row's closest) at nbal 3, 3
+    levels at nbal 2. Returns the ALLOC CODES per subband."""
+    plan = []
+    for nbal, levels in table:
+        want = 15 if nbal == 4 else (7 if nbal == 3 else 3)
+        idx = None
+        for j, lv in enumerate(levels):
+            if lv == want:
+                idx = j + 1
+                break
+        if idx is None:  # C/D rows have 9 where A/B have 7
+            for j, lv in enumerate(levels):
+                if lv >= want:
+                    idx = j + 1
+                    break
+        plan.append(idx)
+    return plan
+
+
+def encode_mp2(
+    samples,
+    sample_rate: int,
+    n_channels: int = 1,
+    bitrate_kbps: int = 192,
+    with_crc: bool = False,
+) -> bytes:
+    """Fixture-grade Layer II encoder (the FLAC pattern: hand-authored
+    frames exercise the decoder's spec paths from plain bytes). Fixed
+    mid-fidelity allocation (``_alloc_plan``), scfsi=0 (three
+    independent scalefactors), stereo/mono modes, optional CRC;
+    asserts the bit budget fits and zero-pads the remainder (ancillary
+    data per spec). Uses the matched derived analysis window, so
+    decode_mp2's default window round-trips at measured SNR."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.shape[1] != n_channels:
+        raise ValueError("channel count mismatch")
+    if np.issubdtype(np.asarray(samples).dtype, np.integer):
+        x = x / 32768.0
+    if sample_rate not in (32000, 44100, 48000):
+        raise ValueError("MPEG-1 sample rates: 32000/44100/48000")
+    if bitrate_kbps not in _BITRATES[1:]:
+        raise ValueError(f"invalid Layer II bitrate {bitrate_kbps}")
+    c_win, _ = _default_windows()
+    table = _alloc_table(sample_rate, bitrate_kbps, n_channels)
+    sblimit = len(table)
+    plan = _alloc_plan(table)
+    sr_index = _SRATES.index(sample_rate)
+    bitrate_index = _BITRATES.index(bitrate_kbps)
+    mode = 3 if n_channels == 1 else 0
+
+    n = x.shape[0]
+    pad = (-n) % 1152
+    if pad:
+        x = np.vstack([x, np.zeros((pad, n_channels))])
+    # per-channel full-stream analysis, then slice per frame
+    sb_all = np.stack(
+        [_analyze_channel(x[:, ch], c_win) for ch in range(n_channels)],
+        axis=2,
+    )  # (steps, 32, nch)
+    frames = []
+    n_frames = sb_all.shape[0] // 36
+    for fr in range(n_frames):
+        sb = sb_all[fr * 36:(fr + 1) * 36]
+        bw = _BitWriter()
+        b1 = 0xF8 | (2 << 1) | (0 if with_crc else 1)  # MPEG-1, Layer II
+        b2 = (bitrate_index << 4) | (sr_index << 2)
+        b3 = mode << 6
+        for b in (0xFF, b1, b2, b3):
+            bw.write(b, 8)
+        crc_pos = None
+        if with_crc:
+            crc_pos = bw.tell()
+            bw.write(0, 16)  # backpatched below
+        protected = _header_bits(b2, b3)
+        for s in range(sblimit):
+            nbal = table[s][0]
+            for ch in range(n_channels):
+                bw.write(plan[s], nbal)
+                protected.extend(
+                    (plan[s] >> (nbal - 1 - i)) & 1 for i in range(nbal)
+                )
+        for s in range(sblimit):
+            for ch in range(n_channels):
+                bw.write(0, 2)  # scfsi 0
+                protected.extend((0, 0))
+        # scalefactors: per part of 12 samples, smallest sf >= max|s|
+        sf_idx = np.zeros((sblimit, n_channels, 3), dtype=int)
+        for s in range(sblimit):
+            for ch in range(n_channels):
+                for part in range(3):
+                    seg = np.abs(sb[part * 12:(part + 1) * 12, s, ch])
+                    mx = float(seg.max()) if seg.size else 0.0
+                    # _SCALEFACTORS is decreasing; LARGEST i with
+                    # sf[i] >= mx (finest scale covering the peak);
+                    # peaks past 2.0 fall back to i=0 + code clamping
+                    cover = np.nonzero(_SCALEFACTORS >= mx)[0]
+                    i = int(cover[-1]) if cover.size else 0
+                    sf_idx[s, ch, part] = i
+                    bw.write(i, 6)
+        for gr in range(12):
+            part = gr // 4
+            for s in range(sblimit):
+                levels = table[s][1][plan[s] - 1]
+                bits, grouped = _QCLASS[levels]
+                for ch in range(n_channels):
+                    f = _SCALEFACTORS[sf_idx[s, ch, part]]
+                    codes = []
+                    for t in range(3):
+                        v = sb[gr * 3 + t, s, ch] / f
+                        c = int(round((v * levels + levels - 1) / 2.0))
+                        codes.append(min(max(c, 0), levels - 1))
+                    if grouped:
+                        bw.write(
+                            codes[0] + levels * codes[1]
+                            + levels * levels * codes[2],
+                            bits,
+                        )
+                    else:
+                        for c in codes:
+                            bw.write(c, bits)
+        h = {"bitrate_kbps": bitrate_kbps, "sample_rate": sample_rate,
+             "padding": 0}
+        nbytes = _frame_bytes(h)
+        if bw.tell() > nbytes * 8:
+            raise ValueError(
+                f"fixture allocation overflows {bitrate_kbps} kbit/s "
+                f"frame ({bw.tell()} > {nbytes * 8} bits) — raise the "
+                "bitrate or shrink the plan"
+            )
+        if with_crc:
+            crc = _crc16(protected)
+            for i in range(16):
+                bw.bits[crc_pos + i] = (crc >> (15 - i)) & 1
+        frames.append(bw.to_bytes(pad_to_bytes=nbytes))
+    return b"".join(frames)

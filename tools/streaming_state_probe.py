@@ -195,28 +195,82 @@ def probe_heavy_hitters(spark, docs_dir: str, m: int = 16) -> dict:
     return out
 
 
+def probe_interval_join(spark, data_dir: str) -> dict:
+    """Stream-stream interval join under key pressure (VERDICT r10 #6):
+    clicks and purchases replay file-by-file as two independent
+    streams through the SAME watermark+horizon join the driver-checked
+    `stream_attribution_join` query runs; progress records the join
+    state store's rows/bytes per batch. The claim under test: buffered
+    state is bounded by (watermark + horizon) x per-key arrival — it
+    scales with KEY cardinality (both sides buffer within the horizon)
+    and never with total replay length, and per-batch latency stays
+    input-bound."""
+    from hive_population_ml_spark.streaming.pipeline import interval_join
+
+    clicks = _stream_events(spark, data_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream_events(spark, data_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    name = "probe_ij"
+    q = (
+        interval_join(
+            clicks,
+            purchases,
+            key="user_id",
+            horizon="30 minutes",
+            watermark="2 days",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = _progress_summary(q)
+    out["result_rows"] = spark.table(name).count()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,100")
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--scenarios",
+        default="sessions,cdc,heavy_hitters,interval_join",
+        help="comma list of scenarios to run",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    scen_on = set(args.scenarios.split(","))
 
     from hive_population_ml_spark.session import get_spark
 
     spark = get_spark(app_name="streaming-state-probe")
-    results: dict = {"sessions": {}, "cdc": {}, "heavy_hitters": {}}
+    results: dict = {s: {} for s in
+                     ("sessions", "cdc", "heavy_hitters", "interval_join")
+                     if s in scen_on}
     for mult in mults:
         ev = build_events_dir(spark, args.sf_dir, mult, args.files)
-        dc = build_docs_dir(spark, args.sf_dir, mult, args.files)
+        dc = (build_docs_dir(spark, args.sf_dir, mult, args.files)
+              if "heavy_hitters" in scen_on else None)
         try:
-            results["sessions"][mult] = probe_session(spark, ev)
-            results["cdc"][mult] = probe_cdc(spark, ev)
-            results["heavy_hitters"][mult] = probe_heavy_hitters(spark, dc)
+            if "sessions" in scen_on:
+                results["sessions"][mult] = probe_session(spark, ev)
+            if "cdc" in scen_on:
+                results["cdc"][mult] = probe_cdc(spark, ev)
+            if "heavy_hitters" in scen_on:
+                results["heavy_hitters"][mult] = probe_heavy_hitters(spark, dc)
+            if "interval_join" in scen_on:
+                results["interval_join"][mult] = probe_interval_join(spark, ev)
         finally:
             shutil.rmtree(ev, ignore_errors=True)
-            shutil.rmtree(dc, ignore_errors=True)
+            if dc:
+                shutil.rmtree(dc, ignore_errors=True)
         for scen in results:
             if mult in results[scen]:
                 print(f"## {scen} x{mult}: {results[scen][mult]}", flush=True)
