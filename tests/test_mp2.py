@@ -256,6 +256,59 @@ def test_decode_audio_dispatch():
     assert isinstance(feats, int)
 
 
+def test_spark_e2e_mp2_fingerprint(spark):
+    # Spark-side plumbing: MP2 payloads synthesized per row inside
+    # mapInPandas, fingerprinted through the SAME media-path consumer
+    # (audio_fingerprint_media) the WAV/FLAC fixtures use — same
+    # melody across containers lands in the same bucket distance
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hive_population_ml_spark.operators.multimodal import (
+        _melody_samples,
+        audio_fingerprint_media,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads, kinds = [], []
+            for _, row in pdf.iterrows():
+                sig = _melody_samples(int(row["pattern"]), 32000, 1.0)
+                xi = np.clip(np.round(sig * 32767), -32768, 32767).astype(
+                    np.int16
+                )
+                if int(row["container"]) == 1:
+                    payloads.append(mp2.encode_mp2(xi, 32000, 1, 192))
+                    kinds.append("audio/mpeg")
+                else:
+                    payloads.append(codecs.encode_wav(xi, 32000, 1))
+                    kinds.append("audio/wav")
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": payloads,
+                    "media_type": kinds,
+                }
+            )
+
+    base = spark.createDataFrame(
+        [(i, i % 2, i // 2) for i in range(8)],
+        "id long, container int, pattern int",
+    )
+    media = base.mapInPandas(
+        synth, "id long, media binary, media_type string"
+    )
+    rows = audio_fingerprint_media(media).collect()
+    assert len(rows) == 8
+    by_pat: dict = {}
+    for r in rows:
+        by_pat.setdefault(r["id"] // 2, []).append(r["afp"])
+    for pat, fps in by_pat.items():
+        assert len(fps) == 2
+        intra = bin(fps[0] ^ fps[1]).count("1")
+        assert intra <= 10, (pat, intra)  # WAV vs MP2, same melody
+
+
 def test_fingerprint_invariant_across_wav_and_mp2():
     # the perceptual contract extends to the new container: the same
     # melody encoded as PCM WAV and as MP2 must fingerprint close
