@@ -58,10 +58,11 @@ library, so the ``decode_stub=False`` path in
   same-content contract (measured pHash intra 30 posterized / 12
   median-cut vs the d<=6 bar — why GIF is not in the phash fixture).
 
-- **MPEG-1 Layer II audio (MP2)** (``operators/mp2.py``, dispatched
-  through ``decode_audio``) — the bounded slice of the MPEG audio
-  family: spec-exact header/CRC-16/bit-allocation tables B.2a-d/
-  SCFSI/scalefactors/degrouping/requantization plus the ISO synthesis
+- **MPEG-1 Layer I + Layer II audio (MP2)** (``operators/mp2.py``,
+  dispatched through ``decode_audio``) — the bounded slice of the
+  MPEG audio family: spec-exact header/CRC-16/bit-allocation tables
+  B.2a-d/SCFSI/scalefactors/degrouping/requantization (Layer II) and
+  the 4-bit-allocation Layer I subset, plus the ISO synthesis
   algorithm verbatim; the ONE declared boundary is the synthesis
   prototype window (ISO Table 3-B.3 is tabulated-only — a derived
   power-complementary near-PR window is the default, the real table

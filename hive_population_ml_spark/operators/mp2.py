@@ -34,8 +34,11 @@ measured and pinned in tests; against FOREIGN MP2 files the default
 window decodes with a structurally-correct but non-conformant
 filterbank (the one declared boundary).
 
-Layer I and Layer III raise NotImplementedError with the boundary
-stated; free-format bitrate likewise.
+Layer I decodes too (§2.4.2.3 — the strict subset: 4-bit allocations
+over all 32 subbands, one scalefactor per subband, 12 ungrouped
+samples, 4-byte slots; same requantizer, CRC and synthesis). Layer III
+raises NotImplementedError with the boundary stated (huffman + IMDCT);
+free-format bitrate likewise.
 
 Reference parity note: the reference pipeline (spineda1208/
 hive-population-ml) has no audio path at all (SURVEY.md §2.10); this
@@ -53,6 +56,9 @@ import numpy as np
 # Layer II bitrate table (kbit/s), index 0 = free format (unsupported).
 _BITRATES = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
              320, 384]
+# Layer I bitrate table (kbit/s).
+_BITRATES_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                384, 416, 448]
 _SRATES = [44100, 48000, 32000, 0]
 
 # Table 3-B.1 scalefactors: sf(i) = 2 * 2^(-i/3), i = 0..62 (63 illegal)
@@ -320,19 +326,15 @@ def _parse_header(data: bytes, off: int) -> dict:
         raise NotImplementedError(
             "only MPEG-1 audio supported (version bits 11)"
         )
-    if layer == 3:
-        raise NotImplementedError(
-            "MPEG-1 Layer I unsupported — executable boundary is "
-            "Layer II (this module)"
-        )
     if layer == 1:
         raise NotImplementedError(
             "MPEG-1 Layer III (MP3) unsupported — huffman + "
             "requantization + IMDCT are the documented stub boundary; "
-            "Layer II is the executable slice"
+            "Layers I and II are the executable slices"
         )
-    if layer != 2:
+    if layer == 0:
         raise ValueError("reserved layer bits")
+    layer_no = 1 if layer == 3 else 2  # bits: 11 = Layer I, 10 = Layer II
     bitrate_index = b2 >> 4
     if bitrate_index == 0:
         raise NotImplementedError("free-format bitrate unsupported")
@@ -342,8 +344,10 @@ def _parse_header(data: bytes, off: int) -> dict:
     if sr_index == 3:
         raise ValueError("reserved sampling-frequency bits")
     mode = b3 >> 6
+    rates = _BITRATES_L1 if layer_no == 1 else _BITRATES
     return {
-        "bitrate_kbps": _BITRATES[bitrate_index],
+        "layer": layer_no,
+        "bitrate_kbps": rates[bitrate_index],
         "sample_rate": _SRATES[sr_index],
         "padding": (b2 >> 1) & 1,
         "mode": mode,
@@ -355,6 +359,12 @@ def _parse_header(data: bytes, off: int) -> dict:
 
 
 def _frame_bytes(h: dict) -> int:
+    if h.get("layer", 2) == 1:
+        # Layer I slots are 4 bytes; 384 samples per frame (§2.4.2.3)
+        return (
+            12 * h["bitrate_kbps"] * 1000 // h["sample_rate"]
+            + h["padding"]
+        ) * 4
     return 144 * h["bitrate_kbps"] * 1000 // h["sample_rate"] + h["padding"]
 
 
@@ -447,6 +457,72 @@ def _decode_frame_subbands(data: bytes, off: int, h: dict) -> np.ndarray:
     return out
 
 
+def _decode_frame_subbands_l1(data: bytes, off: int, h: dict) -> np.ndarray:
+    """Layer I frame (§2.4.2.3): 4-bit allocation per (sb, ch) over all
+    32 subbands (code a -> 2^(a+1) - 1 levels, 15 forbidden), one 6-bit
+    scalefactor per active (sb, ch), 12 ungrouped samples per subband.
+    Same requantizer and synthesis as Layer II. Returns (12, 32, nch)."""
+    nch = h["n_channels"]
+    bound = 32
+    if h["mode"] == 1:
+        bound = min((h["mode_extension"] + 1) * 4, 32)
+    br = _BitReader(data, (off + 4) * 8)
+    stored_crc = br.read(16) if h["crc"] else None
+    protected = list(h["header_bits"])
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError("forbidden Layer I allocation 15")
+                alloc[ch][sb] = a
+                protected.extend((a >> (3 - i)) & 1 for i in range(4))
+        else:
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("forbidden Layer I allocation 15")
+            for ch in range(nch):
+                alloc[ch][sb] = a
+            protected.extend((a >> (3 - i)) & 1 for i in range(4))
+    if stored_crc is not None and _crc16(protected) != stored_crc:
+        raise ValueError("Layer I frame CRC mismatch")
+    sf = [[1.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                i = br.read(6)
+                if i > 62:
+                    raise ValueError("illegal scalefactor index 63")
+                sf[ch][sb] = _SCALEFACTORS[i]
+    out = np.zeros((12, 32, nch))
+    for t in range(12):
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    levels = (1 << nb) - 1
+                    c = br.read(nb)
+                    out[t, sb, ch] = (
+                        sf[ch][sb] * (2 * c - levels + 1) / levels
+                    )
+            else:
+                a = alloc[0][sb]
+                if not a:
+                    continue
+                nb = a + 1
+                levels = (1 << nb) - 1
+                c = br.read(nb)
+                for ch in range(nch):
+                    out[t, sb, ch] = (
+                        sf[ch][sb] * (2 * c - levels + 1) / levels
+                    )
+    return out
+
+
 def _read_granule(br: _BitReader, levels: int) -> tuple:
     """Three requantized samples in [-1, 1): degroup if the class is
     grouped, then (2c - L + 1)/L (the Table 3-B.4 closed form)."""
@@ -471,8 +547,9 @@ def _skip_id3(data: bytes) -> int:
 
 
 def decode_mp2(data: bytes, d_window=None) -> dict:
-    """Decode an MPEG-1 Layer II stream. Same dict contract as
-    ``decode_wav``: {n_channels, sample_rate, n_frames, duration_s,
+    """Decode an MPEG-1 Layer I or Layer II stream (the layer comes
+    from the frame header). Same dict contract as ``decode_wav``:
+    {n_channels, sample_rate, n_frames, duration_s,
     samples(int16, (n, nch))}.
 
     ``d_window``: optional 512-coefficient synthesis window (pass ISO
@@ -501,12 +578,16 @@ def decode_mp2(data: bytes, d_window=None) -> dict:
             first = h
             states = [{"v": np.zeros(1024)} for _ in range(h["n_channels"])]
         elif (h["sample_rate"] != first["sample_rate"]
-              or h["n_channels"] != first["n_channels"]):
+              or h["n_channels"] != first["n_channels"]
+              or h["layer"] != first["layer"]):
             raise ValueError("mid-stream format change unsupported")
         nbytes = _frame_bytes(h)
         if off + nbytes > end:
             break  # truncated trailing frame
-        sb = _decode_frame_subbands(data, off, h)
+        if h["layer"] == 1:
+            sb = _decode_frame_subbands_l1(data, off, h)
+        else:
+            sb = _decode_frame_subbands(data, off, h)
         pcm = np.stack(
             [
                 _synth_channel(sb[:, :, ch], d, states[ch])
@@ -531,6 +612,95 @@ def decode_mp2(data: bytes, d_window=None) -> dict:
 
 
 # ---------------------------------------------------------------- encode
+
+def encode_mp1(
+    samples,
+    sample_rate: int,
+    n_channels: int = 1,
+    bitrate_kbps: int = 384,
+    with_crc: bool = False,
+) -> bytes:
+    """Fixture-grade Layer I encoder: uniform allocation at the widest
+    sample width the bit budget allows (computed, budget-asserted),
+    one scalefactor per subband, mono/stereo, optional CRC."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.shape[1] != n_channels:
+        raise ValueError("channel count mismatch")
+    if np.issubdtype(np.asarray(samples).dtype, np.integer):
+        x = x / 32768.0
+    if sample_rate not in (32000, 44100, 48000):
+        raise ValueError("MPEG-1 sample rates: 32000/44100/48000")
+    if bitrate_kbps not in _BITRATES_L1[1:]:
+        raise ValueError(f"invalid Layer I bitrate {bitrate_kbps}")
+    c_win, _ = _default_windows()
+    sr_index = _SRATES.index(sample_rate)
+    bitrate_index = _BITRATES_L1.index(bitrate_kbps)
+    mode = 3 if n_channels == 1 else 0
+    h = {"layer": 1, "bitrate_kbps": bitrate_kbps,
+         "sample_rate": sample_rate, "padding": 0}
+    nbytes = _frame_bytes(h)
+    budget = nbytes * 8 - 32 - (16 if with_crc else 0) \
+        - n_channels * (32 * 4 + 32 * 6)
+    nb = min(15, budget // (n_channels * 32 * 12))
+    if nb < 2:
+        raise ValueError("Layer I bit budget too small for 32 subbands")
+    levels = (1 << nb) - 1
+    a_code = nb - 1  # allocation code: levels = 2^(a+1) - 1
+
+    n = x.shape[0]
+    pad = (-n) % 384
+    if pad:
+        x = np.vstack([x, np.zeros((pad, n_channels))])
+    sb_all = np.stack(
+        [_analyze_channel(x[:, ch], c_win) for ch in range(n_channels)],
+        axis=2,
+    )
+    frames = []
+    for fr in range(sb_all.shape[0] // 12):
+        sb = sb_all[fr * 12:(fr + 1) * 12]
+        bw = _BitWriter()
+        b1 = 0xF8 | (3 << 1) | (0 if with_crc else 1)  # Layer I bits 11
+        b2 = (bitrate_index << 4) | (sr_index << 2)
+        b3 = mode << 6
+        for b in (0xFF, b1, b2, b3):
+            bw.write(b, 8)
+        crc_pos = None
+        if with_crc:
+            crc_pos = bw.tell()
+            bw.write(0, 16)
+        protected = _header_bits(b2, b3)
+        for s in range(32):
+            for ch in range(n_channels):
+                bw.write(a_code, 4)
+                protected.extend(
+                    (a_code >> (3 - i)) & 1 for i in range(4)
+                )
+        sf_idx = np.zeros((32, n_channels), dtype=int)
+        for s in range(32):
+            for ch in range(n_channels):
+                mx = float(np.abs(sb[:, s, ch]).max())
+                cover = np.nonzero(_SCALEFACTORS >= mx)[0]
+                i = int(cover[-1]) if cover.size else 0
+                sf_idx[s, ch] = i
+                bw.write(i, 6)
+        for t in range(12):
+            for s in range(32):
+                for ch in range(n_channels):
+                    f = _SCALEFACTORS[sf_idx[s, ch]]
+                    v = sb[t, s, ch] / f
+                    c = int(round((v * levels + levels - 1) / 2.0))
+                    bw.write(min(max(c, 0), levels - 1), nb)
+        if bw.tell() > nbytes * 8:
+            raise ValueError("Layer I frame overflow")
+        if with_crc:
+            crc = _crc16(protected)
+            for i in range(16):
+                bw.bits[crc_pos + i] = (crc >> (15 - i)) & 1
+        frames.append(bw.to_bytes(pad_to_bytes=nbytes))
+    return b"".join(frames)
+
 
 def _alloc_plan(table) -> list[int]:
     """Fixture-grade fixed allocation: a mid-fidelity ladder that fits

@@ -167,14 +167,46 @@ def test_degrouping_bit_exact():
 def test_header_errors_and_boundaries():
     with pytest.raises(NotImplementedError, match="Layer III"):
         mp2._parse_header(bytes([0xFF, 0xFB, 0x90, 0x00]), 0)
-    with pytest.raises(NotImplementedError, match="Layer I "):
-        mp2._parse_header(bytes([0xFF, 0xFF, 0x90, 0x00]), 0)
+    # Layer I (bits 11) parses — it is an executable slice now
+    h = mp2._parse_header(bytes([0xFF, 0xFF, 0x90, 0x00]), 0)
+    assert h["layer"] == 1 and h["bitrate_kbps"] == 288
     with pytest.raises(NotImplementedError, match="MPEG-1"):
         mp2._parse_header(bytes([0xFF, 0xF5, 0x90, 0x00]), 0)  # MPEG-2
     with pytest.raises(NotImplementedError, match="free-format"):
         mp2._parse_header(bytes([0xFF, 0xFD, 0x00, 0x00]), 0)
     with pytest.raises(ValueError, match="sync"):
         mp2.decode_mp2(b"\x00\x01\x02\x03")
+
+
+def test_layer1_roundtrip_mono_and_stereo():
+    x = _tone_mix(48000, 0.25)
+    xi = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)
+    blob = mp2.encode_mp1(xi, 48000, 1, 384)
+    d = mp2.decode_mp2(blob)
+    assert d["sample_rate"] == 48000 and d["n_channels"] == 1
+    assert d["n_frames"] % 384 == 0
+    y = d["samples"][:, 0].astype(np.float64) / 32767
+    dl = 481
+    n = min(len(y), len(x))
+    assert _snr_db(x[: n - dl], y[dl:n]) > 20.0
+    # Layer I frame arithmetic: slots are 4 bytes
+    h = {"layer": 1, "bitrate_kbps": 384, "sample_rate": 48000,
+         "padding": 0}
+    assert mp2._frame_bytes(h) == 12 * 384000 // 48000 * 4
+
+    xs = np.stack([x, np.roll(x, 64)], axis=1)
+    xsi = np.clip(np.round(xs * 32767), -32768, 32767).astype(np.int16)
+    blob2 = mp2.encode_mp1(xsi, 44100, 2, 448, with_crc=True)
+    d2 = mp2.decode_mp2(blob2)
+    assert d2["n_channels"] == 2
+    y2 = d2["samples"].astype(np.float64) / 32767
+    n = min(len(y2), len(xs))
+    assert _snr_db(xs[: n - dl], y2[dl:n]) > 15.0
+    # CRC catches corrupted Layer I allocation too
+    bad = bytearray(blob2)
+    bad[6] ^= 0x20
+    with pytest.raises(ValueError, match="CRC"):
+        mp2.decode_mp2(bytes(bad))
 
 
 def test_id3_skip_and_trailing_tag():
