@@ -2373,10 +2373,13 @@ def _avi_parse(data: bytes) -> dict:
         kind = "dib"
     elif codec in (b"MJPG", b"mjpg", b"dmb1"):
         kind = "mjpeg"
+    elif codec in (b"I420", b"IYUV", b"YV12", b"UYVY"):
+        kind = "yuv"
     else:
         raise NotImplementedError(
-            f"only MJPEG and uncompressed-DIB AVI are decodable here "
-            f"(got FourCC {codec!r}); PyAV/ffmpeg plugs in at "
+            f"only MJPEG, uncompressed-DIB and raw-YUV "
+            f"(I420/IYUV/YV12/UYVY) AVI are decodable here (got FourCC "
+            f"{codec!r}); PyAV/ffmpeg plugs in at "
             f"operators/multimodal.py for other codecs"
         )
     return {
@@ -2400,6 +2403,146 @@ def _dib_frame_to_array(raw: bytes, w: int, h: int) -> np.ndarray:
     return rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1].copy()
 
 
+def _yuv_to_rgb_bt601(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Limited-range BT.601 YCbCr -> RGB, the published integer form
+    (C = Y-16, D = U-128, E = V-128; 298/409/100/208/516 with >>8)."""
+    c = y.astype(np.int32) - 16
+    d = u.astype(np.int32) - 128
+    e = v.astype(np.int32) - 128
+    r = (298 * c + 409 * e + 128) >> 8
+    g = (298 * c - 100 * d - 208 * e + 128) >> 8
+    b = (298 * c + 516 * d + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_yuv_bt601(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RGB -> limited-range BT.601 (the matching forward integer form)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    return (y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8))
+
+
+def _yuv_frame_to_array(raw: bytes, w: int, h: int, fourcc: str) -> np.ndarray:
+    """One raw YUV frame payload -> (H, W, 3) RGB. Planar 4:2:0
+    (I420/IYUV: Y then U then V; YV12: Y then V then U) and packed
+    4:2:2 (UYVY: U Y0 V Y1 per pixel pair). Chroma upsampling is
+    nearest-neighbor (2x2 / 2x1 repeat) — the standard cheap
+    reconstruction; the conversion itself is BT.601 limited range."""
+    if fourcc in ("I420", "IYUV", "YV12"):
+        if w % 2 or h % 2:
+            raise ValueError("4:2:0 YUV needs even dimensions")
+        cw, ch_ = w // 2, h // 2
+        need = w * h + 2 * cw * ch_
+        if len(raw) < need:
+            raise ValueError("YUV 4:2:0 frame payload truncated")
+        buf = np.frombuffer(raw[:need], dtype=np.uint8)
+        y = buf[: w * h].reshape(h, w)
+        p1 = buf[w * h : w * h + cw * ch_].reshape(ch_, cw)
+        p2 = buf[w * h + cw * ch_ :].reshape(ch_, cw)
+        u, v = (p1, p2) if fourcc != "YV12" else (p2, p1)
+        u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+        v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+        return _yuv_to_rgb_bt601(y, u, v)
+    if fourcc == "UYVY":
+        if w % 2:
+            raise ValueError("4:2:2 YUV needs even width")
+        need = w * h * 2
+        if len(raw) < need:
+            raise ValueError("UYVY frame payload truncated")
+        buf = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w * 2)
+        u = np.repeat(buf[:, 0::4], 2, axis=1)
+        y = buf[:, 1::2]
+        v = np.repeat(buf[:, 2::4], 2, axis=1)
+        return _yuv_to_rgb_bt601(y, u, v)
+    raise NotImplementedError(f"raw YUV FourCC {fourcc!r} unsupported")
+
+
+def encode_avi_yuv(frames: list, fps: int = 10, fourcc: str = "I420") -> bytes:
+    """(H, W, 3) uint8 RGB frames -> raw-YUV AVI (fixture helper for
+    the I420/YV12/UYVY paths): BT.601 forward conversion, 2x2-average
+    (4:2:0) or 2x1-average (4:2:2) chroma downsampling, '00db' chunks,
+    strf biCompression = the FourCC."""
+    if fourcc not in ("I420", "IYUV", "YV12", "UYVY"):
+        raise ValueError(f"unsupported YUV fourcc {fourcc!r}")
+    if not frames:
+        raise ValueError("encode_avi_yuv needs at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[0], arrs[0].shape[1]
+    if any(a.shape[:2] != (h, w) for a in arrs):
+        raise ValueError("all AVI frames must share one geometry")
+    if w % 2 or (fourcc != "UYVY" and h % 2):
+        raise ValueError("YUV subsampling needs even dimensions")
+    payloads = []
+    for a in arrs:
+        y, u, v = _rgb_to_yuv_bt601(a)
+        if fourcc == "UYVY":
+            u2 = ((u[:, 0::2].astype(np.int32) + u[:, 1::2]) // 2).astype(np.uint8)
+            v2 = ((v[:, 0::2].astype(np.int32) + v[:, 1::2]) // 2).astype(np.uint8)
+            row = np.empty((h, w * 2), dtype=np.uint8)
+            row[:, 0::4] = u2
+            row[:, 1::2] = y
+            row[:, 2::4] = v2
+            payloads.append(row.tobytes())
+        else:
+            u2 = (
+                (u[0::2, 0::2].astype(np.int32) + u[0::2, 1::2]
+                 + u[1::2, 0::2] + u[1::2, 1::2]) // 4
+            ).astype(np.uint8)
+            v2 = (
+                (v[0::2, 0::2].astype(np.int32) + v[0::2, 1::2]
+                 + v[1::2, 0::2] + v[1::2, 1::2]) // 4
+            ).astype(np.uint8)
+            first, second = (u2, v2) if fourcc != "YV12" else (v2, u2)
+            payloads.append(
+                y.tobytes() + first.tobytes() + second.tobytes()
+            )
+
+    def chunk(cc: bytes, payload: bytes) -> bytes:
+        return (
+            cc + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_bytes = max(len(p) for p in payloads)
+    cc = fourcc.encode("ascii")
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I4I",
+            1_000_000 // fps, max_bytes * fps, 0, 0x110,
+            len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + cc
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0, 1, fps, 0, len(payloads), max_bytes, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        ),
+    )
+    bits = 16 if fourcc == "UYVY" else 12
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, bits, cc,
+            max_bytes, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _avi_frame(data: bytes, entry: tuple[int, int], meta: dict) -> bytes:
     """Materialize one indexed frame as a standalone-decodable image
     payload: MJPEG frames as JPEG (DHT-less ones get the Annex-K
@@ -2409,6 +2552,12 @@ def _avi_frame(data: bytes, entry: tuple[int, int], meta: dict) -> bytes:
     if meta["codec_kind"] == "dib":
         return encode_bmp(
             _dib_frame_to_array(raw, meta["width"], meta["height"])
+        )
+    if meta["codec_kind"] == "yuv":
+        return encode_bmp(
+            _yuv_frame_to_array(
+                raw, meta["width"], meta["height"], meta["codec"]
+            )
         )
     return mjpeg_ensure_dht(raw)
 
