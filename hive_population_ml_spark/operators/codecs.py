@@ -34,11 +34,13 @@ library, so the ``decode_stub=False`` path in
   hierarchical raise NotImplementedError — the honest boundary.
 
 - **Video in AVI (RIFF container)** — struct-only container walk
-  (avih/strh/strf headers, movi chunk run, word alignment) over two
-  frame codecs: MJPEG ('00dc', the real JPEG decoder above, DHT-less
-  frames get the Annex-K tables spliced in per the OpenDML
-  convention) and uncompressed 24-bit DIB ('00db', biCompression ==
-  BI_RGB, bottom-up padded BGR rows re-wrapped as standalone BMPs).
+  (avih/strh/strf headers, movi chunk run, word alignment) over three
+  frame-codec families: MJPEG ('00dc', the real JPEG decoder above,
+  DHT-less frames get the Annex-K tables spliced in per the OpenDML
+  convention), uncompressed 24-bit DIB ('00db', biCompression ==
+  BI_RGB, bottom-up padded BGR rows re-wrapped as standalone BMPs),
+  and raw YUV (I420/IYUV/YV12 planar 4:2:0 + UYVY packed 4:2:2,
+  BT.601 limited-range integer conversion, re-wrapped as BMPs).
   Frame selection happens on the container index BEFORE pixel decode;
   downstream consumers decode via the magic-sniffing
   ``decode_image_payload``.
