@@ -364,6 +364,7 @@ def synthesize_video(
     quality: int = 85,
     pattern_mod: int | None = None,
     quality_cycle: tuple = (),
+    container_cycle: tuple = ("mjpeg",),
 ) -> DataFrame:
     """Deterministic MJPEG-AVI payload per row, encoded with the REAL
     stdlib codec (codecs.encode_avi_mjpeg over encode_jpeg frames) so
@@ -376,7 +377,11 @@ def synthesize_video(
     ``quality_cycle`` is given — repeats of a pattern encode at cycling
     JPEG qualities: byte-DISTINCT payloads of visually IDENTICAL
     videos, the perceptual video-dedup fixture (the video twin of
-    synthesize_image's pattern_mod form). mapInPandas, no shuffle."""
+    synthesize_image's pattern_mod form). ``container_cycle`` (default
+    branch, round 11) rotates rows across the three REAL AVI frame
+    codecs — "mjpeg", "dib", and the raw-YUV FourCCs "i420"/"yv12"/
+    "uyvy" — so one fixture exercises every container decode path
+    in-Spark. mapInPandas, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -417,9 +422,21 @@ def synthesize_video(
                     g = (yy * 255 // max(height - 1, 1) + i * 29 + k * 5) % 256
                     b = ((xx + yy) * 255 // max(width + height - 2, 1) + i * 43) % 256
                     frames.append(np.stack([r, g, b], axis=2).astype(np.uint8))
-                payloads.append(
-                    codecs.encode_avi_mjpeg(frames, fps=fps, quality=quality)
-                )
+                cont = container_cycle[i % len(container_cycle)]
+                if cont == "mjpeg":
+                    payloads.append(
+                        codecs.encode_avi_mjpeg(
+                            frames, fps=fps, quality=quality
+                        )
+                    )
+                elif cont == "dib":
+                    payloads.append(codecs.encode_avi_dib(frames, fps=fps))
+                else:
+                    payloads.append(
+                        codecs.encode_avi_yuv(
+                            frames, fps=fps, fourcc=cont.upper()
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

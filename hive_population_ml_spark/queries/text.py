@@ -328,7 +328,14 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id").filter(F.col("doc_id") < 120)
-    media = multimodal.synthesize_video(docs, "doc_id", n_frames=8)
+    # round 11: rows cycle across every REAL AVI frame codec — MJPEG
+    # (huffman+DCT), uncompressed DIB, planar 4:2:0 I420/YV12 and
+    # packed 4:2:2 UYVY (BT.601) — one query exercises the full
+    # container-decode dispatch in-Spark
+    media = multimodal.synthesize_video(
+        docs, "doc_id", n_frames=8,
+        container_cycle=("mjpeg", "dib", "i420", "yv12", "uyvy"),
+    )
     stats = multimodal.video_frame_stats(media, n_frames=4)
     return stats.select(
         "id",
