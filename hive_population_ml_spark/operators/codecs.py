@@ -647,9 +647,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
     if bpp == 8 and compression == 1:
         return _decode_bmp_rle8(data, offset, dib_size, w, h)
+    if bpp == 4 and compression == 2:
+        return _decode_bmp_rle4(data, offset, dib_size, w, h)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24-bit and RLE8 palette BMP are "
+            f"only uncompressed 24-bit, RLE8 and RLE4 palette BMP are "
             f"supported (got bpp={bpp}, compression={compression})"
         )
     bottom_up = h > 0
@@ -707,6 +709,103 @@ def _decode_bmp_rle8(
             pos += b1 + (b1 & 1)
     arr = pal[idx]
     return arr[::-1] if bottom_up else arr
+
+
+def _decode_bmp_rle4(
+    data: bytes, offset: int, dib_size: int, w: int, h: int
+) -> np.ndarray:
+    """BI_RLE4 (compression 2): same escape grammar as RLE8 (00 00 =
+    end of line, 00 01 = end of bitmap, 00 02 dx dy = delta, 00 n>=3 =
+    absolute run, word-aligned) but pixels are 4-bit — an encoded run
+    of n pixels ALTERNATES the two nibbles of its value byte (high
+    first), and absolute runs pack two pixels per byte."""
+    bottom_up = h > 0
+    h = abs(h)
+    n_colors = struct.unpack_from("<I", data, 14 + 32)[0] or 16
+    pal_off = 14 + dib_size
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+    ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+    idx = np.zeros((h, w), dtype=np.uint8)
+    pos, x, y = offset, 0, 0
+    while pos + 1 < len(data) and y < h:
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0:  # encoded run: alternate hi/lo nibbles of b1
+            run = min(b0, w - x)
+            pair = np.array([b1 >> 4, b1 & 0xF], dtype=np.uint8)
+            idx[y, x : x + run] = np.tile(pair, (run + 1) // 2 + 1)[:run]
+            x += run
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("RLE4 delta escape truncated")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of b1 pixels, 2 per byte, word-aligned
+            nbytes = (b1 + 1) // 2
+            if pos + nbytes > len(data):
+                raise ValueError("RLE4 absolute run truncated")
+            by = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos)
+            pix = np.empty(nbytes * 2, dtype=np.uint8)
+            pix[0::2] = by >> 4
+            pix[1::2] = by & 0xF
+            run = min(b1, w - x)
+            idx[y, x : x + run] = pix[:run]
+            x += run
+            pos += nbytes + (nbytes & 1)
+    arr = pal[idx]
+    return arr[::-1] if bottom_up else arr
+
+
+def encode_bmp_rle4(img: np.ndarray) -> bytes:
+    """(H, W) uint8 indices (<16) or (H, W, 3) RGB with <=16 distinct
+    colors -> BI_RLE4 BMP bytes (fixture helper; encoded runs with the
+    nibble-alternation rule + end-of-line/bitmap escapes)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        flat = img.reshape(-1, 3)
+        pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if pal.shape[0] > 16:
+            raise ValueError(f"RLE4 needs <=16 colors, got {pal.shape[0]}")
+        idx = inverse.reshape(img.shape[:2]).astype(np.uint8)
+    else:
+        idx = img
+        if idx.max(initial=0) > 15:
+            raise ValueError("RLE4 indices must be < 16")
+        pal = np.stack(
+            [np.arange(16, dtype=np.uint8) * 17] * 3, axis=1
+        )  # 4-bit grayscale ramp
+    h, w = idx.shape
+    body = bytearray()
+    for row in idx[::-1]:  # bottom-up
+        x = 0
+        row_list = row.tolist()
+        while x < w:
+            v = row_list[x]
+            run = 1
+            while x + run < w and row_list[x + run] == v and run < 255:
+                run += 1
+            body += bytes([run, (v << 4) | v])
+            x += run
+        body += bytes([0, 0])  # end of line
+    body += bytes([0, 1])  # end of bitmap
+    n_colors = pal.shape[0]
+    pal_bytes = bytearray()
+    for r, g, b in pal.tolist():
+        pal_bytes += bytes([b, g, r, 0])
+    offset = 14 + 40 + len(pal_bytes)
+    header = b"BM" + struct.pack(
+        "<IHHI", offset + len(body), 0, 0, offset
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(body), 0, 0, n_colors, 0
+    )
+    return header + dib + bytes(pal_bytes) + bytes(body)
 
 
 def encode_bmp_rle8(img: np.ndarray) -> bytes:
