@@ -927,45 +927,26 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, 3|4) uint8 array.
+# Adam7 interlace pass layout: (x_origin, y_origin, x_step, y_step) —
+# the spec's 8x8 tile [[1,6,4,6,2,6,4,6],[7]*8,[5,6,5,6,...],[7]*8,
+# [3,6,4,6,3,6,4,6],[7]*8,[5,6,...],[7]*8]
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Handles 8-bit RGB/RGBA, non-interlaced, every scanline filter
-    (None/Sub/Up/Average/Paeth). Raises NotImplementedError for other
-    bit depths / color types / interlacing — the honest boundary."""
-    import zlib
 
-    if not data.startswith(_PNG_SIG):
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload)
-        elif tag == b"IDAT":
-            idat.append(payload)
-        elif tag == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in (2, 6) or interlace:
-        raise NotImplementedError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
-            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
-        )
-    c = 3 if color_type == 2 else 4
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * c
-    if len(raw) != h * (stride + 1):
+def _png_defilter(raw: bytes, off: int, w_px: int, h_px: int, c: int):
+    """Defilter one scanline group (a whole image, or one Adam7 pass):
+    returns ((h_px, w_px*c) uint8 array, bytes consumed)."""
+    stride = w_px * c
+    need = h_px * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("PNG scanline data has wrong length")
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((h_px, stride), dtype=np.uint8)
     prev = bytearray(stride)
-    for row in range(h):
-        base = row * (stride + 1)
+    for row in range(h_px):
+        base = off + row * (stride + 1)
         ftype = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
@@ -987,7 +968,80 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[row] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = line
-    return out.reshape(h, w, c)
+    return out, need
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3|4) uint8 array.
+
+    Handles 8-bit RGB (color type 2), RGBA (6), grayscale (0, expanded
+    to RGB), palette (3, PLTE-resolved to RGB), every scanline filter
+    (None/Sub/Up/Average/Paeth), and BOTH interlace modes — Adam7
+    passes are defiltered independently (each pass restarts the filter
+    chain per the spec) and scattered onto the (y0::dy, x0::dx) grids.
+    16-bit depth, sub-byte palette packing and tRNS transparency raise
+    NotImplementedError — the honest boundary."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            raise NotImplementedError(
+                "PNG tRNS transparency unsupported — the honest boundary"
+            )
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2, 3, 6) or interlace > 1:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/palette/RGBA PNG supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    c = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:
+        out = np.zeros((h, w * c), dtype=np.uint8).reshape(h, w, c)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _png_defilter(raw, off, pw, ph, c)
+            off += used
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+        if off != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+        img = out
+    else:
+        flat, used = _png_defilter(raw, 0, w, h, c)
+        if used != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+        img = flat.reshape(h, w, c)
+    if color_type == 3:
+        idx = img.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    return img
 
 
 def png_features(data: bytes, dim: int = 8) -> list[float]:
