@@ -70,9 +70,15 @@ library, so the ``decode_stub=False`` path in
   power-complementary near-PR window is the default, the real table
   drops in via ``decode_mp2(d_window=)``).
 
-MP3 (Layer III: huffman + IMDCT) and non-MJPEG video codecs stay
-honestly stubbed. Encoders are included so tests and fixtures can
-round-trip without external tools.
+- **Baseline TIFF** — struct-only IFD walk (both byte orders), 8-bit
+  gray/RGB/palette photometrics (WhiteIsZero inversion, 16-bit
+  ColorMap scaling), any strip layout, compression 1 (none) and
+  32773 (PackBits). LZW/JPEG/deflate TIFF, tiles and 16-bit samples
+  raise NotImplementedError — the honest boundary.
+
+MP3 (Layer III: huffman + IMDCT) and compressed video codecs beyond
+MJPEG stay honestly stubbed. Encoders are included so tests and
+fixtures can round-trip without external tools.
 """
 
 from __future__ import annotations
@@ -614,6 +620,240 @@ def encode_wav_ima_adpcm(
 # --------------------------------------------------------------------------
 # BMP (uncompressed 24-bit BI_RGB)
 # --------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in [0,127] copies
+    n+1 literals, n in [-127,-1] repeats the next byte 1-n times,
+    -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("PackBits repeat truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits strip truncated")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Fixture-grade PackBits: greedy runs >= 3 become repeats, the
+    rest literal groups of <= 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 128:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        count = min(i, lit_start + 128) - lit_start
+        out += bytes([count - 1]) + data[lit_start : lit_start + count]
+        i = lit_start + count
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF -> (H, W, 3) uint8 RGB. Struct-only IFD walk, both
+    byte orders ('II'/'MM'); 8-bit samples, chunky planar; grayscale
+    (PhotometricInterpretation 0 WhiteIsZero — inverted — and 1),
+    RGB, and palette (ColorMap, 16-bit entries scaled down) images;
+    compression 1 (none) and 32773 (PackBits) over any strip layout.
+    Other bit depths, planar=2, tiles, LZW/JPEG/deflate compression
+    raise NotImplementedError — the honest boundary."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+
+    def read_entry(pos):
+        tag, typ, count = struct.unpack_from(bo + "HHI", data, pos)
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * count
+        if size and size <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, pos + 8)
+        if typ == 3:
+            vals = list(struct.unpack_from(bo + f"{count}H", data, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(bo + f"{count}I", data, voff))
+        elif typ in (1, 2):
+            vals = list(data[voff : voff + count])
+        else:
+            vals = []
+        return tag, vals
+
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, list] = {}
+    for k in range(n_entries):
+        tag, vals = read_entry(ifd_off + 2 + 12 * k)
+        tags[tag] = vals
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if not w or not h:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8] * spp)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bps) or planar != 1:
+        raise NotImplementedError(
+            f"only 8-bit chunky TIFF supported (bits={bps}, "
+            f"planar={planar})"
+        )
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported — executable: 1 "
+            f"(none), 32773 (PackBits); LZW/JPEG/deflate are the "
+            f"honest boundary"
+        )
+    if photo not in (0, 1, 2, 3) or (photo == 2) != (spp == 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} with {spp} samples unsupported"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = tags.get(278, [h])[0]
+    stride = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = strip_rows * stride
+        chunk = bytes(data[off : off + cnt])
+        if comp == 32773:
+            raw += _packbits_decode(chunk, expected)
+        else:
+            if len(chunk) < expected:
+                raise ValueError("TIFF strip truncated")
+            raw += chunk[:expected]
+    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF missing/short ColorMap")
+        pal = (np.array(cmap, dtype=np.uint32).reshape(3, 256).T
+               // 257).astype(np.uint8)  # 16-bit entries -> 8-bit
+        return pal[img[:, :, 0]]
+    if spp == 1:
+        g = img[:, :, 0]
+        if photo == 0:  # WhiteIsZero
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return img
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(H, W, 3) RGB or (H, W) grayscale -> baseline TIFF bytes
+    (fixture helper: single IFD, chunky, optional PackBits, optional
+    'MM' byte order, multi-strip via rows_per_strip)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    bo = ">" if big_endian else "<"
+    strips = []
+    for y0 in range(0, h, rps):
+        block = arr[y0 : y0 + rps]
+        raw = block.tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    n_strips = len(strips)
+
+    entries = []  # (tag, type, count, packed-or-deferred)
+
+    def short(tag, vals):
+        vals = vals if isinstance(vals, list) else [vals]
+        entries.append((tag, 3, vals))
+
+    def long_(tag, vals):
+        vals = vals if isinstance(vals, list) else [vals]
+        entries.append((tag, 4, vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, [8] * spp)
+    short(259, 32773 if packbits else 1)
+    short(262, 1 if gray else 2)
+    long_(273, [0] * n_strips)  # patched below
+    short(277, spp)
+    short(278, rps)
+    long_(279, [len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+
+    header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header | IFD | overflow value arrays | strip data
+    overflow = bytearray()
+    overflow_base = 8 + ifd_size
+    packed = []
+    for tag, typ, vals in entries:
+        count = len(vals)
+        fmt = "H" if typ == 3 else "I"
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:
+            body = struct.pack(bo + f"{count}{fmt}", *vals)
+            body += b"\x00" * (4 - len(body))
+            packed.append([tag, typ, count, body, None])
+        else:
+            packed.append([tag, typ, count, None, len(overflow)])
+            overflow += struct.pack(bo + f"{count}{fmt}", *vals)
+    data_base = overflow_base + len(overflow)
+    # strip offsets now known: rewrite tag 273 (and its overflow copy)
+    strip_offs = []
+    pos = data_base
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    for p in packed:
+        if p[0] == 273:
+            fmt = "I"
+            body = struct.pack(bo + f"{p[2]}{fmt}", *strip_offs)
+            if p[3] is not None:
+                p[3] = body + b"\x00" * (4 - len(body))
+            else:
+                overflow[p[4] : p[4] + 4 * p[2]] = body
+    ifd = struct.pack(bo + "H", len(packed))
+    for tag, typ, count, body, ov_off in packed:
+        ifd += struct.pack(bo + "HHI", tag, typ, count)
+        if body is not None:
+            ifd += body
+        else:
+            ifd += struct.pack(bo + "I", overflow_base + ov_off)
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    return header + ifd + bytes(overflow) + b"".join(strips)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -2750,6 +2990,8 @@ def decode_image_payload(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     raise ValueError("unrecognized image payload magic")
 
 
