@@ -673,6 +673,118 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (compression 5): MSB-first bit packing, 9-bit initial
+    width, Clear=256 / EOI=257, first dictionary code 258, and the
+    spec's EARLY CHANGE — the code width bumps when the NEXT code to
+    be assigned reaches 2^width - 1 (one position earlier than GIF's
+    LSB-first variant in gif/_gif_lzw_decode)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # Clear
+            reset()
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW: code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+        prev = entry
+        # early change: bump width when the NEXT assignment would be
+        # 2^width - 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW strip short")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Fixture-grade TIFF LZW encoder (greedy longest match, Clear on
+    table full, early-change widths mirroring the decoder)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    width = 9
+    next_code = 258
+    emit(256, width)  # initial Clear per spec
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        # the encoder's dictionary runs ONE entry ahead of the
+        # decoder's (the decoder adds entry K-1 only after reading
+        # code K), so its early-change threshold is one higher than
+        # the decoder's 2^w - 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256, width)
+            table = fresh()
+            width = 9
+            next_code = 258
+        run = bytes([byte])
+    if run:
+        emit(table[run], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
 
 
@@ -727,10 +839,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"only 8-bit chunky TIFF supported (bits={bps}, "
             f"planar={planar})"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported — executable: 1 "
-            f"(none), 32773 (PackBits); LZW/JPEG/deflate are the "
+            f"(none), 5 (LZW), 32773 (PackBits); JPEG/deflate are the "
             f"honest boundary"
         )
     if photo not in (0, 1, 2, 3) or (photo == 2) != (spp == 3):
@@ -750,6 +862,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         chunk = bytes(data[off : off + cnt])
         if comp == 32773:
             raw += _packbits_decode(chunk, expected)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(chunk, expected)
         else:
             if len(chunk) < expected:
                 raise ValueError("TIFF strip truncated")
@@ -775,10 +889,13 @@ def encode_tiff(
     packbits: bool = False,
     big_endian: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
 ) -> bytes:
     """(H, W, 3) RGB or (H, W) grayscale -> baseline TIFF bytes
-    (fixture helper: single IFD, chunky, optional PackBits, optional
-    'MM' byte order, multi-strip via rows_per_strip)."""
+    (fixture helper: single IFD, chunky, optional PackBits or LZW,
+    optional 'MM' byte order, multi-strip via rows_per_strip)."""
+    if packbits and lzw:
+        raise ValueError("choose one of packbits/lzw")
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -789,7 +906,12 @@ def encode_tiff(
     for y0 in range(0, h, rps):
         block = arr[y0 : y0 + rps]
         raw = block.tobytes()
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        if packbits:
+            strips.append(_packbits_encode(raw))
+        elif lzw:
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(raw)
     n_strips = len(strips)
 
     entries = []  # (tag, type, count, packed-or-deferred)
@@ -805,7 +927,7 @@ def encode_tiff(
     short(256, w)
     short(257, h)
     short(258, [8] * spp)
-    short(259, 32773 if packbits else 1)
+    short(259, 32773 if packbits else (5 if lzw else 1))
     short(262, 1 if gray else 2)
     long_(273, [0] * n_strips)  # patched below
     short(277, spp)

@@ -120,16 +120,59 @@ def test_tiff_palette():
     assert np.array_equal(out, pal8[idx])
 
 
+def test_tiff_lzw_hand_authored_bit_vector():
+    # MSB-first 9-bit stream written by hand per the spec:
+    #   Clear(256), 'A'(65), 'B'(66), code 258 (= "AB"), EOI(257)
+    # -> decodes to "ABAB". Dictionary after: 258="AB", 259="BA".
+    bits = ""
+    for code in (256, 65, 66, 258, 257):
+        bits += format(code, "09b")
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert codecs._tiff_lzw_decode(stream, 4) == b"ABAB"
+    # the KwKwK self-referencing case: Clear, 'A', 258 -> "A"+"AA"
+    bits = "".join(format(c, "09b") for c in (256, 65, 258, 257))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert codecs._tiff_lzw_decode(stream, 3) == b"AAA"
+
+
+def test_tiff_lzw_early_change_and_roundtrip():
+    # enough distinct pairs to push the dictionary past 511 so the
+    # 9->10-bit EARLY-CHANGE boundary is crossed in both directions
+    rng = np.random.default_rng(33)
+    raw = bytes(rng.integers(0, 256, 4000, dtype=np.uint8))
+    enc = codecs._tiff_lzw_encode(raw)
+    assert codecs._tiff_lzw_decode(enc, len(raw)) == raw
+    # compressible content actually compresses
+    runs = bytes([7] * 1000 + [9] * 1000)
+    enc2 = codecs._tiff_lzw_encode(runs)
+    assert len(enc2) < len(runs) // 4
+    assert codecs._tiff_lzw_decode(enc2, len(runs)) == runs
+    # full-table Clear path: > 4094 distinct phrases
+    big = bytes(rng.integers(0, 256, 40_000, dtype=np.uint8))
+    assert codecs._tiff_lzw_decode(codecs._tiff_lzw_encode(big),
+                                   len(big)) == big
+
+
+def test_tiff_lzw_container_roundtrip():
+    img = _img(9, 14)
+    blob = codecs.encode_tiff(img, lzw=True, rows_per_strip=4)
+    assert np.array_equal(codecs.decode_tiff(blob), img)
+    blob_mm = codecs.encode_tiff(img, lzw=True, big_endian=True)
+    assert np.array_equal(codecs.decode_tiff(blob_mm), img)
+
+
 def test_tiff_honest_boundaries():
     img = _img(4, 4)
     blob = bytearray(codecs.encode_tiff(img))
-    # patch compression to LZW (5): find tag 259 entry and set value
+    # patch compression to deflate (8): find tag 259 entry, set value
     n = struct.unpack_from("<H", blob, 8)[0]
     for k in range(n):
         pos = 10 + 12 * k
         if struct.unpack_from("<H", blob, pos)[0] == 259:
-            struct.pack_into("<H", blob, pos + 8, 5)
-    with pytest.raises(NotImplementedError, match="LZW"):
+            struct.pack_into("<H", blob, pos + 8, 8)
+    with pytest.raises(NotImplementedError, match="compression 8"):
         codecs.decode_tiff(bytes(blob))
     with pytest.raises(ValueError, match="TIFF"):
         codecs.decode_tiff(b"XX\x00\x00")
