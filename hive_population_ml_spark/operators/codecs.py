@@ -839,11 +839,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"only 8-bit chunky TIFF supported (bits={bps}, "
             f"planar={planar})"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported — executable: 1 "
-            f"(none), 5 (LZW), 32773 (PackBits); JPEG/deflate are the "
-            f"honest boundary"
+            f"(none), 5 (LZW), 8 (deflate), 32773 (PackBits); "
+            f"JPEG-in-TIFF is the honest boundary"
         )
     if photo not in (0, 1, 2, 3) or (photo == 2) != (spp == 3):
         raise NotImplementedError(
@@ -864,6 +864,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw += _packbits_decode(chunk, expected)
         elif comp == 5:
             raw += _tiff_lzw_decode(chunk, expected)
+        elif comp == 8:
+            import zlib
+
+            inflated = zlib.decompress(chunk)
+            if len(inflated) < expected:
+                raise ValueError("TIFF deflate strip short")
+            raw += inflated[:expected]
         else:
             if len(chunk) < expected:
                 raise ValueError("TIFF strip truncated")
@@ -890,12 +897,13 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     lzw: bool = False,
+    deflate: bool = False,
 ) -> bytes:
     """(H, W, 3) RGB or (H, W) grayscale -> baseline TIFF bytes
-    (fixture helper: single IFD, chunky, optional PackBits or LZW,
+    (fixture helper: single IFD, chunky, optional PackBits/LZW/deflate,
     optional 'MM' byte order, multi-strip via rows_per_strip)."""
-    if packbits and lzw:
-        raise ValueError("choose one of packbits/lzw")
+    if sum((packbits, lzw, deflate)) > 1:
+        raise ValueError("choose one of packbits/lzw/deflate")
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -910,6 +918,10 @@ def encode_tiff(
             strips.append(_packbits_encode(raw))
         elif lzw:
             strips.append(_tiff_lzw_encode(raw))
+        elif deflate:
+            import zlib
+
+            strips.append(zlib.compress(raw))
         else:
             strips.append(raw)
     n_strips = len(strips)
@@ -927,7 +939,7 @@ def encode_tiff(
     short(256, w)
     short(257, h)
     short(258, [8] * spp)
-    short(259, 32773 if packbits else (5 if lzw else 1))
+    short(259, 32773 if packbits else (5 if lzw else (8 if deflate else 1)))
     short(262, 1 if gray else 2)
     long_(273, [0] * n_strips)  # patched below
     short(277, spp)

@@ -163,16 +163,24 @@ def test_tiff_lzw_container_roundtrip():
     assert np.array_equal(codecs.decode_tiff(blob_mm), img)
 
 
+def test_tiff_deflate_roundtrip():
+    img = _img(12, 10)
+    blob = codecs.encode_tiff(img, deflate=True, rows_per_strip=5)
+    assert np.array_equal(codecs.decode_tiff(blob), img)
+    with pytest.raises(ValueError, match="choose one"):
+        codecs.encode_tiff(img, lzw=True, deflate=True)
+
+
 def test_tiff_honest_boundaries():
     img = _img(4, 4)
     blob = bytearray(codecs.encode_tiff(img))
-    # patch compression to deflate (8): find tag 259 entry, set value
+    # patch compression to JPEG-in-TIFF (7): find tag 259, set value
     n = struct.unpack_from("<H", blob, 8)[0]
     for k in range(n):
         pos = 10 + 12 * k
         if struct.unpack_from("<H", blob, pos)[0] == 259:
-            struct.pack_into("<H", blob, pos + 8, 8)
-    with pytest.raises(NotImplementedError, match="compression 8"):
+            struct.pack_into("<H", blob, pos + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         codecs.decode_tiff(bytes(blob))
     with pytest.raises(ValueError, match="TIFF"):
         codecs.decode_tiff(b"XX\x00\x00")
