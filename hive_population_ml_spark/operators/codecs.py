@@ -72,9 +72,11 @@ library, so the ``decode_stub=False`` path in
 
 - **Baseline TIFF** — struct-only IFD walk (both byte orders), 8-bit
   gray/RGB/palette photometrics (WhiteIsZero inversion, 16-bit
-  ColorMap scaling), any strip layout, compression 1 (none) and
-  32773 (PackBits). LZW/JPEG/deflate TIFF, tiles and 16-bit samples
-  raise NotImplementedError — the honest boundary.
+  ColorMap scaling), any strip layout, compressions 1 (none), 5
+  (LZW: MSB-first variable width with the spec's early change — the
+  fourth compression family next to DCT/deflate/GIF-LZW), 8 (zlib
+  deflate) and 32773 (PackBits). JPEG-in-TIFF, tiles and 16-bit
+  samples raise NotImplementedError — the honest boundary.
 
 MP3 (Layer III: huffman + IMDCT) and compressed video codecs beyond
 MJPEG stay honestly stubbed. Encoders are included so tests and
