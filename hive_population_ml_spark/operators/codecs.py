@@ -1244,6 +1244,31 @@ def bmp_features(data: bytes, dim: int = 8) -> list[float]:
     return feats + [0.0] * (dim - len(feats))
 
 
+def tiff_features(data: bytes, dim: int = 8) -> list[float]:
+    """Same feature contract as bmp_features, decoded from TIFF."""
+    arr = decode_tiff(data).astype(np.float64) / 255.0
+    h, w, _ = arr.shape
+    gray = arr.mean(axis=2)
+    feats = [
+        float(w),
+        float(h),
+        float(arr[:, :, 0].mean()),
+        float(arr[:, :, 1].mean()),
+        float(arr[:, :, 2].mean()),
+        float(gray.std()),
+    ]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def tiff_resize(data: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize, re-encoded as LZW TIFF."""
+    arr = decode_tiff(data)
+    ys = (np.arange(height) * arr.shape[0]) // height
+    xs = (np.arange(width) * arr.shape[1]) // width
+    return encode_tiff(arr[ys][:, xs], lzw=True)
+
+
 def bmp_resize(data: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize, re-encoded as BMP."""
     arr = decode_bmp(data)

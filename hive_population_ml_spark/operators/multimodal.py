@@ -7,15 +7,18 @@ batches (the only sane shape for per-item Python work at 100 TB —
 per-row UDFs would serialize item-at-a-time).
 
 Codec story: PIL/librosa/av are NOT in this container, but the formats
-in ``operators/codecs.py`` (+ ``operators/flac.py``) need only the
-standard library, so ``decode_stub=False`` is REAL for them: WAV audio
-(PCM 8/16/24/32-bit, IEEE float, G.711 μ-law/A-law, IMA ADPCM), FLAC,
-BMP, zlib PNG, JPEG (baseline + progressive), GIF (LZW, incl.
-animation), and AVI video (MJPEG + uncompressed DIB frames). Remaining
-media types under ``decode_stub=False`` (MP3, non-MJPEG/DIB video
-codecs) raise NotImplementedError at the exact plug point where a
-production codec slots in. ``decode_stub=True`` keeps the
-deterministic byte-derived fakes for format-agnostic plumbing tests.
+in ``operators/codecs.py`` (+ ``operators/flac.py``, ``operators/
+mp2.py``) need only the standard library, so ``decode_stub=False`` is
+REAL for them: WAV audio (PCM 8/16/24/32-bit, IEEE float, G.711
+μ-law/A-law, IMA ADPCM), FLAC, MPEG-1 Layer I/II, BMP (incl.
+RLE8/RLE4), zlib PNG (incl. Adam7/gray/palette), JPEG (baseline +
+progressive), GIF (LZW, incl. animation), TIFF (none/LZW/deflate/
+PackBits), and AVI video (MJPEG + uncompressed DIB + raw I420/YV12/
+UYVY frames). Remaining media types under ``decode_stub=False`` (MP3
+Layer III, compressed video beyond MJPEG) raise NotImplementedError
+at the exact plug point where a production codec slots in.
+``decode_stub=True`` keeps the deterministic byte-derived fakes for
+format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -295,7 +298,7 @@ def synthesize_image(
     cycling JPEG qualities, producing byte-DISTINCT payloads of
     visually IDENTICAL images: the perceptual-dedup fixture.
     mapInPandas, no shuffle — same posture as synthesize_wav."""
-    if codec not in ("jpeg", "png", "bmp"):
+    if codec not in ("jpeg", "png", "bmp", "tiff"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -333,6 +336,8 @@ def synthesize_image(
                     payload = codecs.encode_jpeg(img, quality=q)
                 elif codec == "png":
                     payload = codecs.encode_png(img)
+                elif codec == "tiff":
+                    payload = codecs.encode_tiff(img, lzw=True)
                 else:
                     payload = codecs.encode_bmp(img)
                 if pattern_mod is not None:
@@ -614,9 +619,11 @@ def _decode_image(media: bytes, media_type: str):
         return codecs.decode_bmp(media)
     if media_type == "image/gif":
         return codecs.decode_gif(media)
+    if media_type == "image/tiff":
+        return codecs.decode_tiff(media)
     raise NotImplementedError(
         f"need a decodable image type, got {media_type!r}; executable "
-        f"here: image/jpeg, image/png, image/bmp, image/gif"
+        f"here: image/jpeg, image/png, image/bmp, image/gif, image/tiff"
     )
 
 
@@ -760,8 +767,9 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
     """Real (stdlib) codec dispatch for decode_stub=False."""
     from . import codecs
 
-    if media_type in ("audio/wav", "audio/flac"):
-        # wav_features sniffs the container (WAV family or FLAC)
+    if media_type in ("audio/wav", "audio/flac", "audio/mpeg"):
+        # wav_features sniffs the container (WAV family, FLAC, or
+        # MPEG-1 Layer I/II) via decode_audio
         return codecs.wav_features(media, dim)
     if media_type == "image/bmp":
         return codecs.bmp_features(media, dim)
@@ -771,12 +779,15 @@ def _real_features(media: bytes, media_type: str, dim: int) -> list[float]:
         return codecs.jpeg_features(media, dim)
     if media_type == "image/gif":
         return codecs.gif_features(media, dim)
+    if media_type == "image/tiff":
+        return codecs.tiff_features(media, dim)
     if media_type == "video/avi":
         return codecs.avi_features(media, dim)
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; executable here: "
-        f"audio/wav, audio/flac, image/bmp, image/png, image/jpeg, "
-        f"image/gif, video/avi — PIL/librosa/av plug in at this dispatch"
+        f"audio/wav, audio/flac, audio/mpeg, image/bmp, image/png, "
+        f"image/jpeg, image/gif, image/tiff, video/avi — PIL/librosa/av "
+        f"plug in at this dispatch"
     )
 
 
@@ -811,11 +822,13 @@ def resize_media(
                         out.append(codecs.png_resize(m, width, height))
                     elif t == "image/jpeg":
                         out.append(codecs.jpeg_resize(m, width, height))
+                    elif t == "image/tiff":
+                        out.append(codecs.tiff_resize(m, width, height))
                     else:
                         raise NotImplementedError(
                             f"no stdlib resize codec for media_type={t!r}; "
                             f"executable here: image/bmp, image/png, "
-                            f"image/jpeg (PIL plugs in here)"
+                            f"image/jpeg, image/tiff (PIL plugs in here)"
                         )
             yield pd.DataFrame(
                 {

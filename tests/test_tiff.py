@@ -171,6 +171,28 @@ def test_tiff_deflate_roundtrip():
         codecs.encode_tiff(img, lzw=True, deflate=True)
 
 
+def test_tiff_real_paths_in_spark(spark):
+    # synthesize (LZW TIFF) -> real extract_features -> real resize,
+    # all through the shared media_type dispatch
+    from hive_population_ml_spark.operators import multimodal
+
+    base = spark.range(5).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_image(base, "doc_id", codec="tiff",
+                                        width=16, height=12)
+    rows = media.collect()
+    assert all(r["media_type"] == "image/tiff" for r in rows)
+    assert all(bytes(r["media"])[:4] == b"II*\x00" for r in rows)
+    feats = multimodal.extract_features(media, dim=6,
+                                        decode_stub=False).collect()
+    for r in feats:
+        assert r["feat"][0] == 16.0 and r["feat"][1] == 12.0
+    small = multimodal.resize_media(media, 8, 6,
+                                    decode_stub=False).collect()
+    for r in small:
+        out = codecs.decode_tiff(bytes(r["media"]))
+        assert out.shape == (6, 8, 3)
+
+
 def test_tiff_honest_boundaries():
     img = _img(4, 4)
     blob = bytearray(codecs.encode_tiff(img))
