@@ -78,7 +78,8 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream joins emit eagerly, so the replayed result equals the
     batch join — which is what the DuckDB oracle states, hash-checking
     the stateful streaming path itself."""
-    from ..streaming.pipeline import events_raw_stream, interval_join
+    from ..streaming.pipeline import (await_or_raise,
+        events_raw_stream, interval_join)
 
     clicks = events_raw_stream(spark, sf_dir).filter(
         F.col("event_type") == "click"
@@ -96,7 +97,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q)
     return spark.table("q_stream_attribution")
 
 
@@ -225,7 +226,7 @@ def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture: unbounded input swaps complete mode for
     watermark + append with the same window spec; state per key is one
     (count, sum) pair across 4 live windows per hop."""
-    from ..streaming.pipeline import events_raw_stream
+    from ..streaming.pipeline import await_or_raise, events_raw_stream
 
     raw = events_raw_stream(spark, sf_dir)
     agg = (
@@ -249,5 +250,5 @@ def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q)
     return spark.table("q_stream_hopping")

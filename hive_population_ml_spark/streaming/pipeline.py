@@ -32,6 +32,21 @@ from pyspark.sql import functions as F
 from ..io.sources import load_table
 
 
+def await_or_raise(q, timeout_s: int = 600) -> None:
+    """availableNow queries must COMPLETE before their memory sink is
+    read: an expired silent wait presents a PARTIAL (or empty) table
+    as the final answer — the round-11 full driver-sim sweep caught
+    stream_attribution_join doing exactly that when a loaded session
+    pushed the two-stream replay past the old 120 s silent wait. Fail
+    loudly and stop the leaked query instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not finish within "
+            f"{timeout_s}s - refusing to read a partial memory sink"
+        )
+
+
 def _as_stream_dir(path: str) -> str:
     """FileStreamSource requires a directory; testdata tables are single
     parquet files. Symlink the file into a scratch dir and stream that.
@@ -145,7 +160,7 @@ def run_events_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q)
     return spark.table(query_name)
 
 
@@ -544,7 +559,7 @@ def run_events_session_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q)
     return spark.table(query_name)
 
 
