@@ -242,7 +242,7 @@ def suffix_ranks(
     until_prefix: int | None = None,
     refine_fraction: float = 0.1,
     refine_max_group: int = 1_000_000,
-    seed_width: int = 8,
+    seed_width: int = 16,
 ) -> tuple[DataFrame, int]:
     """Prefix-doubling suffix ranking over a (pos, code) table, with
     TIE-SHRINKING refinement.
@@ -266,6 +266,16 @@ def suffix_ranks(
     (the early rounds, where nearly everything is tied and every round
     is a full range-repartitioned re-rank). ``seed_width`` is clamped
     to ``until_prefix`` so the prefix-level contract is unchanged.
+
+    Width tradeoff (measured on the sf0.1 corpus, 1.49M positions,
+    full convergence): 8 -> 52.4 s, 16 -> 31.9 s, 32 -> 22.4 s,
+    64 -> 18.2 s. Gains flatten while the seed shuffle's bytes/position
+    grow linearly (8W bytes — at W=64 that is a 512-byte row PER INPUT
+    CHARACTER, a 50x+ data amplification in one exchange at corpus
+    scale, where several lighter constant-width doubling rounds spill
+    less). Default 16 takes the steep part of the curve at 128
+    bytes/position; raise it for small corpora, lower it when executor
+    memory per shuffle partition is the binding constraint.
 
     Returns ``(ranks, prefix_len)``: equal grank means equal prefix of
     length >= prefix_len; at convergence (no ties) the granks are
