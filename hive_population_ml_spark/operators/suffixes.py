@@ -267,15 +267,19 @@ def suffix_ranks(
     is a full range-repartitioned re-rank). ``seed_width`` is clamped
     to ``until_prefix`` so the prefix-level contract is unchanged.
 
-    Width tradeoff (measured on the sf0.1 corpus, 1.49M positions,
-    full convergence): 8 -> 52.4 s, 16 -> 31.9 s, 32 -> 22.4 s,
-    64 -> 18.2 s. Gains flatten while the seed shuffle's bytes/position
-    grow linearly (8W bytes — at W=64 that is a 512-byte row PER INPUT
-    CHARACTER, a 50x+ data amplification in one exchange at corpus
-    scale, where several lighter constant-width doubling rounds spill
-    less). Default 16 takes the steep part of the curve at 128
-    bytes/position; raise it for small corpora, lower it when executor
-    memory per shuffle partition is the binding constraint.
+    Width tradeoff (measured honestly — a first sequential sweep read
+    as monotone 52/32/22/18 s for widths 8/16/32/64, but that was JVM
+    warmup bias; warm interleaved runs on the checkpointed 1.49M-
+    position sf0.1 char table show 8 and 16 indistinguishable at 1x,
+    ~17-25 s both): the width that matters is at SCALE, where each
+    skipped doubling round is a full-corpus re-rank — the 10x probe
+    measured 750 s at width 8 vs 488 s at width 16 (same best_len
+    parity). Against that, the seed shuffle's bytes/position grow
+    linearly (8W bytes; at W=64 that is a 512-byte row per input
+    character — a 50x+ one-exchange amplification that out-spills the
+    several constant-width rounds it replaces). Default 16 = 128
+    bytes/position; lower it when executor memory per shuffle
+    partition binds, raise it only with measurement.
 
     Returns ``(ranks, prefix_len)``: equal grank means equal prefix of
     length >= prefix_len; at convergence (no ties) the granks are
