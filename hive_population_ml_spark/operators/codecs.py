@@ -1012,10 +1012,12 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> (H, W, 3) uint8 RGB array. Uncompressed 24-bit
-    (BI_RGB) and run-length-encoded 8-bit palette (BI_RLE8, compression
-    1 — encoded/absolute runs, end-of-line/bitmap and delta escapes per
-    the Windows BMP spec) are supported; other depths/compressions
-    raise NotImplementedError — the honest boundary."""
+    (BI_RGB), uncompressed 32-bit BGRA (alpha dropped), uncompressed
+    8-bit palette, and the run-length palette forms (BI_RLE8
+    compression 1, BI_RLE4 compression 2 — encoded/absolute runs,
+    end-of-line/bitmap and delta escapes per the Windows BMP spec) are
+    supported; other depths/compressions (1/4-bit uncompressed,
+    BI_BITFIELDS) raise NotImplementedError — the honest boundary."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", data, 10)[0]
@@ -1025,20 +1027,35 @@ def decode_bmp(data: bytes) -> np.ndarray:
         return _decode_bmp_rle8(data, offset, dib_size, w, h)
     if bpp == 4 and compression == 2:
         return _decode_bmp_rle4(data, offset, dib_size, w, h)
-    if bpp != 24 or compression != 0:
+    if compression != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24-bit, RLE8 and RLE4 palette BMP are "
-            f"supported (got bpp={bpp}, compression={compression})"
+            f"only uncompressed 8/24/32-bit, RLE8 and RLE4 palette BMP "
+            f"are supported (got bpp={bpp}, compression={compression})"
         )
     bottom_up = h > 0
     h = abs(h)
-    row_len = (w * 3 + 3) & ~3
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 14 + 32)[0] or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=14 + dib_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        row_len = (w + 3) & ~3
+        idx = np.empty((h, w), dtype=np.uint8)
+        for row in range(h):
+            start = offset + row * row_len
+            line = np.frombuffer(data, dtype=np.uint8, count=w, offset=start)
+            idx[(h - 1 - row) if bottom_up else row] = line
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    c = bpp // 8
+    row_len = (w * c + 3) & ~3
     arr = np.empty((h, w, 3), dtype=np.uint8)
     for row in range(h):
         start = offset + row * row_len
-        line = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=start)
+        line = np.frombuffer(data, dtype=np.uint8, count=w * c, offset=start)
         dst = (h - 1 - row) if bottom_up else row
-        arr[dst] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        arr[dst] = line.reshape(w, c)[:, 2::-1]  # BGR(A) -> RGB
     return arr
 
 
