@@ -1690,10 +1690,14 @@ def encode_gif(
 
 def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of (H, W, 3) uint8 RGB frames (full logical
-    screen per frame; sub-rectangle frames composite onto the previous
-    frame — disposal method 'do not dispose', the fixture encoder's
-    form). Raises NotImplementedError for transparency-keyed frames,
-    ValueError for truncated/corrupt streams."""
+    screen per frame). Sub-rectangle frames composite onto the
+    previous canvas; GCE transparency (round 11 — formerly an honest
+    raise) keeps the underlying canvas pixel wherever the frame index
+    equals the transparent index; disposal methods 0/1 (leave), 2
+    (restore the frame rectangle to the logical-screen background
+    color) and 3 (restore the pre-frame canvas) drive what the NEXT
+    frame composites onto, per GIF89a. Raises ValueError for
+    truncated/corrupt streams."""
     try:
         return _decode_gif_frames(data)
     except (IndexError, struct.error) as e:
@@ -1715,7 +1719,12 @@ def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
         pos += 3 * n
     frames: list[np.ndarray] = []
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    bg_rgb = (
+        gct[_bg] if gct is not None and _bg < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
     transparent = None
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -1726,8 +1735,10 @@ def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
             pos += 1
             if label == 0xF9 and data[pos] >= 4:
                 gce_packed = data[pos + 1]
-                if gce_packed & 0x01:
-                    transparent = data[pos + 4]
+                disposal = (gce_packed >> 2) & 0x07
+                transparent = (
+                    data[pos + 4] if gce_packed & 0x01 else None
+                )
             while data[pos]:  # skip sub-blocks
                 pos += 1 + data[pos]
             pos += 1
@@ -1754,11 +1765,6 @@ def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        if transparent is not None:
-            raise NotImplementedError(
-                "GIF transparency compositing unsupported — the honest "
-                "boundary (fixture encoder never emits it)"
-            )
         idx = np.array(
             _gif_lzw_decode(min_code, bytes(lzw), fw * fh), dtype=np.int64
         ).reshape(fh, fw)
@@ -1767,11 +1773,27 @@ def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
             de = np.empty_like(idx)
             de[order] = idx
             idx = de
-        canvas = canvas.copy()
-        canvas[top : top + fh, left : left + fw] = pal[
-            np.clip(idx, 0, pal.shape[0] - 1)
-        ]
-        frames.append(canvas)
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        rendered = canvas.copy()
+        region = pal[np.clip(idx, 0, pal.shape[0] - 1)]
+        if transparent is not None:
+            sub = rendered[top : top + fh, left : left + fw]
+            mask = idx != transparent
+            sub[mask] = region[mask]
+            rendered[top : top + fh, left : left + fw] = sub
+        else:
+            rendered[top : top + fh, left : left + fw] = region
+        frames.append(rendered)
+        # the canvas the NEXT frame composites onto, per disposal
+        if disposal == 2:
+            canvas = rendered.copy()
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = prev_canvas
+        else:
+            canvas = rendered
+        transparent = None  # GCE applies to ONE following image
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames

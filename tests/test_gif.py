@@ -116,14 +116,24 @@ def test_gif_phash_identical_on_palette_art():
         assert h_bmp == h_gif
 
 
-def test_gif_transparency_honest_raise():
+def test_gif_transparency_flag_composites_instead_of_raising():
+    # round 11: the former honest raise is now real compositing — a
+    # transparency flag keyed to palette index 0 makes those pixels
+    # show the canvas (black before frame 1), and the GCE applies to
+    # ONE image only (frame 2 decodes opaque)
+    import numpy as np
+
     img = _palette_image(8)
     data = bytearray(codecs.encode_gif([img, img]))
-    # set the transparency flag in the first GCE (pattern: 21 F9 04 ..)
     i = bytes(data).index(bytes([0x21, 0xF9, 4]))
-    data[i + 3] |= 0x01
-    with pytest.raises(NotImplementedError, match="transparency"):
-        codecs.decode_gif_frames(bytes(data))
+    data[i + 3] |= 0x01  # transparent flag; transparent index byte = 0
+    f1, f2 = codecs.decode_gif_frames(bytes(data))
+    pal0 = np.unique(np.concatenate([img.reshape(-1, 3)] * 2), axis=0)[0]
+    mask = (img == pal0).all(axis=2)
+    assert mask.any()
+    assert (f1[mask] == 0).all()          # index-0 cells show canvas
+    assert np.array_equal(f1[~mask], img[~mask])
+    assert np.array_equal(f2, img)        # GCE consumed by frame 1
 
 
 def test_gif_truncation_and_garbage_raise():
@@ -173,3 +183,78 @@ def test_multimodal_gif_dispatch(spark):
     first = codecs.decode_gif(bytes(rows[0]["frame"]))
     assert np.array_equal(first, frames[0])
     del img
+
+
+def test_gif_transparency_and_disposal_hand_authored():
+    """Round 11 (formerly an honest raise): hand-authored GIF89a with
+    a sub-rectangle transparent frame and each disposal method — the
+    compositing rules pinned straight off the spec bytes."""
+    import struct
+
+    import numpy as np
+
+    from hive_population_ml_spark.operators import codecs
+
+    # 4x4 screen, GCT: 0=black 1=red 2=green 3=blue, bg index 3 (blue)
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4, 4)
+    out += bytes([0x80 | 1, 3, 0])  # GCT 4 entries, background idx 3
+    out += pal
+
+    def image(left, top, fw, fh, indices, gce=None):
+        b = bytearray()
+        if gce is not None:
+            b += bytes([0x21, 0xF9, 4, gce[0], 0, 0, gce[1], 0])
+        b += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh)
+        b += bytes([0x00, 2])  # no LCT, min code 2
+        lzw = codecs._gif_lzw_encode(2, list(indices))
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            b += bytes([len(chunk)]) + chunk
+        b += bytes([0])
+        return b
+
+    # frame 1: full screen red, disposal 1 (leave in place)
+    out += image(0, 0, 4, 4, [1] * 16, gce=((1 << 2), 0))
+    # frame 2: 2x2 sub-rect at (1,1): [[green, transparent],
+    # [transparent, blue]] with transparent index 0, disposal 2
+    # (restore bg over the rect afterwards)
+    out += image(1, 1, 2, 2, [2, 0, 0, 3], gce=((2 << 2) | 1, 0))
+    # frame 3: 1x1 at (0,0) green, no GCE
+    out += image(0, 0, 1, 1, [2])
+    out += bytes([0x3B])
+
+    frames = codecs.decode_gif_frames(bytes(out))
+    assert len(frames) == 3
+    red = [255, 0, 0]
+    green = [0, 255, 0]
+    blue = [0, 0, 255]
+    f1, f2, f3 = frames
+    assert (f1 == np.array(red)).all()
+    # frame 2: transparent cells show frame 1's red underneath
+    assert list(f2[1, 1]) == green
+    assert list(f2[1, 2]) == red   # transparent -> canvas red
+    assert list(f2[2, 1]) == red   # transparent -> canvas red
+    assert list(f2[2, 2]) == blue
+    assert list(f2[0, 0]) == red   # outside the sub-rect untouched
+    # frame 3 composites onto the disposal-2 canvas: frame 2's rect
+    # restored to the BACKGROUND color (blue), rest still red
+    assert list(f3[0, 0]) == green  # the new 1x1 frame
+    assert list(f3[1, 1]) == blue and list(f3[2, 2]) == blue
+    assert list(f3[0, 3]) == red
+    # disposal 3 (restore previous) pinned directly: a full red frame
+    # declaring restore-previous leaves the NEXT frame compositing
+    # onto the pre-frame canvas (all black):
+    out2 = bytearray(b"GIF89a")
+    out2 += struct.pack("<HH", 2, 1)
+    out2 += bytes([0x80 | 1, 0, 0]) + pal
+    out2 += image(0, 0, 2, 1, [1, 1], gce=((3 << 2), 0))  # red, disp 3
+    out2 += image(0, 0, 1, 1, [0], gce=((0 << 2) | 1, 0))  # all transp
+    out2 += bytes([0x3B])
+    g1, g2 = codecs.decode_gif_frames(bytes(out2))
+    assert list(g1[0, 0]) == red
+    # frame 1's disposal 3 restored the pre-frame (black) canvas, and
+    # frame 2 is fully transparent -> black shows through
+    assert list(g2[0, 0]) == [0, 0, 0]
+    assert list(g2[0, 1]) == [0, 0, 0]
