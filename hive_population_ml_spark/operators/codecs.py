@@ -1397,13 +1397,15 @@ def decode_png(data: bytes) -> np.ndarray:
     (None/Sub/Up/Average/Paeth), and BOTH interlace modes — Adam7
     passes are defiltered independently (each pass restarts the filter
     chain per the spec) and scattered onto the (y0::dy, x0::dx) grids.
-    16-bit depth, sub-byte palette packing and tRNS transparency raise
+    tRNS transparency (round 11) upgrades the output to RGBA: per-
+    entry alpha for palette images, single-key alpha for gray/RGB.
+    16-bit depth and sub-byte palette packing raise
     NotImplementedError — the honest boundary."""
     import zlib
 
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    pos, ihdr, idat, plte, trns = len(_PNG_SIG), None, [], None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -1416,9 +1418,7 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
-            raise NotImplementedError(
-                "PNG tRNS transparency unsupported — the honest boundary"
-            )
+            trns = payload
         elif tag == b"IEND":
             break
     if ihdr is None or not idat:
@@ -1456,9 +1456,32 @@ def decode_png(data: bytes) -> np.ndarray:
         idx = img.reshape(h, w)
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
-        return plte[idx]
+        rgb = plte[idx]
+        if trns is not None:
+            # tRNS for palette: one alpha byte per leading palette
+            # entry, unlisted entries fully opaque -> RGBA output
+            alpha_tab = np.full(plte.shape[0], 255, dtype=np.uint8)
+            n = min(len(trns), plte.shape[0])
+            alpha_tab[:n] = np.frombuffer(trns[:n], dtype=np.uint8)
+            return np.dstack([rgb, alpha_tab[idx]])
+        return rgb
     if color_type == 0:
-        return np.repeat(img, 3, axis=2)
+        out0 = np.repeat(img, 3, axis=2)
+        if trns is not None and len(trns) >= 2:
+            # tRNS for grayscale: one 16-bit sample; at depth 8 the
+            # low byte is the transparent gray level
+            key = trns[1]
+            alpha = np.where(img[:, :, 0] == key, 0, 255).astype(np.uint8)
+            return np.dstack([out0, alpha])
+        return out0
+    if color_type == 2 and trns is not None and len(trns) >= 6:
+        # tRNS for truecolor: one 16-bit sample per channel; at depth
+        # 8 the low bytes form the single fully-transparent RGB color
+        key = np.array([trns[1], trns[3], trns[5]], dtype=np.uint8)
+        alpha = np.where(
+            (img == key).all(axis=2), 0, 255
+        ).astype(np.uint8)
+        return np.dstack([img, alpha])
     return img
 
 

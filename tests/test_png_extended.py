@@ -24,11 +24,13 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def _png(w, h, color_type, raw, interlace=0, plte=None) -> bytes:
+def _png(w, h, color_type, raw, interlace=0, plte=None, trns=None) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
     out = _SIG + _chunk(b"IHDR", ihdr)
     if plte is not None:
         out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
     out += _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
     return out
 
@@ -135,12 +137,31 @@ def test_palette_errors_and_boundaries():
         codecs.decode_png(blob)
     with pytest.raises(ValueError, match="PLTE"):
         codecs.decode_png(_png(4, 4, 3, _scanlines(bad_idx)))
-    # tRNS stays loud
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
-    blob = (_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"PLTE", plte.tobytes())
-            + _chunk(b"tRNS", b"\x00")
-            + _chunk(b"IDAT", zlib.compress(_scanlines(bad_idx)))
-            + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        codecs.decode_png(blob)
+
+
+def test_trns_palette_alpha():
+    # round 11: tRNS upgrades palette PNG to RGBA — per-entry alpha
+    # bytes for the leading entries, unlisted entries opaque
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2, 1]], dtype=np.uint8)
+    blob = _png(4, 1, 3, _scanlines(idx), plte=plte,
+                trns=bytes([0, 128]))  # entry0 transparent, entry1 128
+    out = codecs.decode_png(blob)
+    assert out.shape == (1, 4, 4)
+    assert list(out[0, 0]) == [255, 0, 0, 0]
+    assert list(out[0, 1]) == [0, 255, 0, 128]
+    assert list(out[0, 2]) == [0, 0, 255, 255]  # unlisted -> opaque
+
+
+def test_trns_gray_and_rgb_color_key():
+    g = np.array([[10, 20, 10, 30]], dtype=np.uint8)
+    blob = _png(4, 1, 0, _scanlines(g), trns=struct.pack(">H", 10))
+    out = codecs.decode_png(blob)
+    assert out.shape == (1, 4, 4)
+    assert list(out[0, :, 3]) == [0, 255, 0, 255]
+    rgb = np.array([[[9, 8, 7], [1, 2, 3], [9, 8, 7]]], dtype=np.uint8)
+    blob = _png(3, 1, 2, _scanlines(rgb.reshape(1, 9)),
+                trns=struct.pack(">HHH", 9, 8, 7))
+    out = codecs.decode_png(blob)
+    assert out.shape == (1, 3, 4)
+    assert list(out[0, :, 3]) == [0, 255, 0]
