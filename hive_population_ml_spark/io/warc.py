@@ -1,0 +1,267 @@
+"""WARC (ISO 28500) ingestion — the CommonCrawl-shaped source path.
+
+A 100 TB text corpus usually ENTERS the pipeline as WARC: gzip members
+(one per record, the CommonCrawl convention — the file is a valid
+multi-member gzip stream AND each record is independently seekable),
+each holding a WARC header block + payload; response records carry a
+full HTTP response whose body is the HTML.
+
+Everything here is stdlib-only and runs inside Arrow ``mapInPandas``
+batches over ``spark.read.format("binaryFile")`` rows — one task per
+WARC file (CommonCrawl shards ~1 GB, the natural split unit; finer
+splitting needs the .warc.gz member index sidecar, the documented
+production lever). No shuffle: ingestion is a pure map from file bytes
+to document rows.
+
+Components:
+  - ``iter_warc_records`` — record-grammar parser (version line,
+    header fields incl. folded continuations, Content-Length-framed
+    payload, CRLF CRLF record separators), transparent multi-member
+    gzip.
+  - ``split_http_response`` — status line / headers / body framing,
+    charset from Content-Type.
+  - ``html_to_text`` — REAL ``html.parser`` extraction (not regex):
+    script/style/noscript dropped, block elements emit newlines,
+    entities resolved by the stdlib parser, whitespace collapsed.
+  - ``encode_warc`` — fixture-grade writer (round-trip tests + the
+    registered query synthesize corpora without external tools).
+  - ``warc_to_documents`` — the Spark plumbing: binaryFile rows ->
+    (url, warc_date, http_status, content_type, text) rows.
+
+Reference parity: the reference reads CSVs of pre-extracted features
+(loader.py); WARC ingestion is the §2.10 training-data extension tier
+(SURVEY.md) generalizing "source formats" to the web-corpus shape.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import zlib
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+_CRLF = b"\r\n"
+
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5",
+    "h6", "tr", "table", "section", "article", "header", "footer",
+    "blockquote", "pre",
+}
+_DROP_TAGS = {"script", "style", "noscript", "template"}
+
+
+def _maybe_decompress(data: bytes) -> bytes:
+    """Transparent multi-member gzip: CommonCrawl .warc.gz files are a
+    concatenation of one gzip member per record; stdlib gzip reads the
+    whole multi-member stream."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    return data
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record. Headers keys are
+    lower-cased; the version line is checked (WARC/0.x-1.x); folded
+    continuation lines (ISO 28500 grammar) are unfolded; payload length
+    comes from Content-Length (mandatory)."""
+    data = _maybe_decompress(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record CRLF runs
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        end = data.find(_CRLF + _CRLF, pos)
+        if end < 0:
+            raise ValueError("WARC header block not terminated")
+        block = data[pos:end].decode("utf-8", "replace")
+        lines = block.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line: {lines[0]!r}")
+        headers: dict[str, str] = {"__version__": lines[0].strip()}
+        last_key = None
+        for line in lines[1:]:
+            if line[:1] in (" ", "\t") and last_key:  # folded continuation
+                headers[last_key] += " " + line.strip()
+                continue
+            if ":" not in line:
+                raise ValueError(f"bad WARC header line: {line!r}")
+            k, v = line.split(":", 1)
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("WARC record missing Content-Length")
+        body_start = end + 4
+        payload = data[body_start : body_start + length]
+        if len(payload) < length:
+            raise ValueError("WARC payload truncated")
+        yield headers, payload
+        pos = body_start + length
+
+
+def split_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """HTTP response payload -> (status_code, headers, body). Handles
+    the identity framing WARC stores (the response bytes as captured;
+    Content-Length of the RECORD already frames them, so the body is
+    simply everything past the header block). gzip/deflate
+    Content-Encoding is decompressed."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("HTTP response header block not terminated")
+    head = payload[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"bad HTTP status line: {lines[0]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    body = payload[sep + 4 :]
+    enc = headers.get("content-encoding", "").lower()
+    if enc == "gzip":
+        body = gzip.decompress(body)
+    elif enc == "deflate":
+        body = zlib.decompress(body, -zlib.MAX_WBITS)
+    return status, headers, body
+
+
+def _charset_of(content_type: str) -> str:
+    for part in content_type.split(";"):
+        part = part.strip()
+        if part.lower().startswith("charset="):
+            return part.split("=", 1)[1].strip("\"' ") or "utf-8"
+    return "utf-8"
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self.chunks.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS and self._drop_depth:
+            self._drop_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self.chunks.append("\n")
+
+    def handle_data(self, data):
+        if not self._drop_depth:
+            self.chunks.append(data)
+
+
+def html_to_text(html: str) -> str:
+    """Visible text via the stdlib HTML parser: script/style dropped,
+    block tags become line breaks, whitespace collapsed per line,
+    blank lines squeezed."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    raw = "".join(p.chunks)
+    lines = [" ".join(ln.split()) for ln in raw.splitlines()]
+    out: list[str] = []
+    for ln in lines:
+        if ln:
+            out.append(ln)
+        elif out and out[-1] != "":
+            out.append("")
+    return "\n".join(out).strip()
+
+
+def encode_warc(
+    records: list[dict],
+    gzip_members: bool = True,
+) -> bytes:
+    """Fixture-grade WARC writer. Each record dict: {type, uri, date,
+    record_id, html (or payload bytes), status, content_type}.
+    ``gzip_members=True`` emits the CommonCrawl one-member-per-record
+    layout."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        if "payload" in r:
+            payload = r["payload"]
+        else:
+            body = r["html"].encode("utf-8")
+            http = (
+                f"HTTP/1.1 {r.get('status', 200)} OK\r\n"
+                f"Content-Type: {r.get('content_type', 'text/html; charset=utf-8')}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("latin-1") + body
+            payload = http
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r.get('type', 'response')}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{r.get('record_id', f'rec-{i}')}>\r\n"
+            f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
+            f"WARC-Target-URI: {r.get('uri', f'http://example.com/{i}')}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("utf-8")
+        rec = head + payload + _CRLF + _CRLF
+        out += gzip.compress(rec) if gzip_members else rec
+    return bytes(out)
+
+
+WARC_DOC_SCHEMA = (
+    "path string, url string, warc_date string, http_status int, "
+    "content_type string, text string, n_bytes int"
+)
+
+
+def warc_to_documents(binary_df, min_text_chars: int = 1):
+    """binaryFile rows (path, content) -> extracted document rows.
+
+    Pure map (mapInPandas, zero shuffle): per WARC file, walk records,
+    keep type=response with an HTML content type and HTTP 200, extract
+    visible text. Non-HTML / non-200 / sub-minimum documents drop —
+    the standard CommonCrawl first pass. At 100 TB this is one task
+    per shard file; everything downstream (dedup, quality, language)
+    reads the resulting documents table."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "path", "url", "warc_date", "http_status",
+                "content_type", "text", "n_bytes",
+            )}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for headers, payload in iter_warc_records(bytes(content)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    try:
+                        status, hh, body = split_http_response(payload)
+                    except ValueError:
+                        continue
+                    ctype = hh.get("content-type", "")
+                    if status != 200 or "html" not in ctype.lower():
+                        continue
+                    text = html_to_text(
+                        body.decode(_charset_of(ctype), "replace")
+                    )
+                    if len(text) < min_text_chars:
+                        continue
+                    rows["path"].append(path)
+                    rows["url"].append(headers.get("warc-target-uri", ""))
+                    rows["warc_date"].append(headers.get("warc-date", ""))
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["text"].append(text)
+                    rows["n_bytes"].append(len(body))
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(run, schema=WARC_DOC_SCHEMA)
