@@ -934,3 +934,50 @@ def s_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_text_chars"),
         F.substring("text", 1, 80).alias("text_head"),
     ).orderBy("doc_id")
+
+
+@register("s_pdf_ingest")  # rows-only: PDF content-stream extraction
+def s_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingestion end-to-end (round 11, io/pdftext.py): documents
+    are wrapped into REAL single-page FlateDecode PDFs in-task
+    (paragraph per sentence-ish chunk, escape-worthy characters
+    included by the corpus itself) and parsed BACK through the
+    extraction path — stream framing, zlib inflate, BT/ET text
+    operators, literal-string escapes, line moves. One row per source
+    document; same zero-shuffle mapInPandas posture as
+    s_warc_ingest (production reads crawl/paper shards via
+    spark.read.format("binaryFile") into the same plumbing)."""
+    import pandas as pd
+
+    from ..io import pdftext as _pdf
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            paths, blobs = [], []
+            for r in pdf.itertuples():
+                words = str(r.text).split()
+                paras = [
+                    " ".join(words[i : i + 12])
+                    for i in range(0, len(words), 12)
+                ] or [""]
+                paths.append(f"synthetic://pdf/{int(r.doc_id)}.pdf")
+                blobs.append(_pdf.encode_pdf(paras[:40]))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    binary = docs.mapInPandas(synth, schema="path string, content binary")
+    out = _pdf.pdf_to_documents(binary)
+    return out.select(
+        F.regexp_extract("path", r"/(\d+)\.pdf$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        "n_streams",
+        "n_text_ops",
+        "skipped_cid",
+        F.length("text").alias("n_text_chars"),
+        F.substring("text", 1, 60).alias("text_head"),
+    ).orderBy("doc_id")
