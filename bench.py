@@ -194,6 +194,13 @@ HEADLINE = [
 # covers the ENTIRE registry, so a new registration cannot silently skip
 # both the bench and the budget pin (VERDICT r6 wrong-#2).
 DECLARED_UNTIMED = {
+    # round-11 ingestion tiers: codec-bound python parsing (stdlib
+    # HTML parser / PDF token scan) over synthetic payloads — the
+    # timing measures single-core codec throughput (measured: WARC
+    # ~4 MB/s-gz/core, PDF ~1 MB/s/core on fixture-shaped payloads),
+    # not a Spark plan; correctness-gated by their own pytest suites
+    "s_warc_ingest": "codec-bound (WARC/HTML extraction; measured throughput note in PERFORMANCE.md)",
+    "s_pdf_ingest": "codec-bound (PDF content-stream extraction)",
     # tiny reference-parity micro-queries: dominated by fixed Spark
     # job-submission overhead at sf0.1, so their timings measure the
     # scheduler, not the operator; correctness-gated every round.
