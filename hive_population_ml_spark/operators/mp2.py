@@ -702,25 +702,46 @@ def encode_mp1(
     return b"".join(frames)
 
 
-def _alloc_plan(table) -> list[int]:
-    """Fixture-grade fixed allocation: a mid-fidelity ladder that fits
-    every supported (table, bitrate >= 160/ch) budget — 15 levels where
-    the row allows nbal 4, 7 (or the row's closest) at nbal 3, 3
-    levels at nbal 2. Returns the ALLOC CODES per subband."""
+def _alloc_cost(levels: int) -> int:
+    """Sample bits per subband per channel per frame (36 samples)."""
+    bits, grouped = _QCLASS[levels]
+    return 12 * bits if grouped else 36 * bits
+
+
+def _alloc_plan(table, sample_bits: int | None = None,
+                n_channels: int = 1) -> list[int]:
+    """Fixture-grade allocation. Without a budget: the mid-fidelity
+    ladder (15 levels at nbal-4 rows, ~7 at nbal-3, 3 at nbal-2).
+    With ``sample_bits`` (the frame's remaining bit budget for sample
+    data): every subband stays active and gets the LARGEST level of
+    its row whose cost fits an equal per-subband share — this is what
+    lets low-bitrate frames (tables C/D at 32-48 kbit/s/ch) encode at
+    all, exercising the grouped 3/5/9-level decode paths end-to-end.
+    Returns the ALLOC CODES per subband."""
     plan = []
+    share = None
+    if sample_bits is not None:
+        share = sample_bits // (len(table) * n_channels)
     for nbal, levels in table:
-        want = 15 if nbal == 4 else (7 if nbal == 3 else 3)
-        idx = None
-        for j, lv in enumerate(levels):
-            if lv == want:
-                idx = j + 1
-                break
-        if idx is None:  # C/D rows have 9 where A/B have 7
+        if share is None:
+            want = 15 if nbal == 4 else (7 if nbal == 3 else 3)
+            idx = None
             for j, lv in enumerate(levels):
-                if lv >= want:
+                if lv == want:
                     idx = j + 1
                     break
-        plan.append(idx)
+            if idx is None:  # C/D rows have 9 where A/B have 7
+                for j, lv in enumerate(levels):
+                    if lv >= want:
+                        idx = j + 1
+                        break
+            plan.append(idx)
+            continue
+        best = 1  # smallest class always present (3 levels, 60 bits)
+        for j, lv in enumerate(levels):
+            if _alloc_cost(lv) <= share:
+                best = j + 1
+        plan.append(best)
     return plan
 
 
@@ -752,7 +773,19 @@ def encode_mp2(
     c_win, _ = _default_windows()
     table = _alloc_table(sample_rate, bitrate_kbps, n_channels)
     sblimit = len(table)
-    plan = _alloc_plan(table)
+    # exact side-info overhead -> sample-bit budget -> widest plan
+    # that fits (low bitrates degrade to the grouped 3/5/9 classes)
+    frame_bits = _frame_bytes(
+        {"bitrate_kbps": bitrate_kbps, "sample_rate": sample_rate,
+         "padding": 0}
+    ) * 8
+    overhead = (
+        32 + (16 if with_crc else 0)
+        + n_channels * sum(nbal for nbal, _ in table)   # allocation
+        + n_channels * 2 * sblimit                      # scfsi
+        + n_channels * 18 * sblimit                     # 3 sf x 6 bits
+    )
+    plan = _alloc_plan(table, frame_bits - overhead, n_channels)
     sr_index = _SRATES.index(sample_rate)
     bitrate_index = _BITRATES.index(bitrate_kbps)
     mode = 3 if n_channels == 1 else 0

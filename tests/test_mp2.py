@@ -140,6 +140,25 @@ def test_roundtrip_stereo_with_crc():
     assert _snr_db(xs[: n - dl], y[dl:n]) > 20.0
 
 
+def test_low_bitrate_tables_cd_roundtrip():
+    # 32-48 kbit/s/ch select tables C/D (8/12 subbands, grouped-heavy
+    # quantizer rows) — the budget-aware fixture plan degrades to the
+    # 3/5/9-level classes so these decode paths run end-to-end
+    t = np.arange(int(32000 * 0.3)) / 32000
+    x = 0.35 * np.sin(2 * np.pi * 700 * t)
+    xi = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)
+    for sr, br in ((32000, 32), (44100, 48)):  # table D, table C
+        blob = mp2.encode_mp2(xi, sr, 1, br)
+        d = mp2.decode_mp2(blob)
+        y = d["samples"][:, 0].astype(np.float64) / 32767
+        dl = 481
+        n = min(len(y), len(x))
+        snr = _snr_db(x[: n - dl], y[dl:n])
+        assert snr > 8.0, (sr, br, snr)  # coarse quantizers, real audio
+        # compression actually reflects the low rate
+        assert len(blob) < 0.15 * 2 * len(xi)
+
+
 def test_crc_catches_corrupted_allocation():
     x = _tone_mix(44100, 0.1)
     xi = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)
