@@ -713,17 +713,15 @@ def _alloc_plan(table, sample_bits: int | None = None,
     """Fixture-grade allocation. Without a budget: the mid-fidelity
     ladder (15 levels at nbal-4 rows, ~7 at nbal-3, 3 at nbal-2).
     With ``sample_bits`` (the frame's remaining bit budget for sample
-    data): every subband stays active and gets the LARGEST level of
-    its row whose cost fits an equal per-subband share — this is what
-    lets low-bitrate frames (tables C/D at 32-48 kbit/s/ch) encode at
-    all, exercising the grouped 3/5/9-level decode paths end-to-end.
-    Returns the ALLOC CODES per subband."""
-    plan = []
-    share = None
-    if sample_bits is not None:
-        share = sample_bits // (len(table) * n_channels)
-    for nbal, levels in table:
-        if share is None:
+    data): every subband starts at its smallest class and classes are
+    GREEDILY waterfilled round-robin while the budget allows — high
+    bitrates climb back to the wide classes, low bitrates (tables C/D
+    at 32-48 kbit/s/ch) stay on the grouped 3/5/9-level classes and
+    exercise those decode paths end-to-end. Returns the ALLOC CODES
+    per subband."""
+    if sample_bits is None:
+        plan = []
+        for nbal, levels in table:
             want = 15 if nbal == 4 else (7 if nbal == 3 else 3)
             idx = None
             for j, lv in enumerate(levels):
@@ -736,12 +734,25 @@ def _alloc_plan(table, sample_bits: int | None = None,
                         idx = j + 1
                         break
             plan.append(idx)
-            continue
-        best = 1  # smallest class always present (3 levels, 60 bits)
-        for j, lv in enumerate(levels):
-            if _alloc_cost(lv) <= share:
-                best = j + 1
-        plan.append(best)
+        return plan
+    costs = [[_alloc_cost(lv) for lv in levels] for _, levels in table]
+    plan = [1] * len(table)
+    remaining = sample_bits - n_channels * sum(c[0] for c in costs)
+    if remaining < 0:
+        raise ValueError(
+            "bit budget below the minimum Layer II allocation"
+        )
+    changed = True
+    while changed:
+        changed = False
+        for s in range(len(table)):
+            j = plan[s]
+            if j < len(costs[s]):
+                delta = n_channels * (costs[s][j] - costs[s][j - 1])
+                if delta <= remaining:
+                    plan[s] = j + 1
+                    remaining -= delta
+                    changed = True
     return plan
 
 
