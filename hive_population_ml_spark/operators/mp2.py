@@ -712,13 +712,15 @@ def _alloc_plan(table, sample_bits: int | None = None,
                 n_channels: int = 1) -> list[int]:
     """Fixture-grade allocation. Without a budget: the mid-fidelity
     ladder (15 levels at nbal-4 rows, ~7 at nbal-3, 3 at nbal-2).
-    With ``sample_bits`` (the frame's remaining bit budget for sample
-    data): every subband starts at its smallest class and classes are
-    GREEDILY waterfilled round-robin while the budget allows — high
-    bitrates climb back to the wide classes, low bitrates (tables C/D
-    at 32-48 kbit/s/ch) stay on the grouped 3/5/9-level classes and
-    exercise those decode paths end-to-end. Returns the ALLOC CODES
-    per subband."""
+    With ``sample_bits`` (the frame's bit budget past the header/CRC/
+    allocation fields): subbands start INACTIVE (alloc 0 — real Layer
+    II frames at low rates leave most subbands silent) and are
+    GREEDILY activated low-to-high then waterfilled round-robin while
+    the budget allows; activating a subband also pays its scfsi +
+    scalefactor side info (2 + 18 bits per channel at scfsi=0). High
+    bitrates climb to the wide classes, low bitrates stay on the
+    grouped 3/5/9-level classes — both decode paths exercised
+    end-to-end. Returns the ALLOC CODES per subband (0 = inactive)."""
     if sample_bits is None:
         plan = []
         for nbal, levels in table:
@@ -736,23 +738,28 @@ def _alloc_plan(table, sample_bits: int | None = None,
             plan.append(idx)
         return plan
     costs = [[_alloc_cost(lv) for lv in levels] for _, levels in table]
-    plan = [1] * len(table)
-    remaining = sample_bits - n_channels * sum(c[0] for c in costs)
-    if remaining < 0:
-        raise ValueError(
-            "bit budget below the minimum Layer II allocation"
-        )
+    plan = [0] * len(table)
+    remaining = sample_bits
+    side = 2 + 18  # scfsi + three 6-bit scalefactors, per channel
     changed = True
     while changed:
         changed = False
         for s in range(len(table)):
             j = plan[s]
-            if j < len(costs[s]):
+            if j == 0:
+                delta = n_channels * (side + costs[s][0])
+            elif j < len(costs[s]):
                 delta = n_channels * (costs[s][j] - costs[s][j - 1])
-                if delta <= remaining:
-                    plan[s] = j + 1
-                    remaining -= delta
-                    changed = True
+            else:
+                continue
+            if delta <= remaining:
+                plan[s] = j + 1
+                remaining -= delta
+                changed = True
+    if not any(plan):
+        raise ValueError(
+            "bit budget below one active Layer II subband"
+        )
     return plan
 
 
@@ -793,9 +800,7 @@ def encode_mp2(
     overhead = (
         32 + (16 if with_crc else 0)
         + n_channels * sum(nbal for nbal, _ in table)   # allocation
-        + n_channels * 2 * sblimit                      # scfsi
-        + n_channels * 18 * sblimit                     # 3 sf x 6 bits
-    )
+    )  # scfsi + scalefactor side info is paid per ACTIVATED subband
     plan = _alloc_plan(table, frame_bits - overhead, n_channels)
     sr_index = _SRATES.index(sample_rate)
     bitrate_index = _BITRATES.index(bitrate_kbps)
@@ -833,12 +838,16 @@ def encode_mp2(
                     (plan[s] >> (nbal - 1 - i)) & 1 for i in range(nbal)
                 )
         for s in range(sblimit):
+            if not plan[s]:
+                continue
             for ch in range(n_channels):
                 bw.write(0, 2)  # scfsi 0
                 protected.extend((0, 0))
         # scalefactors: per part of 12 samples, smallest sf >= max|s|
         sf_idx = np.zeros((sblimit, n_channels, 3), dtype=int)
         for s in range(sblimit):
+            if not plan[s]:
+                continue
             for ch in range(n_channels):
                 for part in range(3):
                     seg = np.abs(sb[part * 12:(part + 1) * 12, s, ch])
@@ -853,6 +862,8 @@ def encode_mp2(
         for gr in range(12):
             part = gr // 4
             for s in range(sblimit):
+                if not plan[s]:
+                    continue
                 levels = table[s][1][plan[s] - 1]
                 bits, grouped = _QCLASS[levels]
                 for ch in range(n_channels):
