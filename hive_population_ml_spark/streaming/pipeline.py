@@ -614,7 +614,11 @@ def cdc_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # a silent timeout here would return the path of a PARTIALLY
+    # compacted log and cdc_stream_state would present partial state
+    # as the final answer — same class as the attribution-replay
+    # defect; fail loudly instead
+    await_or_raise(q, timeout_s)
     return out_path
 
 
@@ -682,15 +686,9 @@ def run_heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_s):
-        # reading the memory sink mid-stream would silently present a
-        # partial summary as the final one (n_seen short, guarantee
-        # void) — fail loudly and stop the leaked query instead
-        q.stop()
-        raise TimeoutError(
-            f"heavy-hitters replay exceeded {timeout_s}s; partial "
-            "summary discarded"
-        )
+    # reading the memory sink mid-stream would silently present a
+    # partial summary as the final one (n_seen short, guarantee void)
+    await_or_raise(q, timeout_s)
     out = spark.table(query_name)
     w = Window.partitionBy("lang")
     return (

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from hive_population_ml_spark.io import Tables
 from hive_population_ml_spark.streaming.pipeline import (
+    await_or_raise,
     coverage_gate,
     run_events_stream,
     streaming_dedup,
@@ -51,7 +52,7 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     # update mode: last emitted row per user is the final state
     got = {
         r["user_id"]: (r["n"], round(r["value_sum"], 6))
@@ -87,7 +88,7 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r["user_id"], r["session_window"]["start"], r["n"], r["v"])
         for r in spark.table("t_sess_win").collect()
@@ -134,7 +135,7 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r["doc_id"], r["n_overlap"], r["contaminated"])
         for r in spark.table("t_decon").collect()
@@ -178,7 +179,7 @@ def test_stream_sample_and_pii_match_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     stream_out = {
         (r["doc_id"], r["m"]) for r in spark.table("t_sample_pii").collect()
     }
@@ -211,7 +212,7 @@ def test_interval_join_stream_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r["user_id"], r["trigger_id"], r["outcome_id"], r["delay_s"])
         for r in spark.table("t_attr_join").collect()
@@ -282,7 +283,7 @@ def test_streaming_dedup_bounded_semantics(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = sorted((r["k"], r["ts"]) for r in spark.table("t_dedup_wm").collect())
     assert got == sorted(
         [
@@ -344,7 +345,7 @@ def test_stream_bloom_decontaminate_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r["doc_id"], r["maybe_contaminated"])
         for r in spark.table("t_bloom_stream").collect()
@@ -390,7 +391,7 @@ def test_foreach_batch_sink_idempotent_replay(spark, sf_dir, tmp_path):
         )
 
     q = start()
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = spark.read.parquet(out_dir)
     n_events = Tables(spark, sf_dir).events.count()
     assert got.count() == n_events
@@ -410,7 +411,7 @@ def test_foreach_batch_sink_idempotent_replay(spark, sf_dir, tmp_path):
 
     # restart from the same checkpoint: no new input -> no new batches
     q2 = start()
-    q2.awaitTermination(120)
+    await_or_raise(q2, 120)
     assert spark.read.parquet(out_dir).count() == n_events
 
 
@@ -476,7 +477,7 @@ def test_stateful_agg_checkpoint_recovery(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     run_stream()
     # new data arrives while the query is DOWN — same window for k1
@@ -537,7 +538,7 @@ def test_interval_join_left_outer_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r["user_id"], r["trigger_id"], r["outcome_id"], r["delay_s"])
         for r in spark.table("t_attr_outer").collect()
@@ -915,3 +916,39 @@ def test_streaming_heavy_hitters_skewed_stream_tight(spark, tmp_path):
     assert hot[0]["est_count"] >= 600 >= hot[0]["lower_bound"]
     fillers_true_max = 4 * 200 / 48 * 3  # generous ceiling
     assert hot[0]["lower_bound"] > fillers_true_max
+
+
+def test_no_bare_bounded_awaits():
+    """Silent-partial-sink ban (VERDICT r11 #1): a bounded
+    ``awaitTermination(t)`` whose False return is ignored can hand a
+    downstream reader a partially-written sink with no error — the
+    class that produced the attribution-replay spark=0 defect and the
+    missed ``cdc_upsert_stream`` site. Every bounded wait in the
+    package, tests and tools must consume the result (the
+    ``await_or_raise`` helper) — unbounded ``awaitTermination()`` is
+    exempt because it blocks until completion and cannot be partial."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    offenders = []
+    for sub in ("hive_population_ml_spark", "tests", "tools"):
+        base = root / sub
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*.py")):
+            for i, line in enumerate(
+                f.read_text(encoding="utf-8").splitlines(), 1
+            ):
+                m = re.search(r"\.awaitTermination\(([^)]*)\)", line)
+                if m is None or m.group(1).strip() == "":
+                    continue
+                # a consumed result (the helper's own body) is the one
+                # legitimate bounded form
+                if re.search(r"if\s+not\s+\w+\.awaitTermination\(", line):
+                    continue
+                offenders.append(f"{f.relative_to(root)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "bare bounded awaitTermination() — route through "
+        "streaming.pipeline.await_or_raise:\n" + "\n".join(offenders)
+    )

@@ -40,6 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
+from hive_population_ml_spark.streaming.pipeline import await_or_raise  # noqa: E402
+
 KEY_SHIFT = 1_000_000_000
 
 
@@ -132,7 +134,7 @@ def probe_session(spark, data_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    await_or_raise(q, 600)
     out = _progress_summary(q)
     out["result_rows"] = spark.table(name).count()
     return out
@@ -184,7 +186,7 @@ def probe_heavy_hitters(spark, docs_dir: str, m: int = 16) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    await_or_raise(q, 600)
     out = _progress_summary(q)
     out["distinct_tokens"] = (
         spark.read.parquet(docs_dir)
@@ -228,7 +230,7 @@ def probe_interval_join(spark, data_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    await_or_raise(q, 600)
     out = _progress_summary(q)
     out["result_rows"] = spark.table(name).count()
     return out
