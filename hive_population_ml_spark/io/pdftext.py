@@ -15,11 +15,21 @@ Executable here:
     and hex ``<...>`` strings,
   - line structure from ``Td``/``TD``/``T*``/``'``/``"`` line moves.
 
+  - composite fonts (Identity-H) WITH an embedded ToUnicode CMap:
+    the CMap stream's bfchar/bfrange sections (ISO 32000 §9.10.3 /
+    Adobe CMap grammar) are parsed and 2-byte CID hex strings decode
+    through the merged per-file map — the dominant real-world case
+    for books/papers PDFs, whose text would otherwise drop wholesale.
+
 DOCUMENTED boundaries (raise or skip, never silently garble):
-  - composite fonts with CMap/Identity-H encodings produce 2-byte
-    codes that are NOT latin text — detected heuristically (hex
-    strings of even length whose high bytes are mostly 0x00-0x1F) and
-    skipped with a flag rather than emitted as mojibake,
+  - CID hex strings whose codes are NOT covered by any ToUnicode CMap
+    in the file (no CMap embedded, or a code falls outside it) are
+    skipped with the ``skipped_cid`` flag rather than emitted as
+    mojibake; when two CMaps in one file disagree on a code, that
+    code is treated as unmapped (per-font resolution needs the object
+    graph walk this bounded extractor deliberately omits). CID
+    literal strings (rare; most writers emit hex) are likewise
+    heuristic-only,
   - LZW/DCT/encrypted streams are skipped (flate-or-plain only),
   - no layout reconstruction: reading order is content-stream order
     (the standard first-pass corpus behavior).
@@ -137,32 +147,142 @@ def _read_literal(data: bytes, start: int) -> tuple[str, int]:
     raise ValueError("unterminated PDF literal string")
 
 
-def _hex_string(tok: bytes) -> tuple[str, bool]:
-    """Hex string -> (text, looks_like_cid). Even-length runs whose
-    high bytes are mostly < 0x20 are 2-byte CID codes (Identity-H) —
-    not latin text; flag instead of emitting mojibake."""
+def _hex_string(tok: bytes) -> tuple[bytes, bool]:
+    """Hex string -> (raw bytes, looks_like_cid). Even-length runs
+    whose high bytes are mostly < 0x20 are 2-byte CID codes
+    (Identity-H) — not latin text; the caller decodes through the
+    file's ToUnicode CMap or flags instead of emitting mojibake."""
     h = re.sub(rb"\s", b"", tok[1:-1])
     if len(h) % 2:
         h += b"0"
     raw = bytes.fromhex(h.decode("ascii"))
-    if len(raw) >= 4 and len(raw) % 2 == 0:
+    is_cid = False
+    if len(raw) == 2:
+        # a single 2-byte code: a leading control byte is never latin
+        # text, so it can only be a CID
+        is_cid = raw[0] < 0x20
+    elif len(raw) >= 4 and len(raw) % 2 == 0:
         highs = raw[0::2]
         if sum(1 for b in highs if b < 0x20) >= max(2, len(highs) - 1):
-            return "", True
-    return raw.decode("latin-1"), False
+            is_cid = True
+    return raw, is_cid
+
+
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BF_SECTION_RE = re.compile(
+    rb"beginbf(char|range)(.*?)endbf\1", re.S
+)
+
+
+def _utf16be(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    return raw.decode("utf-16-be", "replace")
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream -> {source code -> unicode string}.
+
+    Covers the grammar real writers emit (ISO 32000 §9.10.3): bfchar
+    sections (``<src> <dst>`` pairs, dst UTF-16BE, possibly multiple
+    code units for ligatures/combining marks) and bfrange sections in
+    both forms — ``<lo> <hi> <dstStart>`` (incrementing last byte) and
+    ``<lo> <hi> [<d0> <d1> ...]`` (explicit array). Codespace width is
+    implied by the hex token lengths (Identity-H is 2-byte)."""
+    out: dict[int, str] = {}
+    for kind, body in _BF_SECTION_RE.findall(data):
+        if kind == b"char":
+            toks = _HEXSTR_RE.findall(body)
+            for src, dst in zip(toks[0::2], toks[1::2]):
+                code = int(re.sub(rb"\s", b"", src), 16)
+                out[code] = _utf16be(re.sub(rb"\s", b"", dst))
+            continue
+        # bfrange: walk item by item because the dst may be an array
+        pos = 0
+        while True:
+            m_lo = _HEXSTR_RE.search(body, pos)
+            if not m_lo:
+                break
+            m_hi = _HEXSTR_RE.search(body, m_lo.end())
+            if not m_hi:
+                break
+            lo = int(re.sub(rb"\s", b"", m_lo.group(1)), 16)
+            hi = int(re.sub(rb"\s", b"", m_hi.group(1)), 16)
+            nxt = re.match(rb"\s*\[", body[m_hi.end():])
+            if nxt:  # array form: one dst hex per code
+                close = body.find(b"]", m_hi.end())
+                if close < 0:
+                    raise ValueError("unterminated bfrange array")
+                dsts = _HEXSTR_RE.findall(body[m_hi.end():close])
+                for k, d in enumerate(dsts):
+                    if lo + k > hi:
+                        break
+                    out[lo + k] = _utf16be(re.sub(rb"\s", b"", d))
+                pos = close + 1
+                continue
+            m_dst = _HEXSTR_RE.search(body, m_hi.end())
+            if not m_dst:
+                break
+            dsth = re.sub(rb"\s", b"", m_dst.group(1))
+            base_raw = bytes.fromhex(dsth.decode("ascii"))
+            base = int.from_bytes(base_raw, "big")
+            width = len(base_raw)
+            for k in range(hi - lo + 1):
+                out[lo + k] = (
+                    (base + k).to_bytes(width, "big")
+                    .decode("utf-16-be", "replace")
+                )
+            pos = m_dst.end()
+    return out
+
+
+def _collect_cmaps(data: bytes) -> dict[int, str]:
+    """Merge every ToUnicode CMap stream in the file into one code
+    map. Conflicting codes across CMaps are DROPPED (decoding them
+    correctly needs per-font resolution through the object graph) —
+    strings touching them keep the loud ``skipped_cid`` path."""
+    merged: dict[int, str] = {}
+    conflicts: set[int] = set()
+    for _d, content in _iter_streams(data):
+        if b"beginbfchar" not in content and b"beginbfrange" not in content:
+            continue
+        for code, s in parse_tounicode_cmap(content).items():
+            if code in merged and merged[code] != s:
+                conflicts.add(code)
+            else:
+                merged[code] = s
+    for code in conflicts:
+        del merged[code]
+    return merged
 
 
 def extract_pdf_text(data: bytes) -> dict:
     """PDF bytes -> {text, n_streams, n_text_ops, skipped_cid}: every
     BT/ET text-showing operator across all decodable content streams,
-    in stream order, with Td/TD/T*/'/" line structure."""
+    in stream order, with Td/TD/T*/'/" line structure. 2-byte CID hex
+    strings decode through the file's merged ToUnicode CMap(s);
+    ``skipped_cid`` is True only when CID text was seen that NO CMap
+    covers (dropped, never mojibake)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
+    cmap = _collect_cmaps(data)
     lines: list[str] = []
     cur: list[str] = []
     n_streams = 0
     n_ops = 0
     skipped_cid = False
+
+    def decode_hex(raw: bytes, is_cid: bool) -> str | None:
+        """None = undecodable CID (sets the flag at the call site)."""
+        if cmap and len(raw) % 2 == 0 and len(raw) > 0:
+            codes = [
+                int.from_bytes(raw[i : i + 2], "big")
+                for i in range(0, len(raw), 2)
+            ]
+            if all(c in cmap for c in codes):
+                return "".join(cmap[c] for c in codes)
+        if is_cid:
+            return None
+        return raw.decode("latin-1")
 
     def flush():
         if cur:
@@ -188,8 +308,9 @@ def extract_pdf_text(data: bytes) -> dict:
             tok = m.group(0)
             i = m.end()
             if tok[:1] == b"<":
-                s, is_cid = _hex_string(tok)
-                if is_cid:
+                raw, is_cid = _hex_string(tok)
+                s = decode_hex(raw, is_cid)
+                if s is None:
                     skipped_cid = True
                 else:
                     pending.append(s)
@@ -261,6 +382,91 @@ def encode_pdf(paragraphs: list[str]) -> bytes:
     objs.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def encode_pdf_cid(
+    paragraphs: list[str], with_tounicode: bool = True
+) -> bytes:
+    """Fixture-grade composite-font PDF: Type0/Identity-H font whose
+    text is 2-byte CID hex strings, plus (unless ``with_tounicode``
+    is False, the must-skip fixture) a FlateDecode ToUnicode CMap
+    exercising BOTH grammars — a bfrange for A-Z and bfchar entries
+    for every other character. Extracted text must equal the
+    ``encode_pdf`` (simple font) form of the same paragraphs."""
+    text_chars = sorted({c for p in paragraphs for c in p if not ("A" <= c <= "Z")})
+    if len(text_chars) > 0x6000:
+        raise ValueError("fixture encoder supports <= 0x6000 distinct chars")
+    code_of = {c: 0x0300 + i for i, c in enumerate(text_chars)}
+    code_of.update({chr(o): o for o in range(0x41, 0x5B)})  # A-Z bfrange
+
+    body_ops = ["BT", "/F1 11 Tf", "72 720 Td"]
+    for k, p in enumerate(paragraphs):
+        if k:
+            body_ops.append("0 -14 Td")
+        hexs = "".join(f"{code_of[c]:04X}" for c in p)
+        body_ops.append(f"<{hexs}> Tj")
+    body_ops.append("ET")
+    content = zlib.compress("\n".join(body_ops).encode("latin-1"))
+
+    bfchars = "\n".join(
+        f"<{code_of[c]:04X}> <{c.encode('utf-16-be').hex().upper()}>"
+        for c in text_chars
+    )
+    cmap_src = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "1 beginbfrange\n<0041> <005A> <0041>\nendbfrange\n"
+        + (f"{len(text_chars)} beginbfchar\n{bfchars}\nendbfchar\n"
+           if text_chars else "")
+        + "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend"
+    )
+    cmap = zlib.compress(cmap_src.encode("latin-1"))
+
+    objs = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    objs.append(
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R]"
+        + (b" /ToUnicode 7 0 R" if with_tounicode else b"")
+        + b" >>"
+    )
+    objs.append(font)
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture-CID "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>"
+    )
+    if with_tounicode:
+        objs.append(
+            b"<< /Length " + str(len(cmap)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + cmap + b"\nendstream"
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, o in enumerate(objs, start=1):

@@ -8,10 +8,12 @@ full HTTP response whose body is the HTML.
 
 Everything here is stdlib-only and runs inside Arrow ``mapInPandas``
 batches over ``spark.read.format("binaryFile")`` rows — one task per
-WARC file (CommonCrawl shards ~1 GB, the natural split unit; finer
-splitting needs the .warc.gz member index sidecar, the documented
-production lever). No shuffle: ingestion is a pure map from file bytes
-to document rows.
+WARC file (CommonCrawl shards ~1 GB, the natural split unit). For
+finer-than-file splits, ``build_member_index`` emits the (offset,
+length) sidecar of independently decodable gzip members and
+``warc_to_documents_indexed`` turns index rows into ranged reads —
+many tasks per shard. No shuffle either way: ingestion is a pure map
+from bytes to document rows.
 
 Components:
   - ``iter_warc_records`` — record-grammar parser (version line,
@@ -64,7 +66,11 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     """Yield (headers, payload) per WARC record. Headers keys are
     lower-cased; the version line is checked (WARC/0.x-1.x); folded
     continuation lines (ISO 28500 grammar) are unfolded; payload length
-    comes from Content-Length (mandatory)."""
+    comes from Content-Length (mandatory). Repeated header fields
+    (legal per ISO 28500, e.g. multiple WARC-Concurrent-To) collapse
+    LAST-WINS — fine for the fields read here (content-length,
+    warc-type, warc-target-uri are single-valued); a consumer of
+    multi-valued fields must split records upstream."""
     data = _maybe_decompress(data)
     pos = 0
     n = len(data)
@@ -104,12 +110,38 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 chunked transfer decoding: hex size line (extensions
+    after ';' ignored), chunk bytes, CRLF, until the 0-size chunk;
+    trailer fields ignored. Truncation is loud — a silent partial body
+    would flow into text extraction as a truncated document."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body missing a chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"bad chunk-size line: {size_tok!r}")
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) ignored
+        if pos + size > len(body):
+            raise ValueError("chunked body truncated mid-chunk")
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data + its trailing CRLF
+
+
 def split_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     """HTTP response payload -> (status_code, headers, body). Handles
     the identity framing WARC stores (the response bytes as captured;
     Content-Length of the RECORD already frames them, so the body is
-    simply everything past the header block). gzip/deflate
-    Content-Encoding is decompressed."""
+    simply everything past the header block). Chunked Transfer-Encoding
+    (the outer layer — real CommonCrawl captures carry it) is decoded
+    first, then gzip/deflate Content-Encoding is decompressed."""
     sep = payload.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("HTTP response header block not terminated")
@@ -125,6 +157,8 @@ def split_http_response(payload: bytes) -> tuple[int, dict, bytes]:
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
     body = payload[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower()
     if enc == "gzip":
         body = gzip.decompress(body)
@@ -221,47 +255,109 @@ WARC_DOC_SCHEMA = (
     "content_type string, text string, n_bytes int"
 )
 
+_DOC_COLS = (
+    "path", "url", "warc_date", "http_status", "content_type", "text",
+    "n_bytes",
+)
+
+
+def _extract_into(rows: dict, path: str, content: bytes,
+                  min_text_chars: int) -> None:
+    """Walk one WARC blob's records into the shared column buffers:
+    keep type=response with an HTML content type and HTTP 200, extract
+    visible text, drop the rest (the standard CommonCrawl first pass)."""
+    for headers, payload in iter_warc_records(content):
+        if headers.get("warc-type") != "response":
+            continue
+        try:
+            status, hh, body = split_http_response(payload)
+        except ValueError:
+            continue
+        ctype = hh.get("content-type", "")
+        if status != 200 or "html" not in ctype.lower():
+            continue
+        text = html_to_text(body.decode(_charset_of(ctype), "replace"))
+        if len(text) < min_text_chars:
+            continue
+        rows["path"].append(path)
+        rows["url"].append(headers.get("warc-target-uri", ""))
+        rows["warc_date"].append(headers.get("warc-date", ""))
+        rows["http_status"].append(status)
+        rows["content_type"].append(ctype)
+        rows["text"].append(text)
+        rows["n_bytes"].append(len(body))
+
 
 def warc_to_documents(binary_df, min_text_chars: int = 1):
     """binaryFile rows (path, content) -> extracted document rows.
 
-    Pure map (mapInPandas, zero shuffle): per WARC file, walk records,
-    keep type=response with an HTML content type and HTTP 200, extract
-    visible text. Non-HTML / non-200 / sub-minimum documents drop —
-    the standard CommonCrawl first pass. At 100 TB this is one task
-    per shard file; everything downstream (dedup, quality, language)
-    reads the resulting documents table."""
+    Pure map (mapInPandas, zero shuffle). At 100 TB this is one task
+    per shard file; for finer-than-file parallelism use
+    ``build_member_index`` + ``warc_to_documents_indexed``. Everything
+    downstream (dedup, quality, language) reads the resulting
+    documents table."""
     import pandas as pd
 
     def run(batches):
         for pdf in batches:
-            rows = {k: [] for k in (
-                "path", "url", "warc_date", "http_status",
-                "content_type", "text", "n_bytes",
-            )}
+            rows = {k: [] for k in _DOC_COLS}
             for path, content in zip(pdf["path"], pdf["content"]):
-                for headers, payload in iter_warc_records(bytes(content)):
-                    if headers.get("warc-type") != "response":
-                        continue
-                    try:
-                        status, hh, body = split_http_response(payload)
-                    except ValueError:
-                        continue
-                    ctype = hh.get("content-type", "")
-                    if status != 200 or "html" not in ctype.lower():
-                        continue
-                    text = html_to_text(
-                        body.decode(_charset_of(ctype), "replace")
-                    )
-                    if len(text) < min_text_chars:
-                        continue
-                    rows["path"].append(path)
-                    rows["url"].append(headers.get("warc-target-uri", ""))
-                    rows["warc_date"].append(headers.get("warc-date", ""))
-                    rows["http_status"].append(status)
-                    rows["content_type"].append(ctype)
-                    rows["text"].append(text)
-                    rows["n_bytes"].append(len(body))
+                _extract_into(rows, path, bytes(content), min_text_chars)
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(run, schema=WARC_DOC_SCHEMA)
+
+
+def build_member_index(data: bytes, chunk: int = 1 << 20) -> list[dict]:
+    """(offset, length) of every gzip member in a multi-member .warc.gz
+    — the sidecar that lets ONE ~1 GB CommonCrawl shard split into many
+    tasks (CommonCrawl publishes the same thing as cdx index offsets).
+    Built once at ingest time by streaming each member through a raw
+    inflater in bounded chunks (O(file) total, O(chunk) memory)."""
+    if data[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip stream")
+    out: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        fed = pos
+        while not d.eof:
+            if fed >= n:
+                raise ValueError("truncated gzip member at end of file")
+            d.decompress(data[fed : fed + chunk])
+            fed = min(fed + chunk, n)
+        end = fed - len(d.unused_data)
+        out.append({"offset": pos, "length": end - pos})
+        pos = end
+    return out
+
+
+def warc_to_documents_indexed(index_df, n_tasks: int | None = None,
+                              min_text_chars: int = 1):
+    """Member-index read path: rows of (path, offset, length) — each an
+    independently decodable gzip member range from
+    ``build_member_index`` — become ranged reads, so one shard fans
+    out to many tasks instead of binaryFile's one-task-per-file.
+
+    Still a pure map (mapInPandas, zero shuffle); the repartition of
+    the tiny index table is the only exchange and it carries index
+    rows, not payload bytes. The ranged read here is a local
+    seek+read; on an object store it is the same byte-range GET."""
+    import pandas as pd
+
+    if n_tasks:
+        index_df = index_df.repartition(n_tasks)
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in _DOC_COLS}
+            for path, off, length in zip(
+                pdf["path"], pdf["offset"], pdf["length"]
+            ):
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    blob = fh.read(int(length))
+                _extract_into(rows, path, blob, min_text_chars)
+            yield pd.DataFrame(rows)
+
+    return index_df.mapInPandas(run, schema=WARC_DOC_SCHEMA)

@@ -827,6 +827,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     for k in range(n_entries):
         tag, vals = read_entry(ifd_off + 2 + 12 * k)
         tags[tag] = vals
+    (next_ifd,) = struct.unpack_from(bo + "I", data, ifd_off + 2 + 12 * n_entries)
+    if next_ifd:
+        raise NotImplementedError(
+            "multi-page TIFF (nonzero next-IFD pointer) unsupported — "
+            "decoding page 1 silently would drop the rest"
+        )
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
     if not w or not h:
@@ -1091,6 +1097,10 @@ def _decode_bmp_rle8(
             x += data[pos]
             y += data[pos + 1]
             pos += 2
+            if x > w or y > h:
+                raise ValueError(
+                    f"RLE8 delta escape out of bounds ({x},{y})"
+                )
         else:  # absolute run of b1 indices, word-aligned
             if pos + b1 > len(data):
                 raise ValueError("RLE8 absolute run truncated")
@@ -1139,6 +1149,10 @@ def _decode_bmp_rle4(
             x += data[pos]
             y += data[pos + 1]
             pos += 2
+            if x > w or y > h:
+                raise ValueError(
+                    f"RLE4 delta escape out of bounds ({x},{y})"
+                )
         else:  # absolute run of b1 pixels, 2 per byte, word-aligned
             nbytes = (b1 + 1) // 2
             if pos + nbytes > len(data):

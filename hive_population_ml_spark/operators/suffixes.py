@@ -391,6 +391,7 @@ def longest_repeated_span(
     id_col: str,
     text_col: str,
     top_k: int = 10,
+    max_corpus_chars: int | None = 500_000_000,
 ) -> DataFrame:
     """The longest substrings repeated ANYWHERE in the corpus — the
     query shape that genuinely needs suffix order (a fixed-L group-by
@@ -405,7 +406,30 @@ def longest_repeated_span(
     last round with any rank collision at prefix P proves every LCP
     < 2P, so extracting 2P chars per side suffices). Per-document
     sentinels mean no repeat crosses a document. Returns the top_k
-    (span, length, doc_a, doc_b) by length."""
+    (span, length, doc_a, doc_b) by length.
+
+    GUARD: the char table is one row per corpus character times
+    O(log L) doubling rounds — pointing this exactness backstop at a
+    raw 100 TB corpus (10^14 rows/round) is never what a caller
+    wants. ``max_corpus_chars`` (default 500M — ~8 GB/round of
+    constant-width rank pairs, executor-sized at 32-way local
+    parallelism and proportionally fine on a real cluster) is checked
+    with one cheap aggregate; above it the call fails loudly with the
+    dispatch rule (run the hash-based span miner first, shard or
+    sample the corpus, or opt in with ``max_corpus_chars=None``)."""
+    if max_corpus_chars is not None:
+        total = docs.agg(
+            F.sum(F.length(F.col(text_col))).alias("n")
+        ).collect()[0]["n"] or 0
+        if total > max_corpus_chars:
+            raise ValueError(
+                f"corpus has {total:,} chars > max_corpus_chars="
+                f"{max_corpus_chars:,}; longest_repeated_span is the "
+                "EXACT backstop (one char-table row per corpus byte "
+                "per doubling round) — run the hash-based dup-span "
+                "miner (operators/textops.py) first, shard or sample "
+                "the corpus, or pass max_corpus_chars=None to opt in"
+            )
     chars = corpus_char_table(docs, id_col, text_col)
     ranks, prefix = suffix_ranks(chars)
     pos_rank = chars.join(ranks, "pos").filter(F.col("code") >= 0)

@@ -943,9 +943,13 @@ def s_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (paragraph per sentence-ish chunk, escape-worthy characters
     included by the corpus itself) and parsed BACK through the
     extraction path — stream framing, zlib inflate, BT/ET text
-    operators, literal-string escapes, line moves. One row per source
-    document; same zero-shuffle mapInPandas posture as
-    s_warc_ingest (production reads crawl/paper shards via
+    operators, literal-string escapes, line moves. Every 5th document
+    is instead written as a composite-font (Type0/Identity-H) PDF with
+    an embedded ToUnicode CMap — the books/papers-corpus shape — whose
+    2-byte CID hex strings must decode to the SAME text as the
+    simple-font form (round 12, VERDICT r11 #6). One row per source
+    document; same zero-shuffle mapInPandas posture as s_warc_ingest
+    (production reads crawl/paper shards via
     spark.read.format("binaryFile") into the same plumbing)."""
     import pandas as pd
 
@@ -966,7 +970,12 @@ def s_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(0, len(words), 12)
                 ] or [""]
                 paths.append(f"synthetic://pdf/{int(r.doc_id)}.pdf")
-                blobs.append(_pdf.encode_pdf(paras[:40]))
+                enc = (
+                    _pdf.encode_pdf_cid
+                    if int(r.doc_id) % 5 == 0
+                    else _pdf.encode_pdf
+                )
+                blobs.append(enc(paras[:40]))
             yield pd.DataFrame({"path": paths, "content": blobs})
 
     binary = docs.mapInPandas(synth, schema="path string, content binary")

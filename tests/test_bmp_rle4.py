@@ -76,3 +76,12 @@ def test_rle4_truncation_tolerant_or_raises():
     data = codecs.encode_bmp_rle4(img)
     out = codecs.decode_bmp(data[: len(data) - 6])  # stops at buffer end
     assert out.shape == (8, 8, 3)
+
+
+def test_rle4_delta_out_of_bounds_raises():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(codecs.encode_bmp_rle4(img))
+    (offset,) = struct.unpack_from("<I", data, 10)
+    bad = bytes(data[:offset]) + b"\x00\x02\x20\x20" + bytes(data[offset:])
+    with pytest.raises(ValueError, match="out of bounds"):
+        codecs.decode_bmp(bad)

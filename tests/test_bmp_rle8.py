@@ -79,3 +79,16 @@ def test_rle8_truncation_raises():
     short = data[: len(data) - 6]
     out = codecs.decode_bmp(short)  # tolerant: stops at buffer end
     assert out.shape == (8, 8, 3)
+
+
+def test_rle8_delta_out_of_bounds_raises():
+    """A delta escape (00 02 dx dy) that pushes the cursor past the
+    image bounds is corrupt input: loud ValueError, never a silently
+    partial zero-filled frame."""
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(codecs.encode_bmp_rle8(img))
+    (offset,) = struct.unpack_from("<I", data, 10)
+    # splice a delta escape jumping far past the 4x4 bounds
+    bad = bytes(data[:offset]) + b"\x00\x02\x20\x20" + bytes(data[offset:])
+    with pytest.raises(ValueError, match="out of bounds"):
+        codecs.decode_bmp(bad)

@@ -297,3 +297,26 @@ def test_min_len_validation(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
         suffixes.duplicated_spans(docs, "doc_id", "text", min_len=1)
+
+
+def test_longest_repeated_span_corpus_guard(spark):
+    """The exactness backstop refuses an oversized corpus loudly and
+    names the dispatch rule; the explicit opt-out still runs."""
+    import pytest
+
+    from hive_population_ml_spark.operators.suffixes import (
+        longest_repeated_span,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcabc repeat abcabc"), (2, "zz abcabc zz")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_corpus_chars"):
+        longest_repeated_span(
+            docs, "doc_id", "text", max_corpus_chars=10
+        ).collect()
+    rows = longest_repeated_span(
+        docs, "doc_id", "text", top_k=1, max_corpus_chars=None
+    ).collect()
+    assert rows and rows[0]["length"] >= 6

@@ -206,3 +206,22 @@ def test_tiff_honest_boundaries():
         codecs.decode_tiff(bytes(blob))
     with pytest.raises(ValueError, match="TIFF"):
         codecs.decode_tiff(b"XX\x00\x00")
+
+
+def test_multipage_tiff_raises_loudly():
+    """A nonzero next-IFD pointer (multi-page TIFF from a foreign
+    encoder) must raise, not silently decode page 1 only."""
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    data = bytearray(codecs.encode_tiff(img))
+    # the fixture encoder writes a single IFD; find its next-IFD slot
+    # (II little-endian: u16 entry count at ifd_off, pointer after the
+    # 12-byte entries) and point it somewhere nonzero
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    slot = ifd_off + 2 + 12 * n_entries
+    struct.pack_into("<I", data, slot, 8)
+    with pytest.raises(NotImplementedError, match="multi-page"):
+        codecs.decode_tiff(bytes(data))
+    # zero pointer (the normal single-page case) still decodes
+    struct.pack_into("<I", data, slot, 0)
+    assert codecs.decode_tiff(bytes(data)).shape == (4, 4, 3)

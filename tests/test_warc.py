@@ -128,3 +128,88 @@ def test_registered_query_e2e(spark, sf_dir):
         assert "leak" not in r["text_head"] and "color:red" not in \
             r["text_head"]
         assert r["n_text_chars"] > 0
+
+
+def test_chunked_transfer_encoding():
+    """RFC 9112 chunked framing: Transfer-Encoding is the OUTER layer
+    (dechunk first, then Content-Encoding); chunk extensions and
+    trailers are ignored; truncation is loud."""
+    body = b"hello world, chunked transfer, " * 8
+
+    def chunkify(raw, sizes):
+        out = bytearray()
+        pos = 0
+        for s in sizes:
+            part = raw[pos : pos + s]
+            pos += s
+            if not part:
+                break
+            out += f"{len(part):x}".encode() + b";ext=v\r\n" + part + b"\r\n"
+        out += b"0\r\nX-Trailer: t\r\n\r\n"
+        return bytes(out)
+
+    gz = gzip.compress(body)
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n"
+        b"\r\n" + chunkify(gz, [5, 7, len(gz)])
+    )
+    status, hh, out = warc.split_http_response(http)
+    assert status == 200 and out == body
+    # plain chunked (no content-encoding)
+    http2 = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + chunkify(body, [3, 11, len(body)])
+    )
+    assert warc.split_http_response(http2)[2] == body
+    # size line claims more bytes than remain -> loud
+    bad = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"a\r\nxyz"
+    )
+    with pytest.raises(ValueError, match="chunk"):
+        warc.split_http_response(bad)
+
+
+def test_member_index_and_indexed_read(spark, tmp_path):
+    """The .warc.gz member-index sidecar path: offsets/lengths tile the
+    file exactly, each member range decodes independently, and the
+    indexed Spark reader splits ONE shard into MANY tasks with output
+    identical to the whole-file binaryFile path."""
+    recs = [
+        {"uri": f"http://m/{i}", "html": f"<p>member {i} body text</p>"}
+        for i in range(12)
+    ]
+    blob = warc.encode_warc(recs)  # 12 one-record gzip members
+    f = tmp_path / "big.warc.gz"
+    f.write_bytes(blob)
+    idx = warc.build_member_index(blob)
+    assert len(idx) == 12
+    assert idx[0]["offset"] == 0
+    assert sum(e["length"] for e in idx) == len(blob)
+    for e in idx[:3]:
+        sl = blob[e["offset"] : e["offset"] + e["length"]]
+        assert len(list(warc.iter_warc_records(sl))) == 1
+    with pytest.raises(ValueError, match="gzip"):
+        warc.build_member_index(b"not a gzip stream")
+    with pytest.raises(ValueError, match="truncated"):
+        warc.build_member_index(blob[:-8])
+
+    full = warc.warc_to_documents(
+        spark.read.format("binaryFile").load(str(f))
+    ).collect()
+    idx_df = spark.createDataFrame(
+        [(str(f), e["offset"], e["length"]) for e in idx],
+        "path string, offset long, length long",
+    )
+    out = warc.warc_to_documents_indexed(idx_df, n_tasks=4)
+    assert out.rdd.getNumPartitions() == 4  # >1 task per shard
+    rows = out.collect()
+    assert sorted(r["url"] for r in rows) == sorted(
+        r["url"] for r in full
+    )
+    assert sorted(r["text"] for r in rows) == sorted(
+        r["text"] for r in full
+    )
