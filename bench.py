@@ -201,6 +201,7 @@ DECLARED_UNTIMED = {
     # not a Spark plan; correctness-gated by their own pytest suites
     "s_warc_ingest": "codec-bound (WARC/HTML extraction; measured throughput note in PERFORMANCE.md)",
     "s_pdf_ingest": "codec-bound (PDF content-stream extraction)",
+    "s_wiki_ingest": "codec-bound (bz2 + wikitext extraction; throughput note in PERFORMANCE.md)",
     # tiny reference-parity micro-queries: dominated by fixed Spark
     # job-submission overhead at sf0.1, so their timings measure the
     # scheduler, not the operator; correctness-gated every round.

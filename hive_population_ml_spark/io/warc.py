@@ -221,7 +221,9 @@ def encode_warc(
     gzip_members: bool = True,
 ) -> bytes:
     """Fixture-grade WARC writer. Each record dict: {type, uri, date,
-    record_id, html (or payload bytes), status, content_type}.
+    record_id, html (or payload bytes), status, content_type,
+    chunked}. ``chunked=True`` frames the HTTP body with chunked
+    Transfer-Encoding (as real captures often are).
     ``gzip_members=True`` emits the CommonCrawl one-member-per-record
     layout."""
     out = bytearray()
@@ -230,10 +232,20 @@ def encode_warc(
             payload = r["payload"]
         else:
             body = r["html"].encode("utf-8")
+            if r.get("chunked"):
+                framing = "Transfer-Encoding: chunked\r\n"
+                chunks = bytearray()
+                for j in range(0, len(body), 37):  # odd size: multi-chunk
+                    part = body[j : j + 37]
+                    chunks += f"{len(part):x}\r\n".encode() + part + _CRLF
+                chunks += b"0\r\n\r\n"
+                body = bytes(chunks)
+            else:
+                framing = f"Content-Length: {len(body)}\r\n"
             http = (
                 f"HTTP/1.1 {r.get('status', 200)} OK\r\n"
                 f"Content-Type: {r.get('content_type', 'text/html; charset=utf-8')}\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n"
+                + framing + "\r\n"
             ).encode("latin-1") + body
             payload = http
         head = (

@@ -908,6 +908,9 @@ def s_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "uri": f"http://corpus.example/{int(r.doc_id)}",
                         "record_id": f"doc-{int(r.doc_id)}",
+                        # every 7th capture uses chunked framing (round
+                        # 12): extraction output must be identical
+                        "chunked": int(r.doc_id) % 7 == 0,
                         "html": (
                             "<html><head><title>t</title>"
                             "<style>b{color:red}</style></head>"
@@ -989,4 +992,70 @@ def s_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skipped_cid",
         F.length("text").alias("n_text_chars"),
         F.substring("text", 1, 60).alias("text_head"),
+    ).orderBy("doc_id")
+
+
+@register("s_wiki_ingest")  # rows-only: wikitext extraction, not SQL
+def s_wiki_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia multistream ingestion end-to-end (round 12,
+    io/wikidump.py): documents are wrapped into REAL
+    pages-articles-multistream.xml.bz2 layouts in-task (MediaWiki XML,
+    one bz2 stream per few pages, wikitext chrome — infobox template,
+    heading, wiki links, a ref, a table — around the corpus text) and
+    parsed BACK through the ingestion path: bz2 stream walk, page
+    grammar, bounded wikitext cleaner. Interleaved redirect and
+    Talk-namespace pages must drop. One row per article; zero-shuffle
+    mapInPandas both directions (production reads the dump via
+    binaryFile or the published multistream index into the same
+    plumbing — see wiki_to_documents_indexed)."""
+    import pandas as pd
+
+    from ..io import wikidump as _wd
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text", "lang").filter(
+        F.col("doc_id") < 180
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            paths, blobs = [], []
+            for bucket, grp in pdf.groupby(pdf["doc_id"] // 30):
+                pages = []
+                for r in grp.itertuples():
+                    did = int(r.doc_id)
+                    pages.append({
+                        "title": f"Doc {did}",
+                        "page_id": did,
+                        "wikitext": (
+                            f"{{{{Infobox corpus|lang={r.lang}|id={did}}}}}\n"
+                            f"== Doc {did} ==\n"
+                            f"'''Lead''' sentence with a [[wiki link|link]].\n"
+                            f"{r.text}<ref>corpus</ref>\n"
+                            "{| class=\"wikitable\"\n| a || b\n|}\n"
+                        ),
+                    })
+                    # chrome pages that must be filtered out
+                    pages.append({
+                        "title": f"Redirect {did}", "page_id": did + 100000,
+                        "redirect": True,
+                        "wikitext": f"#REDIRECT [[Doc {did}]]",
+                    })
+                    pages.append({
+                        "title": f"Talk:Doc {did}", "page_id": did + 200000,
+                        "ns": 1, "wikitext": "chatter",
+                    })
+                blob, _index = _wd.encode_wikidump(pages, pages_per_stream=4)
+                paths.append(f"synthetic://wiki/{int(bucket)}.xml.bz2")
+                blobs.append(blob)
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    binary = docs.mapInPandas(synth, schema="path string, content binary")
+    out = _wd.wiki_to_documents(binary)
+    return out.select(
+        F.col("page_id").alias("doc_id"),
+        "title",
+        "n_wikitext_chars",
+        "n_text_chars",
+        F.substring("text", 1, 80).alias("text_head"),
     ).orderBy("doc_id")

@@ -236,6 +236,46 @@ def probe_interval_join(spark, data_dir: str) -> dict:
     return out
 
 
+def probe_interval_join_outer(spark, data_dir: str) -> dict:
+    """Left-outer variant (VERDICT r11 #7): the state-RELEASE path.
+    Outer rows can only emit NULL-padded once the outcome watermark
+    passes trigger_ts + horizon, so unmatched triggers are HELD in the
+    state store until expiry — the row/byte numbers here measure that
+    hold, and ``null_rows`` counts the watermark-released emissions.
+    The claim: state stays linear in keys (same bound as inner), and
+    the release path adds no super-linear latency."""
+    from hive_population_ml_spark.streaming.pipeline import interval_join
+
+    clicks = _stream_events(spark, data_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream_events(spark, data_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    name = "probe_ij_outer"
+    q = (
+        interval_join(
+            clicks,
+            purchases,
+            key="user_id",
+            horizon="30 minutes",
+            watermark="2 days",
+            join_type="left_outer",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 600)
+    out = _progress_summary(q)
+    res = spark.table(name)
+    out["result_rows"] = res.count()
+    out["null_rows"] = res.filter(F.col("outcome_id").isNull()).count()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,100")
@@ -243,7 +283,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--scenarios",
-        default="sessions,cdc,heavy_hitters,interval_join",
+        default="sessions,cdc,heavy_hitters,interval_join,interval_join_outer",
         help="comma list of scenarios to run",
     )
     args = ap.parse_args()
@@ -254,7 +294,8 @@ def main() -> None:
 
     spark = get_spark(app_name="streaming-state-probe")
     results: dict = {s: {} for s in
-                     ("sessions", "cdc", "heavy_hitters", "interval_join")
+                     ("sessions", "cdc", "heavy_hitters", "interval_join",
+                      "interval_join_outer")
                      if s in scen_on}
     for mult in mults:
         ev = build_events_dir(spark, args.sf_dir, mult, args.files)
@@ -269,6 +310,10 @@ def main() -> None:
                 results["heavy_hitters"][mult] = probe_heavy_hitters(spark, dc)
             if "interval_join" in scen_on:
                 results["interval_join"][mult] = probe_interval_join(spark, ev)
+            if "interval_join_outer" in scen_on:
+                results["interval_join_outer"][mult] = (
+                    probe_interval_join_outer(spark, ev)
+                )
         finally:
             shutil.rmtree(ev, ignore_errors=True)
             if dc:
