@@ -1059,3 +1059,60 @@ def s_wiki_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_text_chars",
         F.substring("text", 1, 80).alias("text_head"),
     ).orderBy("doc_id")
+
+
+@register("s_wds_ingest")  # rows-only: tar-shard round trip, not SQL
+def s_wds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingestion end-to-end (round 12,
+    io/webdataset.py): documents are packed into REAL WebDataset tar
+    shards — one sample per doc with ``txt`` (the text), ``json``
+    (lang/source metadata) and ``cls`` (a label byte) members, 25
+    samples per shard — then parsed BACK through the ingestion path:
+    tar member walk, first-dot key/field split, consecutive-key sample
+    grouping. One row per sample; the json field is decoded with
+    from_json and must round-trip the metadata exactly (pinned in
+    tests/test_webdataset.py). Scale shape: the write side is one
+    skew-free shuffle on count-based shard ids + in-task tar build;
+    the read side is a zero-shuffle map (production reads shard files
+    via spark.read.format("binaryFile") into the same plumbing)."""
+    from ..io import webdataset as _wds
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "text", "lang", "source"
+    ).filter(F.col("doc_id") < 200)
+
+    shards = _wds.pack_samples_to_shards(
+        docs.select(
+            F.format_string("%06d", F.col("doc_id")).alias("key"),
+            "doc_id",
+            F.col("text").alias("txt"),
+            F.to_json(F.struct("lang", "source")).alias("json"),
+            (F.col("doc_id") % 5).cast("string").alias("cls"),
+        ),
+        key_col="key",
+        fields={"txt": "txt", "json": "json", "cls": "cls"},
+        samples_per_shard=25,
+        order_col="doc_id",
+    )
+    binary = shards.select(
+        F.format_string("synthetic://wds/shard-%06d.tar", "shard_id")
+        .alias("path"),
+        "content",
+    )
+    samples = _wds.tar_shards_to_samples(binary)
+    meta = F.from_json(
+        F.col("fields").getItem("json").cast("string"),
+        "lang string, source string",
+    )
+    return samples.select(
+        F.col("key"),
+        "n_fields",
+        "n_bytes",
+        F.length(F.col("fields").getItem("txt").cast("string")).alias(
+            "n_text_chars"
+        ),
+        meta.getField("lang").alias("lang"),
+        meta.getField("source").alias("source"),
+        F.col("fields").getItem("cls").cast("string").alias("label"),
+    ).orderBy("key")
