@@ -29,6 +29,7 @@ _MODULES = [
     # _prioritize() orders oracle-backed entries first, so module order
     # only fixes relative position within each class.
     "sampling",
+    "corpusweb",
 ]
 
 # Round-5 rotation (VERDICT r4 #2): the driver hash-checks only the
@@ -38,6 +39,17 @@ _MODULES = [
 # pytest shadow checks). Declarative here — register() call sites keep
 # their SQL untouched; _apply_rotation() swaps dict membership.
 ROTATE_TO_ORACLE = [
+    # r12 wave (VERDICT r11 #5 window policy): the four round-12
+    # registrations (URL canonicalization + code-quality tiers,
+    # queries/corpusweb.py) rotate in for their birth-round driver
+    # hash rows. Ceding 4 slots: four of the eight two-green r9
+    # first-timers (text_bm25_topk, a_assoc_rules, a_rank_normalize,
+    # split_stratified_exact — delisted from the r9 block below,
+    # returning to SHADOW_ORACLE with the identical hash contract).
+    "url_normalize_dedup",
+    "url_host_stats",
+    "code_quality_profile",
+    "code_license_stats",
     # r11 wave (VERDICT r10 #2): bank the second-green debt — the 17
     # one-green r8 first-timers (each delisted in r9 after exactly one
     # driver hash row) rotate back IN for their second consecutive
@@ -82,10 +94,9 @@ ROTATE_TO_ORACLE = [
     # w_streak_runs, w_gap_stats, a_psi_drift, text_jsd_drift delisted
     # after two consecutive green rows (r9 + held r10) — ceding to the
     # r11 wave above; back to SHADOW_ORACLE.)
-    "text_bm25_topk",
-    "a_assoc_rules",
-    "a_rank_normalize",
-    "split_stratified_exact",
+    # (r12: text_bm25_topk, a_assoc_rules, a_rank_normalize,
+    # split_stratified_exact delisted after two consecutive green rows
+    # (r9 + r11) — ceding to the r12 wave above; back to SHADOW_ORACLE.)
     "a_benford_test",
     "a_survival_km",
     "text_lm_interpolated",
