@@ -86,3 +86,123 @@ def url_path(url: str | Column) -> Column:
     """Path component (no query/fragment); '' when absent."""
     u = F.regexp_replace(_col(url), r"[?#].*$", "")
     return F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+
+
+# --- robots.txt (Robots Exclusion Protocol, RFC 9309 subset) -----------
+
+_WTRIM = r"^\s+|\s+$"  # regexp trim: Spark/DuckDB trim() is space-only
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Parse robots.txt bodies into a rules table ``(host, agent,
+    rule_type, prefix)`` with pure DataFrame ops (posexplode + window —
+    no UDF).
+
+    RFC 9309 subset: ``User-agent`` / ``Allow`` / ``Disallow`` lines,
+    comments stripped, CRLF/whitespace tolerated, STACKED user-agent
+    lines share the following rule block, empty Disallow dropped (it
+    means "no restriction"). Out of scope (documented): Sitemap /
+    Crawl-delay, ``*``/``$`` wildcards inside rule paths (prefix match
+    only — the pre-wildcard REP most large crawlers still accept).
+
+    Scale shape: the block-attribution window partitions by HOST —
+    each partition is one robots.txt (couple hundred lines max), so
+    parallelism is #hosts and no partition can whale."""
+    from pyspark.sql import DataFrame as _DF, Window
+
+    assert isinstance(df, _DF)
+    raw = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    )
+    line = F.regexp_replace(
+        F.regexp_replace(F.col("line"), r"#.*$", ""), _WTRIM, ""
+    )
+    parsed = raw.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "directive"
+        ),
+        F.regexp_replace(
+            F.regexp_extract(line, r"^[A-Za-z-]+\s*:(.*)$", 1), _WTRIM, ""
+        ).alias("value"),
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("directive") == "user-agent"
+    blocks = parsed.withColumn(
+        "block_id",
+        F.sum(
+            (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)))
+            .cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agents = blocks.filter(is_ua).select(
+        "host", "block_id", F.lower("value").alias("agent")
+    )
+    rules = blocks.filter(~is_ua & (F.col("value") != "")).select(
+        "host",
+        "block_id",
+        F.col("directive").alias("rule_type"),
+        F.col("value").alias("prefix"),
+    )
+    return agents.join(rules, ["host", "block_id"]).select(
+        "host", "agent", "rule_type", "prefix"
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
+) -> DataFrame:
+    """Attach ``allowed`` / ``rule`` columns per URL under RFC 9309
+    matching: the agent's own rule groups win over ``*`` groups
+    (per host), longest-prefix match decides, Allow wins length ties,
+    no match means allowed.
+
+    Scale shape: the rules table is tiny relative to the URL stream —
+    broadcast equi-join on host (the startswith conjunct rides the
+    hash join as a post-filter, never a BNL), then one
+    map-side-combined groupBy per URL row for the argmax."""
+    agent = agent.lower()
+    exact = rules.filter(F.col("agent") == agent)
+    star = rules.filter(F.col("agent") == "*").join(
+        exact.select("host").distinct(), "host", "left_anti"
+    )
+    eff = exact.unionByName(star) if agent != "*" else rules.filter(
+        F.col("agent") == "*"
+    )
+    eff = eff.select(
+        F.col("host").alias("__rhost"),
+        (F.col("rule_type") == "allow").cast("int").alias("__allow"),
+        F.col("prefix").alias("__prefix"),
+    )
+    u = urls.withColumn("__host", url_host(url_col)).withColumn(
+        "__path", url_path(url_col)
+    )
+    j = u.join(
+        F.broadcast(eff),
+        (F.col("__host") == F.col("__rhost"))
+        & F.startswith(F.col("__path"), F.col("__prefix")),
+        "left",
+    )
+    best = F.max(
+        F.when(
+            F.col("__prefix").isNotNull(),
+            F.struct(
+                F.length("__prefix").alias("l"),
+                F.col("__allow").alias("a"),
+                F.col("__prefix").alias("p"),
+            ),
+        )
+    ).alias("__best")
+    out = j.groupBy(*urls.columns).agg(best)
+    return out.select(
+        *urls.columns,
+        F.coalesce(F.col("__best.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("__best.p").alias("rule"),
+    )

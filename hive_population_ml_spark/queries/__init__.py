@@ -48,6 +48,7 @@ ROTATE_TO_ORACLE = [
     # returning to SHADOW_ORACLE with the identical hash contract).
     "url_normalize_dedup",
     "url_host_stats",
+    "url_robots_filter",
     "code_quality_profile",
     "code_license_stats",
     # r11 wave (VERDICT r10 #2): bank the second-green debt — the 17
@@ -95,9 +96,9 @@ ROTATE_TO_ORACLE = [
     # after two consecutive green rows (r9 + held r10) — ceding to the
     # r11 wave above; back to SHADOW_ORACLE.)
     # (r12: text_bm25_topk, a_assoc_rules, a_rank_normalize,
-    # split_stratified_exact delisted after two consecutive green rows
-    # (r9 + r11) — ceding to the r12 wave above; back to SHADOW_ORACLE.)
-    "a_benford_test",
+    # split_stratified_exact, a_benford_test delisted after two
+    # consecutive green rows (r9 + r11) — ceding to the r12 wave
+    # above; back to SHADOW_ORACLE.)
     "a_survival_km",
     "text_lm_interpolated",
     "a_markov_transitions",

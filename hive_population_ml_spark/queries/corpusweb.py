@@ -311,3 +311,78 @@ def code_license_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("spdx_license", "shebang_lang")
     )
+
+
+# --- robots.txt tier ----------------------------------------------------
+
+_ROBOTS_SQL = f"""
+SELECT doc_id, lang, source,
+       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcnum,
+       (doc_id % {_N_PAGES}) AS pg,
+       'https://www.' || source || '.example.com/' || lang || '/page/'
+       || (doc_id % {_N_PAGES}) ||
+       CASE WHEN doc_id % 6 IN (3, 4) THEN '?a=1&b=2' ELSE '' END AS url
+FROM documents
+"""
+
+
+@register(
+    "url_robots_filter",
+    shadow_oracle=f"""
+WITH c AS ({_ROBOTS_SQL})
+SELECT doc_id, url,
+  CASE WHEN lang <> 'de' THEN true
+       WHEN srcnum % 2 <> 0 THEN true
+       WHEN srcnum % 4 = 0
+            AND starts_with('/de/page/' || pg, '/de/page/1') THEN true
+       ELSE false END AS allowed,
+  CASE WHEN lang <> 'de' OR srcnum % 2 <> 0 THEN NULL
+       WHEN srcnum % 4 = 0
+            AND starts_with('/de/page/' || pg, '/de/page/1')
+            THEN '/de/page/1'
+       ELSE '/de/' END AS rule
+FROM c ORDER BY doc_id
+""",
+)
+def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt (RFC 9309) crawl filtering end-to-end: per-source
+    robots bodies are SYNTHESIZED (a ``*`` group with /private/ and
+    per-source /de/ Disallows plus a longest-match-exercising Allow,
+    and a ``badbot`` group that must NOT apply), parsed through the
+    REAL DataFrame parser, and matched against the canonical URLs.
+    The oracle constructs the expected verdicts independently — a
+    hash match pins group scoping, longest-prefix match, Allow
+    tie-break, and no-match-means-allowed at once. The Allow prefix
+    '/de/page/1' deliberately also covers pages 10-19 (real REP
+    prefix semantics, not a path-segment match)."""
+    t = Tables(spark, sf_dir)
+    nl = F.lit("\n")
+    srcnum = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    body = F.concat(
+        F.lit("# synthetic robots fixture\n"),
+        F.lit("User-agent: *\r\n"),  # CRLF tolerated
+        F.lit("Disallow: /private/\n"),
+        F.when(srcnum % 2 == 0, F.concat(F.lit("Disallow: /de/"), nl))
+        .otherwise(F.lit("")),
+        F.when(srcnum % 4 == 0, F.concat(F.lit("Allow: /de/page/1"), nl))
+        .otherwise(F.lit("")),
+        F.lit("Disallow:\n"),  # empty value = no restriction, dropped
+        nl,
+        F.lit("User-agent: badbot\nDisallow: /\n"),
+    )
+    robots = (
+        t.documents.select("source").distinct().select(
+            F.concat(F.lit("www."), F.col("source"),
+                     F.lit(".example.com")).alias("host"),
+            body.alias("body"),
+        )
+    )
+    rules = urlops.parse_robots(robots)
+    urls = t.documents.select(
+        "doc_id", urlops.url_normalize(_messy_url()).alias("url")
+    )
+    return (
+        urlops.robots_filter(urls, rules, url_col="url", agent="*")
+        .select("doc_id", "url", "allowed", "rule")
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,102 @@ def test_registered_queries_e2e(spark, sf_dir):
     assert {r["spdx_license"] for r in lic} == {"", "MIT", "Apache-2.0"}
     assert sum(r["n_docs"] for r in lic) == n_docs
     assert any(r["n_kept"] < r["n_docs"] for r in lic)  # filter fires
+
+
+def test_parse_robots_grammar(spark):
+    body = (
+        "# comment\r\n"
+        "User-Agent: GoodBot\n"       # mixed case directive + agent
+        "User-agent: OtherBot\n"      # stacked agents share the block
+        "Disallow: /a/   # trailing comment\n"
+        "Allow: /a/b\n"
+        "Disallow:\n"                 # empty = no restriction, dropped
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /c/\n"
+    )
+    df = spark.createDataFrame([("h.com", body)], "host string, body string")
+    rules = {
+        (r["agent"], r["rule_type"], r["prefix"])
+        for r in __import__(
+            "hive_population_ml_spark.operators.urlops",
+            fromlist=["urlops"],
+        ).parse_robots(df).collect()
+    }
+    assert rules == {
+        ("goodbot", "disallow", "/a/"),
+        ("goodbot", "allow", "/a/b"),
+        ("otherbot", "disallow", "/a/"),
+        ("otherbot", "allow", "/a/b"),
+        ("*", "disallow", "/c/"),
+    }
+
+
+def test_robots_filter_matching(spark):
+    from hive_population_ml_spark.operators.urlops import (
+        parse_robots,
+        robots_filter,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /x/\n"
+        "Allow: /x/ok\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/free",),       # no match -> allowed
+            ("https://h.com/x/page",),     # disallow /x/
+            ("https://h.com/x/ok/deep",),  # longest match allow wins
+            ("https://other.com/x/page",), # unknown host -> allowed
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["allowed"], r["rule"])
+        for r in robots_filter(urls, rules, agent="*").collect()
+    }
+    assert got["https://h.com/free"] == (True, None)
+    assert got["https://h.com/x/page"] == (False, "/x/")
+    assert got["https://h.com/x/ok/deep"] == (True, "/x/ok")
+    assert got["https://other.com/x/page"] == (True, None)
+    # exact-agent groups override * entirely (RFC 9309 group selection)
+    bad = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, rules, agent="badbot").collect()
+    }
+    assert bad["https://h.com/free"] is False      # badbot: Disallow /
+    assert bad["https://h.com/x/ok/deep"] is False  # * Allow must NOT apply
+    assert bad["https://other.com/x/page"] is True
+
+
+def test_robots_allow_wins_length_tie(spark):
+    from hive_population_ml_spark.operators.urlops import (
+        parse_robots,
+        robots_filter,
+    )
+
+    body = "User-agent: *\nDisallow: /p/\nAllow: /q/\n"
+    rules = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    )
+    # same-length prefixes on one path can't literally tie, so pin the
+    # tie rule with two rules of equal length matching the same url
+    body2 = "User-agent: *\nDisallow: /pq/\nAllow: /pq/\n"
+    rules2 = parse_robots(
+        spark.createDataFrame([("t.com", body2)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [("https://t.com/pq/x",)], "url string"
+    )
+    r = robots_filter(urls, rules2).collect()[0]
+    assert r["allowed"] is True and r["rule"] == "/pq/"
+    r2 = robots_filter(
+        spark.createDataFrame([("https://h.com/p/x",)], "url string"), rules
+    ).collect()[0]
+    assert r2["allowed"] is False
