@@ -187,6 +187,10 @@ HEADLINE = [
     "a_psi_drift",
     "a_psi_drift_approx",
     "text_jsd_drift",
+    # round-12 web/code corpus tiers
+    "url_normalize_dedup",
+    "url_robots_filter",
+    "code_quality_profile",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with
@@ -202,6 +206,10 @@ DECLARED_UNTIMED = {
     "s_warc_ingest": "codec-bound (WARC/HTML extraction; measured throughput note in PERFORMANCE.md)",
     "s_pdf_ingest": "codec-bound (PDF content-stream extraction)",
     "s_wiki_ingest": "codec-bound (bz2 + wikitext extraction; throughput note in PERFORMANCE.md)",
+    "s_wds_ingest": "codec-bound (tar shard build/parse round trip; stdlib tarfile)",
+    # round-12 web/code rollups sharing a timed twin's scan + scalar shape
+    "url_host_stats": "timed via url_normalize_dedup (same scan + canonicalize project)",
+    "code_license_stats": "timed via code_quality_profile (same scan + profile project)",
     # tiny reference-parity micro-queries: dominated by fixed Spark
     # job-submission overhead at sf0.1, so their timings measure the
     # scheduler, not the operator; correctness-gated every round.

@@ -14,6 +14,15 @@ commit and say why in PERFORMANCE.md.
 import pytest
 
 EXCHANGE_BUDGETS = {
+    # canonicalize is a pure map; ONE agg exchange + the sort exchange
+    "url_normalize_dedup": 2,
+    # robots parse runs on the TINY rules table (one robots.txt per
+    # host): block-attribution window + agents x rules join exchanges
+    # are all rules-sized; the URL stream itself sees only the
+    # broadcast join, the per-URL argmax agg and the final sort
+    "url_robots_filter": 8,
+    # profile bundle is a pure map — only the orderBy range exchange
+    "code_quality_profile": 1,
     # chunking is a map-only posexplode — any Exchange is a regression
     "text_chunk_chars": 0,
     "text_chunk_tokens": 0,
