@@ -216,6 +216,114 @@ def html_to_text(html: str) -> str:
     return "\n".join(out).strip()
 
 
+# Chrome containers whose text is boilerplate by position, regardless
+# of content (the trafilatura/JusText structural prior).
+_CHROME_TAGS = {"nav", "header", "footer", "aside", "form"}
+
+
+class _BlockExtractor(HTMLParser):
+    """Segment the document into blocks, tracking per block: text,
+    anchor-text chars (link density numerator), and whether the block
+    sits inside a chrome container."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._cur: list[str] = []
+        self._anchor = 0
+        self._a_depth = 0
+        self._drop_depth = 0
+        self._chrome_depth = 0
+
+    def _flush(self):
+        text = " ".join("".join(self._cur).split())
+        if text:
+            self.blocks.append(
+                {
+                    "text": text,
+                    "anchor": self._anchor,
+                    "chrome": self._chrome_depth > 0,
+                }
+            )
+        self._cur, self._anchor = [], 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+        elif tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._a_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS and self._drop_depth:
+            self._drop_depth -= 1
+        elif tag in _CHROME_TAGS:
+            self._flush()
+            if self._chrome_depth:
+                self._chrome_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a" and self._a_depth:
+            self._a_depth -= 1
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        self._cur.append(data)
+        if self._a_depth:
+            self._anchor += len("".join(data.split()))
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def html_main_content(
+    html: str,
+    min_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> str:
+    """Boilerplate-removed main content (JusText-lite, stdlib-only).
+
+    Three structural signals real extraction pipelines use:
+    (1) chrome containers (nav/header/footer/aside/form) are dropped
+    outright; (2) a block is GOOD when it carries >= ``min_chars``
+    visible chars with link density (anchor chars / chars) <=
+    ``max_link_density`` — link farms and "related articles" lists
+    fail this even when long; (3) the JusText neighborhood pass:
+    SHORT low-link-density blocks (headings, single-sentence paras)
+    are kept only when adjacent to a good block, so isolated
+    taglines/copyright lines drop while section headings inside the
+    article body survive. Returns good blocks joined by newlines."""
+    p = _BlockExtractor()
+    p.feed(html)
+    p.close()
+    blocks = [b for b in p.blocks if not b["chrome"]]
+    cls: list[str] = []
+    for b in blocks:
+        n = len("".join(b["text"].split()))
+        ld = b["anchor"] / n if n else 1.0
+        if ld > max_link_density:
+            cls.append("bad")
+        elif n >= min_chars:
+            cls.append("good")
+        else:
+            cls.append("short")
+    keep = list(cls)
+    for i, c in enumerate(cls):
+        if c == "short":
+            prev_good = i > 0 and cls[i - 1] == "good"
+            next_good = i + 1 < len(cls) and cls[i + 1] == "good"
+            keep[i] = "good" if (prev_good or next_good) else "bad"
+    return "\n".join(
+        b["text"] for b, k in zip(blocks, keep) if k == "good"
+    ).strip()
+
+
 def encode_warc(
     records: list[dict],
     gzip_members: bool = True,
@@ -274,10 +382,11 @@ _DOC_COLS = (
 
 
 def _extract_into(rows: dict, path: str, content: bytes,
-                  min_text_chars: int) -> None:
+                  min_text_chars: int, main_content: bool = False) -> None:
     """Walk one WARC blob's records into the shared column buffers:
     keep type=response with an HTML content type and HTTP 200, extract
     visible text, drop the rest (the standard CommonCrawl first pass)."""
+    extract = html_main_content if main_content else html_to_text
     for headers, payload in iter_warc_records(content):
         if headers.get("warc-type") != "response":
             continue
@@ -288,7 +397,7 @@ def _extract_into(rows: dict, path: str, content: bytes,
         ctype = hh.get("content-type", "")
         if status != 200 or "html" not in ctype.lower():
             continue
-        text = html_to_text(body.decode(_charset_of(ctype), "replace"))
+        text = extract(body.decode(_charset_of(ctype), "replace"))
         if len(text) < min_text_chars:
             continue
         rows["path"].append(path)
@@ -300,12 +409,16 @@ def _extract_into(rows: dict, path: str, content: bytes,
         rows["n_bytes"].append(len(body))
 
 
-def warc_to_documents(binary_df, min_text_chars: int = 1):
+def warc_to_documents(binary_df, min_text_chars: int = 1,
+                      main_content: bool = False):
     """binaryFile rows (path, content) -> extracted document rows.
 
     Pure map (mapInPandas, zero shuffle). At 100 TB this is one task
     per shard file; for finer-than-file parallelism use
-    ``build_member_index`` + ``warc_to_documents_indexed``. Everything
+    ``build_member_index`` + ``warc_to_documents_indexed``.
+    ``main_content=True`` swaps the raw visible-text extractor for the
+    JusText-lite boilerplate remover (``html_main_content``) — the
+    quality pass a training corpus actually ingests. Everything
     downstream (dedup, quality, language) reads the resulting
     documents table."""
     import pandas as pd
@@ -314,7 +427,8 @@ def warc_to_documents(binary_df, min_text_chars: int = 1):
         for pdf in batches:
             rows = {k: [] for k in _DOC_COLS}
             for path, content in zip(pdf["path"], pdf["content"]):
-                _extract_into(rows, path, bytes(content), min_text_chars)
+                _extract_into(rows, path, bytes(content), min_text_chars,
+                              main_content)
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(run, schema=WARC_DOC_SCHEMA)

@@ -213,3 +213,82 @@ def test_member_index_and_indexed_read(spark, tmp_path):
     assert sorted(r["text"] for r in rows) == sorted(
         r["text"] for r in full
     )
+
+
+def test_html_main_content_boilerplate_removal():
+    from hive_population_ml_spark.io.warc import html_main_content
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>News</a> long navigation "
+        "menu with many words that would otherwise pass the length "
+        "gate</nav>"
+        "<header>Site Title</header>"
+        "<h2>Article heading</h2>"
+        "<p>This is the actual article body with enough characters to "
+        "be classified as a good block on its own merits.</p>"
+        "<p>Second real paragraph, also long enough to be kept as good "
+        "content by the classifier.</p>"
+        "<div><a href='/x'>related one</a> <a href='/y'>related two</a> "
+        "<a href='/z'>related three</a> <a href='/w'>related four</a> "
+        "<a href='/v'>related five six seven eight nine ten</a></div>"
+        "<p>tiny orphan</p>"
+        "<p>another isolated short</p>"
+        "<footer>Copyright 2026 Example Corp. All rights reserved, "
+        "lengthy legal boilerplate that must still be dropped.</footer>"
+        "</body></html>"
+    )
+    text = html_main_content(html)
+    # article body survives, heading kept via the neighborhood pass
+    assert "actual article body" in text
+    assert "Second real paragraph" in text
+    assert text.startswith("Article heading")
+    # chrome containers drop even when long
+    assert "navigation" not in text and "Copyright" not in text
+    assert "Site Title" not in text
+    # link farm drops on link density despite its length
+    assert "related" not in text
+    # isolated shorts (no good neighbor) drop
+    assert "orphan" not in text and "isolated" not in text
+
+
+def test_html_main_content_link_density_edges():
+    from hive_population_ml_spark.io.warc import html_main_content
+
+    # inline links inside a long paragraph do NOT kill it
+    html = (
+        "<p>Long paragraph that cites <a href='/s'>a source</a> inline "
+        "but remains mostly prose and therefore passes the density "
+        "gate comfortably with room to spare.</p>"
+    )
+    assert "Long paragraph" in html_main_content(html)
+    # all-anchor block fails even above the length gate
+    farm = "<p>" + " ".join(
+        f"<a href='/{i}'>link text number {i}</a>" for i in range(10)
+    ) + "</p>"
+    assert html_main_content(farm) == ""
+
+
+def test_warc_to_documents_main_content_flag(spark, tmp_path):
+    from hive_population_ml_spark.io import warc
+
+    recs = [{
+        "uri": "http://x/art",
+        "html": (
+            "<nav><a href='/'>home nav menu with words</a></nav>"
+            "<p>Real article paragraph long enough to be good content "
+            "for the extraction quality pass.</p>"
+            "<footer>boilerplate footer text that is pretty long too"
+            "</footer>"
+        ),
+    }]
+    f = tmp_path / "mc.warc.gz"
+    f.write_bytes(warc.encode_warc(recs))
+    binary = spark.read.format("binaryFile").load(str(f))
+    raw = warc.warc_to_documents(binary).collect()[0]["text"]
+    main = warc.warc_to_documents(binary, main_content=True).collect()[0][
+        "text"
+    ]
+    assert "boilerplate footer" in raw
+    assert "Real article paragraph" in main
+    assert "footer" not in main and "nav menu" not in main
