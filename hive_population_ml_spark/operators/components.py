@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .ckpt import free_ckpt, local_ckpt
+
 
 def _undirected(e: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -103,8 +105,8 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
     )
+    e = local_ckpt(e)
     prev = _checksum(e)
     n_edges = prev[0]
     if n_edges <= small_graph_threshold:
@@ -119,6 +121,7 @@ def connected_components(
             "id long, component long",
         )
     for _ in range(max_iter):
+        prev_ckpt = e  # superseded after this round's checkpoint
         # large-star: every neighbor v > u re-attaches to u's
         # neighborhood minimum m = min(N(u) + {u}).
         und = _undirected(e)
@@ -141,8 +144,12 @@ def connected_components(
             .unionByName(mins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        e = local_ckpt(e)
+        # release the superseded round's edge blocks (checkpoint is
+        # eager — same per-iteration block leak as suffixes.py; plain
+        # DataFrame.unpersist() would NOT free them, see ckpt.py)
+        free_ckpt(prev_ckpt)
         cur = _checksum(e)
         if cur == prev:
             break

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .ckpt import free_ckpt, local_ckpt
+
 
 def pagerank(
     edges: DataFrame,
@@ -97,7 +99,7 @@ def pagerank(
     # per-iteration overhead when the mass is identically zero).
     has_dangling = dangling_nodes.limit(1).count() > 0
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = local_ckpt(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - alpha) / n
     for _ in range(max_iter):
         contribs = (
@@ -122,10 +124,10 @@ def pagerank(
             )
         else:
             in_mass = F.coalesce(F.col("c"), F.lit(0.0))
-        new_ranks = new_ranks.select(
+        new_ranks = local_ckpt(new_ranks.select(
             "node",
             (F.lit(base) + F.lit(alpha) * in_mass).alias("rank"),
-        ).localCheckpoint()
+        ))
         if tol is not None:
             diff = (
                 new_ranks.join(
@@ -134,10 +136,16 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                 .first()[0]
             )
+            # the diff action above was the old table's last read —
+            # release its blocks (same per-iteration leak as
+            # suffixes.py; checkpoints are eager and plain unpersist()
+            # would not free them — see ckpt.py)
+            free_ckpt(ranks)
             ranks = new_ranks
             if diff is not None and diff < tol:
                 break
         else:
+            free_ckpt(ranks)
             ranks = new_ranks
     return ranks
 

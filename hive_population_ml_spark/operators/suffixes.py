@@ -56,6 +56,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ckpt import free_ckpt, local_ckpt
+
 
 def global_dense_rank(
     df: DataFrame,
@@ -186,8 +188,11 @@ def global_rank(
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
     # pinned for the same per-action boundary-sampling reason as
-    # global_dense_rank above
-    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    # global_dense_rank above; local_ckpt so the corpus-sized pin is
+    # RELEASABLE — suffix_ranks calls this once per full-re-rank round,
+    # and before round 12 each call's block stayed pinned forever (the
+    # other half of the 100x-probe OOM alongside the loop's own leak)
+    part = local_ckpt(part.withColumn("__pid", F.spark_partition_id()))
     w = Window.partitionBy("__pid").orderBy(*cols)
     ranked = part.withColumn("__lr", F.rank().over(w) - 1)
     per = ranked.groupBy("__pid").agg(F.count("*").alias("__cnt"))
@@ -198,11 +203,15 @@ def global_rank(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
-    return (
+    res = (
         ranked.join(F.broadcast(off), "__pid")
         .withColumn(out, (F.col("__lr") + F.col("__off")).cast("long"))
         .drop("__pid", "__lr", "__off")
     )
+    # hand the internal pin to the caller: free_ckpt(result) releases
+    # it once the caller has checkpointed its own derivation
+    setattr(res, "_hpml_ckpt_rdd_ids", getattr(part, "_hpml_ckpt_rdd_ids"))
+    return res
 
 
 def _seed_keys(chars: DataFrame, width: int) -> DataFrame:
@@ -289,14 +298,13 @@ def suffix_ranks(
     if until_prefix is not None:
         w = min(w, int(until_prefix))
     if w > 1:
-        r = global_rank(_seed_keys(chars, w), ["__k1"]).select(
-            "pos", "grank"
-        )
+        gr = global_rank(_seed_keys(chars, w), ["__k1"])
     else:
-        r = global_rank(
+        gr = global_rank(
             chars.select("pos", F.col("code").alias("__k1")), ["__k1"]
-        ).select("pos", "grank")
-    r = r.localCheckpoint()
+        )
+    r = local_ckpt(gr.select("pos", "grank"))
+    free_ckpt(gr)  # the rank's internal range-pin, superseded now
     prefix = w
     k = w
     while True:
@@ -323,10 +331,10 @@ def suffix_ranks(
                 .join(shifted, "pos", "left")
                 .fillna({"__k2": -1})  # past-end suffixes sort first
             )
-            r = global_rank(paired, ["__k1", "__k2"]).select(
-                "pos", "grank"
-            )
+            gr = global_rank(paired, ["__k1", "__k2"])
+            nxt = gr.select("pos", "grank")
         else:
+            gr = None
             # AQE picks broadcast vs shuffle for the tied-group join
             active = r.join(tied.select("grank"), "grank")
             act = active.join(shifted, "pos", "left").fillna({"__k2": -1})
@@ -336,8 +344,19 @@ def suffix_ranks(
                 (F.col("grank") + F.rank().over(w_g) - 1).alias("grank"),
             )
             untied = r.join(tied.select("grank"), "grank", "left_anti")
-            r = untied.unionByName(refined)
-        r = r.localCheckpoint()
+            nxt = untied.unionByName(refined)
+        nxt = local_ckpt(nxt)
+        if gr is not None:
+            free_ckpt(gr)  # the re-rank's internal range-pin
+        # release the SUPERSEDED round's blocks (the new checkpoint is
+        # eager, so the old lineage is no longer referenced). Without
+        # this every doubling round pins a full-corpus rank table —
+        # invisible at 1x/10x, OOM at the 100x decade (round 12: the
+        # 148M-char probe died at an 80 GiB heap before this fix; note
+        # DataFrame.unpersist() does NOT free checkpoint blocks — see
+        # operators/ckpt.py).
+        free_ckpt(r)
+        r = nxt
         prefix = 2 * k
         k *= 2
     return r, prefix
