@@ -191,6 +191,7 @@ HEADLINE = [
     "url_normalize_dedup",
     "url_robots_filter",
     "code_quality_profile",
+    "text_fix_mojibake",
 ]
 
 # Registered queries intentionally NOT timed by the headline bench, with

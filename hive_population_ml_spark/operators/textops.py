@@ -1555,3 +1555,36 @@ def np_maximum_one(arr):
     import numpy as np
 
     return np.maximum(arr, 1)
+
+
+# --- encoding repair (round 12) ----------------------------------------
+
+# Double-encoded UTF-8 signature: a UTF-8 lead byte misread as latin-1
+# yields one of these chars followed by continuation garbage. The three
+# cover the Latin-1 Supplement (0xC3 'Ã'), NBSP/symbol (0xC2 'Â') and
+# General Punctuation (0xE2 0x80 -> 'â' + C1) planes — the digraphs
+# every practical mojibake detector (ftfy's core heuristic) keys on.
+MOJIBAKE_SIGNATURE = "Ã|Â|â€"
+
+
+def mojibake_flag(col: str | Column = "text") -> Column:
+    """True when the text carries the double-encoded-UTF-8 signature."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(MOJIBAKE_SIGNATURE)
+
+
+def fix_double_utf8(col: str | Column = "text") -> Column:
+    """Repair double-encoded UTF-8 (the single most common CommonCrawl
+    encoding defect: bytes that were UTF-8 got decoded as latin-1 and
+    re-encoded, turning 'café' into 'cafÃ©').
+
+    The repair is the exact inverse round trip — re-encode as
+    ISO-8859-1 (a bijection char<->byte, so lossless) and decode as
+    UTF-8 — entirely JVM-side (``encode``/``decode``, whole-stage
+    codegen, no UDF). Applied CONDITIONALLY on the signature: clean
+    text with real non-latin-1 characters must never take the repair
+    branch (ISO-8859-1 re-encoding would '?'-substitute anything above
+    U+00FF — lossy), pinned in tests."""
+    c = F.col(col) if isinstance(col, str) else col
+    repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    return F.when(mojibake_flag(c), repaired).otherwise(c)

@@ -51,6 +51,7 @@ ROTATE_TO_ORACLE = [
     "url_robots_filter",
     "code_quality_profile",
     "code_license_stats",
+    "text_fix_mojibake",
     # r11 wave (VERDICT r10 #2): bank the second-green debt — the 17
     # one-green r8 first-timers (each delisted in r9 after exactly one
     # driver hash row) rotate back IN for their second consecutive
@@ -96,10 +97,9 @@ ROTATE_TO_ORACLE = [
     # after two consecutive green rows (r9 + held r10) — ceding to the
     # r11 wave above; back to SHADOW_ORACLE.)
     # (r12: text_bm25_topk, a_assoc_rules, a_rank_normalize,
-    # split_stratified_exact, a_benford_test delisted after two
-    # consecutive green rows (r9 + r11) — ceding to the r12 wave
-    # above; back to SHADOW_ORACLE.)
-    "a_survival_km",
+    # split_stratified_exact, a_benford_test, a_survival_km delisted
+    # after two consecutive green rows (r9 + r11) — ceding to the r12
+    # wave above; back to SHADOW_ORACLE.)
     "text_lm_interpolated",
     "a_markov_transitions",
     # r8 fourth/fifth wave: the eleven queries built later this round

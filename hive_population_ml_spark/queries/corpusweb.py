@@ -386,3 +386,52 @@ def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url", "allowed", "rule")
         .orderBy("doc_id")
     )
+
+
+# --- encoding-repair tier ------------------------------------------------
+
+_MOJI_INJECT = " café naïve — “smart” ünïcödé"  # 29 chars, 41 utf-8 bytes
+
+
+@register(
+    "text_fix_mojibake",
+    shadow_oracle=f"""
+SELECT doc_id,
+  (doc_id % 2 = 0) AS detected,
+  CASE WHEN doc_id % 2 = 0 THEN strlen(text) + 41
+       ELSE length(text) + 29 END AS n_chars_src,
+  length(text) + 29 AS n_chars_repaired,
+  true AS roundtrip_ok
+FROM documents ORDER BY doc_id
+""",
+)
+def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoded-UTF-8 repair end-to-end: every doc gets a
+    non-ASCII suffix; even docs are then garbled with the EXACT
+    defect transform (utf-8 bytes decoded as latin-1 — Spark
+    ``decode(encode(.,'UTF-8'),'ISO-8859-1')``) and must repair back
+    to the original, odd docs stay clean and must pass through the
+    conditional repair UNTOUCHED. The oracle constructs expected
+    values independently via char-vs-byte length arithmetic
+    (``strlen`` = DuckDB byte length: a garbled string has exactly as
+    many chars as the original had utf-8 bytes) and pins
+    ``roundtrip_ok`` = true — a hash match proves detection fires
+    exactly on the garbled half and the repair is lossless."""
+    t = Tables(spark, sf_dir)
+    from ..operators.textops import fix_double_utf8, mojibake_flag
+
+    orig = F.concat(F.col("text"), F.lit(_MOJI_INJECT))
+    garbled = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+    src = F.when(F.col("doc_id") % 2 == 0, garbled).otherwise(orig)
+    base = t.documents.select(
+        "doc_id", orig.alias("orig"), src.alias("src")
+    )
+    return base.select(
+        "doc_id",
+        mojibake_flag("src").alias("detected"),
+        F.length("src").cast("long").alias("n_chars_src"),
+        F.length(fix_double_utf8("src")).cast("long").alias(
+            "n_chars_repaired"
+        ),
+        (fix_double_utf8("src") == F.col("orig")).alias("roundtrip_ok"),
+    ).orderBy("doc_id")

@@ -254,3 +254,47 @@ def test_robots_allow_wins_length_tie(spark):
         spark.createDataFrame([("https://h.com/p/x",)], "url string"), rules
     ).collect()[0]
     assert r2["allowed"] is False
+
+
+def test_fix_double_utf8(spark):
+    from hive_population_ml_spark.operators.textops import (
+        fix_double_utf8,
+        mojibake_flag,
+    )
+
+    orig = "plain café naïve — “smart” ünïcödé"
+    garbled = orig.encode("utf-8").decode("latin-1")
+    # text with chars ABOVE latin-1 that must NOT take the repair
+    # branch (ISO-8859-1 re-encode would '?'-substitute them)
+    cjk = "日本語テキスト plain ascii"
+    df = spark.createDataFrame(
+        [("g", garbled), ("c", orig), ("k", cjk), ("a", "pure ascii")],
+        "name string, t string",
+    )
+    rows = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            mojibake_flag("t").alias("det"),
+            fix_double_utf8("t").alias("fixed"),
+        ).collect()
+    }
+    assert rows["g"]["det"] is True and rows["g"]["fixed"] == orig
+    assert rows["c"]["det"] is False and rows["c"]["fixed"] == orig
+    assert rows["k"]["det"] is False and rows["k"]["fixed"] == cjk
+    assert rows["a"]["fixed"] == "pure ascii"
+
+
+def test_fix_mojibake_query_e2e(spark, sf_dir):
+    from hive_population_ml_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["text_fix_mojibake"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["detected"] == (r["doc_id"] % 2 == 0) for r in rows)
+    for r in rows:
+        if r["detected"]:
+            assert r["n_chars_src"] > r["n_chars_repaired"]
+        else:
+            assert r["n_chars_src"] == r["n_chars_repaired"]

@@ -23,6 +23,8 @@ EXCHANGE_BUDGETS = {
     "url_robots_filter": 8,
     # profile bundle is a pure map — only the orderBy range exchange
     "code_quality_profile": 1,
+    # conditional encode/decode repair is a pure map — orderBy only
+    "text_fix_mojibake": 1,
     # chunking is a map-only posexplode — any Exchange is a regression
     "text_chunk_chars": 0,
     "text_chunk_tokens": 0,
