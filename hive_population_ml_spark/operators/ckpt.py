@@ -32,9 +32,20 @@ pagerank):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _IDS_ATTR = "_hpml_ckpt_rdd_ids"
+
+# Serialized storage (PySpark's MEMORY_AND_DISK is deserialized=False,
+# unlike Scala's): checkpoint blocks hold compact UnsafeRow bytes
+# instead of per-row Java objects. The default DESERIALIZED level
+# inflates a 16-byte (pos, rank) row ~10x in object headers — the
+# second half of the round-12 suffix-probe OOM (32 concurrent tasks
+# unrolling deserialized value arrays blew a 60 GiB heap even with
+# superseded rounds freed). Serialized blocks also spill to disk
+# per-buffer instead of per-object-array.
+_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def _persistent_ids(df: DataFrame) -> set[int]:
@@ -42,10 +53,13 @@ def _persistent_ids(df: DataFrame) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
 
 
-def local_ckpt(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint whose blocks ``free_ckpt`` can release."""
+def local_ckpt(
+    df: DataFrame, level: StorageLevel | None = _LEVEL
+) -> DataFrame:
+    """Eager localCheckpoint whose blocks ``free_ckpt`` can release;
+    serialized storage by default (see ``_LEVEL``)."""
     before = _persistent_ids(df)
-    out = df.localCheckpoint()
+    out = df.localCheckpoint(eager=True, storageLevel=level)
     ids = _persistent_ids(out) - before
     setattr(out, _IDS_ATTR, ids)
     return out

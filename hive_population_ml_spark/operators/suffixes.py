@@ -78,7 +78,7 @@ def global_dense_rank(
     # branch below would otherwise see DIFFERENT partition layouts and
     # the offsets would not match the local ranks (caught by the
     # suffix-doubling convergence plateau, round 10).
-    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    part = local_ckpt(part.withColumn("__pid", F.spark_partition_id()))
     w = Window.partitionBy("__pid").orderBy(*cols)
     ranked = part.withColumn("__lr", F.dense_rank().over(w))
     per = ranked.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
@@ -125,9 +125,10 @@ def corpus_char_table(
     # pin the range layout (repartitionByRange samples boundaries PER
     # ACTION — the round-10 two-branch misalignment bug)
     part = (
-        meta.repartitionByRange(n_parts, F.col("doc_id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        local_ckpt(
+            meta.repartitionByRange(n_parts, F.col("doc_id"))
+            .withColumn("__pid", F.spark_partition_id())
+        )
     )
     w_in = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
