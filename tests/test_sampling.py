@@ -22,6 +22,14 @@ from hive_population_ml_spark.testing import _normalize, duckdb_connection
 # identical differential contract here as shadow checks. Rotated out in
 # earlier rounds (and still driver-green r1-r3): the first block below.
 SHADOW_NAMES = [
+    # r12 wave ceders (two-green r9 first-timers back in shadow —
+    # queries/__init__.py ROTATE_TO_ORACLE comment)
+    "text_bm25_topk",
+    "a_assoc_rules",
+    "a_rank_normalize",
+    "split_stratified_exact",
+    "a_benford_test",
+    "a_survival_km",
     "a_ab_welch_test",
     "a_chi2_independence",
     "w_time_weighted_avg",
