@@ -106,20 +106,29 @@ def connected_components(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
     )
+    if small_graph_threshold:
+        # Small-graph cutover WITHOUT materializing first (round-12
+        # optimization): collect at most threshold+1 edges through a
+        # limit guard — ONE execution of the pair graph and one driver
+        # round trip, replacing the old checkpoint-write + checksum job
+        # + collect triple. Union-find labels are edge-ORDER-invariant
+        # (min-root per component), so the limit's nondeterministic row
+        # order cannot change the output. If the guard trips
+        # (pathological pair explosion) the distributed path below
+        # re-executes the graph once into its checkpoint — the rare
+        # case pays one extra pass; the common case saves two jobs.
+        head = e.limit(small_graph_threshold + 1).collect()
+        if len(head) <= small_graph_threshold:
+            labels = _union_find_labels([(r["u"], r["v"]) for r in head])
+            spark = pairs.sparkSession
+            if not labels:
+                return spark.createDataFrame([], "id long, component long")
+            return spark.createDataFrame(
+                [(int(k), int(v)) for k, v in sorted(labels.items())],
+                "id long, component long",
+            )
     e = local_ckpt(e)
     prev = _checksum(e)
-    n_edges = prev[0]
-    if n_edges <= small_graph_threshold:
-        labels = _union_find_labels(
-            [(r["u"], r["v"]) for r in e.collect()]
-        )
-        spark = pairs.sparkSession
-        if not labels:
-            return spark.createDataFrame([], "id long, component long")
-        return spark.createDataFrame(
-            [(int(k), int(v)) for k, v in sorted(labels.items())],
-            "id long, component long",
-        )
     for _ in range(max_iter):
         prev_ckpt = e  # superseded after this round's checkpoint
         # large-star: every neighbor v > u re-attaches to u's

@@ -31,6 +31,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
 from .textops import shingles_of_tokens, tokens
 
 
@@ -61,8 +62,12 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     # InferFiltersFromGenerate — with that rule on, Catalyst inserts a
     # pre-Generate Filter that re-inlines and re-evaluates the whole
     # array build per row off the codegen path (measured ~10x slower).
+    # fan_out: shingling is the corpus-scan-heavy map of every consumer
+    # (Jaccard/MinHash/prefix/containment); a one-row-group input would
+    # serialize it on one core (round-12 measurement: 0.72 s -> 0.12 s).
     return (
-        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+        fan_out(df)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
         .select("doc", shingles_of_tokens(F.col("t"), k).alias("sh"))
         .select("doc", F.explode("sh").alias("s"), F.size("sh").alias("n"))
     )
@@ -92,11 +97,37 @@ def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     )
 
 
+def _frac_cap(
+    df: DataFrame,
+    max_shingle_df: int | None,
+    max_shingle_frac: float | None,
+):
+    """Resolve the fractional df-cap WITHOUT a separate count job.
+
+    The corpus row count folds into the verify plan as a broadcast
+    1-row scalar, so the cap ``ceil(frac * n)`` evaluates in the same
+    DAG the pairs run in — one fewer driver job per query, identical
+    IEEE-double arithmetic to the previous ``math.ceil(frac *
+    df.count())`` (and to the oracle's ``ceil(frac * count(*))``), so
+    the effective cap value is unchanged. Returns ``(aux, cap)`` where
+    ``aux`` is the 1-row count DataFrame to broadcast-join before the
+    bucket filter (None when no fraction is requested) and ``cap`` the
+    int or Column to compare bucket sizes against."""
+    if max_shingle_frac is None:
+        return None, max_shingle_df
+    aux = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    cap = F.ceil(F.lit(float(max_shingle_frac)) * F.col("__n_docs"))
+    if max_shingle_df:
+        cap = F.greatest(F.lit(int(max_shingle_df)).cast("long"), cap)
+    return aux, cap
+
+
 def _jaccard_verify(
     sh: DataFrame,
     pairs: DataFrame | None,
     threshold: float,
-    max_bucket: int | None = None,
+    max_bucket=None,
+    aux: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for co-bucketed docs from a (doc, s, n) shingle
     table (``n`` = that doc's set size, stamped per row).
@@ -123,8 +154,10 @@ def _jaccard_verify(
         # re-sort the bucket once per element (lambda-inlining hazard,
         # see shingle_sets; measured ~2x on the expansion stage).
         .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
-        .filter(bucket_ok)
     )
+    if aux is not None:  # 1-row count scalar feeding a Column max_bucket
+        groups = groups.join(F.broadcast(aux))
+    groups = groups.filter(bucket_ok)
     # TWO-STAGE explode: posexplode each (sorted) bucket, then explode
     # that element's strictly-later slice. Never materializes the full
     # C(c,2) pair array as one row — a c=250 duplicate-cluster bucket
@@ -184,14 +217,10 @@ def ngram_jaccard_pairs(
     max(max_shingle_df, ceil(frac * n_docs)), one count() of the id
     column at planning time.
     """
-    if max_shingle_frac is not None:
-        import math
-
-        scaled = math.ceil(max_shingle_frac * df.count())
-        max_shingle_df = max(max_shingle_df or 0, scaled)
+    aux, cap = _frac_cap(df, max_shingle_df, max_shingle_frac)
     sh = shingle_sets(df, id_col, text_col, k)
     return _jaccard_verify(
-        sh, pairs=None, threshold=threshold, max_bucket=max_shingle_df
+        sh, pairs=None, threshold=threshold, max_bucket=cap, aux=aux
     )
 
 
@@ -415,7 +444,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from .textops import tokens
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     # Expressions as SQL strings: one JVM-side parse each instead of
@@ -1102,21 +1131,19 @@ def containment_pairs(
     buckets identically; its oracle mirror drops the same shingles, so
     exactness-under-cap is hash-checkable.
     """
-    if max_shingle_frac is not None:
-        import math
-
-        scaled = math.ceil(max_shingle_frac * df.count())
-        max_shingle_df = max(max_shingle_df or 0, scaled)
+    aux, cap = _frac_cap(df, max_shingle_df, max_shingle_frac)
     sh = shingle_sets(df, id_col, text_col, k)
     bucket_ok = F.size("docs") > 1
-    if max_shingle_df is not None:
-        bucket_ok = bucket_ok & (F.size("docs") <= max_shingle_df)
+    if cap is not None:
+        bucket_ok = bucket_ok & (F.size("docs") <= cap)
     groups = (
         sh.withColumn("sh64", F.xxhash64("s"))
         .groupBy("sh64")
         .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("docs"))
-        .filter(bucket_ok)
     )
+    if aux is not None:
+        groups = groups.join(F.broadcast(aux))
+    groups = groups.filter(bucket_ok)
     e1 = groups.select("docs", F.posexplode("docs").alias("i", "x"))
     expanded = e1.select(
         F.col("x.doc").alias("d1"),

@@ -482,6 +482,7 @@ def domain_mixture_weights(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     text_col: str = "text",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature mixing over LEARNED domains instead of metadata
     strata (the DoReMi/Dolma corpus-organization move: when `source`
@@ -508,11 +509,16 @@ def domain_mixture_weights(
 
     from .similarity import assign_cells, auto_n_cells, train_ivf_centroids
 
-    if n_cells is None:
-        n_cells = auto_n_cells(embeddings.count(), max_cells=4096)
-    cents = train_ivf_centroids(
-        embeddings, n_cells, id_col=vec_id_col, seed=seed
-    )
+    if centroids is not None:
+        # pre-trained quantizer (offline index-build contract, same as
+        # ivf_topk/semantic_dedup): skips the in-place KMeans fit
+        cents = centroids
+    else:
+        if n_cells is None:
+            n_cells = auto_n_cells(embeddings.count(), max_cells=4096)
+        cents = train_ivf_centroids(
+            embeddings, n_cells, id_col=vec_id_col, seed=seed
+        )
     assigned = assign_cells(embeddings, cents, id_col=vec_id_col).select(
         F.col("id").alias(id_col), "cell"
     )

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .parallelism import fan_out
+
 
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
@@ -62,23 +64,30 @@ def _collect_query_vectors(
     disables for callers who sized the collect themselves)."""
     import numpy as np
 
-    if max_query_rows is not None:
-        n_q = queries.count()
-        if n_q > max_query_rows:
-            raise ValueError(
-                f"{caller}: query side has {n_q} rows > max_query_rows="
-                f"{max_query_rows}; the ADC lookup tables are built on the "
-                "driver, so a corpus-sized query set would serialize "
-                "through it. Use pq_topk_distributed (LUTs built as a "
-                "DataFrame of packed query blocks — no driver collect, "
-                "exact result parity), raise max_query_rows deliberately, "
-                "or use another distributed scorer "
-                "(cosine_topk/lsh_topk/ivf_topk) for corpus-vs-corpus work."
-            )
-    rows = queries.select(
+    sel = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).collect()
+    )
+    if max_query_rows is not None:
+        # limit-guarded collect: ONE driver job enforces the guard and
+        # fetches the rows (the old count()-then-collect() pair cost two
+        # full executions of the query-side plan); the limit bounds the
+        # driver transfer even when the guard trips.
+        rows = sel.limit(max_query_rows + 1).collect()
+        if len(rows) > max_query_rows:
+            raise ValueError(
+                f"{caller}: query side has > max_query_rows="
+                f"{max_query_rows} rows; the ADC lookup tables are built "
+                "on the driver, so a corpus-sized query set would "
+                "serialize through it. Use pq_topk_distributed (LUTs "
+                "built as a DataFrame of packed query blocks — no driver "
+                "collect, exact result parity), raise max_query_rows "
+                "deliberately, or use another distributed scorer "
+                "(cosine_topk/lsh_topk/ivf_topk) for corpus-vs-corpus "
+                "work."
+            )
+    else:
+        rows = sel.collect()
     q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
     qx = np.array([r["qv"] for r in rows], dtype=np.float64)
     qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
@@ -118,7 +127,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("__qn", norm(F.col("qv")))
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("__cn", norm(F.col("cv")))
     scored = (
@@ -642,7 +651,7 @@ def _ivf_assign_gemm(
                     }
                 )
 
-    src = df.select(
+    src = fan_out(df).select(
         F.col(idc).cast("long").alias("_id"), _as_double(F.col(vec)).alias("_v")
     )
     return src.mapInPandas(run, schema="_id long, _v array<double>, cid long")
@@ -693,7 +702,7 @@ def _lsh_buckets_pandas(
                 }
             )
 
-    return df.mapInPandas(run, schema=out_schema)
+    return fan_out(df).mapInPandas(run, schema=out_schema)
 
 
 def lsh_topk(
@@ -913,7 +922,7 @@ def pq_encode(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
-    src = corpus.select(
+    src = fan_out(corpus).select(
         F.col(id_col).cast("long").alias(id_col),
         _as_double(F.col(vec_col)).alias(vec_col),
     )
@@ -973,6 +982,25 @@ def _finalize_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _exact_shortlist(d2k, idk, shortlist: int):
+    """Indices of the first ``shortlist`` elements in (d2 asc, id asc)
+    order — EXACTLY ``np.lexsort((idk, d2k))[:shortlist]`` but with an
+    O(n) partition instead of a full O(n log n) sort (round-12 ADC
+    scorer cut): every element strictly below the ``shortlist``-th
+    distance must make the cut, ties AT that distance compete by id
+    inside the tiny candidate set, and (d2, id) is a total order (ids
+    unique), so the returned prefix is identical to the full sort's."""
+    import numpy as np
+
+    n = len(d2k)
+    if n <= shortlist:
+        return np.lexsort((idk, d2k))
+    kth = np.partition(d2k, shortlist - 1)[shortlist - 1]
+    cand = np.flatnonzero(d2k <= kth)
+    sub = np.lexsort((idk[cand], d2k[cand]))
+    return cand[sub[:shortlist]]
 
 
 def pq_topk(
@@ -1049,10 +1077,10 @@ def pq_topk(
                 keep = ids != q_ids[qi]
                 d2k, idk = d2[keep], ids[keep]
                 # neighbor-id tie-break: quantized codes collide, so equal
-                # ADC distances are common — lexsort keeps the shortlist
-                # cut deterministic across batch compositions (and exactly
-                # matches pq_topk_distributed's block partitioning).
-                top = np.lexsort((idk, d2k))[:shortlist]
+                # ADC distances are common — the exact-shortlist cut keeps
+                # the selection deterministic across batch compositions
+                # (and exactly matches pq_topk_distributed's blocks).
+                top = _exact_shortlist(d2k, idk, shortlist)
                 outs.append(
                     pd.DataFrame(
                         {
@@ -1086,6 +1114,8 @@ def pq_topk_distributed(
     codebooks=None,
     queries_per_block: int = 512,
     codes_per_block: int = 65536,
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Corpus-vs-corpus ADC: the distributed fallback past ``pq_topk``'s
     driver-collect guard (VERDICT r5 #4). No driver-side query collect
@@ -1129,8 +1159,8 @@ def pq_topk_distributed(
         )
     )
     m, kc, sub = books.shape
-    nq = queries.count()
-    n = corpus.count()
+    nq = n_queries if n_queries is not None else queries.count()
+    n = n_corpus if n_corpus is not None else corpus.count()
     n_qblocks = max(1, -(-nq // queries_per_block))
     n_cblocks = max(1, -(-n // codes_per_block))
     shortlist = max(1, rerank) * k
@@ -1203,7 +1233,7 @@ def pq_topk_distributed(
                     d2 = lut[qi, np.arange(m), c].sum(1)
                     keep = ids != qids[qi]
                     d2k, idk = d2[keep], ids[keep]
-                    top = np.lexsort((idk, d2k))[:shortlist]
+                    top = _exact_shortlist(d2k, idk, shortlist)
                     outs.append(
                         pd.DataFrame(
                             {
@@ -1333,7 +1363,7 @@ def ivfpq_encode(
                 }
             )
 
-    src = corpus.select(
+    src = fan_out(corpus).select(
         F.col(id_col).cast("long").alias(id_col),
         _as_double(F.col(vec_col)).alias(vec_col),
     )
@@ -1424,23 +1454,34 @@ def ivfpq_topk(
             c = np.array(list(pdf["codes"]), dtype=np.int64)
             cid = pdf["cid"].to_numpy()
             ids = pdf["neighbor_id"].to_numpy()
+            # batch rows grouped by cell ONCE — the old per-(query,
+            # probe) boolean mask rescanned the whole batch
+            # nq * n_probe times (round-12 scorer cut); the group
+            # arrays preserve batch order within each cell, so the
+            # candidate concatenation below is unchanged.
+            cells_in_batch = {}
+            for cell in np.unique(cid):
+                cells_in_batch[int(cell)] = np.flatnonzero(cid == cell)
             outs = []
             for qi in range(nq):
                 d2s, idss = [], []
                 for pi in range(n_probe):
-                    mask = (cid == probe_cells[qi, pi]) & (ids != q_ids[qi])
-                    if not mask.any():
+                    rows_ix = cells_in_batch.get(int(probe_cells[qi, pi]))
+                    if rows_ix is None:
                         continue
-                    cm = c[mask]
+                    sel = rows_ix[ids[rows_ix] != q_ids[qi]]
+                    if sel.size == 0:
+                        continue
+                    cm = c[sel]
                     d2s.append(luts[qi, pi, np.arange(m), cm].sum(1))
-                    idss.append(ids[mask])
+                    idss.append(ids[sel])
                 if not d2s:
                     continue
                 d2 = np.concatenate(d2s)
                 idk = np.concatenate(idss)
                 # neighbor-id tie-break (see pq_topk): deterministic
                 # shortlist cut under code collisions.
-                top = np.lexsort((idk, d2))[:shortlist]
+                top = _exact_shortlist(idk=idk, d2k=d2, shortlist=shortlist)
                 outs.append(
                     pd.DataFrame(
                         {
@@ -1655,7 +1696,7 @@ def ivfpq_topk_distributed(
                     d2 = lut[qi, np.arange(m), c].sum(1)
                     keep = ids != qids[qi]
                     d2k, idk = d2[keep], ids[keep]
-                    top = np.lexsort((idk, d2k))[:shortlist]
+                    top = _exact_shortlist(d2k, idk, shortlist)
                     outs.append(
                         pd.DataFrame(
                             {
@@ -1905,7 +1946,7 @@ def semantic_decontaminate(
             F.col(id_col).alias("__bid"),
             _as_double(F.col(vec_col)).alias("__bv"),
         ).withColumn("__bn", norm(F.col("__bv")))
-        c = corpus.select(
+        c = fan_out(corpus).select(
             F.col(id_col).cast("long").alias(id_col),
             _as_double(F.col(vec_col)).alias("__cv"),
         ).withColumn("__cn", norm(F.col("__cv")))
@@ -1968,7 +2009,7 @@ def semantic_decontaminate(
                     }
                 )
 
-    src = corpus.select(
+    src = fan_out(corpus).select(
         F.col(id_col).cast("long").alias("i"), _as_double(F.col(vec_col)).alias("v")
     )
     return src.mapInPandas(
@@ -2031,6 +2072,7 @@ def semantic_dedup(
     seed: int = 7,
     block_size: int = 2048,
     keeper: str = "min_id",
+    n_blocks_per_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup assignment: every vector labeled (id, cluster_id,
     is_canonical) where clusters are the transitive closure of
@@ -2085,6 +2127,7 @@ def semantic_dedup(
         vec_col=vec_col,
         threshold=threshold,
         block_size=block_size,
+        n_blocks_per_cell=n_blocks_per_cell,
         contract=True,
     )
     assign = dedup_cluster_assignment(
@@ -2155,7 +2198,7 @@ def pca_project(
             array_to_vector(_as_double(F.col(vec_col))).alias("__v")
         )
         model = PCA(k=n_components, inputCol="__v", outputCol="__p").fit(feats)
-    src = corpus.select(
+    src = fan_out(corpus).select(
         F.col(id_col),
         array_to_vector(_as_double(F.col(vec_col))).alias("__v"),
     )
@@ -2326,7 +2369,9 @@ def jl_project(
     draws = rng.random((d_in, out_dim))
     mat = np.where(draws < 1 / 6, s, np.where(draws < 5 / 6, 0.0, -s))
 
-    src = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    src = fan_out(corpus).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
 
     def run(batches):
         import pandas as pd
@@ -2376,7 +2421,9 @@ def cluster_silhouette(
     if len(cent) < 2:
         raise ValueError("silhouette needs >= 2 centroids")
 
-    src = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    src = fan_out(corpus).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
     cn2 = (cmat * cmat).sum(axis=1)
 
     def run(batches):

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
+
 # Minimal per-language stopword lists for the n-gram/stopword heuristic
 # language-ID. Real corpora would ship larger lists; the mechanism
 # (null-safe tokenize -> set intersection ratio -> argmax) is the part
@@ -198,7 +200,7 @@ def unigram_logprob_score(
     corpus total folds in via a 1-row cross join, and one final
     aggregation scores documents. No per-row Python, no window.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     )
     # The vocab table feeds BOTH the total and the scoring join; without
@@ -315,7 +317,7 @@ def bigram_logprob_score(
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document text-analysis column bundle."""
-    return df.select(
+    return fan_out(df).select(
         "*",
         token_count(text_col).alias("n_tokens"),
         char_count(text_col).alias("n_chars_computed"),
@@ -367,7 +369,7 @@ def repetition_profile(
     Everything is a per-row expression over materialized arrays — the
     100 TB path has NO shuffle at all (see ``_mode_count``).
     """
-    base = df.select(
+    base = fan_out(df).select(
         id_col,
         F.split(F.col(text_col), "\n").alias("__lines"),
         tokens(text_col).alias("__t"),
@@ -447,7 +449,7 @@ def decontaminate(
     default 10M int64 hashes ≈ 80 MB broadcast payload — comfortable
     for executors, far below Spark's 8 GB broadcast ceiling.
     """
-    d_sh = docs.select(
+    d_sh = fan_out(docs).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
     ).select(
         id_col,
@@ -531,7 +533,8 @@ def bloom_decontaminate(
     )
     bits = bloom_bits_literal(b_sh, "__s", m_bits=m_bits, k_hashes=k_hashes)
     probe = (
-        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+        fan_out(docs)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
         .select(id_col, shingles_of_tokens(F.col("__t"), k).alias("__sh"))
         .withColumn("__bits", bits)
     )
@@ -591,7 +594,9 @@ def token_contamination(
     contamination actually found, not the corpus. The join back to the
     per-doc token counts is id-keyed on two already-aggregated sides.
     """
-    d = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    d = fan_out(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
     base = d.select(id_col, F.size("__t").alias("n_tokens"))
     win = _positional_shingles(d, id_col, "__t", k)
     b_sh = (
@@ -668,7 +673,9 @@ def remove_repeated_spans(
     duplicated document (VERDICT r7 #5). The doc-keyed join of tokens
     vs removal sets is the only other exchange.
     """
-    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    toks = fan_out(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
     occ = _positional_shingles(toks, id_col, "__t", k)
     dup = (
         occ.groupBy("__h")
@@ -733,7 +740,9 @@ def duplication_score(
     the same hash to join the counts; one per-doc agg. No per-doc
     state beyond two longs.
     """
-    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    toks = fan_out(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
     occ = _positional_shingles(toks, id_col, "__t", k)
     counts = (
         occ.groupBy("__h")
@@ -790,7 +799,9 @@ def ngram_novelty(
     span table by owner; the per-doc base (id, n_windows) is computed
     map-side from the same array. No join touches the exploded table.
     """
-    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    toks = fan_out(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
     idx = F.sequence(F.lit(0), F.size("__t") - F.lit(k))
     mk = F.array_distinct(
         F.transform(
@@ -836,7 +847,7 @@ def token_frequencies(
     ~sublinearly (Heaps' law), so this stays cheap at 100 TB while
     per-document structures would not."""
     g = list(group_cols or [])
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         *g, F.explode(tokens(text_col)).alias("token")
     )
     return exploded.groupBy(*g, "token").agg(F.count("*").alias("n"))
@@ -913,7 +924,7 @@ def dup_spans(
     span mining is its one-scan distributed approximation, exact for
     spans of length k.
     """
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
     ).filter(F.size("__t") >= F.lit(k))
     idx = F.sequence(F.lit(0), F.size("__t") - F.lit(k))
@@ -1010,7 +1021,7 @@ def chunk_documents(
         arr = token_chunks(text_col, size, overlap)
     else:
         raise ValueError(f"by must be 'chars' or 'tokens', got {by!r}")
-    out = docs.select(
+    out = fan_out(docs).select(
         F.col(id_col), F.posexplode(arr).alias("chunk_idx", "chunk_text")
     )
     return out.select(
@@ -1051,7 +1062,9 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    toks = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfw = Window.partitionBy("term")
     n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
@@ -1097,7 +1110,7 @@ def inverted_index(
     terms' postings across (term, doc-range) rows instead of one giant
     cell, which is the same groupBy with a composite key.
     """
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
     )
     # df derives from the collected list itself, NOT count_distinct —
@@ -1143,7 +1156,7 @@ def token_entropy(
 
     Output: (id_col, n_tokens, n_distinct, entropy).
     """
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    toks = fan_out(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
     return (
         tf.groupBy(id_col)
@@ -1187,7 +1200,9 @@ def pmi_collocations(
     Output: (w1, w2, n_pair, pmi) ordered by pmi DESC, w1, w2.
     """
     t = tokens(text_col)
-    toks = docs.select(F.col(id_col), t.alias("__t")).filter(F.size("__t") > 0)
+    toks = fan_out(docs).select(F.col(id_col), t.alias("__t")).filter(
+        F.size("__t") > 0
+    )
     uni = toks.select(F.explode("__t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cw")
     )
@@ -1281,7 +1296,7 @@ def dsir_weights(
     overflows float64 for long documents, so consumers exponentiate
     after their own normalization.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     )
     raw = (
@@ -1343,7 +1358,7 @@ def source_kl_divergence(
     Output: (group_col, n_tokens, kl_group_corpus, kl_corpus_group),
     divergences in nats, rounded to 6.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("t")
     )
     corpus = (
@@ -1406,7 +1421,7 @@ def source_js_divergence(
     Output: (group_col, n_tokens, jsd_nats, jsd_norm) where jsd_norm
     = jsd/ln 2 ∈ [0, 1], rounded to 6.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("t")
     )
     corpus = (
@@ -1479,7 +1494,7 @@ def mixed_lang_profile(
     """
     from pyspark.sql import Window
 
-    chunks = docs.select(
+    chunks = fan_out(docs).select(
         F.col(id_col),
         F.explode(token_chunks(text_col, chunk_size, 0)).alias("__ct"),
     )
@@ -1523,7 +1538,7 @@ def compressibility(
     import zlib
 
     id_type = dict(df.dtypes)[id_col]
-    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    src = fan_out(df).select(F.col(id_col), F.col(text_col).alias("__t"))
 
     def run(batches):
         for pdf in batches:

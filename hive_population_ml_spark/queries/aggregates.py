@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.sessions import SESSION_SQL_CTE, sessionize_2day
 from ..io import Tables
+from ..operators.parallelism import fan_out
 from ..operators.moments import grouped_moments, moments_sql
 from ..operators.stats_bundle import delta_stats, stats_bundle
 from .registry import register
@@ -828,6 +829,10 @@ def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 6).alias(f"max_{c}"),
             F.round(F.avg(c), 6).alias(f"avg_{c}"),
         ]
+    # fan_out deliberately NOT applied: measured 2.5 s (3 scan tasks)
+    # -> 6.7 s (32-way) in a clean window — the repartition's
+    # sort+shuffle of 600k wide rows costs more than the extra
+    # parallelism of the already-cheap per-row sketch updates buys
     m = t.lineitem.agg(*aggs)
     stack_expr = ", ".join(
         f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}, avg_{c}" for c in cols
@@ -863,6 +868,10 @@ def a_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 6).alias(f"max_{c}"),
             F.round(F.avg(c), 6).alias(f"avg_{c}"),
         ]
+    # fan_out deliberately NOT applied: measured 2.5 s (3 scan tasks)
+    # -> 6.7 s (32-way) in a clean window — the repartition's
+    # sort+shuffle of 600k wide rows costs more than the extra
+    # parallelism of the already-cheap per-row sketch updates buys
     m = t.lineitem.agg(*aggs)
     stack_expr = ", ".join(
         f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}, avg_{c}" for c in cols
@@ -1381,7 +1390,12 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile() / quantile_cont interpolate the same sorted integers
     under the shared (n-1)*q definition."""
     t = Tables(spark, sf_dir)
-    ev = t.events.select("event_type", "value", "event_id")
+    # fan_out is output-safe here BY the query's own design: every
+    # distributed sum is exact BIGINT arithmetic (see docstring), so
+    # partitioning cannot move a decimal; the 32-replicate weight
+    # expansion is the per-row-heavy map that previously ran on the
+    # one-row-group scan's single task.
+    ev = fan_out(t.events).select("event_type", "value", "event_id")
     us = (
         "transform(sequence(0, 31), r -> "
         "(((((abs(event_id * 32 + r) + 999983) % 2147483647) "
@@ -2793,7 +2807,10 @@ def a_rank_normalize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10000),
         ).alias("cuts")
     )
-    e = t.events.join(F.broadcast(cuts), "event_type")
+    # PROBE side fans out (per-row label against fixed cuts — exact and
+    # partition-safe); the cuts side keeps the raw scan because GK
+    # sketch merges are merge-order-sensitive and must stay bit-stable.
+    e = fan_out(t.events).join(F.broadcast(cuts), "event_type")
     cell = F.aggregate(
         "cuts",
         F.lit(0),
@@ -2829,7 +2846,9 @@ def a_gini_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10000),
         ).alias("cuts")
     )
-    e = src.join(F.broadcast(cuts), "event_type")
+    # probe side fans out; GK cuts side keeps the raw scan (see
+    # a_rank_normalize_approx)
+    e = fan_out(src).join(F.broadcast(cuts), "event_type")
     bin_ = F.aggregate(
         "cuts",
         F.lit(0),

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..operators.parallelism import fan_out
 from ..operators import codeops, urlops
 from .registry import register
 
@@ -100,7 +101,7 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     constructs the expected canonical independently — a hash match
     pins the normalizer output exactly."""
     t = Tables(spark, sf_dir)
-    urls = t.documents.select(
+    urls = fan_out(t.documents).select(
         "doc_id", urlops.url_normalize(_messy_url()).alias("url")
     )
     return (
@@ -132,7 +133,7 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-page counts over the canonical path."""
     t = Tables(spark, sf_dir)
     messy = _messy_url()
-    rows = t.documents.select(
+    rows = fan_out(t.documents).select(
         "lang",
         urlops.url_host(messy).alias("host"),
         urlops.url_domain(messy).alias("domain"),
@@ -232,7 +233,7 @@ def code_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (line structure, alnum/comment/blank fractions, shebang language,
     autogen marker, SPDX id) — all zero-shuffle scalar expressions."""
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id", _code_text().alias("code"))
+    base = fan_out(t.documents).select("doc_id", _code_text().alias("code"))
     cols = codeops.code_profile_cols("code")
     return base.select(
         "doc_id",
@@ -279,7 +280,7 @@ def code_license_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds. Ratio aggregates sum INTEGER numerators/denominators
     (one division per group — order-invariant, no float-merge wobble)."""
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id", _code_text().alias("code"))
+    base = fan_out(t.documents).select("doc_id", _code_text().alias("code"))
     lines = F.split("code", "\n")
     lens = F.transform(lines, lambda x: F.length(x))
     rows = base.select(
@@ -378,7 +379,7 @@ def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rules = urlops.parse_robots(robots)
-    urls = t.documents.select(
+    urls = fan_out(t.documents).select(
         "doc_id", urlops.url_normalize(_messy_url()).alias("url")
     )
     return (
@@ -423,7 +424,7 @@ def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig = F.concat(F.col("text"), F.lit(_MOJI_INJECT))
     garbled = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
     src = F.when(F.col("doc_id") % 2 == 0, garbled).otherwise(orig)
-    base = t.documents.select(
+    base = fan_out(t.documents).select(
         "doc_id", orig.alias("orig"), src.alias("src")
     )
     return base.select(

@@ -487,10 +487,21 @@ def mix_domain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE doc-keyed join and ONE cell agg; every window after that runs
     over the ~sqrt(n)-row cell table."""
     from ..operators.sampling import domain_mixture_weights
+    from .similarity import _centroid_df, _centroid_rows, _corpus_key
 
     t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    # memoized offline quantizer build (fingerprint-keyed, identical
+    # training call to the previous in-place fit: k=16, seed=7,
+    # max_iter=10, sample_n=4096 — centers and all downstream rows
+    # unchanged); shared with mix_cluster_silhouette, which uses the
+    # same (k, seed) quantizer by design
+    rows = _centroid_rows(
+        spark, emb, _corpus_key(emb, sf_dir), k=16, max_iter=10, sample_n=4096
+    )
     return domain_mixture_weights(
-        t.documents, t.embeddings, alpha=0.3, n_cells=16, seed=7
+        t.documents, emb, alpha=0.3, n_cells=16, seed=7,
+        centroids=_centroid_df(spark, rows),
     )
 
 

