@@ -89,7 +89,12 @@ def _ship_package(spark: SparkSession) -> None:
     if shipped == zip_path.name:
         return
     if not zip_path.exists():
-        tmp = zip_path.with_suffix(".zip.tmp")
+        # pid-unique tmp: concurrent processes (parallel pytest shards on
+        # a fresh /tmp) each build their own tmp file and atomically
+        # rename; identical content makes last-writer-wins harmless. A
+        # SHARED tmp name raced here — the first replace() consumed the
+        # tmp out from under every other process's rename.
+        tmp = zip_path.with_suffix(f".zip.tmp.{os.getpid()}")
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for p in sources:
                 zf.write(p, arcname=f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")

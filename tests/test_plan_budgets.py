@@ -95,7 +95,12 @@ EXCHANGE_BUDGETS = {
     "a_key_skew": 2,
     "m16_regression_metrics": 3,
     "dedup_exact": 1,
-    "dedup_ngram_jaccard": 2,
+    # bucket agg + pair agg, plus the r12 _frac_cap subtree: the
+    # fractional df-cap's count() driver JOB became an inline 1-row
+    # count (SinglePartition agg + IdentityBroadcast) — 2 more plan
+    # exchanges that move ONE row each, for one fewer full execution
+    # of the shingle scan per build
+    "dedup_ngram_jaccard": 4,
     # candidate table localCheckpoint'd (it feeds two consumers);
     # remaining: banding agg + verify chain (was 14 pre-checkpoint)
     "dedup_minhash_lsh": 6,
@@ -268,8 +273,9 @@ EXCHANGE_BUDGETS = {
     # the (user, island) agg REUSES that partitioning (plan-proved)
     "w_interval_merge": 1,
     # bucket agg + pair agg; the directed projection is a pure map
-    # (2-struct explode), no third shuffle
-    "dedup_containment": 2,
+    # (2-struct explode), no third shuffle. +2 in r12: the _frac_cap
+    # inline 1-row count subtree (see dedup_ngram_jaccard)
+    "dedup_containment": 4,
     # per-doc window sets dedup map-side (array_distinct pre-explode);
     # span-hash min-owner agg + owner re-agg + the novel-count
     # broadcast back to the map-side (id, n_windows) base
@@ -477,6 +483,33 @@ def test_every_registered_query_is_timed_or_declared_untimed():
     assert not stale, f"DECLARED_UNTIMED entries not in the registry: {stale}"
 
 
+# Round-12 narrow-scan fan-out (operators/parallelism.py::fan_out):
+# heavy per-row map sites round-robin-repartition a scan that planned
+# fewer partitions than defaultParallelism. Those exchanges are
+# DELIBERATE, keyless (RoundRobinPartitioning / REPARTITION_BY_NUM),
+# move only the tiny narrow projection they sit on, and no-op on any
+# real multi-row-group table — so they must not consume the budget
+# that guards against *data-moving* shuffles (hash/range/
+# ENSURE_REQUIREMENTS), which is what explodes at 100 TB. They get
+# their own cap instead so keyless repartitions can't proliferate
+# unnoticed either. Composition queries that chain several fanned
+# stages get an explicit audited pin.
+FANOUT_CAP = 4
+FANOUT_CAPS = {
+    # prefix-exact + LSH + verify stages each fan their own scan
+    "dedup_recall_report": 5,
+    # bigram + unigram + vocab scans each fan out
+    "text_pmi_collocations": 5,
+}
+
+
+def _classify_exchanges(plan: str) -> tuple[int, int]:
+    """(data-moving exchanges, round-robin fan-out exchanges)."""
+    total = plan.count("Exchange")
+    fanout = plan.count("Exchange RoundRobinPartitioning")
+    return total - fanout, fanout
+
+
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
 def test_exchange_budget(spark, sf_oracle_dir, name):
     from hive_population_ml_spark.queries import QUERIES, load_all
@@ -488,8 +521,14 @@ def test_exchange_budget(spark, sf_oracle_dir, name):
         .executedPlan()
         .toString()
     )
-    n = plan.count("Exchange")
+    n, n_fanout = _classify_exchanges(plan)
     assert n <= EXCHANGE_BUDGETS[name], (
-        f"{name}: {n} exchanges > budget {EXCHANGE_BUDGETS[name]} — a new "
-        f"shuffle crept into the plan:\n{plan[:4000]}"
+        f"{name}: {n} data-moving exchanges > budget "
+        f"{EXCHANGE_BUDGETS[name]} — a new shuffle crept into the plan:\n"
+        f"{plan[:4000]}"
+    )
+    cap = FANOUT_CAPS.get(name, FANOUT_CAP)
+    assert n_fanout <= cap, (
+        f"{name}: {n_fanout} round-robin repartitions > cap {cap} — "
+        f"keyless repartition(n) calls are multiplying:\n{plan[:4000]}"
     )
