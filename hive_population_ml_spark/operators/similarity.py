@@ -1071,9 +1071,12 @@ def pq_topk(
                 continue
             c = np.array(list(pdf["codes"]), dtype=np.int64)  # (rows, m)
             ids = pdf["neighbor_id"].to_numpy()
-            outs = []
+            # numpy accumulation + ONE frame per batch (guide §4.2 —
+            # same cut as _adc_block_scorer; values bit-identical)
+            q_out, n_out, d_out = [], [], []
+            arange_m = np.arange(m)
             for qi in range(len(q_ids)):
-                d2 = luts[qi, np.arange(m), c].sum(1)  # (rows,)
+                d2 = luts[qi, arange_m, c].sum(1)  # (rows,)
                 keep = ids != q_ids[qi]
                 d2k, idk = d2[keep], ids[keep]
                 # neighbor-id tie-break: quantized codes collide, so equal
@@ -1081,17 +1084,17 @@ def pq_topk(
                 # the selection deterministic across batch compositions
                 # (and exactly matches pq_topk_distributed's blocks).
                 top = _exact_shortlist(d2k, idk, shortlist)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[qi],
-                            "neighbor_id": idk[top],
-                            "cosine": 1.0 - d2k[top] / 2.0,
-                        }
-                    )
+                q_out.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+                n_out.append(idk[top])
+                d_out.append(d2k[top])
+            if q_out:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(q_out),
+                        "neighbor_id": np.concatenate(n_out),
+                        "cosine": 1.0 - np.concatenate(d_out) / 2.0,
+                    }
                 )
-            if outs:
-                yield pd.concat(outs)
 
     scored = codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
@@ -1215,9 +1218,38 @@ def pq_topk_distributed(
 
     pairs = codes_packed.crossJoin(luts_df)
 
+    scored = pairs.mapInPandas(
+        _adc_block_scorer(m, kc, shortlist),
+        schema="query_id long, neighbor_id long, cosine double",
+    )
+    return _finalize_topk(
+        scored, corpus, queries, id_col, vec_col, k, rerank,
+        broadcast_queries=False,
+    )
+
+
+def _adc_block_scorer(m: int, kc: int, shortlist: int):
+    """Shared (code-block x LUT-block) ADC scoring kernel for the two
+    distributed scorers. The per-query LUT gather stays a ROW loop —
+    lut[qi] is a cache-resident (m, kc) table and the batched
+    (nq, rows) gather measured 10-30x SLOWER on this box (round-12
+    work log, "tried and reverted") — but output assembly is numpy
+    accumulation + ONE DataFrame per input batch: the previous
+    per-query ``pd.DataFrame`` + giant ``pd.concat`` built tens of
+    thousands of 20-row frames per task (guide §4.2: hand whole
+    batches to vectorized code; pandas object construction is the
+    row-at-a-time loop in disguise). Emitted values are bit-identical
+    (same gather, same ``_exact_shortlist`` prefix, same order)."""
+    import numpy as np
+    import pandas as pd
+
+    arange_m = np.arange(m)
+
     def score(batches):
         for pdf in batches:
-            outs = []
+            q_out: list = []
+            n_out: list = []
+            d_out: list = []
             for i in range(len(pdf)):
                 ids = np.frombuffer(pdf["nbr_ids"].iloc[i], dtype=np.int64)
                 c = (
@@ -1230,29 +1262,25 @@ def pq_topk_distributed(
                     pdf["lut"].iloc[i], dtype=np.float64
                 ).reshape(-1, m, kc)
                 for qi in range(len(qids)):
-                    d2 = lut[qi, np.arange(m), c].sum(1)
+                    d2 = lut[qi, arange_m, c].sum(1)
                     keep = ids != qids[qi]
                     d2k, idk = d2[keep], ids[keep]
                     top = _exact_shortlist(d2k, idk, shortlist)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qids[qi],
-                                "neighbor_id": idk[top],
-                                "cosine": 1.0 - d2k[top] / 2.0,
-                            }
-                        )
+                    q_out.append(
+                        np.full(len(top), qids[qi], dtype=np.int64)
                     )
-            if outs:
-                yield pd.concat(outs)
+                    n_out.append(idk[top])
+                    d_out.append(d2k[top])
+            if q_out:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(q_out),
+                        "neighbor_id": np.concatenate(n_out),
+                        "cosine": 1.0 - np.concatenate(d_out) / 2.0,
+                    }
+                )
 
-    scored = pairs.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
-    )
-    return _finalize_topk(
-        scored, corpus, queries, id_col, vec_col, k, rerank,
-        broadcast_queries=False,
-    )
+    return score
 
 
 # ---------------------------------------------------------------------------
@@ -1462,7 +1490,11 @@ def ivfpq_topk(
             cells_in_batch = {}
             for cell in np.unique(cid):
                 cells_in_batch[int(cell)] = np.flatnonzero(cid == cell)
-            outs = []
+            # numpy accumulation + ONE frame per batch, not a pandas
+            # DataFrame per query (guide §4.2 — same cut as
+            # _adc_block_scorer; values bit-identical)
+            q_out, n_out, d_out = [], [], []
+            arange_m = np.arange(m)
             for qi in range(nq):
                 d2s, idss = [], []
                 for pi in range(n_probe):
@@ -1473,7 +1505,7 @@ def ivfpq_topk(
                     if sel.size == 0:
                         continue
                     cm = c[sel]
-                    d2s.append(luts[qi, pi, np.arange(m), cm].sum(1))
+                    d2s.append(luts[qi, pi, arange_m, cm].sum(1))
                     idss.append(ids[sel])
                 if not d2s:
                     continue
@@ -1482,17 +1514,17 @@ def ivfpq_topk(
                 # neighbor-id tie-break (see pq_topk): deterministic
                 # shortlist cut under code collisions.
                 top = _exact_shortlist(idk=idk, d2k=d2, shortlist=shortlist)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[qi],
-                            "neighbor_id": idk[top],
-                            "cosine": 1.0 - d2[top] / 2.0,
-                        }
-                    )
+                q_out.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+                n_out.append(idk[top])
+                d_out.append(d2[top])
+            if q_out:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(q_out),
+                        "neighbor_id": np.concatenate(n_out),
+                        "cosine": 1.0 - np.concatenate(d_out) / 2.0,
+                    }
                 )
-            if outs:
-                yield pd.concat(outs)
 
     scored = codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
@@ -1678,39 +1710,9 @@ def ivfpq_topk_distributed(
         luts_df, codes_packed["cid"] == luts_df["cell"]
     )
 
-    def score(batches):
-        for pdf in batches:
-            outs = []
-            for i in range(len(pdf)):
-                ids = np.frombuffer(pdf["nbr_ids"].iloc[i], dtype=np.int64)
-                c = (
-                    np.frombuffer(pdf["packed"].iloc[i], dtype=np.int32)
-                    .reshape(-1, m)
-                    .astype(np.int64)
-                )
-                qids = np.frombuffer(pdf["q_ids"].iloc[i], dtype=np.int64)
-                lut = np.frombuffer(
-                    pdf["lut"].iloc[i], dtype=np.float64
-                ).reshape(-1, m, kc)
-                for qi in range(len(qids)):
-                    d2 = lut[qi, np.arange(m), c].sum(1)
-                    keep = ids != qids[qi]
-                    d2k, idk = d2[keep], ids[keep]
-                    top = _exact_shortlist(d2k, idk, shortlist)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qids[qi],
-                                "neighbor_id": idk[top],
-                                "cosine": 1.0 - d2k[top] / 2.0,
-                            }
-                        )
-                    )
-            if outs:
-                yield pd.concat(outs)
-
     scored = pairs.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
+        _adc_block_scorer(m, kc, shortlist),
+        schema="query_id long, neighbor_id long, cosine double",
     )
     return _finalize_topk(
         scored, corpus, queries, id_col, vec_col, k, rerank,
