@@ -1176,25 +1176,24 @@ def pq_topk_distributed(
         F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_qblocks)).cast("int"),
     )
 
-    def build_lut(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_queries(pdf: pd.DataFrame) -> pd.DataFrame:
         qx = np.array(list(pdf["qv"]), dtype=np.float64)
+        # same normalization expression as the old in-block LUT build;
+        # the LUT itself is built task-side in _adc_block_scorer from
+        # the SAME (q_sub - centroid)^2 expression, so distances stay
+        # bit-identical while the shuffled payload shrinks from
+        # (nq, m, kc) LUT doubles to (nq, d) vector doubles (~43x)
         qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
-        luts = np.empty((len(pdf), m, kc), dtype=np.float64)
-        for s in range(m):
-            xs = qx[:, s * sub : (s + 1) * sub]
-            # same expression as pq_topk's driver-side LUT build —
-            # bit-identical distances, so parity is exact, not approximate
-            luts[:, s, :] = ((xs[:, None, :] - books[s][None]) ** 2).sum(-1)
         return pd.DataFrame(
             {
                 "qblock": [int(pdf["qblock"].iloc[0])],
                 "q_ids": [pdf["query_id"].to_numpy(np.int64).tobytes()],
-                "lut": [luts.tobytes()],
+                "qvs": [qx.tobytes()],
             }
         )
 
-    luts_df = q.groupBy("qblock").applyInPandas(
-        build_lut, schema="qblock int, q_ids binary, lut binary"
+    qpacks = q.groupBy("qblock").applyInPandas(
+        pack_queries, schema="qblock int, q_ids binary, qvs binary"
     )
 
     codes = pq_encode(corpus, books, id_col, vec_col).withColumn(
@@ -1216,10 +1215,10 @@ def pq_topk_distributed(
         pack_codes, schema="cblock int, nbr_ids binary, packed binary"
     )
 
-    pairs = codes_packed.crossJoin(luts_df)
+    pairs = codes_packed.crossJoin(qpacks)
 
     scored = pairs.mapInPandas(
-        _adc_block_scorer(m, kc, shortlist),
+        _adc_block_scorer(m, kc, shortlist, books),
         schema="query_id long, neighbor_id long, cosine double",
     )
     return _finalize_topk(
@@ -1228,21 +1227,41 @@ def pq_topk_distributed(
     )
 
 
-def _adc_block_scorer(m: int, kc: int, shortlist: int):
-    """Shared (code-block x LUT-block) ADC scoring kernel for the two
-    distributed scorers. The per-query LUT gather stays a ROW loop —
-    lut[qi] is a cache-resident (m, kc) table and the batched
-    (nq, rows) gather measured 10-30x SLOWER on this box (round-12
-    work log, "tried and reverted") — but output assembly is numpy
-    accumulation + ONE DataFrame per input batch: the previous
-    per-query ``pd.DataFrame`` + giant ``pd.concat`` built tens of
-    thousands of 20-row frames per task (guide §4.2: hand whole
-    batches to vectorized code; pandas object construction is the
-    row-at-a-time loop in disguise). Emitted values are bit-identical
-    (same gather, same ``_exact_shortlist`` prefix, same order)."""
+def _adc_block_scorer(m: int, kc: int, shortlist: int, books, cents=None):
+    """Shared (code-block x query-block) ADC scoring kernel for the two
+    distributed scorers.
+
+    LUTs are built HERE, task-side, from the packed unit-normalized
+    query vectors — the same ``(q_sub - centroid)^2`` / residual
+    expressions as the driver-LUT paths, so distances stay
+    bit-identical. Shipping vectors instead of LUT rows cuts the
+    Python->JVM->shuffle->Python payload by m*kc/d (~170x at the
+    default m=8, kc=256, d=48): the round-12 stage decomposition
+    measured the packed-LUT DataFrame as the dominant stage (~4 s of a
+    ~7 s pre-finalize pipeline at sf0.1 — 262 MB of LUT rows crossing
+    three serialization boundaries), exactly the guide §8 rule: move
+    the lightweight proxy, not the heavy payload. The rebuild cost is
+    one (nq_block, m, kc) numpy pass per (code-block, query-block)
+    pair — ~20 ms — repeated per code block of the same cell, which is
+    noise next to the ADC scan it precedes.
+
+    ``cents`` switches residual mode (IVFADC): each pair row carries
+    its coarse cell id in ``cid`` and LUTs quantize ``q - centroid``.
+
+    The per-query LUT gather stays a ROW loop — lut[qi] is a
+    cache-resident (m, kc) table and the batched (nq, rows) gather
+    measured 10-30x SLOWER on this box (round-12 work log, "tried and
+    reverted") — and output assembly is numpy accumulation + ONE
+    DataFrame per input batch: the previous per-query ``pd.DataFrame``
+    + giant ``pd.concat`` built tens of thousands of 20-row frames per
+    task (guide §4.2)."""
     import numpy as np
     import pandas as pd
 
+    books = np.asarray(books)
+    sub = books.shape[2]
+    if cents is not None:
+        cents = np.asarray(cents)
     arange_m = np.arange(m)
 
     def score(batches):
@@ -1258,9 +1277,27 @@ def _adc_block_scorer(m: int, kc: int, shortlist: int):
                     .astype(np.int64)
                 )
                 qids = np.frombuffer(pdf["q_ids"].iloc[i], dtype=np.int64)
-                lut = np.frombuffer(
-                    pdf["lut"].iloc[i], dtype=np.float64
-                ).reshape(-1, m, kc)
+                qx = np.frombuffer(
+                    pdf["qvs"].iloc[i], dtype=np.float64
+                ).reshape(len(qids), -1)
+                lut = np.empty((len(qids), m, kc), dtype=np.float64)
+                if cents is not None:
+                    # residual LUT — identical expression to
+                    # ivfpq_topk's driver-side build
+                    resid = qx - cents[int(pdf["cid"].iloc[i])]
+                    for s in range(m):
+                        rs = resid[:, s * sub : (s + 1) * sub]
+                        lut[:, s, :] = (
+                            (books[s][None] - rs[:, None, :]) ** 2
+                        ).sum(-1)
+                else:
+                    # plain ADC LUT — identical expression to pq_topk's
+                    # driver-side build
+                    for s in range(m):
+                        xs = qx[:, s * sub : (s + 1) * sub]
+                        lut[:, s, :] = (
+                            (xs[:, None, :] - books[s][None]) ** 2
+                        ).sum(-1)
                 for qi in range(len(qids)):
                     d2 = lut[qi, arange_m, c].sum(1)
                     keep = ids != qids[qi]
@@ -1656,37 +1693,47 @@ def ivfpq_topk_distributed(
                 }
             )
 
+    # localCheckpoint: _cell_blocks' per-cell histogram agg and the main
+    # LUT path would otherwise EXECUTE the probe-assignment GEMM map
+    # twice (separate exchanges — Spark cannot reuse the subtree).
+    # Materializing the (nq x n_probe)-row probe table once is bounded
+    # by the query side, never the corpus.
     probes_raw = src.mapInPandas(
         assign_probes, schema="query_id long, qv array<double>, cell int"
-    )
+    ).localCheckpoint()
     probes = _cell_blocks(
         probes_raw, "cell", "query_id", queries_per_block
     ).withColumnRenamed("__blk", "qblock")
 
-    def build_lut(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_queries(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["cell"].iloc[0])
         qx = np.array(list(pdf["qv"]), dtype=np.float64)  # already unit
-        resid = qx - cents[cell]
-        luts = np.empty((len(pdf), m, kc), dtype=np.float64)
-        for s in range(m):
-            rs = resid[:, s * sub : (s + 1) * sub]
-            # same expression as ivfpq_topk's driver-side LUT build —
-            # bit-identical distances, so parity is exact
-            luts[:, s, :] = ((books[s][None] - rs[:, None, :]) ** 2).sum(-1)
+        # residual LUTs are built task-side in _adc_block_scorer from
+        # the SAME expression as ivfpq_topk's driver build (distances
+        # bit-identical); shipping the (nq, d) vectors instead of
+        # (nq, m, kc) LUT doubles shrinks the shuffled payload ~43x —
+        # the round-12 stage decomposition measured the LUT rows as
+        # the dominant stage of this query (guide §8's proxy rule)
         return pd.DataFrame(
             {
                 "cell": [cell],
                 "q_ids": [pdf["query_id"].to_numpy(np.int64).tobytes()],
-                "lut": [luts.tobytes()],
+                "qvs": [qx.tobytes()],
             }
         )
 
-    luts_df = probes.groupBy("cell", "qblock").applyInPandas(
-        build_lut, schema="cell int, q_ids binary, lut binary"
+    qpacks = probes.groupBy("cell", "qblock").applyInPandas(
+        pack_queries, schema="cell int, q_ids binary, qvs binary"
     )
 
+    # Same double-execution cut for the corpus side: the encode GEMM is
+    # the most expensive map in the query and _cell_blocks' histogram
+    # would run it a second time. Checkpointing the CODES (20 B/vector)
+    # beats re-reading + re-encoding the raw vectors; at deployment this
+    # table is a write-time artifact partitioned by cell (see step 3 in
+    # the docstring), so only the bench/ad-hoc path pays even this.
     codes = _cell_blocks(
-        ivfpq_encode(corpus, cents, books, id_col, vec_col),
+        ivfpq_encode(corpus, cents, books, id_col, vec_col).localCheckpoint(),
         "cid",
         id_col,
         codes_per_block,
@@ -1707,11 +1754,11 @@ def ivfpq_topk_distributed(
     )
 
     pairs = codes_packed.join(
-        luts_df, codes_packed["cid"] == luts_df["cell"]
+        qpacks, codes_packed["cid"] == qpacks["cell"]
     )
 
     scored = pairs.mapInPandas(
-        _adc_block_scorer(m, kc, shortlist),
+        _adc_block_scorer(m, kc, shortlist, books, cents=cents),
         schema="query_id long, neighbor_id long, cosine double",
     )
     return _finalize_topk(

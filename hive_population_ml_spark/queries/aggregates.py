@@ -829,10 +829,12 @@ def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 6).alias(f"max_{c}"),
             F.round(F.avg(c), 6).alias(f"avg_{c}"),
         ]
-    # fan_out deliberately NOT applied: measured 2.5 s (3 scan tasks)
-    # -> 6.7 s (32-way) in a clean window — the repartition's
-    # sort+shuffle of 600k wide rows costs more than the extra
-    # parallelism of the already-cheap per-row sketch updates buys
+    # fan_out NOT applied — and not for shuffle cost (a projected
+    # repartition of 3 numeric columns is ~14 MB): round-12 measured
+    # that repartitioning flips avg(l_discount)'s float-sum order and
+    # its true mean sits within ~1e-11 of a round-6 boundary
+    # (0.049918 vs the oracle's 0.049919 at sf0.01). An oracle-compared
+    # rounded average pins this query to the scan's native partitioning.
     m = t.lineitem.agg(*aggs)
     stack_expr = ", ".join(
         f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}, avg_{c}" for c in cols
@@ -868,10 +870,10 @@ def a_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 6).alias(f"max_{c}"),
             F.round(F.avg(c), 6).alias(f"avg_{c}"),
         ]
-    # fan_out deliberately NOT applied: measured 2.5 s (3 scan tasks)
-    # -> 6.7 s (32-way) in a clean window — the repartition's
-    # sort+shuffle of 600k wide rows costs more than the extra
-    # parallelism of the already-cheap per-row sketch updates buys
+    # fan_out NOT applied: tests pin every non-sketched metric
+    # bit-identical to a_profile_table, whose oracle-compared rounded
+    # average forbids repartitioning (see the note there) — the two
+    # forms must keep identical float-sum order.
     m = t.lineitem.agg(*aggs)
     stack_expr = ", ".join(
         f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}, avg_{c}" for c in cols
