@@ -258,8 +258,17 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingle_sets(df, id_col, text_col, k)  # (doc, s, n)
-    hashed = sh.withColumn("sh64", F.xxhash64("s"))
+    # ONE materialization of the hashed shingle table feeds all three
+    # consumers (df-count agg, rank join, verify arrays) — without it
+    # the tokenize+shingle explode executes three times in this plan
+    # (separate exchanges; Spark cannot reuse the subtree). Projected
+    # to (doc, sh64, n) first so the checkpoint never stores the
+    # shingle STRINGS (guide §2.3: project before materializing).
+    hashed = (
+        shingle_sets(df, id_col, text_col, k)  # (doc, s, n)
+        .select("doc", F.xxhash64("s").alias("sh64"), "n")
+        .localCheckpoint()
+    )
     freq = hashed.groupBy("sh64").agg(F.count("*").alias("df_s"))
     ranked = hashed.join(freq, "sh64").withColumn(
         "pos",
@@ -332,13 +341,9 @@ def prefix_jaccard_pairs(
     # same intersection definition the co-bucket counting in
     # _jaccard_verify has used since round 3 — oracle-hash-green at
     # every SF, with 64-bit collision odds ~1e-15 at these set sizes.
-    arrs = (
-        sh.withColumn("sh64", F.xxhash64("s"))
-        .groupBy("doc")
-        .agg(
-            F.sort_array(F.collect_list("sh64")).alias("arr"),
-            F.first("n").alias("n"),
-        )
+    arrs = hashed.groupBy("doc").agg(
+        F.sort_array(F.collect_list("sh64")).alias("arr"),
+        F.first("n").alias("n"),
     )
     paired = cands.join(
         arrs.select(
@@ -519,7 +524,15 @@ def fingerprint_pairs(
     Input: a (doc, simhash) frame. Candidates via block-combination
     tables (``_simhash_tables`` — exact pigeonhole recall at any
     ``max_hamming``), verified with bit_count(xor). Output:
-    (d1, d2, hamming) with d1 < d2."""
+    (d1, d2, hamming) with d1 < d2.
+
+    ``fp`` is materialized once (localCheckpoint): it feeds THREE
+    consumers (the table-key explode and both verify sides), so a
+    compute-heavy fingerprint upstream — text SimHash's 64-aggregate
+    pass, the codec pHash decodes — would otherwise execute three
+    times (Spark reuses the shuffle below the agg, not the agg). The
+    checkpointed table is (doc, int64) — 16 B/doc at any scale."""
+    fp = fp.localCheckpoint()
     n_blocks, combos = _simhash_tables(max_hamming, n_blocks)
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     starts = [sum(widths[:i]) for i in range(n_blocks)]
