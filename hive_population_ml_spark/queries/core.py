@@ -75,6 +75,20 @@ def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("price"),
         )
     )
+    # KEYED fan-out (round 12): a one-row-group lineitem scan runs the
+    # whole 6M-row interval-join probe + partial agg on ONE core. A
+    # round-robin fan-out would scatter each group's rows and change
+    # the rounded avg/stddev partial-merge order (the a_profile_table
+    # rounding-boundary lesson); hashing on custkey keeps every group
+    # in one partition — the broadcast join expands the partitioning to
+    # o_custkey, so the groupBy's exchange is ELIDED (this repartition
+    # REPLACES it, 3 narrow columns instead of post-join rows) and each
+    # group still accumulates sequentially in scan order. Explicit
+    # partition count so AQE cannot coalesce the 14 MB exchange back to
+    # one task.
+    fact = fact.repartition(
+        spark.sparkContext.defaultParallelism, "custkey"
+    )
     dim = orders.select("o_orderkey", "o_custkey", "o_orderdate")
     # dim side is NOT broadcast here: at 100 TB both sides are large and
     # share the custkey equi-conjunct, so a co-partitioned join scales;
