@@ -50,3 +50,36 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if cur >= target:
         return df
     return df.repartition(target)
+
+
+def fan_out_by(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
+    """KEYED fan-out: hash-repartition on ``cols`` when the plan has
+    fewer partitions than the session's parallelism; no-op otherwise.
+
+    The group-preserving sibling of ``fan_out`` for pipelines that END
+    in a groupBy/window on (a superset of) ``cols``: every group stays
+    whole in one partition, so per-group float accumulation order is
+    unchanged (round-robin would scatter a group's rows and reorder
+    rounded avg/stddev partial merges — the a_profile_table
+    rounding-boundary lesson), and Catalyst ELIDES the downstream
+    aggregation's own exchange because hash partitioning on a key
+    subset satisfies its clustering — the repartition REPLACES that
+    exchange rather than adding one. With a single upstream scan task
+    (the only case the gate lets through) each partition also receives
+    its rows in scan order, so results are bit-identical to the
+    unfanned plan.
+
+    At real multi-row-group scale this is a deliberate NO-OP: there the
+    map-side combine before the aggregation exchange ships fewer bytes
+    than raw rows, so the unfanned plan is strictly better (guide §2.3
+    "aggregate before you shuffle"). The explicit partition count stops
+    AQE coalescing the small exchange back to one task."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_parts or sc.defaultParallelism)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target, *cols)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..operators.interval_join import as_of_join, interval_join
+from ..operators.parallelism import fan_out_by
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -76,19 +77,14 @@ def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # KEYED fan-out (round 12): a one-row-group lineitem scan runs the
-    # whole 6M-row interval-join probe + partial agg on ONE core. A
-    # round-robin fan-out would scatter each group's rows and change
-    # the rounded avg/stddev partial-merge order (the a_profile_table
-    # rounding-boundary lesson); hashing on custkey keeps every group
-    # in one partition — the broadcast join expands the partitioning to
-    # o_custkey, so the groupBy's exchange is ELIDED (this repartition
-    # REPLACES it, 3 narrow columns instead of post-join rows) and each
-    # group still accumulates sequentially in scan order. Explicit
-    # partition count so AQE cannot coalesce the 14 MB exchange back to
-    # one task.
-    fact = fact.repartition(
-        spark.sparkContext.defaultParallelism, "custkey"
-    )
+    # whole 6M-row interval-join probe + partial agg on ONE core.
+    # Hashing on custkey keeps every group in one partition — the
+    # broadcast join expands the partitioning to o_custkey, so the
+    # groupBy's exchange is ELIDED (this repartition REPLACES it, 3
+    # narrow columns instead of post-join partial rows) and each group
+    # still accumulates in scan order: bit-identical (see fan_out_by;
+    # no-op on any multi-row-group table, where map-side combine wins).
+    fact = fan_out_by(fact, "custkey")
     dim = orders.select("o_orderkey", "o_custkey", "o_orderdate")
     # dim side is NOT broadcast here: at 100 TB both sides are large and
     # share the custkey equi-conjunct, so a co-partitioned join scales;
@@ -359,6 +355,12 @@ def asof_nearest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lineid"),
         )
     )
+    # keyed fan-out tried and REVERTED (round 12): unlike the flagship,
+    # the as-of window re-keys on o_orderkey, so the repartition cannot
+    # replace any exchange — and WindowGroupLimit already collapses each
+    # anchor to its top row BELOW the window's exchange, so the unfanned
+    # probe ships almost nothing. A/B measured 1.48 s -> 2.18 s median
+    # (control-normalized worse still).
     dim = orders.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..operators.parallelism import fan_out_by
 from .registry import register
 
 _PRED_SQL = """
@@ -36,7 +37,15 @@ def _preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first, so the join carries |orders| rows instead of |lineitem| —
     # the aggregate-pushdown Catalyst won't do on its own (2x at sf0.1,
     # and the gap grows with lineitems-per-order at 100 TB).
-    per_order = t.lineitem.groupBy("l_orderkey").agg(
+    # fan_out_by: a one-row-group scan runs the whole per-order partial
+    # agg on one core; hashing on the group key is BIT-identical here
+    # (same hash, same partition count as the agg's own exchange, which
+    # it replaces — identical partition contents, per-group scan-order
+    # accumulation) and a no-op on any multi-row-group table.
+    per_order = fan_out_by(
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    ).groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y_hat"),
         (F.lit(65000.0) * F.count("*")).alias("y_hat2"),
     )
