@@ -45,6 +45,7 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R\b)")
 
 
 def _iter_streams(data: bytes):
@@ -63,12 +64,29 @@ def _iter_streams(data: bytes):
         # 'stream'; a lightweight slice is enough for filter sniffing
         dict_start = data.rfind(b"<<", 0, m.start())
         d = data[dict_start : m.start()] if dict_start >= 0 else b""
-        raw = data[start:end]
-        # spec: EOL before endstream is not part of the data
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith(b"\n"):
-            raw = raw[:-1]
+        # Prefer the dict's direct /Length: the EOL-before-endstream
+        # trim below cannot tell the writer's EOL apart from payload
+        # bytes that HAPPEN to end in 0x0D — a flate stream whose last
+        # data byte is \r reads as a \r\n EOL and loses a byte (found
+        # by the literal-roundtrip property test). Indirect lengths
+        # ("/Length 4 0 R") don't match and fall through.
+        raw = None
+        lm = _LENGTH_RE.search(d)
+        if lm:
+            n = int(lm.group(1))
+            e2 = data.find(b"endstream", start + n)
+            # sanity: the declared length must land on endstream up to
+            # one EOL marker, else the dict lied — use the heuristic
+            if e2 >= 0 and data[start + n : e2] in (b"", b"\n", b"\r", b"\r\n"):
+                raw = data[start : start + n]
+                end = e2
+        if raw is None:
+            raw = data[start:end]
+            # spec: EOL before endstream is not part of the data
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n"):
+                raw = raw[:-1]
         if b"/FlateDecode" in d:
             try:
                 yield d, zlib.decompress(raw)

@@ -201,19 +201,15 @@ class _TextExtractor(HTMLParser):
 def html_to_text(html: str) -> str:
     """Visible text via the stdlib HTML parser: script/style dropped,
     block tags become line breaks, whitespace collapsed per line,
-    blank lines squeezed."""
+    blank lines dropped (whitespace-only lines carry no visible text —
+    whether they come from block-tag breaks or literal newline runs in
+    the source, which HTML renders as collapsed whitespace anyway)."""
     p = _TextExtractor()
     p.feed(html)
     p.close()
     raw = "".join(p.chunks)
-    lines = [" ".join(ln.split()) for ln in raw.splitlines()]
-    out: list[str] = []
-    for ln in lines:
-        if ln:
-            out.append(ln)
-        elif out and out[-1] != "":
-            out.append("")
-    return "\n".join(out).strip()
+    lines = (" ".join(ln.split()) for ln in raw.splitlines())
+    return "\n".join(ln for ln in lines if ln)
 
 
 # Chrome containers whose text is boilerplate by position, regardless
