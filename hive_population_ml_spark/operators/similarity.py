@@ -1227,9 +1227,10 @@ def pq_topk_distributed(
     )
 
 
-def _adc_block_scorer(m: int, kc: int, shortlist: int, books, cents=None):
-    """Shared (code-block x query-block) ADC scoring kernel for the two
-    distributed scorers.
+def _adc_block_scorer(m: int, kc: int, shortlist: int, books):
+    """(code-block x query-block) ADC scoring kernel for the pure-PQ
+    distributed scorer (the IVFADC sibling fused into a cogroup in
+    round 13 — see _adc_cell_scorer).
 
     LUTs are built HERE, task-side, from the packed unit-normalized
     query vectors — the same ``(q_sub - centroid)^2`` / residual
@@ -1245,9 +1246,6 @@ def _adc_block_scorer(m: int, kc: int, shortlist: int, books, cents=None):
     pair — ~20 ms — repeated per code block of the same cell, which is
     noise next to the ADC scan it precedes.
 
-    ``cents`` switches residual mode (IVFADC): each pair row carries
-    its coarse cell id in ``cid`` and LUTs quantize ``q - centroid``.
-
     The per-query LUT gather stays a ROW loop — lut[qi] is a
     cache-resident (m, kc) table and the batched (nq, rows) gather
     measured 10-30x SLOWER on this box (round-12 work log, "tried and
@@ -1260,8 +1258,6 @@ def _adc_block_scorer(m: int, kc: int, shortlist: int, books, cents=None):
 
     books = np.asarray(books)
     sub = books.shape[2]
-    if cents is not None:
-        cents = np.asarray(cents)
     arange_m = np.arange(m)
 
     def score(batches):
@@ -1281,23 +1277,13 @@ def _adc_block_scorer(m: int, kc: int, shortlist: int, books, cents=None):
                     pdf["qvs"].iloc[i], dtype=np.float64
                 ).reshape(len(qids), -1)
                 lut = np.empty((len(qids), m, kc), dtype=np.float64)
-                if cents is not None:
-                    # residual LUT — identical expression to
-                    # ivfpq_topk's driver-side build
-                    resid = qx - cents[int(pdf["cid"].iloc[i])]
-                    for s in range(m):
-                        rs = resid[:, s * sub : (s + 1) * sub]
-                        lut[:, s, :] = (
-                            (books[s][None] - rs[:, None, :]) ** 2
-                        ).sum(-1)
-                else:
-                    # plain ADC LUT — identical expression to pq_topk's
-                    # driver-side build
-                    for s in range(m):
-                        xs = qx[:, s * sub : (s + 1) * sub]
-                        lut[:, s, :] = (
-                            (xs[:, None, :] - books[s][None]) ** 2
-                        ).sum(-1)
+                # plain ADC LUT — identical expression to pq_topk's
+                # driver-side build
+                for s in range(m):
+                    xs = qx[:, s * sub : (s + 1) * sub]
+                    lut[:, s, :] = (
+                        (xs[:, None, :] - books[s][None]) ** 2
+                    ).sum(-1)
                 for qi in range(len(qids)):
                     d2 = lut[qi, arange_m, c].sum(1)
                     keep = ids != qids[qi]
@@ -1624,27 +1610,27 @@ def ivfpq_topk_distributed(
       1. queries -> map-side probe assignment (centroids ride the task
          closure, KBs): each query replicates to ``n_probe``
          (query, cell) rows with its unit-normalized vector;
-      2. per (cell, qblock) group, one packed residual-LUT row for
-         ~``queries_per_block`` queries — the SAME residual/LUT
-         expressions as ``ivfpq_topk``'s driver build, so distances are
-         bit-identical and parity with the driver path is exact;
-      3. corpus residual-PQ codes pack per (cell, cblock) — at 100 TB
-         this table is written once at index-build time, PARTITIONED BY
-         cell, so the join reads only probed cells' code blocks;
-      4. (code-block ⋈ lut-block ON cell) — an EQUI-join on the cell
-         id, never a cross grid (plan-asserted: no CartesianProduct /
-         BroadcastNestedLoop); scoring is the same vectorized
-         fancy-index pass, and only each query's local ``rerank*k``
-         shortlist leaves a task.
+      2. corpus residual-PQ codes get a per-cell block id
+         (``ceil(|cell| / codes_per_block)`` moduli from a broadcast
+         histogram) — at 100 TB this table is written once at
+         index-build time, PARTITIONED BY cell, so a probe reads only
+         its cells' code blocks;
+      3. one COGROUP on (cell, code-block): each group sees that
+         block's raw code rows plus every query probing the cell
+         (probe rows replicate per code block — the (id, d)-sized
+         light side), builds residual LUTs task-side in
+         ``queries_per_block`` chunks from the SAME expressions as
+         ``ivfpq_topk``'s driver build (distances bit-identical), and
+         emits only each query's local ``rerank*k`` shortlist. An
+         equi-keyed cogroup, never a cross grid (plan-asserted: no
+         CartesianProduct / BroadcastNestedLoop).
 
     Total ADC work is Σ_probed-cells |cell| per query instead of n —
     the n_probe/n_cells fraction of the pure-PQ grid. Cell-size skew:
-    block counts are derived PER CELL from measured cell sizes
-    (``ceil(|cell| / codes_per_block)``), so a hot cell makes MORE
-    bounded-size block-pairs, never bigger tasks — the per-cell
-    histograms cost one tiny aggregation per side (n_cells rows,
-    broadcast back; at deployment the codes table and its cell
-    histogram are write-time artifacts, so only the query side pays).
+    block counts are derived PER CELL from measured cell sizes, so a
+    hot cell makes MORE bounded-size groups, never bigger tasks; at
+    deployment the codes table and its cell histogram are write-time
+    artifacts, so only the query side pays the aggregation.
 
     Output and semantics match ``ivfpq_topk`` exactly (parity-tested on
     both rerank paths at the guard boundary; block partitioning cannot
@@ -1693,78 +1679,148 @@ def ivfpq_topk_distributed(
                 }
             )
 
-    # localCheckpoint: _cell_blocks' per-cell histogram agg and the main
-    # LUT path would otherwise EXECUTE the probe-assignment GEMM map
-    # twice (separate exchanges — Spark cannot reuse the subtree).
-    # Materializing the (nq x n_probe)-row probe table once is bounded
-    # by the query side, never the corpus.
-    probes_raw = src.mapInPandas(
+    probes = src.mapInPandas(
         assign_probes, schema="query_id long, qv array<double>, cell int"
-    ).localCheckpoint()
-    probes = _cell_blocks(
-        probes_raw, "cell", "query_id", queries_per_block
-    ).withColumnRenamed("__blk", "qblock")
+    )
 
-    def pack_queries(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell"].iloc[0])
-        qx = np.array(list(pdf["qv"]), dtype=np.float64)  # already unit
-        # residual LUTs are built task-side in _adc_block_scorer from
-        # the SAME expression as ivfpq_topk's driver build (distances
-        # bit-identical); shipping the (nq, d) vectors instead of
-        # (nq, m, kc) LUT doubles shrinks the shuffled payload ~43x —
-        # the round-12 stage decomposition measured the LUT rows as
-        # the dominant stage of this query (guide §8's proxy rule)
-        return pd.DataFrame(
-            {
-                "cell": [cell],
-                "q_ids": [pdf["query_id"].to_numpy(np.int64).tobytes()],
-                "qvs": [qx.tobytes()],
-            }
+    # Round-13 stage fusion (VERDICT r12 #1, guide §2.2/§2.3): the old
+    # pipeline packed each side into per-(cell, block) rows via two
+    # applyInPandas shuffles, equi-joined the packed rows on the cell
+    # id, and needed TWO localCheckpoints plus TWO per-cell histogram
+    # aggregations to keep the GEMM maps single-execution — ~12 short
+    # stages whose fixed overhead dominated the bench line after the
+    # round-12 LUT redesign removed the data-volume term. A COGROUP on
+    # (cell, code-block) collapses pack+pack+join+score into one
+    # exchange per side feeding a single FlatMapCoGroupsInPandas:
+    #   - codes keep the SAME skew-bounding block id as before
+    #     (pmod(xxhash64(id), ceil(|cell| / codes_per_block)) from the
+    #     measured per-cell histogram — a hot cell still splits into
+    #     proportionally more bounded tasks, never bigger ones);
+    #   - each probe row replicates to every code block of its probed
+    #     cell (query rows are (id, d)-sized — the lightweight side);
+    #   - query-side LUT batching moves INSIDE the task (chunks of
+    #     queries_per_block), so LUT memory stays bounded without a
+    #     separate query-block shuffle key.
+    # Results are identical: per (query, code-block) the scorer sees
+    # the same candidate codes, computes the same residual-LUT
+    # distances, and emits the same local shortlist; _finalize_topk's
+    # global (cosine desc, id) cut is invariant to block granularity
+    # (parity-pinned against the driver-LUT path). The encode GEMM is
+    # checkpointed lazily — still the single-execution cut for its two
+    # consumers (histogram + cogroup), materialized on first use; at
+    # deployment the codes table is a write-time artifact partitioned
+    # by cell, so only the bench/ad-hoc path pays it (executor loss
+    # recomputes from the truncated lineage's parquet inputs on the
+    # cluster deployment path — see ckpt.py for the caveat).
+    codes = ivfpq_encode(corpus, cents, books, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    counts = codes.groupBy("cid").agg(F.count(F.lit(1)).alias("__cn"))
+    nblk = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__cn") / F.lit(codes_per_block)).cast("long"),
+    )
+    codes_b = (
+        codes.join(F.broadcast(counts), "cid")
+        .withColumn(
+            "cblock", F.pmod(F.xxhash64(F.col(id_col)), nblk).cast("int")
         )
-
-    qpacks = probes.groupBy("cell", "qblock").applyInPandas(
-        pack_queries, schema="cell int, q_ids binary, qvs binary"
+        .drop("__cn")
     )
-
-    # Same double-execution cut for the corpus side: the encode GEMM is
-    # the most expensive map in the query and _cell_blocks' histogram
-    # would run it a second time. Checkpointing the CODES (20 B/vector)
-    # beats re-reading + re-encoding the raw vectors; at deployment this
-    # table is a write-time artifact partitioned by cell (see step 3 in
-    # the docstring), so only the bench/ad-hoc path pays even this.
-    codes = _cell_blocks(
-        ivfpq_encode(corpus, cents, books, id_col, vec_col).localCheckpoint(),
-        "cid",
-        id_col,
-        codes_per_block,
-    ).withColumnRenamed("__blk", "cblock")
-
-    def pack_codes(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = np.array(list(pdf["codes"]), dtype=np.int32)
-        return pd.DataFrame(
-            {
-                "cid": [int(pdf["cid"].iloc[0])],
-                "nbr_ids": [pdf[id_col].to_numpy(np.int64).tobytes()],
-                "packed": [c.tobytes()],
-            }
+    probes_b = (
+        probes.join(F.broadcast(counts), probes["cell"] == counts["cid"])
+        .withColumn(
+            "cblock",
+            F.explode(F.sequence(F.lit(0), (nblk - F.lit(1)).cast("int"))),
         )
-
-    codes_packed = codes.groupBy("cid", "cblock").applyInPandas(
-        pack_codes, schema="cid int, nbr_ids binary, packed binary"
+        .select("query_id", "qv", "cell", "cblock")
     )
 
-    pairs = codes_packed.join(
-        qpacks, codes_packed["cid"] == qpacks["cell"]
-    )
-
-    scored = pairs.mapInPandas(
-        _adc_block_scorer(m, kc, shortlist, books, cents=cents),
-        schema="query_id long, neighbor_id long, cosine double",
+    scored = (
+        codes_b.groupBy("cid", "cblock")
+        .cogroup(probes_b.groupBy("cell", "cblock"))
+        .applyInPandas(
+            _adc_cell_scorer(
+                m, kc, shortlist, books, cents, id_col, queries_per_block
+            ),
+            schema="query_id long, neighbor_id long, cosine double",
+        )
     )
     return _finalize_topk(
         scored, corpus, queries, id_col, vec_col, k, rerank,
         broadcast_queries=False,
     )
+
+
+def _adc_cell_scorer(
+    m: int, kc: int, shortlist: int, books, cents, id_col: str,
+    queries_per_block: int,
+):
+    """Cogrouped (cell, code-block) IVFADC scoring kernel: one group =
+    that block's raw code rows + every query probing the cell. LUTs are
+    built task-side from the SAME residual expression as ivfpq_topk's
+    driver build (distances bit-identical), in chunks of
+    ``queries_per_block`` queries so LUT memory stays bounded no matter
+    how many queries probe a hot cell. The per-query LUT gather stays a
+    ROW loop and the shortlist uses the O(n) partition — both round-12
+    decisions, unchanged (see _adc_block_scorer's docstring for the
+    measured reasons)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books)
+    cents = np.asarray(cents)
+    sub = books.shape[2]
+    arange_m = np.arange(m)
+
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> "pd.DataFrame":
+        if len(cdf) == 0 or len(qdf) == 0:
+            return _empty()
+        ids = cdf[id_col].to_numpy(np.int64)
+        c = np.array(list(cdf["codes"]), dtype=np.int64)
+        cell = int(cdf["cid"].iloc[0])
+        qids_all = qdf["query_id"].to_numpy(np.int64)
+        qx_all = np.array(list(qdf["qv"]), dtype=np.float64)  # already unit
+        q_out: list = []
+        n_out: list = []
+        d_out: list = []
+        for lo in range(0, len(qids_all), queries_per_block):
+            qids = qids_all[lo : lo + queries_per_block]
+            # residual LUT — identical expression to ivfpq_topk's
+            # driver-side build
+            resid = qx_all[lo : lo + queries_per_block] - cents[cell]
+            lut = np.empty((len(qids), m, kc), dtype=np.float64)
+            for s in range(m):
+                rs = resid[:, s * sub : (s + 1) * sub]
+                lut[:, s, :] = ((books[s][None] - rs[:, None, :]) ** 2).sum(-1)
+            for qi in range(len(qids)):
+                d2 = lut[qi, arange_m, c].sum(1)
+                keep = ids != qids[qi]
+                d2k, idk = d2[keep], ids[keep]
+                top = _exact_shortlist(d2k, idk, shortlist)
+                q_out.append(np.full(len(top), qids[qi], dtype=np.int64))
+                n_out.append(idk[top])
+                d_out.append(d2k[top])
+        if not q_out:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(q_out),
+                "neighbor_id": np.concatenate(n_out),
+                "cosine": 1.0 - np.concatenate(d_out) / 2.0,
+            }
+        )
+
+    return score
 
 
 # ---------------------------------------------------------------------------
