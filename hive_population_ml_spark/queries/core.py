@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..operators.interval_join import as_of_join, interval_join
-from ..operators.parallelism import fan_out_by
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -76,15 +75,17 @@ def flagship_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("price"),
         )
     )
-    # KEYED fan-out (round 12): a one-row-group lineitem scan runs the
-    # whole 6M-row interval-join probe + partial agg on ONE core.
-    # Hashing on custkey keeps every group in one partition — the
-    # broadcast join expands the partitioning to o_custkey, so the
-    # groupBy's exchange is ELIDED (this repartition REPLACES it, 3
-    # narrow columns instead of post-join partial rows) and each group
-    # still accumulates in scan order: bit-identical (see fan_out_by;
-    # no-op on any multi-row-group table, where map-side combine wins).
-    fact = fan_out_by(fact, "custkey")
+    # Round-12 tried a KEYED fan-out (fan_out_by(fact, "custkey")) here;
+    # round 13 REMOVED it. The r12 advisory's hole applies to exactly
+    # this site: `fact` is a two-scan join, so the "single row-bearing
+    # producer feeds each partition in scan order" bit-identity
+    # argument only holds while the orderkey join stays broadcast —
+    # which the gate cannot prove from metadata. The tightened gate
+    # (one input row group TOTAL) therefore refuses, and the driver's
+    # cold measurement agreed the win was noise anyway: 1.09x at 32
+    # cores, with the 8-core run FASTER (PERF_r12 scaling 0.83) — the
+    # rounded-avg/stddev agg floor is the broadcast builds + one probe
+    # pass, decomposed in OPTIMIZATION_r13.md (VERDICT r12 #7).
     dim = orders.select("o_orderkey", "o_custkey", "o_orderdate")
     # dim side is NOT broadcast here: at 100 TB both sides are large and
     # share the custkey equi-conjunct, so a co-partitioned join scales;

@@ -38,10 +38,14 @@ def _preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregate-pushdown Catalyst won't do on its own (2x at sf0.1,
     # and the gap grows with lineitems-per-order at 100 TB).
     # fan_out_by: a one-row-group scan runs the whole per-order partial
-    # agg on one core; hashing on the group key is BIT-identical here
-    # (same hash, same partition count as the agg's own exchange, which
-    # it replaces — identical partition contents, per-group scan-order
-    # accumulation) and a no-op on any multi-row-group table.
+    # agg on one core; hashing on the group key keeps every order's
+    # rows in ONE partition, which satisfies the aggregation's
+    # clustering requirement (Catalyst elides the agg's own exchange —
+    # note the partition COUNTS can differ: fan_out_by targets
+    # defaultParallelism, the agg exchange would use
+    # spark.sql.shuffle.partitions), and with a single row-bearing
+    # scan task each group still accumulates in scan order —
+    # bit-identical results. No-op on any multi-row-group table.
     per_order = fan_out_by(
         t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
         "l_orderkey",
