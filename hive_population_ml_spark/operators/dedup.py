@@ -267,7 +267,7 @@ def prefix_jaccard_pairs(
     hashed = (
         shingle_sets(df, id_col, text_col, k)  # (doc, s, n)
         .select("doc", F.xxhash64("s").alias("sh64"), "n")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     freq = hashed.groupBy("sh64").agg(F.count("*").alias("df_s"))
     ranked = hashed.join(freq, "sh64").withColumn(
@@ -376,6 +376,18 @@ def minhash_signatures(
 
     Hash family: xxhash64(shingle, salt_i) — deterministic, JVM-side,
     no Python. Returns (doc, h0..h{n-1}).
+
+    Round 13 tried the "zero-shuffle" map form — ``array_min(
+    transform(sh, x -> xxhash64(x, i)))`` per doc row, removing the
+    hashpartitioning(doc) exchange outright (guide §2.4) — and it
+    measured 1.7x SLOWER end to end (dedup_minhash_lsh 3.1 -> 5.3 s
+    with a healthy 0.84 s control): Spark's higher-order functions run
+    INTERPRETED, one lambda-projection eval per array element, so 32
+    transform+array_min passes over each ~50-element shingle array
+    lose badly to the fully-codegen'd explode + 32 min() partial
+    aggregates, whose map-side combine also keeps the exchange payload
+    at one (doc, 32 longs) row per doc. Reverted; kept as the
+    counter-example so a later round does not re-try it.
     """
     sh = shingle_sets(df, id_col, text_col, k)
     # SQL-string aggregates: one JVM parse each (see PERFORMANCE.md
@@ -427,8 +439,13 @@ def minhash_lsh_pairs(
     # signature->banding->pair chain recomputes for each consumer (two
     # full corpus tokenize+minhash passes; measured ~2x wall and plan
     # exchanges 14->8). Candidates are the tiny post-LSH set — exactly
-    # what should pin in memory.
-    cand = _pairs_from_groups(buckets).distinct().localCheckpoint()
+    # what should pin in memory. eager=False (round 13): construction
+    # no longer runs a separate blocking job — the first consumer's job
+    # materializes the checkpoint and the second reuses it (same
+    # single-execution guarantee, one fewer driver round trip per run;
+    # executor loss on a cluster recomputes from the truncated
+    # lineage's parquet inputs — see ckpt.py).
+    cand = _pairs_from_groups(buckets).distinct().localCheckpoint(eager=False)
     # Exact verification only on candidates: first shrink the shingle
     # table to docs that appear in some candidate pair (the LSH payoff —
     # at corpus scale this is a tiny fraction), then verify.
@@ -532,7 +549,7 @@ def fingerprint_pairs(
     pass, the codec pHash decodes — would otherwise execute three
     times (Spark reuses the shuffle below the agg, not the agg). The
     checkpointed table is (doc, int64) — 16 B/doc at any scale."""
-    fp = fp.localCheckpoint()
+    fp = fp.localCheckpoint(eager=False)
     n_blocks, combos = _simhash_tables(max_hamming, n_blocks)
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     starts = [sum(widths[:i]) for i in range(n_blocks)]
@@ -846,42 +863,59 @@ def _levenshtein_blocked(
       exact-verify); the cap is mirrored in the DuckDB oracle so the
       whole guarded pipeline stays differential.
     """
+    # Round 13 (guide §2.4, VERDICT r12 #8): the blocking pass was a
+    # SELF-equi-join on the block key — Spark executes the keyed
+    # projection subtree once per join side, each behind its own
+    # window-count exchange+sort (the block-size guards) — i.e. two
+    # scans, two exchanges, two window sorts and a join build PER PASS
+    # (x3 in the multipass union). One groupBy already co-locates every
+    # block, so this is the _jaccard_verify bucket-expansion shape
+    # instead: ONE exchange per pass, the guards read the bucket SIZE
+    # (== the old window count) off the aggregated row for free, and
+    # the two-stage explode bounds per-row memory by the block array
+    # (blocks are capped by the guards). Pair set identical: sort_array
+    # on (id, key) structs orders by the unique id, so the strictly-
+    # later slice emits exactly the old join's d1 < d2 pairs; NULL
+    # block keys are filtered explicitly (the old join's NULL != NULL
+    # semantics made them pairless).
     keyed = df.select(
         F.col(id_col).alias("__id"),
         norm.alias("__k"),
         block_key.alias("__b"),
+    ).filter(F.col("__b").isNotNull())
+    groups = keyed.groupBy("__b").agg(
+        F.sort_array(F.collect_list(F.struct("__id", "__k"))).alias("docs")
     )
-    if max_block_frac is not None or max_block_rows is not None:
-        from pyspark.sql import Window
-
-        bc = F.count(F.lit(1)).over(Window.partitionBy("__b"))
-        keyed = keyed.withColumn("__bc", bc)
-        if max_block_frac is not None:
-            n = df.agg(F.count(F.lit(1)).alias("__n"))
-            keyed = keyed.join(F.broadcast(n)).filter(
-                F.col("__bc") <= F.ceil(F.lit(max_block_frac) * F.col("__n"))
-            ).drop("__n")
-        if max_block_rows is not None:
-            keyed = keyed.filter(F.col("__bc") <= F.lit(int(max_block_rows)))
-        keyed = keyed.drop("__bc")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__b") == F.col("b.__b"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    ok = F.size("docs") > 1
+    if max_block_rows is not None:
+        ok = ok & (F.size("docs") <= F.lit(int(max_block_rows)))
+    if max_block_frac is not None:
+        n = df.agg(F.count(F.lit(1)).alias("__n"))
+        groups = groups.join(F.broadcast(n))
+        ok = ok & (
+            F.size("docs") <= F.ceil(F.lit(max_block_frac) * F.col("__n"))
         )
-        .select(
-            F.col("a.__id").alias("d1"),
-            F.col("b.__id").alias("d2"),
+    groups = groups.filter(ok)
+    e1 = groups.select("docs", F.posexplode("docs").alias("i", "x"))
+    expanded = e1.select(
+        F.col("x.__id").alias("d1"),
+        F.col("x.__k").alias("k1"),
+        F.explode(
+            F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+        ).alias("y"),
+    )
+    return (
+        expanded.select(
+            "d1",
+            F.col("y.__id").alias("d2"),
             # thresholded form: Ukkonen banded DP, O(d*n) per pair
             # instead of O(n^2), returning -1 above the threshold —
             # exact distances for every surviving pair, so the DuckDB
             # oracle's plain `levenshtein(a,b) <= d` states identical
             # results (measured 6.4 s -> ~2 s at sf0.1).
-            F.levenshtein(
-                F.col("a.__k"), F.col("b.__k"), max_dist
-            ).alias("dist"),
+            F.levenshtein(F.col("k1"), F.col("y.__k"), max_dist).alias(
+                "dist"
+            ),
         )
         .filter(F.col("dist") >= 0)
     )
@@ -921,7 +955,7 @@ def source_overlap(
         .select("g", shingles_of_tokens(F.col("t"), k).alias("sh"))
         .select("g", F.explode("sh").alias("s"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     a, b = gs.alias("a"), gs.alias("b")

@@ -61,21 +61,34 @@ def pagerank(
     scale link graph exceeds the threshold and iterates distributively.
     Set ``small_graph_threshold=0`` to force the distributed path.
     """
-    e = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint()
-    n_edges = e.count()
-    if 0 < n_edges <= small_graph_threshold:
-        ranks = pagerank_reference(
-            [(r["s"], r["d"]) for r in e.collect()],
-            alpha=alpha,
-            max_iter=max_iter,
-            tol=tol,
-        )
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            sorted(ranks.items()), "node long, rank double"
-        )
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if small_graph_threshold:
+        # Small-graph cutover WITHOUT materializing first (round 13,
+        # the components.py r12 fold): collect at most threshold+1
+        # edges through a limit guard — ONE execution of the edge graph
+        # and one driver round trip, replacing the eager-checkpoint +
+        # count + collect triple. The collected edges are SORTED before
+        # the reference power iteration so the float-sum order (and
+        # with it every rank, to the last ulp) is a deterministic
+        # function of the edge SET, independent of partition/arrival
+        # order — strictly more deterministic than the previous
+        # checkpoint-order collect.
+        head = e.limit(small_graph_threshold + 1).collect()
+        if 0 < len(head) <= small_graph_threshold:
+            ranks = pagerank_reference(
+                sorted((r["s"], r["d"]) for r in head),
+                alpha=alpha,
+                max_iter=max_iter,
+                tol=tol,
+            )
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                sorted(ranks.items()), "node long, rank double"
+            )
+        if not head:
+            spark = edges.sparkSession
+            return spark.createDataFrame([], "node long, rank double")
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))

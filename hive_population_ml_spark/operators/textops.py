@@ -207,7 +207,7 @@ def unigram_logprob_score(
     # materialization each consumer recomputes the corpus tokenize+agg
     # chain (a third full scan). Vocabulary is Heaps-bounded — exactly
     # what should pin. (Same fix as the MinHash candidate checkpoint.)
-    freq = tok.groupBy("t").agg(F.count("*").alias("c")).localCheckpoint()
+    freq = tok.groupBy("t").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     total = freq.agg(F.sum("c").cast("double").alias("n_total"))
     return (
         tok.join(freq, "t")
@@ -249,7 +249,7 @@ def ccnet_buckets(
     # without materialization each consumer re-runs the tokenize +
     # vocab-join chain (the tfidf_keywords lesson: pruned subtrees
     # defeat exchange reuse). Three narrow columns per doc.
-    scored = unigram_logprob_score(docs, id_col, text_col).localCheckpoint()
+    scored = unigram_logprob_score(docs, id_col, text_col).localCheckpoint(eager=False)
     cuts = scored.agg(
         F.percentile(F.col("avg_nll"), F.lit(1.0 / 3)).alias("c1"),
         F.percentile(F.col("avg_nll"), F.lit(2.0 / 3)).alias("c2"),
@@ -299,7 +299,7 @@ def bigram_logprob_score(
     # Materialize the bigram model table: it feeds the left-context
     # rollup AND the scoring join — without the checkpoint the bigram
     # explode+agg chain recomputes per consumer (vocab-bounded state).
-    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint()
+    freq = bg.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     left = freq.groupBy("w1").agg(F.sum("c").cast("double").alias("cl"))
     return (
         bg.join(freq, ["w1", "w2"])
@@ -1300,14 +1300,14 @@ def dsir_weights(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     )
     raw = (
-        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_raw")).localCheckpoint()
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_raw")).localCheckpoint(eager=False)
     )
     tgt = (
         df.filter(target)
         .select(F.explode(tokens(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     totals = F.broadcast(
         raw.agg(
@@ -1362,7 +1362,7 @@ def source_kl_divergence(
         F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("t")
     )
     corpus = (
-        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all")).localCheckpoint()
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all")).localCheckpoint(eager=False)
     )
     per_group = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c_g"))
     totals = F.broadcast(
@@ -1425,7 +1425,7 @@ def source_js_divergence(
         F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("t")
     )
     corpus = (
-        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all")).localCheckpoint()
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all")).localCheckpoint(eager=False)
     )
     per_group = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c_g"))
     totals = F.broadcast(

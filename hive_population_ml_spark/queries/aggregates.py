@@ -1586,7 +1586,7 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (user total, per-type counts, both self-join sides) —
     # without it each consumer re-scans and re-aggregates the corpus.
     ut = (
-        t.events.select("user_id", "event_type").distinct().localCheckpoint()
+        t.events.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
     )
     n = ut.agg(F.countDistinct("user_id").alias("n_users"))
     pt = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
@@ -1939,7 +1939,7 @@ def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup AND the final projection (without it the whole
     # sessionize+lead+agg chain recomputes per consumer)
     c = (
-        tr.groupBy("cur", "nxt").agg(F.count("*").alias("n")).localCheckpoint()
+        tr.groupBy("cur", "nxt").agg(F.count("*").alias("n")).localCheckpoint(eager=False)
     )
     rowt = c.groupBy("cur").agg(F.sum("n").alias("nr"))
     return c.join(F.broadcast(rowt), "cur").select(
@@ -1973,7 +1973,7 @@ def sketch_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
             F.countDistinct("user_id").alias("n_exact"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = sk.select(
         F.col("event_type").alias("ta"),
@@ -2065,7 +2065,7 @@ def a_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("value").alias("m"),
             F.var_samp("value").alias("v"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sa = s.filter(F.col("variant") == "A").select(
         "event_type",
@@ -2141,7 +2141,7 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek(F.to_date("ts")) - 1).cast("bigint").alias("dow"),
         )
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rt = c.groupBy("event_type").agg(F.sum("n").alias("nr"))
     ct = c.groupBy("dow").agg(F.sum("n").alias("nc"))
@@ -2608,7 +2608,7 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t.documents.groupBy("lang", "source")
         .agg(F.count("*").cast("double").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mx = j.groupBy("lang").agg(F.sum("c").alias("cx"))
     my = j.groupBy("source").agg(F.sum("c").alias("cy"))

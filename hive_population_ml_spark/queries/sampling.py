@@ -619,7 +619,7 @@ def mix_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_tokens"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = s.agg(F.sum("n_tokens").alias("t"))
     sh = s.crossJoin(F.broadcast(tot)).withColumn(

@@ -1835,7 +1835,7 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nt = uni.agg(F.sum("cu").cast("double").alias("n"))
     bi = toks.select(
@@ -1848,7 +1848,7 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     bic = (
-        bi.groupBy("w1", "w2").agg(F.count("*").alias("cb")).localCheckpoint()
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("cb")).localCheckpoint(eager=False)
     )
     leftc = bic.groupBy("w1").agg(F.sum("cb").cast("double").alias("cl"))
     p = 0.7 * (F.col("cb") / F.col("cl")) + 0.3 * (F.col("cu") / F.col("n"))
