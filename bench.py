@@ -367,7 +367,11 @@ def machine_calibration(spark) -> dict[str, float]:
 
 
 def final_line(
-    timings: dict[str, float], sf: object, calib: dict | None = None
+    timings: dict[str, float],
+    sf: object,
+    calib: dict | None = None,
+    cpus: int | None = None,
+    default_parallelism: int | None = None,
 ) -> str:
     """Render the FINAL stdout line the driver parses.
 
@@ -376,6 +380,13 @@ def final_line(
     registry-sized map (which lives on its own earlier stdout line).
     tests/test_driver_sim.py renders this at the live HEADLINE size and
     pins the byte length under the driver's 2,000-char tail buffer.
+
+    ``cpus``/``default_parallelism`` (round 13, VERDICT r12 #2): echo
+    the $SPARK_GRAFT_CPUS the harness was given AND the parallelism the
+    session actually resolved, so a scaling run's evidence is carried
+    in the measurement itself (the r12 driver flagged
+    suspect_cpus_ignored because nothing in the output proved the env
+    var reached the session).
     """
     r01 = {name: timings[name] for name in R01_BASELINE_QUERIES if name in timings}
     out = {
@@ -387,6 +398,10 @@ def final_line(
         "queries": r01,
         "sf": sf,
     }
+    if cpus is not None:
+        out["cpus"] = cpus
+    if default_parallelism is not None:
+        out["default_parallelism"] = default_parallelism
     if calib is not None:
         out["calib"] = calib  # fixed 2-key dict — stays O(1)-sized
     return json.dumps(out)
@@ -406,6 +421,25 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # Offline index builds, measured COLD and reported on their own
+    # JSONL line (round 13, VERDICT r12 #5): the fingerprint-keyed
+    # build memos (IVF centroids, PQ codebooks, IVFPQ index, PCA,
+    # mixing quantizer, LSH width) model write-time artifacts, so the
+    # timed medians below never see the build cost — this line pins
+    # that amortized boundary with numbers. Side effect: the memos are
+    # warm before run 1, so all n_runs measure the same serve-path
+    # work (previously run 1 silently paid the builds and the median
+    # dropped it).
+    from hive_population_ml_spark.queries.similarity import (
+        offline_build_ledger,
+    )
+
+    spark.sparkContext.setJobDescription("offline index builds (ledger)")
+    ledger = offline_build_ledger(spark, sf_dir)
+    spark.sparkContext.setJobDescription(None)
+    print(json.dumps({"index_build_sec": ledger, "sf_dir": sf_dir}))
+    sys.stdout.flush()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -444,7 +478,11 @@ def main() -> None:
     print(json.dumps({"queries_full": timings}))
     sys.stdout.flush()
     print(final_line(
-        timings, float(sf) if sf.replace(".", "").isdigit() else sf, calib
+        timings,
+        float(sf) if sf.replace(".", "").isdigit() else sf,
+        calib,
+        cpus=cpus,
+        default_parallelism=spark.sparkContext.defaultParallelism,
     ))
     spark.stop()
 

@@ -593,3 +593,94 @@ def mix_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, _corpus_key(emb, sf_dir), k=16, max_iter=10, sample_n=4096
     )
     return cluster_silhouette(emb, _centroid_df(spark, rows))
+
+
+def offline_build_ledger(spark: SparkSession, sf_dir: str) -> dict:
+    """One COLD build per memoized offline artifact at ``sf_dir``,
+    timed (VERDICT r12 #5: pin the offline-build boundary).
+
+    The in-process memos (_LSH_PLANES, _IVF_CENTROIDS, _PQ_BOOKS,
+    _IVFPQ_INDEX, _PCA_MODELS, and the mixing quantizer which shares
+    _IVF_CENTROIDS) model write-time index builds: train once, serve
+    many queries. That is the documented r7+ contract — but it means
+    bench MEDIANS never see the build cost. This helper makes the
+    amortized work MEASURED instead of invisible: it clears this dir's
+    memo entries, rebuilds each artifact with the exact parameters the
+    registered queries use (so the warm memos the timed runs then hit
+    are byte-identical to what the queries would have built), and
+    returns {artifact: seconds}. bench.py prints the result on its own
+    JSONL line before the timed loop; it never touches timed medians.
+    """
+    import math
+    import time as _time
+
+    from ..operators.similarity import (
+        auto_n_planes,
+        pca_project,
+        train_ivfpq_index,
+        train_pq_codebooks,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+
+    # drop this dir's entries so each build below is genuinely cold
+    _LSH_PLANES.pop(sf_dir, None)
+    for memo in (_IVF_CENTROIDS, _PQ_BOOKS, _IVFPQ_INDEX, _PCA_MODELS):
+        for k in [k for k in memo if k[0] == sf_dir]:
+            memo.pop(k)
+
+    out: dict[str, float] = {}
+
+    def _timed(name: str, fn) -> object:
+        t0 = _time.perf_counter()
+        val = fn()
+        out[name] = round(_time.perf_counter() - t0, 3)
+        return val
+
+    # corpus fingerprint: the one metadata agg every memo key shares
+    key = _timed("corpus_fingerprint", lambda: _corpus_key(emb, sf_dir))
+    # ann_lsh width (one count + closed form)
+    _timed(
+        "lsh_planes",
+        lambda: _LSH_PLANES.setdefault(sf_dir, auto_n_planes(emb.count())),
+    )
+    # ann_ivf / dedup_semantic coarse quantizer (auto-k, seed=7, 5 iters)
+    _timed(
+        "ivf_centroids_auto",
+        lambda: _centroid_rows(spark, emb, key, k=None),
+    )
+    # mixing-tier quantizer (k=16, seed=7, 10 iters — mix_domain_clusters
+    # + mix_cluster_silhouette)
+    _timed(
+        "mix_quantizer",
+        lambda: _centroid_rows(
+            spark, emb, key, k=16, max_iter=10, sample_n=4096
+        ),
+    )
+    # ann_pq / ann_pq_distributed codebooks
+    _timed(
+        "pq_codebooks",
+        lambda: _PQ_BOOKS.setdefault(
+            key,
+            train_pq_codebooks(
+                emb, "vec_id", "embedding", n_subspaces=8, k=256
+            ),
+        ),
+    )
+    # ann_ivfpq / ann_ivfpq_distributed index (auto cells)
+    _timed(
+        "ivfpq_index",
+        lambda: _IVFPQ_INDEX.setdefault(
+            key,
+            train_ivfpq_index(emb, "vec_id", "embedding", n_cells=None),
+        ),
+    )
+    # embedding_pca model fit
+    _timed(
+        "pca_model",
+        lambda: _PCA_MODELS.setdefault(
+            key, pca_project(emb, n_components=8, model=None)[1]
+        ),
+    )
+    return out

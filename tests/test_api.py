@@ -273,6 +273,7 @@ def test_bench_final_line_stays_compact_at_live_registry_size():
     line = bench.final_line(
         timings, 0.1,
         calib={"numpy_sort_sec": 9999.9999, "spark_1p_sec": 9999.9999},
+        cpus=128, default_parallelism=128,
     )
     assert len(line) < 1800, (
         f"bench final line would be {len(line)} bytes at the current "

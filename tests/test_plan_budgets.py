@@ -504,7 +504,14 @@ FANOUT_CAPS = {
 
 
 def _classify_exchanges(plan: str) -> tuple[int, int]:
-    """(data-moving exchanges, round-robin fan-out exchanges)."""
+    """(non-fan-out exchanges, round-robin fan-out exchanges).
+
+    The first count is every ``Exchange`` node that is NOT a deliberate
+    round-robin fan-out — i.e. hash/range/single-partition shuffles
+    PLUS Broadcast/Reused exchange nodes (substring match; the budgets
+    below are calibrated to that long-standing convention, so a new
+    broadcast build also consumes budget — intentional, it is a real
+    job at scale)."""
     total = plan.count("Exchange")
     fanout = plan.count("Exchange RoundRobinPartitioning")
     return total - fanout, fanout
