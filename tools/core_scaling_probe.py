@@ -1,0 +1,157 @@
+"""Core-scaling evidence probe (VERDICT r12 #2: make parallelism provable).
+
+The driver's 8-vs-32-core comparison at sf0.1 reads ~1 everywhere
+because every comparable query runs 0.3-2 s there, dominated by fixed
+per-job overhead (an empty noop action costs ~0.1-0.3 s on this
+harness) — core count is invisible at that duration. This probe makes
+the scaling measurable by timing queries on a MULT-x distinct-content
+replica of the corpus (tools/scale_probe.py's generator: keys shifted,
+text/token content perturbed per replica, so plan THROUGHPUT is what
+scales), where per-query compute is tens of seconds and the 8-vs-32
+ratio reflects the engine, not the scheduler.
+
+Writes the replica once, then runs each core count in its OWN
+subprocess (fresh JVM, master local[cpus] — exactly how the driver
+varies $SPARK_GRAFT_CPUS), and prints one JSON line:
+
+  {"probe": "core_scaling", "mult": M, "cpus": [8, 32],
+   "queries": {name: {"t8": s, "t32": s, "speedup_8_to_32": r}}}
+
+Usage:
+  python tools/core_scaling_probe.py [--queries a,b] [--mult 10]
+      [--cpus 8,32] [--runs 2]
+  python tools/core_scaling_probe.py --worker --dir D --cpus 8 ...
+      (internal: one core count, JSON on stdout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality_profile",
+    "w_sessionize",
+]
+
+# tables each default query reads (replicate only those; rest symlink)
+DEFAULT_TABLES = "documents,embeddings,events"
+
+
+def worker(args) -> None:
+    from hive_population_ml_spark.queries import QUERIES, load_all
+    from hive_population_ml_spark.session import get_spark
+
+    load_all()
+    spark = get_spark(
+        f"core-scaling-{args.cpus}", cpus=args.cpus, shuffle_partitions=args.cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    names = args.queries.split(",")
+    # warmup on sf0.001 (codegen/Arrow init) and once at scale (JIT)
+    for n in names:
+        QUERIES[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    out = {}
+    for n in names:
+        spark.sparkContext.setJobDescription(f"scaling:{n}:warm")
+        QUERIES[n](spark, args.dir).write.format("noop").mode("overwrite").save()
+        ts = []
+        for r in range(args.runs):
+            spark.sparkContext.setJobDescription(f"scaling:{n}:run{r}")
+            t0 = time.perf_counter()
+            QUERIES[n](spark, args.dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.perf_counter() - t0)
+        out[n] = round(min(ts), 3)  # best-of: isolates steady-state rate
+    print(json.dumps({
+        "cpus": args.cpus,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "queries": out,
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--tables", default=DEFAULT_TABLES)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--dir", default=None, help="existing replica dir")
+    ap.add_argument("--worker", action="store_true")
+    args = ap.parse_args()
+    if args.worker:
+        args.cpus = int(args.cpus)
+        worker(args)
+        return
+
+    from scale_probe import replicate_dir  # same directory
+
+    from hive_population_ml_spark.session import get_spark
+
+    big_dir = args.dir
+    own_dir = big_dir is None
+    if own_dir:
+        spark = get_spark("core-scaling-gen", cpus=32, shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        big_dir = replicate_dir(
+            spark, args.sf_dir, args.mult,
+            only=set(args.tables.split(",")) if args.tables else None,
+        )
+        spark.stop()
+    try:
+        per_cpus = {}
+        for c in [int(x) for x in args.cpus.split(",")]:
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--worker",
+                "--dir", big_dir, "--cpus", str(c),
+                "--queries", args.queries, "--runs", str(args.runs),
+            ]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+            per_cpus[c] = json.loads(line)
+        cs = sorted(per_cpus)
+        lo, hi = cs[0], cs[-1]
+        queries = {}
+        for n in args.queries.split(","):
+            tlo = per_cpus[lo]["queries"][n]
+            thi = per_cpus[hi]["queries"][n]
+            queries[n] = {
+                f"t{lo}": tlo,
+                f"t{hi}": thi,
+                f"speedup_{lo}_to_{hi}": round(tlo / thi, 2) if thi else None,
+            }
+        print(json.dumps({
+            "probe": "core_scaling",
+            "mult": args.mult,
+            "cpus": cs,
+            "default_parallelism": {
+                c: per_cpus[c]["default_parallelism"] for c in cs
+            },
+            "queries": queries,
+        }))
+    finally:
+        if own_dir:
+            shutil.rmtree(big_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
