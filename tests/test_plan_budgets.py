@@ -494,12 +494,57 @@ def test_every_registered_query_is_timed_or_declared_untimed():
 # their own cap instead so keyless repartitions can't proliferate
 # unnoticed either. Composition queries that chain several fanned
 # stages get an explicit audited pin.
-FANOUT_CAP = 4
+# Round 13 (ADVICE r12 #4): the cap defaults to ZERO — a query with no
+# fan-out today cannot grow one unnoticed — and every fanned query pins
+# its EXACT current count below (regenerated from a full plan census;
+# checkpointed subtrees hide their internal fan-outs from the executed
+# plan, which is why composition queries read lower than their stage
+# count). FANOUT_CAPS is the only escape hatch.
+FANOUT_CAP = 0
 FANOUT_CAPS = {
-    # prefix-exact + LSH + verify stages each fan their own scan
-    "dedup_recall_report": 5,
-    # bigram + unigram + vocab scans each fan out
+    "a_bootstrap_ci": 2,
+    "a_gini_value_approx": 1,
+    "a_rank_normalize_approx": 1,
+    "ann_ivfpq": 1,
+    "ann_lsh": 2,
+    "ann_pq": 1,
+    "ann_pq_distributed": 1,
+    "code_quality_profile": 1,
+    "dedup_containment": 1,
+    "dedup_incremental_minhash": 2,
+    "dedup_minhash_lsh": 1,
+    "dedup_ngram_jaccard": 1,
+    "dedup_paragraph_exact": 1,
+    "dedup_recall_report": 1,
+    "emb_jl_project": 1,
+    "embedding_pca": 1,
+    "knn_bruteforce": 1,
+    "mix_cluster_silhouette": 1,
+    "text_chunk_chars": 1,
+    "text_chunk_tokens": 1,
+    "text_compressibility": 1,
+    "text_decontaminate": 1,
+    "text_decontaminate_bloom": 1,
+    "text_dsir_weights": 1,
+    "text_dup_spans": 1,
+    "text_duplication_score": 3,
+    "text_fix_mojibake": 1,
+    "text_heavy_hitters": 1,
+    "text_inverted_index": 1,
+    "text_jsd_drift": 2,
+    "text_mixed_lang": 1,
+    "text_ngram_novelty": 2,
     "text_pmi_collocations": 5,
+    "text_remove_dup_spans": 3,
+    "text_repetition_filter": 1,
+    "text_semantic_decontaminate": 1,
+    "text_source_kl": 2,
+    "text_tfidf_keywords": 1,
+    "text_token_contamination": 2,
+    "text_token_entropy": 1,
+    "text_unigram_logprob": 1,
+    "url_normalize_dedup": 1,
+    "url_robots_filter": 1,
 }
 
 
